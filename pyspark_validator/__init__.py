@@ -1,0 +1,48 @@
+"""pyspark-validator: a from-scratch PySpark-native schema + constraint validation engine.
+
+Capabilities mirror Desbordante's validation tier (reference at /root/reference, cited
+per-module by file:line): per-column statistics, uniqueness (UCC), functional-dependency
+validation with the AFD error family (g1 / pdep / tau / mu+ / rho), probabilistic FDs,
+inclusion / referential integrity (IND), numerical dependencies (ND), metric FDs, and
+distribution-drift checks (PSI / KS / chi-square) -- all re-designed as DataFrame
+aggregations and vectorized Arrow UDFs for trillion-row Iceberg/parquet tables of
+interleaved text+media documents.
+
+Design rules (see SURVEY.md section 7):
+  * Every check is a lazy DataFrame DAG: one hash-partitioned grouped aggregation per
+    check where possible; Catalyst does partial (map-side) aggregation so small-key
+    verdict rollups never skew.
+  * Violation collection is gated on failure and capped (reference precedent: FDVerifier
+    early-exit, fd_verifier.cpp:59-62).
+  * No per-row Python anywhere; Python-side logic uses Arrow-batched pandas UDFs only.
+"""
+
+from pyspark_validator.canonical import (
+    CanonicalDocs,
+    canonicalize,
+    partition_id_expr,
+    span_key_expr,
+)
+from pyspark_validator.checks.fd import afd_measures, fd_check, pfd_check
+from pyspark_validator.checks.ind import ind_check
+from pyspark_validator.checks.nd import nd_check
+from pyspark_validator.checks.stats import column_profile
+from pyspark_validator.checks.ucc import ucc_check
+from pyspark_validator.session import get_spark
+
+__all__ = [
+    "CanonicalDocs",
+    "afd_measures",
+    "canonicalize",
+    "column_profile",
+    "fd_check",
+    "get_spark",
+    "ind_check",
+    "nd_check",
+    "partition_id_expr",
+    "pfd_check",
+    "span_key_expr",
+    "ucc_check",
+]
+
+__version__ = "0.1.0"

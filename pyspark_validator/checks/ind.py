@@ -1,0 +1,148 @@
+"""Inclusion-dependency / referential-integrity validation (AIND).
+
+Reference semantics (ind/ind_verifier/ind_verifier.cpp:80-136):
+  * violating clusters = distinct LHS tuples absent from the RHS tuple set,
+  * violating rows     = their total LHS occurrences,
+  * error (g3')        = violating distinct / total distinct LHS.
+
+Spark design: distinct-reduce the LHS first (groupBy with count -- the cluster
+sizes ARE the per-occurrence row counts), then LEFT ANTI join the distinct RHS.
+Both sides are distinct before the join, so join input is minimal; Catalyst
+broadcasts the RHS when it fits (dimension-table case: FK -> PK checks broadcast
+for free) and AQE splits skewed shuffled joins otherwise. A HyperLogLog
+pre-screen (``approx_inclusion``) gives a cheap necessary condition at the
+10^12-row scale before running the exact anti-join (FAIDA precedent:
+faida/inclusion_testing/hll_data.h:28-37).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_validator.canonical import NullMode
+
+
+@dataclass
+class INDCheck:
+    lhs_df: DataFrame
+    lhs_cols: list[str]
+    rhs_df: DataFrame
+    rhs_cols: list[str]
+    violation_cap: int = 1000
+    broadcast_rhs: bool | None = None  # None = let Catalyst/AQE decide
+
+    @cached_property
+    def _lhs_distinct(self) -> DataFrame:
+        """Distinct LHS tuples + occurrence counts: one shuffle, map-side combined."""
+        sel = [F.col(c).alias(f"__l{i}") for i, c in enumerate(self.lhs_cols)]
+        return self.lhs_df.select(*sel).groupBy(
+            *[f"__l{i}" for i in range(len(self.lhs_cols))]
+        ).agg(F.count(F.lit(1)).alias("occurrences"))
+
+    @cached_property
+    def _rhs_distinct(self) -> DataFrame:
+        sel = [F.col(c).alias(f"__r{i}") for i, c in enumerate(self.rhs_cols)]
+        out = self.rhs_df.select(*sel).dropDuplicates()
+        if self.broadcast_rhs:
+            out = F.broadcast(out)
+        return out
+
+    @cached_property
+    def _missing(self) -> DataFrame:
+        """Distinct LHS tuples with no RHS match. NULL-safe equality so NULL keys
+        compare like values (matching the reference, which treats every cell as a
+        plain string -- ind_verifier.cpp:102-128)."""
+        cond = None
+        for i in range(len(self.lhs_cols)):
+            c = F.col(f"l.__l{i}").eqNullSafe(F.col(f"r.__r{i}"))
+            cond = c if cond is None else cond & c
+        return (
+            self._lhs_distinct.alias("l")
+            .join(self._rhs_distinct.alias("r"), on=cond, how="left_anti")
+        )
+
+    def summary(self) -> DataFrame:
+        """Single row: holds / n_violating_clusters / n_violating_rows / error /
+        n_distinct_lhs (error = clusters / distinct, ind_verifier.cpp:134-135)."""
+        tot = self._lhs_distinct.agg(
+            F.count(F.lit(1)).alias("n_distinct_lhs"),
+            F.sum("occurrences").alias("n_rows_lhs"),
+        )
+        mis = self._missing.agg(
+            F.count(F.lit(1)).alias("n_violating_clusters"),
+            F.coalesce(F.sum("occurrences"), F.lit(0)).alias("n_violating_rows"),
+        )
+        return tot.crossJoin(mis).select(
+            (F.col("n_violating_clusters") == 0).alias("holds"),
+            "n_violating_clusters",
+            "n_violating_rows",
+            (F.col("n_violating_clusters") / F.col("n_distinct_lhs")).alias("error"),
+            "n_distinct_lhs",
+            "n_rows_lhs",
+        )
+
+    def violations(self) -> DataFrame:
+        """The missing LHS tuples themselves (deterministic order, capped)."""
+        renamed = self._missing.select(
+            *[
+                F.col(f"__l{i}").alias(c)
+                for i, c in enumerate(self.lhs_cols)
+            ],
+            "occurrences",
+        )
+        return renamed.orderBy(
+            F.desc("occurrences"), *[F.asc_nulls_first(c) for c in self.lhs_cols]
+        ).limit(self.violation_cap)
+
+    def approx_inclusion(self, rsd: float = 0.02) -> DataFrame:
+        """HLL necessary-condition pre-screen (FAIDA precedent): if
+        |distinct(LHS u RHS)| ~= |distinct(RHS)| the IND plausibly holds; a
+        significantly larger union proves violations without any join. Returns
+        [approx_distinct_rhs, approx_distinct_union, approx_violating_lhs]."""
+        l = self._lhs_distinct.select(
+            *[F.col(f"__l{i}").alias(f"k{i}") for i in range(len(self.lhs_cols))]
+        )
+        r = self._rhs_distinct.select(
+            *[F.col(f"__r{i}").alias(f"k{i}") for i in range(len(self.rhs_cols))]
+        )
+        union = l.unionByName(r)
+        key = F.xxhash64(*[f"k{i}" for i in range(len(self.lhs_cols))])
+        a_r = r.agg(F.approx_count_distinct(key, rsd).alias("approx_distinct_rhs"))
+        a_u = union.agg(F.approx_count_distinct(key, rsd).alias("approx_distinct_union"))
+        return a_r.crossJoin(a_u).select(
+            "approx_distinct_rhs",
+            "approx_distinct_union",
+            (F.col("approx_distinct_union") - F.col("approx_distinct_rhs")).alias(
+                "approx_violating_lhs"
+            ),
+        )
+
+
+def ind_check(
+    lhs_df: DataFrame,
+    lhs_cols: list[str],
+    rhs_df: DataFrame | None = None,
+    rhs_cols: list[str] | None = None,
+    violation_cap: int = 1000,
+    broadcast_rhs: bool | None = None,
+) -> INDCheck:
+    """Validate LHS cols (in lhs_df) subseteq RHS cols (in rhs_df; defaults to the
+    same table, matching the reference's 1-2 table support)."""
+    if rhs_df is None:
+        rhs_df = lhs_df
+    if rhs_cols is None:
+        raise ValueError("rhs_cols is required")
+    if len(lhs_cols) != len(rhs_cols):
+        raise ValueError("lhs/rhs arity mismatch")
+    return INDCheck(
+        lhs_df=lhs_df,
+        lhs_cols=list(lhs_cols),
+        rhs_df=rhs_df,
+        rhs_cols=list(rhs_cols),
+        violation_cap=violation_cap,
+        broadcast_rhs=broadcast_rhs,
+    )

@@ -1,0 +1,216 @@
+"""Per-column statistics profile -- the DataStats analog.
+
+The reference computes ~40 per-column statistics, one thread-pool task per column
+with compute-once memoization (statistics/data_stats.cpp:1118-1191, :63-218). Our
+design collapses the whole numeric profile into ONE wide aggregation pass: every
+statistic is an algebraic expression over power sums / conditional counts, so the
+entire profile is a single whole-stage-codegen'd scan with map-side partial
+aggregation -- no shuffle of row data at all, only the final tiny combine.
+
+Moment formulas (population moments, matching data_stats.cpp's definitions computed
+from central moments; corrected sample std uses the n-1 denominator):
+    avg      = S1/n
+    var_samp = (S2 - S1^2/n) / (n-1)
+    m2       = S2/n - avg^2
+    skewness = m3 / m2^1.5          (m3 = S3/n - 3 avg S2/n + 2 avg^3)
+    kurtosis = m4 / m2^2            (m4 = S4/n - 4 avg S3/n + 6 avg^2 S2/n - 3 avg^4)
+
+Quantiles use percentile_approx (KLL-style sketch) by default -- the scale path --
+or exact percentile for small oracles (reference computes exact via per-column sort,
+data_stats.cpp:254-271).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _numeric_struct(c: str, exact_quantiles: bool, approx_distinct: bool) -> Column:
+    x = F.col(c).cast("double")
+    n = F.count(x)
+    s1 = F.sum(x)
+    s2 = F.sum(x * x)
+    s3 = F.sum(x * x * x)
+    s4 = F.sum(x * x * x * x)
+    avg = s1 / n
+    m2 = s2 / n - avg * avg
+    m3 = s3 / n - F.lit(3.0) * avg * s2 / n + F.lit(2.0) * avg * avg * avg
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * avg * s3 / n
+        + F.lit(6.0) * avg * avg * s2 / n
+        - F.lit(3.0) * avg * avg * avg * avg
+    )
+    if exact_quantiles:
+        q = F.percentile(x, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    else:
+        q = F.percentile_approx(x, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+    distinct = (
+        F.approx_count_distinct(x) if approx_distinct else F.countDistinct(x)
+    )
+    return F.struct(
+        F.lit(c).alias("column"),
+        n.alias("count"),
+        F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+        distinct.alias("n_distinct"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        s1.alias("sum"),
+        avg.alias("avg"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std"),
+        (m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
+        (m4 / (m2 * m2)).alias("kurtosis"),
+        q[0].alias("q25"),
+        q[1].alias("median"),
+        q[2].alias("q75"),
+        (q[2] - q[0]).alias("iqr"),
+        s2.alias("sum_squares"),
+        F.sum((x == 0).cast("long")).alias("n_zeros"),
+        F.sum((x < 0).cast("long")).alias("n_negatives"),
+        F.exp(F.avg(F.when(x > 0, F.log(x)))).alias("geometric_mean"),
+    )
+
+
+def numeric_profile(
+    df: DataFrame,
+    columns: list[str],
+    exact_quantiles: bool = False,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """One row per column with the numeric DataStats profile. Single scan."""
+    structs = [
+        _numeric_struct(c, exact_quantiles, approx_distinct).alias(f"__s{i}")
+        for i, c in enumerate(columns)
+    ]
+    row = df.agg(*structs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"__s{i}") for i in range(len(columns))])).alias("p")
+    ).select("p.*")
+
+
+def _string_struct(c: str, approx_distinct: bool) -> Column:
+    s = F.col(c)
+    ln = F.length(s)
+    words = F.when(
+        s.isNotNull() & (F.length(F.trim(s)) > 0),
+        F.size(F.split(F.trim(s), r"\s+")),
+    ).otherwise(F.when(s.isNotNull(), F.lit(0)))
+    distinct = F.approx_count_distinct(s) if approx_distinct else F.countDistinct(s)
+    return F.struct(
+        F.lit(c).alias("column"),
+        F.count(s).alias("count"),
+        F.sum(s.isNull().cast("long")).alias("n_nulls"),
+        F.sum((s == "").cast("long")).alias("n_empties"),
+        F.sum((s == "NULL").cast("long")).alias("n_null_literals"),
+        distinct.alias("n_distinct"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.avg(ln).alias("avg_len"),
+        F.sum(words).alias("total_words"),
+        F.avg(words).alias("avg_words"),
+        F.min(s).alias("min_value"),
+        F.max(s).alias("max_value"),
+        F.sum((s != F.lower(s)).cast("long")).alias("n_with_uppercase"),
+        F.sum(s.rlike(r"^\s|\s$").cast("long")).alias("n_untrimmed"),
+        F.sum(s.rlike(r"[^\x00-\x7F]").cast("long")).alias("n_non_ascii"),
+    )
+
+
+def string_profile(
+    df: DataFrame, columns: list[str], approx_distinct: bool = False
+) -> DataFrame:
+    """One row per string column: counts, null/empty/'NULL'-literal split (the
+    reference's Null-vs-Empty distinction, builtin.h:36-40), length & word stats,
+    case/whitespace/ascii counts (data_stats.h:141-212). Single scan."""
+    structs = [
+        _string_struct(c, approx_distinct).alias(f"__s{i}") for i, c in enumerate(columns)
+    ]
+    row = df.agg(*structs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"__s{i}") for i in range(len(columns))])).alias("p")
+    ).select("p.*")
+
+
+def topk_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values (GetTopKChars/Words analog, data_stats.h:167-170):
+    groupBy + count + limit; Spark runs this as partial-agg + TakeOrderedAndProject
+    (a distributed heap), the exact scale path for heavy hitters."""
+    return (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc_nulls_first("value"))
+        .limit(k)
+    )
+
+
+def topk_words(df: DataFrame, column: str, k: int = 10, pattern: str = r"\s+") -> DataFrame:
+    """Top-k words across a text column: split + explode + count + limit."""
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(column)), pattern)).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def entropy_and_gini(df: DataFrame, column: str) -> DataFrame:
+    """Shannon entropy (nats) and Gini impurity of the value distribution
+    (position_list_index.cpp:43-69 computes these on PLI cluster sizes).
+    Two chained aggs over value counts -- counts are tiny after the first."""
+    counts = df.groupBy(F.col(column)).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("sum_clogc"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_c2"),
+    ).select(
+        (F.log(F.col("n")) - F.col("sum_clogc") / F.col("n")).alias("entropy"),
+        (F.lit(1.0) - F.col("sum_c2") / (F.col("n") * F.col("n"))).alias("gini"),
+    )
+
+
+def monotonicity(df: DataFrame, value_col: str, order_col: str) -> DataFrame:
+    """Is value_col sorted asc/desc when ordered by order_col
+    (data_stats.h:179-180)? Implemented as a sortWithinPartitions + per-partition
+    check PLUS cross-partition boundary check via min/max per sorted range --
+    here via lag window over a single ordering (acceptable: monotonicity is a
+    per-slice diagnostic; at scale run per partition_id)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    d = df.select(
+        (F.col(value_col) - F.lag(value_col).over(w)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    return d.agg(
+        (F.min("delta") >= 0).alias("monotonic_asc"),
+        (F.max("delta") <= 0).alias("monotonic_desc"),
+    )
+
+
+def column_profile(
+    df: DataFrame,
+    numeric_columns: list[str] | None = None,
+    string_columns: list[str] | None = None,
+    **kw,
+) -> dict[str, DataFrame]:
+    """Full profile: auto-detects column classes from the schema when not given.
+    Returns {'numeric': df, 'string': df} (each lazily computed, one scan each)."""
+    if numeric_columns is None or string_columns is None:
+        num, strs = [], []
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal") or t.startswith("decimal"):
+                num.append(f.name)
+            elif t == "string":
+                strs.append(f.name)
+        numeric_columns = numeric_columns if numeric_columns is not None else num
+        string_columns = string_columns if string_columns is not None else strs
+    out: dict[str, DataFrame] = {}
+    if numeric_columns:
+        out["numeric"] = numeric_profile(df, numeric_columns, **kw)
+    if string_columns:
+        out["string"] = string_profile(df, string_columns)
+    return out
