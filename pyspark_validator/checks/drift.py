@@ -1,0 +1,144 @@
+"""Distribution-drift validation between two table snapshots (or two slices).
+
+Reference precedents: CORDS contingency-table chi-square on a sample
+(fd/sfd/contingency_table.cpp:45-68) and the PAC verifier's ECDF comparison
+(pac/pac_verifier/pac_verifier.h:13-35). We generalize both into per-group
+two-sample tests:
+
+  * categorical_drift  -- PSI + two-sample chi-square over value frequencies.
+  * numeric_drift      -- PSI + KS D-statistic over a fixed equi-width binning
+    (bin edges from the baseline's min/max or caller-provided), i.e. the sketched
+    histogram path from the north star: at 10^12 rows the shuffle carries only
+    (group, bin) partial counts, never values.
+
+Design: tag each side, union, ONE groupBy((by, value/bin)) with map-side combine,
+then a tiny per-group rollup. The final KS cumsum runs over <= num_bins rows per
+group -- window over post-aggregation data, not row data.
+
+PSI smoothing: additive alpha (default 0.5) on every cell so empty buckets stay
+finite: p = (cnt + alpha) / (n + alpha * k), k = #buckets observed in either side.
+Thresholds follow common practice: PSI > 0.2 and KS D > 0.1 flag drift
+(FIXTURES.md F4); both are caller-overridable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _two_sample_counts(
+    baseline: DataFrame, current: DataFrame, key: Column, by: list[str]
+) -> DataFrame:
+    b = baseline.select(*by, key.alias("bucket"), F.lit(1).alias("side"))
+    c = current.select(*by, key.alias("bucket"), F.lit(2).alias("side"))
+    u = b.unionByName(c)
+    return u.groupBy(*by, "bucket").agg(
+        F.sum((F.col("side") == 1).cast("long")).alias("cnt_b"),
+        F.sum((F.col("side") == 2).cast("long")).alias("cnt_c"),
+    )
+
+
+def _psi_chi2_rollup(
+    counts: DataFrame, by: list[str], alpha: float, psi_threshold: float
+) -> DataFrame:
+    w_tot = counts.groupBy(*by).agg(
+        F.sum("cnt_b").alias("n_b"),
+        F.sum("cnt_c").alias("n_c"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.join(w_tot, on=by) if by else counts.crossJoin(w_tot)
+    p_b = (F.col("cnt_b") + F.lit(alpha)) / (F.col("n_b") + F.lit(alpha) * F.col("k"))
+    p_c = (F.col("cnt_c") + F.lit(alpha)) / (F.col("n_c") + F.lit(alpha) * F.col("k"))
+    psi_term = (p_c - p_b) * F.log(p_c / p_b)
+    # two-sample chi-square: expected from pooled proportions
+    pooled = (F.col("cnt_b") + F.col("cnt_c")) / (F.col("n_b") + F.col("n_c"))
+    e_b = pooled * F.col("n_b")
+    e_c = pooled * F.col("n_c")
+    chi_term = F.when(
+        (e_b > 0) & (e_c > 0),
+        F.pow(F.col("cnt_b") - e_b, 2) / e_b + F.pow(F.col("cnt_c") - e_c, 2) / e_c,
+    ).otherwise(F.lit(0.0))
+    grouped = j.groupBy(*by) if by else j.groupBy()
+    out = grouped.agg(
+        F.sum(psi_term).alias("psi"),
+        F.sum(chi_term).alias("chi2"),
+        F.first("n_b").alias("n_b"),
+        F.first("n_c").alias("n_c"),
+        F.first("k").alias("n_buckets"),
+    )
+    return out.withColumn("drift_detected", F.col("psi") > psi_threshold)
+
+
+def categorical_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """PSI + chi-square drift on a categorical column, optionally per group
+    (``by`` e.g. ['partition_id']). Output one row per group:
+    [by..., psi, chi2, n_b, n_c, n_buckets, drift_detected]."""
+    by = by or []
+    counts = _two_sample_counts(baseline, current, F.col(column), by)
+    return _psi_chi2_rollup(counts, by, alpha, psi_threshold)
+
+
+def numeric_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    num_bins: int = 100,
+    bin_edges: tuple[float, float] | None = None,
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Histogram-sketched numeric drift: equi-width binning (edges from the
+    baseline min/max unless given), PSI over bins + KS D-statistic from the
+    binned ECDFs. Output: [by..., psi, chi2, ks_stat, ..., drift_detected]."""
+    by = by or []
+    if bin_edges is None:
+        row = baseline.agg(
+            F.min(F.col(column).cast("double")), F.max(F.col(column).cast("double"))
+        ).collect()[0]
+        lo, hi = float(row[0]), float(row[1])
+    else:
+        lo, hi = bin_edges
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    x = F.col(column).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+        F.lit(num_bins),
+    )  # clamp under/overflow into sentinel edge bins
+    counts = _two_sample_counts(
+        baseline.filter(x.isNotNull()), current.filter(x.isNotNull()), bucket, by
+    )
+    psi = _psi_chi2_rollup(counts, by, alpha, psi_threshold)
+    # KS over binned ECDF: cumsum per group ordered by bucket (<= num_bins+2 rows/group)
+    w = (
+        Window.partitionBy(*by).orderBy("bucket")
+        if by
+        else Window.partitionBy(F.lit(1)).orderBy("bucket")
+    )
+    tot = counts.groupBy(*by).agg(
+        F.sum("cnt_b").alias("tb"), F.sum("cnt_c").alias("tc")
+    )
+    cum = counts.join(tot, on=by) if by else counts.crossJoin(tot)
+    cum = cum.withColumn(
+        "ks_term",
+        F.abs(
+            F.sum("cnt_b").over(w) / F.col("tb") - F.sum("cnt_c").over(w) / F.col("tc")
+        ),
+    )
+    ks = (cum.groupBy(*by) if by else cum.groupBy()).agg(
+        F.max("ks_term").alias("ks_stat")
+    )
+    out = psi.join(ks, on=by) if by else psi.crossJoin(ks)
+    return out.withColumn(
+        "drift_detected",
+        (F.col("psi") > psi_threshold) | (F.col("ks_stat") > ks_threshold),
+    )

@@ -1,0 +1,90 @@
+"""ValidationSuite: load-once / execute-many orchestration with checkpoint/resume.
+
+Mirrors the reference's Algorithm lifecycle (algorithm.cpp:76-96: LoadData once,
+Execute re-callable with new params) at suite granularity: ``load`` resolves +
+caches the canonical projection; each ``run`` executes a set of named checks
+against it, records per-partition verdicts in the checkpoint manifest, and skips
+partitions already validated for the same (check, snapshot).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_validator.canonical import CanonicalDocs, canonicalize
+from pyspark_validator.checkpoint import CheckpointManager
+from pyspark_validator.checks.fd import fd_check
+from pyspark_validator.checks.ucc import ucc_check
+
+
+@dataclass
+class CheckSpec:
+    """One named check. ``kind`` in {'ucc','fd','custom'}; ``params`` are
+    forwarded; 'custom' takes fn(canon_df) -> verdicts DataFrame with a
+    partition_id + holds column."""
+
+    name: str
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+    fn: Callable[[DataFrame], DataFrame] | None = None
+
+
+class ValidationSuite:
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        num_partitions: int = 64,
+        checkpoint_path: str | None = None,
+        snapshot_id: str = "snapshot-0",
+    ):
+        self.spark = spark
+        self.num_partitions = num_partitions
+        self.snapshot_id = snapshot_id
+        self.canon: CanonicalDocs = canonicalize(docs, num_partitions=num_partitions)
+        self.ckpt = (
+            CheckpointManager(spark, checkpoint_path) if checkpoint_path else None
+        )
+
+    def _verdicts_for(self, spec: CheckSpec, df: DataFrame) -> DataFrame:
+        if spec.kind == "ucc":
+            return ucc_check(
+                df,
+                spec.params["columns"],
+                num_partitions=self.num_partitions,
+                partition_key=spec.params.get("partition_key", "doc_id"),
+            ).verdicts()
+        if spec.kind == "fd":
+            c = fd_check(
+                df,
+                spec.params["lhs"],
+                spec.params["rhs"],
+                num_partitions=self.num_partitions,
+            )
+            return c.verdicts()
+        if spec.kind == "custom":
+            assert spec.fn is not None
+            return spec.fn(df)
+        raise ValueError(f"unknown check kind: {spec.kind}")
+
+    def run(self, checks: list[CheckSpec]) -> dict[str, DataFrame]:
+        """Execute checks, resuming past completed partitions. Returns the verdict
+        DataFrame per check (only the partitions computed in THIS run)."""
+        results: dict[str, DataFrame] = {}
+        for spec in checks:
+            df = self.canon.df
+            if self.ckpt is not None:
+                df = self.ckpt.filter_pending(df, spec.name, self.snapshot_id)
+            verdicts = self._verdicts_for(spec, df)
+            if self.ckpt is not None:
+                # materialize once so record + return don't recompute
+                verdicts = verdicts.localCheckpoint(eager=True)
+                self.ckpt.record_verdicts(spec.name, self.snapshot_id, verdicts)
+            results[spec.name] = verdicts
+        return results
+
+    def unpersist(self) -> None:
+        self.canon.unpersist()

@@ -1,0 +1,193 @@
+"""Mergeable sketches: HyperLogLog (register-exposed) and Count-Min.
+
+Why custom: Spark's approx_count_distinct is HLL++ but never exposes registers, so
+FAIDA-style register-wise inclusion testing (reference:
+faida/inclusion_testing/hll_data.h:28-37 -- "dep subseteq ref iff every register of
+dep <= ref's") and cross-snapshot sketch merging (checkpoint manifests) are
+impossible with the built-in. Quantiles stay on the built-in percentile_approx
+(KLL-family sketch) -- no need to rebuild that.
+
+Execution model: the hashing is done JVM-side (xxhash64 -- whole-stage codegen),
+then ONE mapInPandas pass computes a per-Arrow-batch partial sketch (numpy
+vectorized, no per-row Python), emitting one serialized sketch row per batch.
+Partials are tiny (2^p bytes for HLL, depth*width*8 for CMS) and are merged on the
+driver -- a few KB per partition, the classic treeAggregate shape. Sketches
+serialize to bytes => they can be persisted in the checkpoint manifest and merged
+across snapshots/runs (the mergeable-sketch requirement of the north star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+@dataclass
+class HLL:
+    p: int  # 2^p registers
+    registers: np.ndarray  # uint8[2^p]
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    def cardinality(self) -> float:
+        """Standard HLL estimator with linear-counting small-range correction."""
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros > 0:
+            return m * np.log(m / zeros)
+        return float(e)
+
+    def register_contains(self, other: "HLL") -> bool:
+        """FAIDA inclusion test (hll_data.h:28-37): other subseteq self is
+        *plausible* iff every register of other <= self's. A single greater
+        register PROVES non-inclusion; all-<= is a high-confidence accept."""
+        assert self.p == other.p
+        return bool(np.all(other.registers <= self.registers))
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int) -> "HLL":
+        return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+    @classmethod
+    def empty(cls, p: int) -> "HLL":
+        return cls(p, np.zeros(1 << p, dtype=np.uint8))
+
+
+def _hll_update(registers: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Vectorized register update from a batch of 64-bit hashes."""
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) & _MASK64
+    # rank = leading zeros of rest + 1 (capped at 64 - p + 1)
+    # vectorized leading-zero count via bit_length emulation on uint64
+    fl = np.zeros(len(rest), dtype=np.int64)
+    nz = rest != 0
+    # log2 on float is exact enough for leading-zero on 53-bit mantissa; use
+    # a split to stay exact: top 32 bits first, then low 32.
+    top = (rest >> np.uint64(32)).astype(np.uint32)
+    low = (rest & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_top = np.zeros(len(rest), dtype=np.int64)
+    t_nz = top != 0
+    bl_top[t_nz] = np.floor(np.log2(top[t_nz].astype(np.float64))).astype(np.int64) + 1
+    bl_low = np.zeros(len(rest), dtype=np.int64)
+    l_nz = low != 0
+    bl_low[l_nz] = np.floor(np.log2(low[l_nz].astype(np.float64))).astype(np.int64) + 1
+    bitlen = np.where(t_nz, bl_top + 32, bl_low)
+    rank = np.where(nz, 64 - bitlen + 1, 64 - p + 1).astype(np.int64)
+    np.maximum.at(registers, idx, np.minimum(rank, 255).astype(np.uint8))
+
+
+def hll_sketch(df: DataFrame, columns: list[str], p: int = 12) -> HLL:
+    """Build an HLL over the distinct tuples of ``columns``.
+
+    xxhash64 JVM-side; one mapInPandas partial per Arrow batch; driver merges the
+    <=#batches tiny partials (2^p bytes each).
+    """
+    hashed = df.select(F.xxhash64(*columns).alias("h"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            if len(b):
+                seen = True
+                _hll_update(regs, b["h"].to_numpy(dtype=np.int64).view(np.uint64), p)
+        if seen:
+            yield pd.DataFrame({"regs": [regs.tobytes()]})
+
+    rows = hashed.mapInPandas(partials, "regs binary").collect()
+    out = HLL.empty(p)
+    for r in rows:
+        out = out.merge(HLL.from_bytes(r.regs, p))
+    return out
+
+
+def hll_inclusion(
+    lhs_df: DataFrame, lhs_cols: list[str], rhs_df: DataFrame, rhs_cols: list[str], p: int = 14
+) -> dict:
+    """FAIDA-style approximate inclusion: returns register verdict + cardinalities.
+    'refuted'=True PROVES lhs not subseteq rhs (some lhs hash absent from rhs).
+    NOTE: lhs/rhs column *values* must hash identically => same types/order."""
+    l = hll_sketch(lhs_df, lhs_cols, p)
+    r = hll_sketch(rhs_df, rhs_cols, p)
+    plausible = r.register_contains(l)
+    return {
+        "plausible": plausible,
+        "refuted": not plausible,
+        "lhs_cardinality": l.cardinality(),
+        "rhs_cardinality": r.cardinality(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy hitters at 10^12 scale: top-k without a full groupBy)
+@dataclass
+class CMS:
+    depth: int
+    width: int
+    table: np.ndarray  # int64[depth, width]
+    n: int = 0
+
+    def merge(self, other: "CMS") -> "CMS":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        return CMS(self.depth, self.width, self.table + other.table, self.n + other.n)
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Point-estimate counts for a batch of xxhash64 values (vectorized)."""
+        h = hashes.astype(np.uint64)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(self.depth):
+            idx = ((h * np.uint64(2 * d + 1) + np.uint64(d * 0x9E3779B9)) & _MASK64) % np.uint64(self.width)
+            est = np.minimum(est, self.table[d, idx.astype(np.int64)])
+        return est
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+
+def cms_sketch(df: DataFrame, columns: list[str], depth: int = 5, width: int = 8192) -> CMS:
+    """Count-Min over tuple frequencies; same partial/merge shape as hll_sketch."""
+    hashed = df.select(F.xxhash64(*columns).alias("h"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = np.zeros((depth, width), dtype=np.int64)
+        n = 0
+        for b in batches:
+            if not len(b):
+                continue
+            h = b["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            n += len(h)
+            for d in range(depth):
+                idx = ((h * np.uint64(2 * d + 1) + np.uint64(d * 0x9E3779B9)) & _MASK64) % np.uint64(width)
+                np.add.at(table[d], idx.astype(np.int64), 1)
+        if n:
+            yield pd.DataFrame({"table": [table.tobytes()], "n": [n]})
+
+    rows = hashed.mapInPandas(partials, "table binary, n long").collect()
+    out = CMS(depth, width, np.zeros((depth, width), dtype=np.int64), 0)
+    for r in rows:
+        out = out.merge(
+            CMS(depth, width, np.frombuffer(r.table, dtype=np.int64).reshape(depth, width).copy(), r.n)
+        )
+    return out

@@ -1,0 +1,75 @@
+"""Drift checks: PSI/chi2/KS vs numpy reference implementations, plus the F4
+planted-drift scenario (half the partitions shifted -> exactly those flagged)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark_validator.checks.drift import categorical_drift, numeric_drift
+
+
+def _psi(cnt_b, cnt_c, alpha=0.5):
+    cnt_b, cnt_c = np.asarray(cnt_b, float), np.asarray(cnt_c, float)
+    k = len(cnt_b)
+    pb = (cnt_b + alpha) / (cnt_b.sum() + alpha * k)
+    pc = (cnt_c + alpha) / (cnt_c.sum() + alpha * k)
+    return float(((pc - pb) * np.log(pc / pb)).sum())
+
+
+def test_categorical_psi_exact(spark):
+    b = spark.createDataFrame([("a",)] * 70 + [("b",)] * 20 + [("c",)] * 10, ["k"])
+    c = spark.createDataFrame([("a",)] * 40 + [("b",)] * 40 + [("c",)] * 20, ["k"])
+    r = categorical_drift(b, c, "k").collect()[0]
+    exp = _psi([70, 20, 10], [40, 40, 20])
+    assert r.psi == pytest.approx(exp, rel=1e-9)
+    assert r.n_b == 100 and r.n_c == 100 and r.n_buckets == 3
+    assert bool(r.drift_detected) == (exp > 0.2)
+    # identical distributions -> psi ~ 0
+    r0 = categorical_drift(b, b, "k").collect()[0]
+    assert r0.psi == pytest.approx(0.0, abs=1e-12)
+    assert not r0.drift_detected
+
+
+def test_categorical_chi2(spark):
+    b = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, ["k"])
+    c = spark.createDataFrame([("a",)] * 80 + [("b",)] * 20, ["k"])
+    r = categorical_drift(b, c, "k").collect()[0]
+    # two-sample chi2 with pooled expectations
+    o = np.array([[50, 50], [80, 20]], float)
+    pooled = o.sum(0) / o.sum()
+    e = np.outer(o.sum(1), pooled)
+    exp = (((o - e) ** 2) / e).sum()
+    assert r.chi2 == pytest.approx(exp, rel=1e-9)
+
+
+def test_numeric_drift_ks(spark):
+    rng = np.random.RandomState(7)
+    b = rng.normal(0, 1, 4000)
+    c = rng.normal(0.8, 1, 4000)  # clear shift
+    bdf = spark.createDataFrame(pd.DataFrame({"x": b}))
+    cdf = spark.createDataFrame(pd.DataFrame({"x": c}))
+    r = numeric_drift(bdf, cdf, "x", num_bins=50).collect()[0]
+    # true KS for N(0,1) vs N(0.8,1) is ~0.31; binned estimate within coarse tolerance
+    assert 0.2 < r.ks_stat < 0.45
+    assert r.drift_detected
+    r0 = numeric_drift(bdf, bdf, "x", num_bins=50).collect()[0]
+    assert r0.ks_stat == pytest.approx(0.0, abs=1e-12)
+    assert not r0.drift_detected
+
+
+def test_per_partition_drift_planted(spark):
+    """F4 shape: partitions >= P/2 get a shifted distribution; exactly those must
+    flag drift."""
+    P = 8
+    rng = np.random.RandomState(11)
+    n = 6000
+    pid = rng.randint(0, P, n)
+    base = rng.normal(0, 1, n)
+    cur = np.where(pid >= P // 2, rng.normal(1.5, 1, n), rng.normal(0, 1, n))
+    bdf = spark.createDataFrame(pd.DataFrame({"partition_id": pid, "x": base}))
+    cdf = spark.createDataFrame(pd.DataFrame({"partition_id": pid, "x": cur}))
+    rows = numeric_drift(
+        bdf, cdf, "x", by=["partition_id"], num_bins=40, bin_edges=(-5.0, 6.0)
+    ).collect()
+    flagged = {r.partition_id for r in rows if r.drift_detected}
+    assert flagged == {p for p in range(P // 2, P)}

@@ -1,0 +1,59 @@
+"""Sketch layer: HLL accuracy/mergeability/register-inclusion, CMS estimates."""
+
+import numpy as np
+import pytest
+
+from pyspark_validator.sketches import HLL, cms_sketch, hll_inclusion, hll_sketch
+
+
+def test_hll_cardinality(spark):
+    n = 20000
+    df = spark.range(n).selectExpr("cast(id as string) as v")
+    h = hll_sketch(df, ["v"], p=12)
+    assert h.cardinality() == pytest.approx(n, rel=0.05)
+
+
+def test_hll_merge_equals_union(spark):
+    a = spark.range(0, 5000).selectExpr("cast(id as string) as v")
+    b = spark.range(2500, 7500).selectExpr("cast(id as string) as v")
+    ha, hb = hll_sketch(a, ["v"], p=12), hll_sketch(b, ["v"], p=12)
+    hu = hll_sketch(a.union(b), ["v"], p=12)
+    assert np.array_equal(ha.merge(hb).registers, hu.registers)
+    assert ha.merge(hb).cardinality() == pytest.approx(7500, rel=0.05)
+
+
+def test_hll_register_inclusion(spark):
+    sub = spark.range(0, 3000).selectExpr("cast(id as string) as v")
+    sup = spark.range(0, 10000).selectExpr("cast(id as string) as v")
+    disj = spark.range(50000, 53000).selectExpr("cast(id as string) as v")
+    assert hll_inclusion(sub, ["v"], sup, ["v"])["plausible"]
+    assert hll_inclusion(disj, ["v"], sup, ["v"])["refuted"]
+
+
+def test_hll_serialization_roundtrip(spark):
+    df = spark.range(1000).selectExpr("cast(id as string) as v")
+    h = hll_sketch(df, ["v"], p=10)
+    h2 = HLL.from_bytes(h.to_bytes(), 10)
+    assert np.array_equal(h.registers, h2.registers)
+
+
+def test_cms_estimates(spark):
+    import pandas as pd
+
+    vals = ["hot"] * 5000 + ["warm"] * 500 + [f"cold{i}" for i in range(500)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    c = cms_sketch(df, ["v"], depth=5, width=4096)
+    assert c.n == len(vals)
+    from pyspark.sql import functions as F
+
+    hashes = (
+        df.select(F.xxhash64("v").alias("h"))
+        .where(F.col("v").isin("hot", "warm"))
+        .distinct()
+        .collect()
+    )
+    # CMS overestimates only; error bound ~ n/width
+    ests = c.estimate_hashes(np.array([r.h for r in hashes], dtype=np.int64))
+    assert all(e >= 500 for e in ests)
+    assert max(ests) >= 5000
+    assert max(ests) <= 5000 + 2 * len(vals) // 4096 + 10
