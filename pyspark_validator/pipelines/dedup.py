@@ -1,0 +1,301 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (10^12 docs):
+  * exact: ONE groupBy on the normalized-content hash -- the cheapest possible
+    shuffle (8-byte key), min(doc_id) as the canonical representative.
+  * n-gram Jaccard: candidate pairs ONLY for docs sharing a shingle; shingles with
+    document frequency > ``max_df`` are dropped first (stopword-shingle skew guard
+    -- the classic hot-key salting alternative: drop, don't salt, because a shingle
+    shared by millions of docs carries no dedup signal).
+  * MinHash+LSH: k xxhash64 permutations -> signature; b bands of r rows; band
+    hash join => candidates; exact Jaccard verification on candidates only.
+  * SimHash: 64 weighted-bit majority over token hashes, banded for candidate
+    generation, verified by Hamming distance (bit_count(xor)).
+  * embedding cosine: delegated to pipelines.similarity LSH buckets.
+
+Everything is DataFrame ops + built-in functions; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_validator.pipelines.text import normalize_text
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters by normalized content hash.
+    Output: [content_fp, cluster_size, representative (min id), members (capped 20)].
+    """
+    fp = F.xxhash64(normalize_text(F.col(text_col))).alias("content_fp")
+    return (
+        df.select(fp, F.col(id_col).alias("id"))
+        .groupBy("content_fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("id").alias("representative"),
+            F.slice(F.sort_array(F.collect_list("id")), 1, 20).alias("members"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per normalized content: window rank over the hash --
+    a single shuffle, no join."""
+    w = Window.partitionBy(F.xxhash64(normalize_text(F.col(text_col)))).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Word k-shingles of normalized text (distinct, order-free set semantics)."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan: explode distinct shingles -> drop shingles with doc-frequency > max_df
+    (skew guard) -> self-join on shingle hash -> per-pair common count -> jaccard
+    via |A|+|B|-common. Candidate generation touches only co-shingled pairs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+    ).withColumn("sh", F.xxhash64("shingle")).drop("shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    pruned = sh.join(
+        F.broadcast(df_freq.filter(F.col("df_cnt") > max_df)), on="sh", how="left_anti"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    common = (
+        a.join(b, on=(F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes permutations via seeded xxhash64 over
+    the shingle set. One explode + one groupBy with num_hashes min() aggs (all
+    map-side combinable). Output: [id, sig: array<long>]."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    verify: bool = True,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding.
+
+    bands=16 x rows=4 over 64 hashes => s-curve threshold ~ (1/16)^(1/4) ~ 0.5.
+    Candidates = pairs sharing any band bucket (buckets larger than ``max_bucket``
+    are dropped -- degenerate content floods a bucket and would square).
+    verify=True recomputes exact shingle Jaccard on candidates and filters by
+    ``threshold``; verify=False returns candidates with estimated similarity
+    (signature agreement fraction).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # skew guard: drop degenerate buckets
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("bs") > max_bucket)),
+        on=["band", "bucket"],
+        how="left_anti",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+    ).select("id_a", "id_b", "est_jaccard")
+    if not verify:
+        return est
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, k=k, threshold=threshold, max_df=2**31 - 1
+    )
+    return est.join(exact, on=["id_a", "id_b"], how="inner").select(
+        "id_a", "id_b", "jaccard", "est_jaccard"
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
+) -> DataFrame:
+    """SimHash fingerprint (bits <= 62): majority vote per bit over token hashes.
+
+    explode tokens -> ONE groupBy(id) with ``bits`` signed sums -> assemble the
+    fingerprint with shiftleft/sum. Output: [id, simhash: long].
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into num_bands chunks
+    (pigeonhole: hamming <= num_bands-1 guarantees a shared chunk; for
+    max_hamming >= num_bands this is a high-recall heuristic), join on chunk,
+    verify bit_count(xor) <= max_hamming."""
+    s = simhash(df, text_col, id_col, bits)
+    chunk = bits // num_bands
+    mask = (1 << chunk) - 1
+    banded = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

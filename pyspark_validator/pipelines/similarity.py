@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute_force_topk: exact cosine top-k for one query -- dot product via
+    F.zip_with/F.aggregate (JVM-side), TakeOrderedAndProject (distributed heap:
+    no full sort, no collect).
+  * lsh_bucket / ann_topk: random-hyperplane LSH (sign bits of projections onto
+    deterministic seeded planes) -- the scale path: candidates come from the
+    query's bucket (plus optional multi-probe neighbors), exact cosine re-ranks
+    only candidates. Projections are computed in ONE Arrow-vectorized pandas UDF
+    (numpy matmul per batch, never per-row Python).
+  * cosine_pairs: embedding near-duplicate pairs via shared LSH bucket + exact
+    cosine verification (the embedding-cosine dedup path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _norm_dot(vec_col, query: list[float]):
+    """Cosine similarity of an array<float/double> column against a literal query,
+    pure built-in exprs."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nq = float(np.sqrt(np.dot(query, query)))
+    return dot / (nv * F.lit(nq))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows -- scales linearly)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            _norm_dot(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, num_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(dim, num_bits)).astype(np.float64)
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    num_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds 'bucket' (int, sign-bit signature of random-hyperplane projections).
+    One Arrow-batched pandas UDF doing a single numpy matmul per batch."""
+    planes = _planes(dim, num_bits, seed)
+
+    @pandas_udf("long")
+    def bucket_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        signs = (m @ planes) > 0  # (batch, num_bits)
+        weights = (1 << np.arange(num_bits)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn("bucket", bucket_of(F.col(vec_col)))
+
+
+def ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    num_bits: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket (+ buckets at
+    Hamming distance <= multiprobe), exact cosine re-rank inside. Pass a
+    pre-bucketed (cached) df via ``bucketed`` to amortize across queries."""
+    dim = len(query)
+    if bucketed is None:
+        bucketed = add_lsh_bucket(df, dim, num_bits, seed, vec_col)
+    planes = _planes(dim, num_bits, seed)
+    qsig = int(((np.asarray(query) @ planes) > 0) @ (1 << np.arange(num_bits)))
+    probes = {qsig}
+    if multiprobe >= 1:
+        for i in range(num_bits):
+            probes.add(qsig ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(num_bits):
+            for j in range(i + 1, num_bits):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    cand = bucketed.filter(F.col("bucket").isin(list(probes)))
+    return (
+        cand.select(
+            F.col(id_col).alias("id"),
+            _norm_dot(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same LSH bucket => candidate, exact cosine
+    verifies. High-cosine pairs collide with high probability (collision prob per
+    bit = 1 - theta/pi); oversized buckets are dropped (skew guard)."""
+    b = add_lsh_bucket(df, dim, num_bits, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
+    b = b.join(F.broadcast(sizes.filter(F.col("bs") > max_bucket)), on="bucket", how="left_anti")
+    x, y = b.alias("x"), b.alias("y")
+    dot = F.aggregate(
+        F.zip_with("x.v", "y.v", lambda a, c: a.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nx = F.sqrt(F.aggregate("x.v", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double")))
+    ny = F.sqrt(F.aggregate("y.v", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double")))
+    return (
+        x.join(
+            y,
+            on=(F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            (dot / (nx * ny)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure built-in Column expressions (JVM-side, whole-stage codegen; zero Python)
+so every operator composes with the validation checks in one scan:
+
+  * token counting   -- whitespace tokens + a BPE-ish regex token count,
+  * quality scoring  -- length / punctuation / stopword / uppercase ratios + a
+                        composite [0,1] score,
+  * language ID      -- stopword-marker n-gram heuristic over {en,de,fr,es,it},
+  * fingerprinting   -- normalized-content hash + min-shingle rolling fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "non", "sono", "una"],
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, or single non-space symbols --
+#: approximates subword pre-tokenization (GPT-2-style split) without a vocab.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t.isNull(), None).when(F.length(t) == 0, 0).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.when(
+        text.isNull(), None
+    ).otherwise(F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumn("n_ws_tokens", whitespace_token_count(t)).withColumn(
+        "n_bpe_tokens", bpe_token_count(t)
+    )
+
+
+def _stopword_hits(text_lower: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text_lower, F.lit(pat))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds lang (argmax of per-language stopword-marker density; 'und' when no
+    marker fires) and lang_score (hits of winning language / token count)."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        _stopword_hits(t, ws).alias(f"__s_{lang}") for lang, ws in _STOPWORDS.items()
+    ]
+    langs = list(_STOPWORDS)
+    out = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    lang_expr = F.lit("und")
+    # reverse order => earlier languages win ties (deterministic)
+    for lang in reversed(langs):
+        lang_expr = F.when(
+            (F.col(f"__s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    toks = whitespace_token_count(F.col(text_col))
+    out = out.withColumn("lang", lang_expr).withColumn(
+        "lang_score",
+        F.when(toks > 0, best.cast("double") / toks).otherwise(F.lit(0.0)),
+    )
+    return out.drop(*[f"__s_{lang}" for lang in langs])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-document quality features + composite quality in [0,1].
+
+    Features (cheap, language-agnostic): n_chars, n_ws_tokens, mean_word_len,
+    punct_ratio, upper_ratio, digit_ratio, stopword_ratio (en markers),
+    repetition_ratio (1 - distinct/total words). Composite = product of soft
+    gates, the usual web-corpus heuristic shape (Gopher/C4-style rules).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = whitespace_token_count(t)
+    punct = F.regexp_count(t, F.lit(r"[!-/:-@\[-`{-~]"))
+    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    stop = _stopword_hits(F.lower(t), _STOPWORDS["en"])
+    words = F.split(F.trim(t), r"\s+")
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(words)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    safe = lambda c: F.when(n_chars > 0, c.cast("double") / n_chars).otherwise(F.lit(0.0))  # noqa: E731
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_ws_tokens", n_tok)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)).cast("double") / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("punct_ratio", safe(punct))
+        .withColumn("upper_ratio", safe(upper))
+        .withColumn("digit_ratio", safe(digit))
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, stop.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn("repetition_ratio", F.lit(1.0) - distinct_ratio)
+    )
+    # soft gates: reasonable length, low punct/digit noise, some stopwords, low repetition
+    gate = (
+        F.least(F.col("n_ws_tokens").cast("double") / 5.0, F.lit(1.0))
+        * F.least(F.lit(1.0), F.lit(3.0) * (F.lit(1.0) - F.col("punct_ratio")) - F.lit(2.0))
+        * F.least(F.lit(1.0), F.lit(3.0) * (F.lit(1.0) - F.col("digit_ratio")) - F.lit(2.0))
+        * F.least(F.lit(1.0), F.lit(0.5) + F.lit(2.0) * F.col("stopword_ratio"))
+        * F.greatest(F.lit(0.0), F.lit(1.0) - F.col("repetition_ratio"))
+    )
+    return out.withColumn("quality", F.greatest(F.lit(0.0), F.least(F.lit(1.0), gate)))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical content normalization for fingerprinting/dedup: lowercase,
+    collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> DataFrame:
+    """Adds content_fp (xxhash64 of normalized text -- exact-dup key) and
+    min_shingle_fp (min over word-k-shingle hashes -- a 1-permutation MinHash,
+    the rolling-hash document fingerprint)."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, shingle_k), " ")
+    )
+    return df.withColumn("content_fp", F.xxhash64(norm)).withColumn(
+        "min_shingle_fp",
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
+    )

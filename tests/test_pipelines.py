@@ -1,0 +1,195 @@
+"""Pipeline operators: text analysis, dedup family, similarity search, multimodal
+plumbing. Planted-defect synthetic corpora with closed-form expectations plus
+numpy/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_validator.pipelines.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from pyspark_validator.pipelines.multimodal import (
+    extract_image_features,
+    fake_media_table,
+    sample_frames,
+)
+from pyspark_validator.pipelines.similarity import (
+    add_lsh_bucket,
+    ann_topk,
+    brute_force_topk,
+    cosine_pairs,
+)
+from pyspark_validator.pipelines.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge every single morning"
+    near = base.replace("morning", "evening")  # 1-word difference
+    rows = [
+        ("d1", base),
+        ("d2", base),  # exact dup of d1
+        ("d3", "  THE  quick brown fox jumps over the lazy dog near the old stone bridge every single morning "),  # normalized dup
+        ("d4", near),  # near dup
+        ("d5", "completely different content about database systems and distributed query processing engines at scale"),
+        ("d6", "der schnelle braune fuchs springt über den faulen hund und das ist nicht gut für die katze"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, corpus):
+    clusters = exact_duplicates(corpus).collect()
+    assert len(clusters) == 1
+    c = clusters[0]
+    assert c.cluster_size == 3
+    assert c.representative == "d1"
+    assert sorted(c.members) == ["d1", "d2", "d3"]
+    kept = dedup_exact(corpus)
+    assert kept.count() == 4
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [
+        "d1",
+        "d4",
+        "d5",
+        "d6",
+    ]
+
+
+def test_ngram_jaccard(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, k=3, threshold=0.5).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    # d1/d2/d3 identical (jaccard 1.0); d4 near (1 word of 16 changed -> 3 of 14
+    # distinct shingles differ -> jaccard ~ 11/17 ~ 0.65)
+    assert ("d1", "d2") in got and ("d1", "d3") in got and ("d2", "d3") in got
+    assert ("d1", "d4") in got
+    assert not any("d5" in p or "d6" in p for p in got)
+    jac = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    assert jac[("d1", "d2")] == pytest.approx(1.0)
+    # numpy oracle for d1-d4
+    def sh(t, k=3):
+        w = " ".join(t.lower().split()).split(" ")
+        return {" ".join(w[i : i + k]) for i in range(max(len(w) - k, 0) + 1)}
+    a, b = sh("the quick brown fox jumps over the lazy dog near the old stone bridge every single morning"), sh(
+        "the quick brown fox jumps over the lazy dog near the old stone bridge every single evening"
+    )
+    assert jac[("d1", "d4")] == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_minhash_lsh(spark, corpus):
+    pairs = minhash_lsh_pairs(corpus, k=3, threshold=0.5, verify=True).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert ("d1", "d2") in got  # identical docs always collide
+    for p in pairs:
+        assert p.jaccard >= 0.5
+        assert 0.0 <= p.est_jaccard <= 1.0
+    # estimated similarity of identical docs is exactly 1
+    est = {(p.id_a, p.id_b): p.est_jaccard for p in pairs}
+    assert est[("d1", "d2")] == pytest.approx(1.0)
+
+
+def test_simhash(spark, corpus):
+    s = {r.id: r.simhash for r in simhash(corpus).collect()}
+    assert s["d1"] == s["d2"] == s["d3"]  # identical after normalization
+    ham = bin(s["d1"] ^ s["d4"]).count("1")
+    assert ham <= 8  # near-dup -> small hamming
+    assert bin(s["d1"] ^ s["d5"]).count("1") > 8
+    pairs = simhash_pairs(corpus, max_hamming=8).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert ("d1", "d2") in got and ("d1", "d4") in got
+
+
+def test_text_analysis(spark, corpus):
+    t = token_counts(corpus).collect()
+    byid = {r.doc_id: r for r in t}
+    assert byid["d1"].n_ws_tokens == 17
+    assert byid["d1"].n_bpe_tokens == 17  # plain words, no punct
+    lang = {r.doc_id: r.lang for r in language_id(corpus).collect()}
+    assert lang["d1"] == "en" and lang["d5"] == "en" and lang["d6"] == "de"
+    q = {r.doc_id: r for r in quality_score(corpus).collect()}
+    assert 0.0 <= q["d1"].quality <= 1.0
+    assert q["d1"].stopword_ratio > 0.15
+    fp = {r.doc_id: r for r in fingerprint(corpus).collect()}
+    assert fp["d1"].content_fp == fp["d2"].content_fp == fp["d3"].content_fp
+    assert fp["d1"].content_fp != fp["d4"].content_fp
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    exp = list(pdf["vec_id"].to_numpy()[order][:5])
+    got = [r.id for r in brute_force_topk(emb, list(q), k=5).collect()]
+    assert got == exp
+    assert got[0] == pdf["vec_id"][0]  # self is its own nearest neighbor
+
+
+def test_ann_topk_recall(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    bucketed = add_lsh_bucket(emb, dim=64, num_bits=6).cache()
+    hits = 0
+    for i in (0, 7, 42):
+        q = list(mat[i])
+        exact = {r.id for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = ann_topk(
+            emb, q, k=10, num_bits=6, multiprobe=2, bucketed=bucketed
+        ).collect()
+        # the query vector itself is always found (lands in its own bucket)
+        assert approx[0].id == pdf["vec_id"][i]
+        hits += len(exact & {r.id for r in approx})
+    assert hits >= 12  # >= 40% recall@10 on ~uniform random vectors (hard case)
+    bucketed.unpersist()
+
+
+def test_cosine_pairs_planted(spark):
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 16))
+    dup = base[:5] + rng.normal(scale=0.01, size=(5, 16))  # near-identical copies
+    mat = np.vstack([base, dup]).astype(float)
+    pdf = pd.DataFrame({"vec_id": range(45), "embedding": [list(r) for r in mat]})
+    df = spark.createDataFrame(pdf)
+    pairs = cosine_pairs(df, dim=16, threshold=0.99, num_bits=6).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    expected = {(i, 40 + i) for i in range(5)}
+    assert expected & got == expected  # all planted dups found
+    for p in pairs:
+        assert p.cosine >= 0.99
+
+
+def test_multimodal_plumbing(spark):
+    media = fake_media_table(spark, n=30)
+    feats = extract_image_features(media, decode="fake", dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feat) == 8 for r in rows)
+    assert all(r.payload_bytes > 0 for r in rows)
+    # deterministic: same input -> same features
+    again = {r.media_ref: r.feat for r in extract_image_features(media, decode="fake", dim=8).collect()}
+    first = {r.media_ref: r.feat for r in rows}
+    assert first == again
+    # real decode is a clearly-marked stub
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_image_features(media, decode="real").collect()
+    # frame sampling: 10 videos x 5 frames (duration 5000ms, every 1000ms)
+    fr = sample_frames(media, every_ms=1000).collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(fr) == vids * 5
+    assert all(len(r.frame_feat) == 4 for r in fr)
