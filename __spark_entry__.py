@@ -1,38 +1,983 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a pyspark_validator operator over the driver's
+parquet tables (plus two deterministic derived views, below) and has a matching
+DuckDB ``oracle_sql()`` implementing the same semantics in ANSI SQL. Column
+names and rounding (round(x, 6/9)) are aligned on both sides so the driver's
+order-insensitive value-hash compare is exact.
+
+Derived views (constructed identically in Spark exprs and DuckDB SQL):
+  * docs_spans -- the interleaved-document shape from BASELINE.json.input_hint,
+    derived deterministically from ``documents``: text is chunked into 64-char
+    spans, every (doc_id+i) % 7 == 0 chunk becomes an image span, docs with
+    doc_id % 100 == 0 are duplicated (% 1000 == 0 triplicated), and duplicate
+    copy 1 of doc_id % 200 == 0 docs gets a variant extra span (breaking the
+    FD doc_id -> span_seq at exactly those docs). span_seq is the canonical
+    span-sequence string (kind US text US media_ref, RS-joined, NUL-N for null)
+    produced by pyspark_validator.canonical.span_seq_expr on the Spark side and
+    replicated literally in SQL.
+  * documents_planted -- documents unioned with near/exact duplicate copies
+    (doc_id % 50 == 0 re-inserted at doc_id + 1000000) for dedup checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+US = "\x1f"  # unit separator (field)
+RS = "\x1e"  # record separator (span)
+NULLTOK = "\x00N"
+
+# ---------------------------------------------------------------------------
+# derived views
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved-doc table, derived deterministically from documents."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("did"), "text"
+    )
+    copies = (
+        F.when(F.col("did") % 1000 == 0, 3)
+        .when(F.col("did") % 100 == 0, 2)
+        .otherwise(1)
+    )
+    d = d.withColumn("copy", F.explode(F.sequence(F.lit(0), copies - 1)))
+    n_chunks = F.greatest(F.ceil(F.length("text") / F.lit(64.0)).cast("int"), F.lit(1))
+    is_img = lambda i: (F.col("did") + i) % 7 == 0  # noqa: E731
+    span = lambda i: F.struct(  # noqa: E731
+        F.when(is_img(i), F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+        F.when(is_img(i), F.lit(None).cast("string"))
+        .otherwise(F.substring(F.col("text"), i * 64 + 1, 64))
+        .alias("text"),
+        F.when(
+            is_img(i),
+            F.concat(
+                F.lit("media://image/"),
+                ((F.col("did") * 31 + i) % 100000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+        (i * 64).cast("int").alias("offset"),
+    )
+    base_spans = F.transform(F.sequence(F.lit(0), n_chunks - 1), span)
+    variant = (F.col("copy") == 1) & (F.col("did") % 200 == 0)
+    extra = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("variant").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        (n_chunks * 64).cast("int").alias("offset"),
+    )
+    spans = F.when(variant, F.concat(base_spans, F.array(extra))).otherwise(base_spans)
+    return d.select(
+        F.format_string("doc_%012d", F.col("did")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+
+
+#: DuckDB CTE mirroring _docs_spans byte-for-byte (span_seq string form).
+DOCS_SPANS_SQL = """
+docs_spans AS (
+  SELECT
+    'doc_' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS doc_id,
+    array_to_string(
+      list_transform(
+        range(0, greatest(CAST(ceil(length(d.text) / 64.0) AS INT), 1)),
+        i -> CASE WHEN (d.doc_id + i) % 7 = 0
+             THEN 'image' || chr(31) || chr(0) || 'N' || chr(31)
+                  || 'media://image/' || CAST((d.doc_id * 31 + i) % 100000 AS VARCHAR)
+             ELSE 'text' || chr(31) || substr(d.text, CAST(i * 64 + 1 AS INT), 64)
+                  || chr(31) || chr(0) || 'N' END),
+      chr(30))
+    || CASE WHEN c.copy = 1 AND d.doc_id % 200 = 0
+            THEN chr(30) || 'text' || chr(31) || 'variant' || chr(31) || chr(0) || 'N'
+            ELSE '' END AS span_seq
+  FROM documents d
+  JOIN (SELECT unnest(range(0, 3)) AS copy) c
+    ON c.copy = 0
+    OR (c.copy = 1 AND d.doc_id % 100 = 0)
+    OR (c.copy = 2 AND d.doc_id % 1000 = 0)
+)
+"""
+
+
+def _documents_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(dup)
+
+
+DOCUMENTS_PLANTED_SQL = """
+documents_planted AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+
+def _r(col, n: int = 6) -> Column:
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_ucc_lineitem_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.ucc import ucc_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = ucc_check(li, ["l_orderkey", "l_linenumber"], num_partitions=32).summary()
+    return s.select(
+        "holds",
+        "n_rows",
+        "n_distinct",
+        "n_violating_clusters",
+        "n_violating_rows",
+        "violating_pairs",
+        _r(F.col("aucc_error"), 9).alias("aucc_error"),
+    )
+
+
+SQL_UCC_LINEITEM_PK = """
+WITH g AS (
+  SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
+SELECT
+  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+  sum(cnt) AS n_rows,
+  count(*) AS n_distinct,
+  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_violating_clusters,
+  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_violating_rows,
+  sum(cnt * (cnt - 1)) AS violating_pairs,
+  round(sum(cnt * (cnt - 1)) * 1.0 / (sum(cnt) * (sum(cnt) - 1)), 9) AS aucc_error
+FROM g
+"""
+
+
+def q_ucc_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.ucc import ucc_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = ucc_check(
+        o, ["o_custkey"], num_partitions=32, violation_cap=50
+    ).violations()
+    return v.select("o_custkey", "cluster_size")
+
+
+SQL_UCC_VIOLATIONS_ORDERS = """
+SELECT o_custkey, count(*) AS cluster_size
+FROM orders GROUP BY o_custkey HAVING count(*) > 1
+"""
+
+
+def q_ucc_docs_doc_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.ucc import ucc_check
+
+    ds = _docs_spans(spark, sf_dir)
+    s = ucc_check(ds, ["doc_id"], num_partitions=32).summary()
+    return s.select(
+        "holds",
+        "n_rows",
+        "n_distinct",
+        "n_violating_clusters",
+        "n_violating_rows",
+        "violating_pairs",
+        _r(F.col("aucc_error"), 9).alias("aucc_error"),
+    )
+
+
+SQL_UCC_DOCS_DOC_ID = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+g AS (SELECT count(*) AS cnt FROM docs_spans GROUP BY doc_id)
+SELECT
+  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+  sum(cnt) AS n_rows,
+  count(*) AS n_distinct,
+  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_violating_clusters,
+  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_violating_rows,
+  sum(cnt * (cnt - 1)) AS violating_pairs,
+  round(sum(cnt * (cnt - 1)) * 1.0 / (sum(cnt) * (sum(cnt) - 1)), 9) AS aucc_error
+FROM g
+"""
+
+
+def q_fd_docs_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD doc_id -> span_seq over the interleaved view: broken exactly at the
+    variant-span duplicates (doc_id % 200 == 0)."""
+    from pyspark_validator.canonical import span_seq_expr
+    from pyspark_validator.checks.fd import fd_check
+
+    ds = _docs_spans(spark, sf_dir).withColumn("span_seq", span_seq_expr("spans"))
+    s = fd_check(ds, ["doc_id"], ["span_seq"], num_partitions=32).summary()
+    return s.select(
+        "holds",
+        "n_rows",
+        "n_distinct_x",
+        "n_distinct_xy",
+        "n_error_clusters",
+        "n_error_rows",
+        "conflict_pairs",
+        _r(F.col("g1_error"), 9).alias("g1_error"),
+    )
+
+
+SQL_FD_DOCS_SPAN_SEQ = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+xy AS (SELECT doc_id, span_seq, count(*) AS ycnt FROM docs_spans GROUP BY doc_id, span_seq),
+x AS (
+  SELECT doc_id, sum(ycnt) AS cx, count(*) AS ndy, sum(ycnt * (ycnt - 1)) AS ypairs
+  FROM xy GROUP BY doc_id
+)
+SELECT
+  sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+  sum(cx) AS n_rows,
+  count(*) AS n_distinct_x,
+  sum(ndy) AS n_distinct_xy,
+  sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS n_error_clusters,
+  sum(CASE WHEN ndy > 1 THEN cx ELSE 0 END) AS n_error_rows,
+  sum(cx * (cx - 1) - ypairs) AS conflict_pairs,
+  round(sum(cx * (cx - 1) - ypairs) * 1.0 / (sum(cx) * sum(cx) - sum(cx)), 9) AS g1_error
+FROM x
+"""
+
+
+def q_fd_holds_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.fd import fd_check
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = fd_check(n, ["n_nationkey"], ["n_regionkey"], num_partitions=8).summary()
+    return s.select("holds", "n_rows", "n_distinct_x", "n_distinct_xy", "n_error_clusters")
+
+
+SQL_FD_HOLDS_NATION = """
+WITH xy AS (SELECT n_nationkey, n_regionkey, count(*) AS ycnt FROM nation GROUP BY 1, 2),
+x AS (SELECT n_nationkey, sum(ycnt) AS cx, count(*) AS ndy FROM xy GROUP BY 1)
+SELECT
+  sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+  sum(cx) AS n_rows, count(*) AS n_distinct_x, sum(ndy) AS n_distinct_xy,
+  sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS n_error_clusters
+FROM x
+"""
+
+
+def q_fd_highlights_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.fd import fd_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = fd_check(
+        o, ["o_custkey"], ["o_orderpriority"], num_partitions=32, highlight_cap=1_000_000
+    ).highlights()
+    return h.select(
+        "o_custkey",
+        "cluster_size",
+        "num_distinct_rhs",
+        _r(F.col("most_frequent_rhs_proportion"), 9).alias("most_frequent_rhs_proportion"),
+    )
+
+
+SQL_FD_HIGHLIGHTS_ORDERS = """
+WITH xy AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS ycnt FROM orders GROUP BY 1, 2
+),
+x AS (
+  SELECT o_custkey, sum(ycnt) AS cluster_size, count(*) AS num_distinct_rhs,
+         max(ycnt) AS maxy
+  FROM xy GROUP BY 1
+)
+SELECT o_custkey, cluster_size, num_distinct_rhs,
+       round(maxy * 1.0 / cluster_size, 9) AS most_frequent_rhs_proportion
+FROM x WHERE num_distinct_rhs > 1
+"""
+
+
+def q_afd_measures_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.fd import fd_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = fd_check(o, ["o_custkey"], ["o_orderpriority"], num_partitions=32).afd_measures()
+    return m.select(
+        _r(F.col("g1"), 9).alias("g1"),
+        _r(F.col("pdep"), 9).alias("pdep"),
+        _r(F.col("tau"), 9).alias("tau"),
+        _r(F.col("mu_plus"), 9).alias("mu_plus"),
+        _r(F.col("rho"), 9).alias("rho"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct_x").cast("long").alias("n_distinct_x"),
+        F.col("n_distinct_xy").cast("long").alias("n_distinct_xy"),
+    )
+
+
+SQL_AFD_MEASURES_ORDERS = """
+WITH xy AS (
+  SELECT o_custkey AS x, o_orderpriority AS y, count(*) AS cxy FROM orders GROUP BY 1, 2
+),
+x AS (SELECT x, sum(cxy) AS cx, count(*) AS ndy, sum(cxy * (cxy - 1)) AS ypairs FROM xy GROUP BY 1),
+yl AS (SELECT sum(cy * cy) AS sum_cy2 FROM (SELECT count(*) AS cy FROM orders GROUP BY o_orderpriority)),
+agg AS (
+  SELECT sum(cx) AS n, count(*) AS kx, sum(ndy) AS kxy,
+         sum(cx * (cx - 1) - ypairs) AS conflict_pairs,
+         sum((ypairs + cx) * 1.0 / cx) AS pdep_num
+  FROM x
+)
+SELECT
+  round(conflict_pairs * 1.0 / (n * n - n), 9) AS g1,
+  round(pdep_num / n, 9) AS pdep,
+  round(CASE WHEN sum_cy2 * 1.0 / (n * n) = 1 THEN 1
+        ELSE (pdep_num / n - sum_cy2 * 1.0 / (n * n)) / (1 - sum_cy2 * 1.0 / (n * n)) END, 9) AS tau,
+  round(CASE WHEN sum_cy2 * 1.0 / (n * n) = 1 OR kx = n THEN 1
+        ELSE greatest(0, 1 - (1 - pdep_num / n) / (1 - sum_cy2 * 1.0 / (n * n)) * (n - 1) / (n - kx)) END, 9) AS mu_plus,
+  round(kx * 1.0 / kxy, 9) AS rho,
+  n AS n_rows, kx AS n_distinct_x, kxy AS n_distinct_xy
+FROM agg, yl
+"""
+
+
+def q_pfd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.fd import fd_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = fd_check(li, ["l_partkey"], ["l_suppkey"], num_partitions=32)
+    t = c.pfd("per_tuple").select(
+        _r(F.col("error"), 9).alias("error_per_tuple"),
+        "n_violating_clusters",
+        "n_violating_rows",
+    )
+    v = c.pfd("per_value").select(_r(F.col("error"), 9).alias("error_per_value"))
+    return t.crossJoin(v)
+
+
+SQL_PFD_LINEITEM = """
+WITH xy AS (SELECT l_partkey AS x, l_suppkey AS y, count(*) AS cxy FROM lineitem GROUP BY 1, 2),
+x AS (SELECT x, sum(cxy) AS cx, max(cxy) AS maxy FROM xy GROUP BY 1)
+SELECT
+  round(1 - sum(maxy) * 1.0 / sum(cx), 9) AS error_per_tuple,
+  sum(CASE WHEN cx > 1 AND maxy != cx THEN 1 ELSE 0 END) AS n_violating_clusters,
+  sum(cx - maxy) AS n_violating_rows,
+  round(1 - sum(maxy * 1.0 / cx) / count(*), 9) AS error_per_value
+FROM x
+"""
+
+
+def q_ind_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.ind import ind_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = ind_check(o, ["o_custkey"], c, ["c_custkey"]).summary()
+    return s.select(
+        "holds",
+        "n_violating_clusters",
+        "n_violating_rows",
+        _r(F.col("error"), 9).alias("error"),
+        "n_distinct_lhs",
+        "n_rows_lhs",
+    )
+
+
+SQL_IND_ORDERS_CUSTOMER = """
+WITH l AS (SELECT o_custkey AS k, count(*) AS occ FROM orders GROUP BY 1),
+m AS (SELECT * FROM l WHERE k NOT IN (SELECT c_custkey FROM customer))
+SELECT
+  (SELECT count(*) FROM m) = 0 AS holds,
+  (SELECT count(*) FROM m) AS n_violating_clusters,
+  (SELECT coalesce(sum(occ), 0) FROM m) AS n_violating_rows,
+  round((SELECT count(*) FROM m) * 1.0 / (SELECT count(*) FROM l), 9) AS error,
+  (SELECT count(*) FROM l) AS n_distinct_lhs,
+  (SELECT sum(occ) FROM l) AS n_rows_lhs
+"""
+
+
+def q_ind_violations_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse direction: customers with no orders are IND violations."""
+    from pyspark_validator.checks.ind import ind_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = ind_check(c, ["c_custkey"], o, ["o_custkey"], violation_cap=1_000_000).violations()
+    return v.select("c_custkey", "occurrences")
+
+
+SQL_IND_VIOLATIONS_CUSTOMER_ORDERS = """
+SELECT c_custkey, count(*) AS occurrences
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_custkey
+"""
+
+
+def q_ind_binary_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.ind import ind_check
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    s = ind_check(n, ["n_regionkey"], r, ["r_regionkey"]).summary()
+    return s.select("holds", "n_violating_clusters", "n_distinct_lhs")
+
+
+SQL_IND_BINARY_NATION_REGION = """
+WITH l AS (SELECT DISTINCT n_regionkey AS k FROM nation),
+m AS (SELECT * FROM l WHERE k NOT IN (SELECT r_regionkey FROM region))
+SELECT (SELECT count(*) FROM m) = 0 AS holds,
+       (SELECT count(*) FROM m) AS n_violating_clusters,
+       (SELECT count(*) FROM l) AS n_distinct_lhs
+"""
+
+
+def q_nd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.nd import nd_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return nd_check(o, ["o_custkey"], ["o_orderpriority"], weight=3, num_partitions=32)
+
+
+SQL_ND_ORDERS = """
+WITH x AS (
+  SELECT o_custkey, count(DISTINCT o_orderpriority) AS ndy, count(*) AS cx
+  FROM orders GROUP BY 1
+)
+SELECT max(ndy) <= 3 AS holds, max(ndy) AS real_weight,
+       sum(CASE WHEN ndy > 3 THEN 1 ELSE 0 END) AS n_violating_clusters,
+       sum(CASE WHEN ndy > 3 THEN cx ELSE 0 END) AS n_violating_rows
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# stats / drift / text / dedup / similarity queries
+
+
+def q_stats_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.stats import numeric_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = numeric_profile(li, ["l_quantity", "l_discount", "l_tax"], exact_quantiles=True)
+    return p.select(
+        "column",
+        "count",
+        "n_nulls",
+        "n_distinct",
+        _r(F.col("min")).alias("min"),
+        _r(F.col("max")).alias("max"),
+        _r(F.col("sum"), 4).alias("sum"),
+        _r(F.col("avg")).alias("avg"),
+        _r(F.col("std")).alias("std"),
+        _r(F.col("skewness"), 4).alias("skewness"),
+        _r(F.col("kurtosis"), 4).alias("kurtosis"),
+        _r(F.col("q25")).alias("q25"),
+        _r(F.col("median")).alias("median"),
+        _r(F.col("q75")).alias("q75"),
+        "n_zeros",
+        "n_negatives",
+    )
+
+
+SQL_STATS_NUMERIC_LINEITEM = """
+WITH cols AS (
+  SELECT 'l_quantity' AS "column", l_quantity AS x FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT
+  "column",
+  count(x) AS count,
+  sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  count(DISTINCT x) AS n_distinct,
+  round(min(x), 6) AS min,
+  round(max(x), 6) AS max,
+  round(sum(x), 4) AS sum,
+  round(sum(x) / count(x), 6) AS avg,
+  round(sqrt((sum(x * x) - sum(x) * sum(x) / count(x)) / (count(x) - 1)), 6) AS std,
+  round((sum(x*x*x)/count(x) - 3*(sum(x)/count(x))*sum(x*x)/count(x) + 2*pow(sum(x)/count(x),3))
+        / pow(sum(x*x)/count(x) - pow(sum(x)/count(x),2), 1.5), 4) AS skewness,
+  round((sum(x*x*x*x)/count(x) - 4*(sum(x)/count(x))*sum(x*x*x)/count(x)
+         + 6*pow(sum(x)/count(x),2)*sum(x*x)/count(x) - 3*pow(sum(x)/count(x),4))
+        / pow(sum(x*x)/count(x) - pow(sum(x)/count(x),2), 2), 4) AS kurtosis,
+  round(quantile_cont(x, 0.25), 6) AS q25,
+  round(quantile_cont(x, 0.5), 6) AS median,
+  round(quantile_cont(x, 0.75), 6) AS q75,
+  sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS n_zeros,
+  sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS n_negatives
+FROM cols GROUP BY "column"
+"""
+
+
+def q_stats_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.stats import string_profile
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    p = string_profile(c, ["c_name", "c_mktsegment"])
+    return p.select(
+        "column",
+        "count",
+        "n_nulls",
+        "n_empties",
+        "n_distinct",
+        "min_len",
+        "max_len",
+        _r(F.col("avg_len")).alias("avg_len"),
+        "total_words",
+        "min_value",
+        "max_value",
+        "n_with_uppercase",
+        "n_untrimmed",
+        "n_non_ascii",
+    )
+
+
+SQL_STATS_STRING_CUSTOMER = """
+WITH cols AS (
+  SELECT 'c_name' AS "column", c_name AS s FROM customer
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+)
+SELECT
+  "column",
+  count(s) AS count,
+  sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  sum(CASE WHEN s = '' THEN 1 ELSE 0 END) AS n_empties,
+  count(DISTINCT s) AS n_distinct,
+  min(length(s)) AS min_len,
+  max(length(s)) AS max_len,
+  round(avg(length(s)), 6) AS avg_len,
+  sum(CASE WHEN s IS NULL THEN NULL
+       WHEN length(trim(s)) = 0 THEN 0
+       ELSE array_length(regexp_split_to_array(trim(s), '\\s+')) END) AS total_words,
+  min(s) AS min_value,
+  max(s) AS max_value,
+  sum(CASE WHEN s != lower(s) THEN 1 ELSE 0 END) AS n_with_uppercase,
+  sum(CASE WHEN regexp_matches(s, '^\\s|\\s$') THEN 1 ELSE 0 END) AS n_untrimmed,
+  sum(CASE WHEN regexp_matches(s, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END) AS n_non_ascii
+FROM cols GROUP BY "column"
+"""
+
+
+def q_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.stats import topk_values
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return topk_values(ev, "event_type", k=5).withColumnRenamed("value", "event_type")
+
+
+SQL_TOPK_EVENT_TYPES = """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5
+"""
+
+
+def q_entropy_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.stats import entropy_and_gini
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = entropy_and_gini(ev, "event_type")
+    return e.select(_r(F.col("entropy"), 9).alias("entropy"), _r(F.col("gini"), 9).alias("gini"))
+
+
+SQL_ENTROPY_GINI_EVENTS = """
+WITH g AS (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+SELECT round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 9) AS entropy,
+       round(1 - sum(cnt * cnt) * 1.0 / (sum(cnt) * sum(cnt)), 9) AS gini
+FROM g
+"""
+
+
+def q_monotonic_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.stats import monotonicity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    return monotonicity(ev, "ts_ms", "event_id")
+
+
+SQL_MONOTONIC_EVENTS_TS = """
+WITH d AS (
+  SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (ORDER BY event_id) AS delta FROM events
+)
+SELECT min(delta) >= 0 AS monotonic_asc, max(delta) <= 0 AS monotonic_desc
+FROM d WHERE delta IS NOT NULL
+"""
+
+
+def q_drift_categorical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.drift import categorical_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.filter(F.col("event_id") % 2 == 0)
+    c = ev.filter(F.col("event_id") % 2 == 1)
+    d = categorical_drift(b, c, "event_type")
+    return d.select(
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("chi2"), 9).alias("chi2"),
+        "n_b",
+        "n_c",
+        "n_buckets",
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_CATEGORICAL_EVENTS = """
+WITH counts AS (
+  SELECT event_type,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts)
+SELECT
+  round(sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+        * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))), 9) AS psi,
+  round(sum(CASE WHEN (cnt_b + cnt_c) > 0 THEN
+        pow(cnt_b - (cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_b, 2) / ((cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_b)
+      + pow(cnt_c - (cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_c, 2) / ((cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_c)
+      ELSE 0 END), 9) AS chi2,
+  any_value(n_b) AS n_b, any_value(n_c) AS n_c, any_value(k) AS n_buckets,
+  sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+      * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) > 0.2 AS drift_detected
+FROM counts, tot
+"""
+
+
+def q_drift_numeric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.drift import numeric_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.filter(F.col("event_id") % 2 == 0)
+    c = ev.filter(F.col("event_id") % 2 == 1)
+    d = numeric_drift(b, c, "value", num_bins=30, bin_edges=(0.0, 600.0))
+    return d.select(
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("ks_stat"), 9).alias("ks_stat"),
+        "n_b",
+        "n_c",
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_NUMERIC_EVENTS = """
+WITH binned AS (
+  SELECT least(greatest(CAST(floor(value / 20.0) AS BIGINT), -1), 30) AS bucket,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM binned),
+psi AS (
+  SELECT sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+         * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) AS psi_v,
+         any_value(n_b) AS n_b, any_value(n_c) AS n_c
+  FROM binned, tot
+),
+cum AS (
+  SELECT abs(sum(cnt_b) OVER (ORDER BY bucket) * 1.0 / t.n_b
+           - sum(cnt_c) OVER (ORDER BY bucket) * 1.0 / t.n_c) AS term
+  FROM binned, tot t
+)
+SELECT round(psi_v, 9) AS psi,
+       round((SELECT max(term) FROM cum), 9) AS ks_stat,
+       n_b, n_c,
+       (psi_v > 0.2 OR (SELECT max(term) FROM cum) > 0.1) AS drift_detected
+FROM psi
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.pipelines.text import token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(d).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+SQL_TEXT_TOKEN_COUNTS = """
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       WHEN length(trim(text)) = 0 THEN 0
+       ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.pipelines.text import language_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        language_id(d)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("lang", "detected_lang")
+    )
+
+
+_LANG_SQL_SCORES = {
+    "en": "the|and|of|to|in|is|that|it|was|for",
+    "de": "der|die|und|das|ist|nicht|ein|mit|sich|auf",
+    "fr": "le|la|les|et|de|un|une|est|que|pour",
+    "es": "el|la|los|de|que|y|en|un|es|por",
+    "it": "il|la|di|che|e|un|per|non|sono|una",
+}
+
+SQL_TEXT_LANGUAGE_ID = (
+    "WITH s AS (SELECT "
+    + ", ".join(
+        f"length(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS s_{lang}"
+        for lang, pat in _LANG_SQL_SCORES.items()
+    )
+    + ", greatest("
+    + ", ".join(f"s_{lang}" for lang in _LANG_SQL_SCORES)
+    + ") AS best FROM documents), lab AS (SELECT CASE "
+    + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in _LANG_SQL_SCORES
+    )
+    + " ELSE 'und' END AS detected_lang FROM s) "
+    "SELECT detected_lang, count(*) AS cnt FROM lab GROUP BY detected_lang"
+)
+
+
+def q_dedup_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.pipelines.dedup import exact_duplicates
+
+    d = _documents_planted(spark, sf_dir)
+    return exact_duplicates(d, text_col="text", id_col="doc_id").select(
+        "representative", "cluster_size"
+    )
+
+
+SQL_DEDUP_EXACT_PLANTED = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents_planted
+)
+SELECT min(doc_id) AS representative, count(*) AS cluster_size
+FROM norm GROUP BY t HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.pipelines.dedup import ngram_jaccard_pairs
+
+    d = _documents_planted(spark, sf_dir)
+    p = ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=3, threshold=0.9, max_df=2**31 - 1
+    )
+    return p.select("id_a", "id_b", _r(F.col("jaccard"), 9).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD_PLANTED = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents_planted
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(array_length(w) - 3, 0) + 1),
+           i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.9
+"""
+
+
+def q_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified. No SQL oracle (the
+    signature hashes are Spark xxhash64) -> rows-only driver check; the exact
+    jaccard >= 0.9 subset is separately oracle-checked by ngram_jaccard_planted."""
+    from pyspark_validator.pipelines.dedup import minhash_lsh_pairs
+
+    d = _documents_planted(spark, sf_dir)
+    return minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", k=3, threshold=0.9, verify=True
+    ).select("id_a", "id_b", _r(F.col("jaccard"), 9).alias("jaccard"))
+
+
+def q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: fingerprint is Spark xxhash64-based)."""
+    from pyspark_validator.pipelines.dedup import simhash_pairs
+
+    d = _documents_planted(spark, sf_dir)
+    return simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=0)
+
+
+def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.pipelines.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    t = brute_force_topk(emb, list(q), k=10)
+    return t.select(F.col("id").alias("vec_id"), _r(F.col("cosine")).alias("cosine"))
+
+
+SQL_SIMILARITY_BRUTE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH buckets + exact cosine verify
+    (rows-only: candidate generation uses the Python LSH planes)."""
+    from pyspark_validator.pipelines.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = cosine_pairs(emb, dim=64, threshold=0.9, num_bits=8)
+    return p.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
+
+
+def q_drift_docs_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift of span kinds between even/odd documents of the
+    interleaved view (span-level check on the input_hint shape)."""
+    from pyspark_validator.checks.drift import categorical_drift
+
+    ds = _docs_spans(spark, sf_dir)
+    kinds = ds.select(
+        (F.substring("doc_id", -1, 1).cast("int") % 2).alias("side"),
+        F.explode(F.col("spans.kind")).alias("kind"),
+    )
+    b = kinds.filter(F.col("side") == 0).select("kind")
+    c = kinds.filter(F.col("side") == 1).select("kind")
+    d = categorical_drift(b, c, "kind")
+    return d.select(
+        _r(F.col("psi"), 9).alias("psi"),
+        "n_b",
+        "n_c",
+        "n_buckets",
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_DOCS_KIND = """
+WITH base AS (
+  SELECT d.doc_id, d.text, c.copy
+  FROM documents d
+  JOIN (SELECT unnest(range(0, 3)) AS copy) c
+    ON c.copy = 0 OR (c.copy = 1 AND d.doc_id % 100 = 0) OR (c.copy = 2 AND d.doc_id % 1000 = 0)
+),
+kinds AS (
+  SELECT doc_id % 2 AS side,
+         CASE WHEN (doc_id + t.i) % 7 = 0 THEN 'image' ELSE 'text' END AS kind
+  FROM base, unnest(range(0, greatest(CAST(ceil(length(text) / 64.0) AS INT), 1))) AS t(i)
+  UNION ALL
+  SELECT doc_id % 2, 'text' FROM base WHERE copy = 1 AND doc_id % 200 = 0
+),
+counts AS (
+  SELECT kind,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM kinds GROUP BY kind
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts)
+SELECT
+  round(sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+        * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))), 9) AS psi,
+  any_value(n_b) AS n_b, any_value(n_c) AS n_c, any_value(k) AS n_buckets,
+  sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+      * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) > 0.2 AS drift_detected
+FROM counts, tot
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ucc_lineitem_pk": q_ucc_lineitem_pk,
+        "ucc_violations_orders": q_ucc_violations_orders,
+        "ucc_docs_doc_id": q_ucc_docs_doc_id,
+        "fd_docs_span_seq": q_fd_docs_span_seq,
+        "fd_holds_nation": q_fd_holds_nation,
+        "fd_highlights_orders": q_fd_highlights_orders,
+        "afd_measures_orders": q_afd_measures_orders,
+        "pfd_lineitem": q_pfd_lineitem,
+        "ind_orders_customer": q_ind_orders_customer,
+        "ind_violations_customer_orders": q_ind_violations_customer_orders,
+        "ind_binary_nation_region": q_ind_binary_nation_region,
+        "nd_orders": q_nd_orders,
+        "stats_numeric_lineitem": q_stats_numeric_lineitem,
+        "stats_string_customer": q_stats_string_customer,
+        "topk_event_types": q_topk_event_types,
+        "entropy_gini_events": q_entropy_gini_events,
+        "monotonic_events_ts": q_monotonic_events_ts,
+        "drift_categorical_events": q_drift_categorical_events,
+        "drift_numeric_events": q_drift_numeric_events,
+        "drift_docs_kind": q_drift_docs_kind,
+        "text_token_counts": q_text_token_counts,
+        "text_language_id": q_text_language_id,
+        "dedup_exact_planted": q_dedup_exact_planted,
+        "ngram_jaccard_planted": q_ngram_jaccard_planted,
+        "minhash_lsh_planted": q_minhash_lsh_planted,
+        "simhash_planted": q_simhash_planted,
+        "similarity_brute_topk": q_similarity_brute_topk,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ucc_lineitem_pk": SQL_UCC_LINEITEM_PK,
+        "ucc_violations_orders": SQL_UCC_VIOLATIONS_ORDERS,
+        "ucc_docs_doc_id": SQL_UCC_DOCS_DOC_ID,
+        "fd_docs_span_seq": SQL_FD_DOCS_SPAN_SEQ,
+        "fd_holds_nation": SQL_FD_HOLDS_NATION,
+        "fd_highlights_orders": SQL_FD_HIGHLIGHTS_ORDERS,
+        "afd_measures_orders": SQL_AFD_MEASURES_ORDERS,
+        "pfd_lineitem": SQL_PFD_LINEITEM,
+        "ind_orders_customer": SQL_IND_ORDERS_CUSTOMER,
+        "ind_violations_customer_orders": SQL_IND_VIOLATIONS_CUSTOMER_ORDERS,
+        "ind_binary_nation_region": SQL_IND_BINARY_NATION_REGION,
+        "nd_orders": SQL_ND_ORDERS,
+        "stats_numeric_lineitem": SQL_STATS_NUMERIC_LINEITEM,
+        "stats_string_customer": SQL_STATS_STRING_CUSTOMER,
+        "topk_event_types": SQL_TOPK_EVENT_TYPES,
+        "entropy_gini_events": SQL_ENTROPY_GINI_EVENTS,
+        "monotonic_events_ts": SQL_MONOTONIC_EVENTS_TS,
+        "drift_categorical_events": SQL_DRIFT_CATEGORICAL_EVENTS,
+        "drift_numeric_events": SQL_DRIFT_NUMERIC_EVENTS,
+        "drift_docs_kind": SQL_DRIFT_DOCS_KIND,
+        "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+        "text_language_id": SQL_TEXT_LANGUAGE_ID,
+        "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
+        "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
+        # minhash_lsh_planted / simhash_planted / embedding_cosine_dups:
+        # intentionally no oracle (hashes/LSH planes are engine-internal) ->
+        # driver records the weaker rows-only check.
+        "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: per-partition UCC verdicts over the interleaved-doc view at
+    sf0.001 (the north-rule check shape: partitioned uniqueness validation with
+    planted duplicates)."""
+    from pyspark_validator.checks.ucc import ucc_check
+
+    ds = _docs_spans(spark, "/root/testdata/sf0.001")
+    return (
+        ucc_check(ds, ["doc_id"], num_partitions=16, partition_key="doc_id")
+        .verdicts()
+        .orderBy("partition_id")
+    )
