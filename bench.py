@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark harness for the pyspark_validator engine.
+
+Default mode (what the driver runs): executes the headline validation queries
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "docs_per_sec": N, ...}
+
+Scaling mode (``python bench.py --scaling``): re-runs the heavy validation
+suite in two fresh subprocesses at two parallelism levels (default local[8]
+vs local[32]) on the SAME input and reports throughput at both plus the
+scaling efficiency (speedup / core-ratio) — the sandbox stand-in for the
+north rule's N-vs-4N-executor criterion (no real cluster available here).
+
+Single-level worker mode (used internally by --scaling):
+``python bench.py --scale-worker <cpus> <repeat>`` prints one JSON line with
+the heavy-suite wall time at local[<cpus>].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+HEADLINE = [
+    "ucc_lineitem_pk",
+    "ucc_docs_doc_id",
+    "fd_docs_span_seq",
+    "fd_highlights_orders",
+    "afd_measures_orders",
+    "pfd_lineitem",
+    "ind_orders_customer",
+    "nd_orders",
+    "stats_numeric_lineitem",
+    "stats_string_customer",
+    "entropy_gini_events",
+    "drift_categorical_events",
+    "drift_numeric_events",
+    "drift_docs_kind",
+    "text_token_counts",
+    "text_language_id",
+    "dedup_exact_planted",
+    "minhash_lsh_planted",
+    "simhash_planted",
+    "similarity_brute_topk",
+    "embedding_cosine_dups",
+]
+
+
+def _get_spark(cpus: str | None = None):
+    from pyspark_validator.session import get_spark
+
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n = os.cpu_count() if cpus == "*" else int(cpus)
+    return get_spark(
+        app_name="pyspark-validator-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(n),
+    )
+
+
+def run_headline() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _get_spark()
+    qs = entry_mod.queries()
+    # Warm the JVM + parquet footers so per-query times reflect the plans,
+    # not one-time session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    n_docs_validated = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        del rows
+    # docs/sec north metric: rows of the interleaved view validated by the
+    # doc-shaped checks (ucc_docs + fd_docs + drift_docs) per second spent in them.
+    docs_rows = entry_mod._docs_spans(spark, sf_dir).count()
+    doc_checks = ["ucc_docs_doc_id", "fd_docs_span_seq", "drift_docs_kind"]
+    doc_sec = sum(times[q] for q in doc_checks)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline validation suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(sf_dir),
+        "validated_docs_per_sec": round(3 * docs_rows / doc_sec, 1) if doc_sec else None,
+        "n_docs": docs_rows,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+# ---------------------------------------------------------------------------
+# scaling mode: same heavy input, two parallelism levels
+
+
+def _heavy_suite(spark, sf_dir: str) -> tuple[float, int]:
+    """CPU-bound validation pass over an amplified interleaved-doc view.
+
+    The view multiplies each source document REP times with distinct doc_ids
+    (deterministic, seedless) so the job is dominated by shuffle/agg compute
+    rather than fixed session overhead — the regime where executor-count
+    scaling is meaningful.
+    """
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from pyspark_validator.canonical import span_seq_expr
+    from pyspark_validator.checks.fd import fd_check
+    from pyspark_validator.checks.ucc import ucc_check
+
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "40"))
+    ds = (
+        entry_mod._docs_spans(spark, sf_dir)
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .withColumn("doc_id", F.concat_ws("#", "doc_id", F.col("r").cast("string")))
+        .drop("r")
+    )
+    n_docs = ds.count()  # also warms the input
+    t0 = time.perf_counter()
+    ucc_check(ds, ["doc_id"], num_partitions=64).summary().collect()
+    dse = ds.withColumn("span_seq", span_seq_expr("spans"))
+    fd_check(dse, ["doc_id"], ["span_seq"], num_partitions=64).summary().collect()
+    elapsed = time.perf_counter() - t0
+    return elapsed, n_docs
+
+
+def run_scale_worker(cpus: str, repeat: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _get_spark(cpus)
+    best, n_docs = None, 0
+    for _ in range(repeat):
+        elapsed, n_docs = _heavy_suite(spark, sf_dir)
+        best = elapsed if best is None else min(best, elapsed)
+    spark.stop()
+    print(json.dumps({"cpus": int(cpus), "sec": round(best, 3), "n_docs": n_docs}))
+
+
+def run_scaling(low: int = 8, high: int = 32) -> None:
+    results = {}
+    for cpus in (low, high):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), "2"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_lo, t_hi = results[low]["sec"], results[high]["sec"]
+    n = results[high]["n_docs"]
+    speedup = t_lo / t_hi
+    eff = speedup / (high / low)
+    out = {
+        "metric": f"scaling efficiency local[{low}] -> local[{high}] (UCC+FD heavy suite)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_docs": n,
+        f"sec_local{low}": t_lo,
+        f"sec_local{high}": t_hi,
+        f"docs_per_sec_local{low}": round(2 * n / t_lo, 1),
+        f"docs_per_sec_local{high}": round(2 * n / t_hi, 1),
+        "speedup": round(speedup, 3),
+        "core_ratio": high / low,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        run_scaling(low, high)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        run_scale_worker(sys.argv[2], int(sys.argv[3]))
+    else:
+        run_headline()
