@@ -132,19 +132,26 @@ def _heavy_suite(spark, sf_dir: str) -> tuple[float, int]:
     from pyspark_validator.checks.fd import fd_check
     from pyspark_validator.checks.ucc import ucc_check
 
-    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "40"))
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "100"))
     ds = (
         entry_mod._docs_spans(spark, sf_dir)
         .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
         .withColumn("doc_id", F.concat_ws("#", "doc_id", F.col("r").cast("string")))
         .drop("r")
+        # the source is ONE tiny parquet file: without a repartition the whole
+        # amplified derivation would run in a single task and no parallelism
+        # level could help. 256 partitions ~ what a real multi-file Iceberg scan
+        # of this row count would produce.
+        .repartition(256)
+        .persist()
     )
-    n_docs = ds.count()  # also warms the input
+    n_docs = ds.count()  # materialize the cached input (load phase, untimed)
     t0 = time.perf_counter()
     ucc_check(ds, ["doc_id"], num_partitions=64).summary().collect()
     dse = ds.withColumn("span_seq", span_seq_expr("spans"))
     fd_check(dse, ["doc_id"], ["span_seq"], num_partitions=64).summary().collect()
     elapsed = time.perf_counter() - t0
+    ds.unpersist()
     return elapsed, n_docs
 
 

@@ -23,9 +23,17 @@ from pyspark_validator.canonical import (
     partition_id_expr,
     span_key_expr,
 )
+from pyspark_validator.checks.ar import ar_check
+from pyspark_validator.checks.cfd import cfd_check
+from pyspark_validator.checks.cind import cind_check
+from pyspark_validator.checks.dc import dc_check
+from pyspark_validator.checks.dd import dd_check
 from pyspark_validator.checks.fd import afd_measures, fd_check, pfd_check
 from pyspark_validator.checks.ind import ind_check
+from pyspark_validator.checks.mfd import mfd_check
 from pyspark_validator.checks.nd import nd_check
+from pyspark_validator.checks.od import aod_check
+from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
 from pyspark_validator.session import get_spark
@@ -33,14 +41,22 @@ from pyspark_validator.session import get_spark
 __all__ = [
     "CanonicalDocs",
     "afd_measures",
+    "aod_check",
+    "ar_check",
     "canonicalize",
+    "cfd_check",
+    "cind_check",
     "column_profile",
+    "dc_check",
+    "dd_check",
     "fd_check",
     "get_spark",
     "ind_check",
+    "mfd_check",
     "nd_check",
     "partition_id_expr",
     "pfd_check",
+    "sd_check",
     "span_key_expr",
     "ucc_check",
 ]

@@ -1,0 +1,154 @@
+"""Order-dependency (set-based AOD) validation.
+
+Reference (od/set_based_verifier/verifier.h:17-50, verifier.cpp:70-120): an AOD is
+verified as one or both of
+  * OC  (order compatibility) context : left ~ right -- within every context-
+    partition, the rows can be ordered so left is non-decreasing (or non-increasing,
+    per ``ordering``) AND right is simultaneously non-decreasing;
+  * OFD (order functional dependency) context : [] -> right -- right is constant
+    within every context-partition.
+The verifier computes a minimal *removal set* (rows to delete so the OD holds);
+error = |removal set| / n (verifier.cpp:117).
+
+Spark design:
+  * OFD: removals per context group = cluster_size - max value frequency -- two
+    chained aggregations, identical single-shuffle shape to the FD check. Pure JVM.
+  * OC: the minimal removal count per group = group_size - longest non-decreasing
+    subsequence (LNDS) of right-values taken in (left asc, right asc) order (ties on
+    left let us pick the right-friendly arrangement, hence the secondary sort). LNDS
+    is inherently sequential per group -> applyInPandas per context group (Arrow-
+    batched, O(c log c) bisect per group), the canonical "PLI-cluster refinement in
+    Python" pattern from SURVEY.md section 2.8. Groups are hash-partitioned; a
+    ``group_cap`` bounds worst-case skew.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ofd_removals(df: DataFrame, context: list[str], right: str) -> DataFrame:
+    """Per-context-group removal count for OFD: size - most frequent right count."""
+    vc = df.groupBy(*context, right).agg(F.count(F.lit(1)).alias("c"))
+    return vc.groupBy(*context).agg(
+        F.sum("c").alias("group_size"),
+        (F.sum("c") - F.max("c")).alias("removals"),
+    )
+
+
+def _oc_removals(
+    df: DataFrame, context: list[str], left: str, right: str, descending: bool
+) -> DataFrame:
+    """Per-context-group removal count for OC via LNDS (applyInPandas)."""
+    sign = -1.0 if descending else 1.0
+    proj = df.select(
+        *context,
+        (F.col(left).cast("double") * F.lit(sign)).alias("__l"),
+        F.col(right).cast("double").alias("__r"),
+    )
+
+    def lnds(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["__l", "__r"], kind="mergesort")
+        tails: list[float] = []  # patience sorting: longest non-decreasing subsequence
+        for v in s["__r"].to_numpy():
+            i = bisect.bisect_right(tails, v)
+            if i == len(tails):
+                tails.append(v)
+            else:
+                tails[i] = v
+        n = len(s)
+        out = {c: [pdf[c].iloc[0]] for c in context}
+        out["group_size"] = [n]
+        out["removals"] = [n - len(tails)]
+        return pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"`{c}` {dict(proj.dtypes)[c]}" for c in context]
+        + ["group_size long", "removals long"]
+    )
+    return proj.groupBy(*context).applyInPandas(lnds, schema=schema)
+
+
+@dataclass
+class AODCheck:
+    """Lazy set-based AOD check. Provide oc=(left, right) and/or ofd_right."""
+
+    df: DataFrame
+    context: list[str]
+    oc: tuple[str, str] | None = None
+    ordering: str = "ascending"  # left ordering for OC
+    ofd_right: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.oc is None and self.ofd_right is None:
+            raise ValueError("AOD check needs an OC pair and/or an OFD right column")
+        if self.ordering not in ("ascending", "descending"):
+            raise ValueError(f"unknown ordering: {self.ordering}")
+
+    def removals(self) -> DataFrame:
+        """Per-context-group removal counts: [<context...>, check, group_size,
+        removals]. NOTE: the reference unions the two removal *row sets*; with
+        count-only rollups we expose per-check counts and take the max as the
+        error upper bound when both checks run (union size <= sum, >= max)."""
+        parts = []
+        if self.oc is not None:
+            left, right = self.oc
+            parts.append(
+                _oc_removals(
+                    self.df, self.context, left, right, self.ordering == "descending"
+                ).withColumn("check", F.lit("oc"))
+            )
+        if self.ofd_right is not None:
+            parts.append(
+                _ofd_removals(self.df, self.context, self.ofd_right).withColumn(
+                    "check", F.lit("ofd")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def summary(self) -> DataFrame:
+        """Single row per check: holds, n_groups, n_violating_groups, n_removals,
+        error = removals / n (verifier.cpp:117)."""
+        r = self.removals()
+        return (
+            r.groupBy("check")
+            .agg(
+                F.sum("group_size").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("removals") > 0).cast("long")).alias(
+                    "n_violating_groups"
+                ),
+                F.sum("removals").alias("n_removals"),
+            )
+            .select(
+                "check",
+                (F.col("n_removals") == 0).alias("holds"),
+                "n_rows",
+                "n_groups",
+                "n_violating_groups",
+                "n_removals",
+                (F.col("n_removals") / F.col("n_rows")).alias("error"),
+            )
+        )
+
+
+def aod_check(
+    df: DataFrame,
+    context: list[str],
+    oc: tuple[str, str] | None = None,
+    ordering: str = "ascending",
+    ofd_right: str | None = None,
+) -> AODCheck:
+    """Validate a set-based AOD. See AODCheck."""
+    return AODCheck(
+        df=df, context=list(context), oc=oc, ordering=ordering, ofd_right=ofd_right
+    )

@@ -1,0 +1,176 @@
+"""Sequential-dependency (SD) validation.
+
+Reference (sd/sd_verifier/sd_verifier.h:17-76): rows ordered by X; the SD holds iff
+every adjacent gap in Y lies within [g1, g2]. Violations are typed:
+  * SDDeletion  -- a gap < g1 (the right row must be deleted),
+  * SDInsertion -- a gap > g2, bridgeable with min_insertions = ceil(d/g2)-1 and
+    max_insertions = floor(d/g1)-1 (infinite when g1 == 0).
+Confidence = (N - ops) / N where ops = #deletions + sum(min_insertions).
+
+NOTE the reference computes the *optimal* operation count with Fenwick/segment-tree
+DP (sd_verifier.h:69-80) -- deleting a row can merge two gaps. This engine implements
+the single-scan gap semantics (each violation scored independently), which upper-
+bounds ops and agrees exactly whenever violations are isolated; the divergence is
+documented here for the parity audit.
+
+Spark design -- a global order without a global sort bottleneck:
+  1. repartitionByRange(X) + sortWithinPartitions(X): Spark's range partitioner
+     samples split points, so partitions hold contiguous, sorted X-ranges.
+  2. lag() windows *partitioned* by spark_partition_id -- per-partition windows, no
+     single-reducer global window.
+  3. The P-1 cross-partition boundary gaps come from a tiny per-partition
+     first/last aggregation (P rows, broadcast-joined back) -- the classic
+     distributed adjacent-difference pattern.
+At 10^12 rows this is one range shuffle + map-local windows + a P-row rollup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SDCheck:
+    """Lazy SD check: order by ``order_col``, gaps on ``value_col`` in [g1, g2]."""
+
+    df: DataFrame
+    order_col: str
+    value_col: str
+    g1: float = 0.0
+    g2: float = float("inf")
+    num_partitions: int = 64
+
+    @cached_property
+    def _gaps(self) -> DataFrame:
+        """One row per adjacent pair: [left_o, right_o, val_left, val_right, delta].
+
+        Within-partition pairs via lag over (pid-partitioned, X-ordered) windows;
+        boundary pairs via per-partition (first,last) rollup self-joined on pid+1.
+        """
+        d = (
+            self.df.select(
+                F.col(self.order_col).cast("double").alias("__o"),
+                F.col(self.value_col).cast("double").alias("__v"),
+            )
+            .filter(F.col("__o").isNotNull() & F.col("__v").isNotNull())
+            .repartitionByRange(self.num_partitions, F.col("__o"))
+            .sortWithinPartitions("__o")
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w = Window.partitionBy("__pid").orderBy("__o")
+        inner = d.select(
+            F.lag("__o").over(w).alias("left_o"),
+            F.col("__o").alias("right_o"),
+            F.lag("__v").over(w).alias("val_left"),
+            F.col("__v").alias("val_right"),
+        ).filter(F.col("left_o").isNotNull())
+        # boundary pairs: last row of pid k joined to first row of the next
+        # non-empty pid -- rank pids densely first so empty range buckets don't
+        # drop boundary gaps.
+        edges = d.groupBy("__pid").agg(
+            F.min_by(F.struct("__o", "__v"), "__o").alias("first"),
+            F.max_by(F.struct("__o", "__v"), "__o").alias("last"),
+        )
+        wp = Window.orderBy("__pid")  # P rows total: driver-scale, not data-scale
+        seq = edges.withColumn("__rank", F.row_number().over(wp))
+        a, b = seq.alias("a"), seq.alias("b")
+        boundary = a.join(
+            b, F.col("b.__rank") == F.col("a.__rank") + 1, "inner"
+        ).select(
+            F.col("a.last.__o").alias("left_o"),
+            F.col("b.first.__o").alias("right_o"),
+            F.col("a.last.__v").alias("val_left"),
+            F.col("b.first.__v").alias("val_right"),
+        )
+        return inner.unionByName(boundary).withColumn(
+            "delta", F.col("val_right") - F.col("val_left")
+        )
+
+    def violations(self) -> DataFrame:
+        """Typed violations (SDDeletion/SDInsertion analog):
+        [kind, left_o, right_o, val_left, val_right, delta, min_insertions,
+        max_insertions]."""
+        d = F.col("delta")
+        g1, g2 = F.lit(float(self.g1)), F.lit(float(self.g2))
+        kind = F.when(d < g1, F.lit("deletion")).when(d > g2, F.lit("insertion"))
+        min_ins = F.when(
+            d > g2, F.greatest(F.ceil(d / g2) - 1, F.lit(1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        max_ins = F.when(
+            d > g2,
+            F.when(g1 > 0, (F.floor(d / g1) - 1).cast("long")).otherwise(
+                F.lit(None).cast("long")  # unbounded when g1 == 0
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return (
+            self._gaps.withColumn("kind", kind)
+            .filter(F.col("kind").isNotNull())
+            .select(
+                "kind",
+                "left_o",
+                "right_o",
+                "val_left",
+                "val_right",
+                "delta",
+                min_ins.alias("min_insertions"),
+                max_ins.alias("max_insertions"),
+            )
+        )
+
+    def summary(self) -> DataFrame:
+        """Single row: holds, n_gaps, n_deletions, n_insertion_gaps, ops,
+        confidence = (N - ops) / N (sd_verifier.h:64-66)."""
+        n_rows = self.df.select(
+            F.count(
+                F.when(
+                    F.col(self.order_col).isNotNull()
+                    & F.col(self.value_col).isNotNull(),
+                    F.lit(1),
+                )
+            ).alias("n")
+        )
+        v = self.violations().agg(
+            F.sum((F.col("kind") == "deletion").cast("long")).alias("n_deletions"),
+            F.sum((F.col("kind") == "insertion").cast("long")).alias(
+                "n_insertion_gaps"
+            ),
+            F.sum("min_insertions").alias("total_min_insertions"),
+        )
+        g = self._gaps.agg(F.count(F.lit(1)).alias("n_gaps"))
+        out = v.crossJoin(g).crossJoin(n_rows)
+        ops = F.coalesce(F.col("n_deletions"), F.lit(0)) + F.coalesce(
+            F.col("total_min_insertions"), F.lit(0)
+        )
+        return out.select(
+            (ops == 0).alias("holds"),
+            "n_gaps",
+            F.coalesce("n_deletions", F.lit(0)).alias("n_deletions"),
+            F.coalesce("n_insertion_gaps", F.lit(0)).alias("n_insertion_gaps"),
+            ops.alias("ops"),
+            F.when(F.col("n") > 0, (F.col("n") - ops) / F.col("n"))
+            .otherwise(F.lit(1.0))
+            .alias("confidence"),
+        )
+
+
+def sd_check(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    g1: float = 0.0,
+    g2: float = float("inf"),
+    num_partitions: int = 64,
+) -> SDCheck:
+    """Validate a sequential dependency. See SDCheck."""
+    return SDCheck(
+        df=df,
+        order_col=order_col,
+        value_col=value_col,
+        g1=g1,
+        g2=g2,
+        num_partitions=num_partitions,
+    )
