@@ -903,6 +903,320 @@ FROM counts, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# extended verifier family: MFD / SD / AOD / CFD / AR / DD / DC / CIND
+
+
+def q_mfd_quantity_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.mfd import mfd_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = mfd_check(li, ["l_orderkey"], ["l_quantity"], metric="euclidean", parameter=40.0).summary()
+    return s.select(
+        "holds",
+        "n_clusters",
+        "n_violating_clusters",
+        "n_violating_rows",
+        _r(F.col("max_diameter")).alias("max_diameter"),
+    )
+
+
+SQL_MFD_QUANTITY_ORDERKEY = """
+WITH g AS (
+  SELECT l_orderkey, count(*) AS c, max(l_quantity) - min(l_quantity) AS d
+  FROM lineitem GROUP BY 1
+)
+SELECT sum(CASE WHEN d > 40 THEN 1 ELSE 0 END) = 0 AS holds,
+       count(*) AS n_clusters,
+       sum(CASE WHEN d > 40 THEN 1 ELSE 0 END) AS n_violating_clusters,
+       sum(CASE WHEN d > 40 THEN c ELSE 0 END) AS n_violating_rows,
+       round(max(d), 6) AS max_diameter
+FROM g
+"""
+
+
+def q_mfd_levenshtein_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.mfd import mfd_check
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = mfd_check(n, ["n_regionkey"], ["n_name"], metric="levenshtein", parameter=5.0).summary()
+    return s.select(
+        "holds", "n_clusters", "n_violating_clusters", _r(F.col("max_diameter")).alias("max_diameter")
+    )
+
+
+SQL_MFD_LEVENSHTEIN_NATION = """
+WITH pairs AS (
+  SELECT a.n_regionkey, levenshtein(a.n_name, b.n_name) AS d
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+),
+diam AS (SELECT n_regionkey, max(d) AS diameter FROM pairs GROUP BY 1),
+allg AS (
+  SELECT g.n_regionkey, coalesce(diam.diameter, 0) AS diameter
+  FROM (SELECT DISTINCT n_regionkey FROM nation) g
+  LEFT JOIN diam ON g.n_regionkey = diam.n_regionkey
+)
+SELECT sum(CASE WHEN diameter > 5 THEN 1 ELSE 0 END) = 0 AS holds,
+       count(*) AS n_clusters,
+       sum(CASE WHEN diameter > 5 THEN 1 ELSE 0 END) AS n_violating_clusters,
+       round(max(diameter) * 1.0, 6) AS max_diameter
+FROM allg
+"""
+
+
+def q_sd_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.sd import sd_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+    )
+    s = sd_check(ev, "event_id", "ms", g1=0.0, g2=600000.0, num_partitions=16).summary()
+    return s.select(
+        "holds",
+        "n_gaps",
+        "n_deletions",
+        "n_insertion_gaps",
+        "ops",
+        _r(F.col("confidence"), 9).alias("confidence"),
+    )
+
+
+SQL_SD_EVENTS_GAP = """
+WITH d AS (
+  SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (ORDER BY event_id) AS delta
+  FROM events
+),
+v AS (
+  SELECT count(delta) AS n_gaps,
+         sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_deletions,
+         sum(CASE WHEN delta > 600000 THEN 1 ELSE 0 END) AS n_insertion_gaps,
+         sum(CASE WHEN delta < 0 THEN 1
+                  WHEN delta > 600000 THEN greatest(CAST(ceil(delta / 600000.0) AS BIGINT) - 1, 1)
+                  ELSE 0 END) AS ops
+  FROM d WHERE delta IS NOT NULL
+),
+n AS (SELECT count(*) AS n_rows FROM events)
+SELECT ops = 0 AS holds, n_gaps, n_deletions, n_insertion_gaps, ops,
+       round((n_rows - ops) * 1.0 / n_rows, 9) AS confidence
+FROM v, n
+"""
+
+
+def q_aod_ofd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.od import aod_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = aod_check(o, ["o_custkey"], ofd_right="o_orderpriority").summary()
+    return s.select(
+        "check",
+        "holds",
+        "n_rows",
+        "n_groups",
+        "n_violating_groups",
+        "n_removals",
+        _r(F.col("error"), 9).alias("error"),
+    )
+
+
+SQL_AOD_OFD_ORDERS = """
+WITH vc AS (SELECT o_custkey, o_orderpriority, count(*) AS c FROM orders GROUP BY 1, 2),
+g AS (SELECT o_custkey, sum(c) AS sz, sum(c) - max(c) AS rem FROM vc GROUP BY 1)
+SELECT 'ofd' AS check, sum(rem) = 0 AS holds, sum(sz) AS n_rows, count(*) AS n_groups,
+       sum(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS n_violating_groups,
+       sum(rem) AS n_removals,
+       round(sum(rem) * 1.0 / sum(sz), 9) AS error
+FROM g
+"""
+
+
+def q_aod_oc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OC order-compatibility (o_orderdate ~ o_totalprice within each customer).
+    No SQL oracle: the minimal removal set needs a longest-nondecreasing-
+    subsequence pass per group (rows-only driver check)."""
+    from pyspark_validator.checks.od import aod_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_date_ms", F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    )
+    s = aod_check(o, ["o_custkey"], oc=("o_date_ms", "o_totalprice")).summary()
+    return s.select(
+        "check", "holds", "n_rows", "n_groups", "n_violating_groups", "n_removals"
+    )
+
+
+def q_cfd_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.cfd import cfd_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = cfd_check(
+        o,
+        [("o_orderstatus", "F"), ("o_custkey", None)],
+        ("o_orderpriority", None),
+        minsup=100,
+        minconf=0.5,
+    ).summary()
+    return s.select(
+        "holds",
+        "support",
+        _r(F.col("confidence"), 9).alias("confidence"),
+        "n_violating_rows",
+        "n_violating_clusters",
+    )
+
+
+SQL_CFD_ORDERS_PRIORITY = """
+WITH sup AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+xy AS (SELECT o_custkey, o_orderpriority, count(*) AS c FROM sup GROUP BY 1, 2),
+x AS (SELECT o_custkey, sum(c) AS sz, max(c) AS maxc FROM xy GROUP BY 1),
+tot AS (
+  SELECT coalesce(sum(sz), 0) AS support,
+         coalesce(sum(sz - maxc), 0) AS viol_rows,
+         coalesce(sum(CASE WHEN sz > maxc THEN 1 ELSE 0 END), 0) AS viol_clusters
+  FROM x
+)
+SELECT (support >= 100 AND (CASE WHEN support > 0 THEN 1 - viol_rows * 1.0 / support ELSE 0 END) >= 0.5) AS holds,
+       support,
+       round(CASE WHEN support > 0 THEN 1 - viol_rows * 1.0 / support ELSE 0 END, 9) AS confidence,
+       viol_rows AS n_violating_rows,
+       viol_clusters AS n_violating_clusters
+FROM tot
+"""
+
+
+def q_ar_events_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR {click} -> {view} over per-user event-type itemsets."""
+    from pyspark_validator.checks.ar import ar_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ar_check(
+        ev, ["click"], ["view"], tid_col="user_id", item_col="event_type",
+        minsup=0.3, minconf=0.5,
+    ).summary()
+    return s.select(
+        "holds",
+        _r(F.col("support"), 9).alias("support"),
+        _r(F.col("confidence"), 9).alias("confidence"),
+        "n_transactions",
+        "n_satisfying",
+        "n_violating",
+    )
+
+
+SQL_AR_EVENTS_CLICK_VIEW = """
+WITH cov AS (
+  SELECT user_id,
+         count(DISTINCT CASE WHEN event_type = 'click' THEN event_type END) AS nl,
+         count(DISTINCT CASE WHEN event_type = 'view' THEN event_type END) AS nr
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS n_transactions,
+         sum(CASE WHEN nl = 1 AND nr = 1 THEN 1 ELSE 0 END) AS n_satisfying,
+         sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS n_full_left,
+         sum(CASE WHEN nl > 0 AND NOT (nl = 1 AND nr = 1) THEN 1 ELSE 0 END) AS n_violating
+  FROM cov
+)
+SELECT (n_satisfying * 1.0 / n_transactions >= 0.3
+        AND CASE WHEN n_full_left > 0 THEN n_satisfying * 1.0 / n_full_left ELSE 0 END >= 0.5) AS holds,
+       round(n_satisfying * 1.0 / n_transactions, 9) AS support,
+       round(CASE WHEN n_full_left > 0 THEN n_satisfying * 1.0 / n_full_left ELSE 0 END, 9) AS confidence,
+       n_transactions, n_satisfying, n_violating
+FROM agg
+"""
+
+
+def q_dd_part_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.dd import dd_check
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = dd_check(
+        p, {"p_retailprice": (0.0, 1.0)}, {"p_size": (0.0, 10.0)}, row_ref="p_partkey"
+    ).summary()
+    return s.select(
+        "holds",
+        "n_lhs_pairs",
+        "n_violating_pairs",
+        "num_error_rhs",
+        _r(F.col("error"), 9).alias("error"),
+    )
+
+
+SQL_DD_PART_PRICE_SIZE = """
+WITH pairs AS (
+  SELECT abs(a.p_size - b.p_size) AS ds
+  FROM part a JOIN part b
+    ON a.p_partkey < b.p_partkey
+   AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
+)
+SELECT sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) = 0 AS holds,
+       count(*) AS n_lhs_pairs,
+       sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) AS n_violating_pairs,
+       sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) AS num_error_rhs,
+       round(sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS error
+FROM pairs
+"""
+
+
+def q_dc_orders_price_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DC: no two orders of one customer where the earlier costs > 2x the later."""
+    from pyspark_validator.checks.dc import dc_check
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("o_date_ms", F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        # 2x threshold precomputed as a column (predicates reference columns)
+        .withColumn("o_big", F.col("o_totalprice") * 2)
+    )
+    s = dc_check(
+        o,
+        [
+            ("s.o_custkey", "==", "t.o_custkey"),
+            ("s.o_date_ms", "<", "t.o_date_ms"),
+            ("s.o_totalprice", ">", "t.o_big"),
+        ],
+        row_ref="o_orderkey",
+    )
+    return s.summary().select("holds", "n_violating_pairs")
+
+
+SQL_DC_ORDERS_PRICE_INVERSION = """
+SELECT count(*) = 0 AS holds, count(*) AS n_violating_pairs
+FROM orders s JOIN orders t
+  ON s.o_custkey = t.o_custkey
+ AND epoch_ms(s.o_orderdate) < epoch_ms(t.o_orderdate)
+ AND s.o_totalprice > 2 * t.o_totalprice
+"""
+
+
+def q_cind_orders_customer_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.cind import cind_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = cind_check(
+        o, ["o_custkey"], c, ["c_custkey"], lhs_condition="o_orderstatus = 'O'"
+    ).summary()
+    return s.select(
+        "holds",
+        "n_violating_clusters",
+        "n_distinct_lhs",
+        "support",
+        "total_lhs_rows",
+    )
+
+
+SQL_CIND_ORDERS_CUSTOMER_OPEN = """
+WITH l AS (SELECT o_custkey AS k, count(*) AS occ FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+m AS (SELECT * FROM l WHERE k NOT IN (SELECT c_custkey FROM customer))
+SELECT (SELECT count(*) FROM m) = 0 AS holds,
+       (SELECT count(*) FROM m) AS n_violating_clusters,
+       (SELECT count(*) FROM l) AS n_distinct_lhs,
+       (SELECT sum(occ) FROM l) AS support,
+       (SELECT count(*) FROM orders) AS total_lhs_rows
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -933,6 +1247,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": q_simhash_planted,
         "similarity_brute_topk": q_similarity_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "mfd_quantity_orderkey": q_mfd_quantity_orderkey,
+        "mfd_levenshtein_nation": q_mfd_levenshtein_nation,
+        "sd_events_gap": q_sd_events_gap,
+        "aod_ofd_orders": q_aod_ofd_orders,
+        "aod_oc_orders": q_aod_oc_orders,
+        "cfd_orders_priority": q_cfd_orders_priority,
+        "ar_events_click_view": q_ar_events_click_view,
+        "dd_part_price_size": q_dd_part_price_size,
+        "dc_orders_price_inversion": q_dc_orders_price_inversion,
+        "cind_orders_customer_open": q_cind_orders_customer_open,
     }
 
 
@@ -966,6 +1290,17 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no oracle (hashes/LSH planes are engine-internal) ->
         # driver records the weaker rows-only check.
         "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,
+        "mfd_quantity_orderkey": SQL_MFD_QUANTITY_ORDERKEY,
+        "mfd_levenshtein_nation": SQL_MFD_LEVENSHTEIN_NATION,
+        "sd_events_gap": SQL_SD_EVENTS_GAP,
+        "aod_ofd_orders": SQL_AOD_OFD_ORDERS,
+        # aod_oc_orders: no oracle (per-group LNDS is not SQL-expressible) ->
+        # rows-only driver check; the OFD variant above is value-checked.
+        "cfd_orders_priority": SQL_CFD_ORDERS_PRIORITY,
+        "ar_events_click_view": SQL_AR_EVENTS_CLICK_VIEW,
+        "dd_part_price_size": SQL_DD_PART_PRICE_SIZE,
+        "dc_orders_price_inversion": SQL_DC_ORDERS_PRICE_INVERSION,
+        "cind_orders_customer_open": SQL_CIND_ORDERS_CUSTOMER_OPEN,
     }
 
 
