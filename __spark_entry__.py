@@ -729,7 +729,8 @@ _LANG_SQL_SCORES = {
 SQL_TEXT_LANGUAGE_ID = (
     "WITH s AS (SELECT "
     + ", ".join(
-        f"length(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS s_{lang}"
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        f"x -> x IN ({', '.join(repr(w) for w in pat.split('|'))}))) AS s_{lang}"
         for lang, pat in _LANG_SQL_SCORES.items()
     )
     + ", greatest("
@@ -900,6 +901,32 @@ SELECT
   sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
       * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) > 0.2 AS drift_detected
 FROM counts, tot
+"""
+
+
+def q_stats_deviation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.checks.stats import deviation_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = deviation_stats(li, ["l_quantity", "l_extendedprice"], exact_median=True)
+    return p.select(
+        "column",
+        _r(F.col("mean_ad")).alias("mean_ad"),
+        _r(F.col("median_ad")).alias("median_ad"),
+    )
+
+
+SQL_STATS_DEVIATION_LINEITEM = """
+WITH cols AS (
+  SELECT 'l_quantity' AS "column", l_quantity AS x FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+),
+ctr AS (SELECT "column", avg(x) AS a, quantile_cont(x, 0.5) AS m FROM cols GROUP BY 1)
+SELECT cols."column" AS "column",
+       round(avg(abs(x - a)), 6) AS mean_ad,
+       round(quantile_cont(abs(x - m), 0.5), 6) AS median_ad
+FROM cols JOIN ctr ON cols."column" = ctr."column"
+GROUP BY cols."column"
 """
 
 
@@ -1247,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": q_simhash_planted,
         "similarity_brute_topk": q_similarity_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "stats_deviation_lineitem": q_stats_deviation_lineitem,
         "mfd_quantity_orderkey": q_mfd_quantity_orderkey,
         "mfd_levenshtein_nation": q_mfd_levenshtein_nation,
         "sd_events_gap": q_sd_events_gap,
@@ -1290,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no oracle (hashes/LSH planes are engine-internal) ->
         # driver records the weaker rows-only check.
         "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,
+        "stats_deviation_lineitem": SQL_STATS_DEVIATION_LINEITEM,
         "mfd_quantity_orderkey": SQL_MFD_QUANTITY_ORDERKEY,
         "mfd_levenshtein_nation": SQL_MFD_LEVENSHTEIN_NATION,
         "sd_events_gap": SQL_SD_EVENTS_GAP,

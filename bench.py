@@ -128,7 +128,7 @@ def _heavy_suite(spark, sf_dir: str) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod
-    from pyspark_validator.canonical import span_seq_expr
+    from pyspark_validator.canonical import span_key_expr
     from pyspark_validator.checks.fd import fd_check
     from pyspark_validator.checks.ucc import ucc_check
 
@@ -140,16 +140,20 @@ def _heavy_suite(spark, sf_dir: str) -> tuple[float, int]:
         .drop("r")
         # the source is ONE tiny parquet file: without a repartition the whole
         # amplified derivation would run in a single task and no parallelism
-        # level could help. 256 partitions ~ what a real multi-file Iceberg scan
-        # of this row count would produce.
-        .repartition(256)
+        # level could help. 64 partitions keeps every level busy while holding
+        # the task-launch count down (local mode schedules tasks through one
+        # DAGScheduler thread -- too many tiny tasks becomes the serial floor).
+        .repartition(64)
         .persist()
     )
     n_docs = ds.count()  # materialize the cached input (load phase, untimed)
     t0 = time.perf_counter()
     ucc_check(ds, ["doc_id"], num_partitions=64).summary().collect()
-    dse = ds.withColumn("span_seq", span_seq_expr("spans"))
-    fd_check(dse, ["doc_id"], ["span_seq"], num_partitions=64).summary().collect()
+    # span_key (xxhash64 of the canonical span string) is the documented
+    # at-scale shuffle key (canonical.py): the 1 KB span_seq string is built
+    # map-side but only 8 bytes shuffle.
+    dse = ds.withColumn("span_key", span_key_expr("spans"))
+    fd_check(dse, ["doc_id"], ["span_key"], num_partitions=64).summary().collect()
     elapsed = time.perf_counter() - t0
     ds.unpersist()
     return elapsed, n_docs

@@ -69,6 +69,15 @@ def _numeric_struct(c: str, exact_quantiles: bool, approx_distinct: bool) -> Col
         F.sum((x == 0).cast("long")).alias("n_zeros"),
         F.sum((x < 0).cast("long")).alias("n_negatives"),
         F.exp(F.avg(F.when(x > 0, F.log(x)))).alias("geometric_mean"),
+        # Jarque-Bera normality statistic (data_stats.h:181): n/6*(S^2 + (K-3)^2/4)
+        (
+            n.cast("double")
+            / F.lit(6.0)
+            * (
+                F.pow(m3 / F.pow(m2, F.lit(1.5)), F.lit(2.0))
+                + F.pow(m4 / (m2 * m2) - F.lit(3.0), F.lit(2.0)) / F.lit(4.0)
+            )
+        ).alias("jarque_bera"),
     )
 
 
@@ -130,6 +139,58 @@ def string_profile(
     return row.select(
         F.explode(F.array(*[F.col(f"__s{i}") for i in range(len(columns))])).alias("p")
     ).select("p.*")
+
+
+def deviation_stats(
+    df: DataFrame, columns: list[str], exact_median: bool = False
+) -> DataFrame:
+    """Mean / median absolute deviation (data_stats.h:125,175): inherently
+    two-pass (the centers must be known first). Pass 1 computes avg + median for
+    ALL columns in one wide agg; pass 2 aggregates |x - center| per column in a
+    second wide agg. Two scans total regardless of column count."""
+    centers_row = df.agg(
+        *[
+            F.struct(
+                F.avg(F.col(c).cast("double")).alias("avg"),
+                (
+                    F.percentile(F.col(c).cast("double"), F.lit(0.5))
+                    if exact_median
+                    else F.percentile_approx(F.col(c).cast("double"), F.lit(0.5), 10000)
+                ).alias("median"),
+            ).alias(c)
+            for c in columns
+        ]
+    ).collect()[0]
+    structs = []
+    for i, c in enumerate(columns):
+        x = F.col(c).cast("double")
+        avg_c = F.lit(float(centers_row[c]["avg"]))
+        med_c = F.lit(float(centers_row[c]["median"]))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.avg(F.abs(x - avg_c)).alias("mean_ad"),
+                (
+                    F.percentile(F.abs(x - med_c), F.lit(0.5))
+                    if exact_median
+                    else F.percentile_approx(F.abs(x - med_c), F.lit(0.5), 10000)
+                ).alias("median_ad"),
+            ).alias(f"__s{i}")
+        )
+    row = df.agg(*structs)
+    return row.select(
+        F.explode(F.array(*[F.col(f"__s{i}") for i in range(len(columns))])).alias("p")
+    ).select("p.*")
+
+
+def is_categorical(df: DataFrame, column: str, max_distinct: int = 50) -> DataFrame:
+    """Categorical test (data_stats.cpp:236): distinct <= k, sketched."""
+    return df.agg(
+        F.approx_count_distinct(column).alias("approx_distinct")
+    ).select(
+        "approx_distinct",
+        (F.col("approx_distinct") <= max_distinct).alias("is_categorical"),
+    )
 
 
 def topk_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:

