@@ -1,0 +1,282 @@
+"""Incremental (dynamic) validation: apply insert/delete delta batches without
+recomputing validated partitions.
+
+Reference precedent: DynamicFDVerifier / DynPLI keep a cluster map keyed by value
+and apply batch inserts/deletes to it (fd/fd_verifier/dynamic_fd_verifier.h:20-45,
+dynamic_position_list_index.h:32-34). The distributed analog keeps the PLI-level
+*count state* -- (partition_id, key..., cnt) for UCC, (partition_id, x..., y...,
+ycnt) for FD -- as a versioned parquet table (an Iceberg table + MERGE INTO on a
+real deployment):
+
+  apply_delta:
+    1. aggregate the delta batch to per-key +/- counts (one small shuffle),
+    2. touched logical partitions = distinct partition_id in the delta (tiny),
+    3. MERGE: full-outer sum of delta vs ONLY the touched state partitions;
+       untouched state files are carried over verbatim -- the 10^12-row state is
+       never rewritten for a 10^6-row delta,
+    4. verdicts are re-derived for touched partitions only.
+
+Partition pruning note: state is written partitionBy(partition_id), so step 3's
+read of touched partitions is a parquet partition-pruned scan, not a full scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_validator.canonical import partition_id_expr
+
+
+class _IncrementalState:
+    """Versioned, hash-partitioned count-state table on disk."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- version bookkeeping (local-fs JSON; an Iceberg catalog at deployment) --
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_meta.json")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return -1
+
+    def _bump(self, version: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"version": version, "updated_at": time.time()}, f)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version}")
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v < 0:
+            raise ValueError(f"no state at {self.path}; call initialize() first")
+        return self.spark.read.parquet(self._vdir(v))
+
+    def write(self, df: DataFrame) -> int:
+        v = self.current_version() + 1
+        df.write.mode("overwrite").partitionBy("partition_id").parquet(self._vdir(v))
+        self._bump(v)
+        return v
+
+
+class IncrementalUCC:
+    """Dynamic UCC: maintain per-key cluster counts; verdicts from state only."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        columns: list[str],
+        num_partitions: int = 64,
+    ):
+        self.spark = spark
+        self.columns = list(columns)
+        self.num_partitions = num_partitions
+        self.state = _IncrementalState(spark, state_path)
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            partition_id_expr(
+                F.struct(*[F.col(c) for c in self.columns]), self.num_partitions
+            ).alias("partition_id"),
+            *[F.col(c) for c in self.columns],
+        )
+
+    def initialize(self, df: DataFrame) -> int:
+        counts = (
+            self._keyed(df)
+            .groupBy("partition_id", *self.columns)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return self.state.write(counts)
+
+    def apply_delta(
+        self, inserts: DataFrame | None = None, deletes: DataFrame | None = None
+    ) -> DataFrame:
+        """Merge a delta batch into the state; returns the NEW verdicts of the
+        touched partitions (untouched partitions keep their recorded verdicts).
+        Rows deleted below zero are clamped out (matching DynPLI's precondition
+        that deletes reference existing rows)."""
+        parts = []
+        if inserts is not None:
+            parts.append(self._keyed(inserts).withColumn("d", F.lit(1)))
+        if deletes is not None:
+            parts.append(self._keyed(deletes).withColumn("d", F.lit(-1)))
+        if not parts:
+            raise ValueError("apply_delta needs inserts and/or deletes")
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        dcounts = delta.groupBy("partition_id", *self.columns).agg(
+            F.sum("d").alias("dcnt")
+        )
+        touched = [
+            r.partition_id
+            for r in dcounts.select("partition_id").distinct().collect()
+        ]
+        state = self.state.read()
+        untouched = state.filter(~F.col("partition_id").isin(touched))
+        # partition-pruned read of the touched slice + full-outer merge
+        hot = state.filter(F.col("partition_id").isin(touched))
+        on = ["partition_id", *self.columns]
+        merged = (
+            hot.join(dcounts, on=on, how="full_outer")
+            .select(
+                *on,
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("dcnt"), F.lit(0))
+                ).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        self.state.write(untouched.unionByName(merged))
+        return self.verdicts(partition_ids=touched)
+
+    def verdicts(self, partition_ids: list[int] | None = None) -> DataFrame:
+        """Per-partition UCC verdicts derived purely from state (same fields as
+        UCCCheck.verdicts)."""
+        s = self.state.read()
+        if partition_ids is not None:
+            s = s.filter(F.col("partition_id").isin(partition_ids))
+        cnt = F.col("cnt")
+        viol = cnt > 1
+        return (
+            s.groupBy("partition_id")
+            .agg(
+                F.sum(cnt).alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(viol.cast("long")).alias("n_violating_clusters"),
+                F.sum(F.when(viol, cnt).otherwise(0)).alias("n_violating_rows"),
+                F.sum(cnt * (cnt - 1)).alias("violating_pairs"),
+            )
+            .withColumn(
+                "aucc_error",
+                F.when(
+                    F.col("n_rows") > 1,
+                    F.col("violating_pairs")
+                    / (F.col("n_rows") * (F.col("n_rows") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn("holds", F.col("n_violating_clusters") == 0)
+        )
+
+
+class IncrementalFD:
+    """Dynamic FD: maintain (X, Y)-level counts; verdicts from state only
+    (DynamicFDVerifier analog: only touched X-groups are re-judged)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        lhs: list[str],
+        rhs: list[str],
+        num_partitions: int = 64,
+    ):
+        self.spark = spark
+        self.lhs = list(lhs)
+        self.rhs = list(rhs)
+        self.num_partitions = num_partitions
+        self.state = _IncrementalState(spark, state_path)
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            partition_id_expr(
+                F.struct(*[F.col(c) for c in self.lhs]), self.num_partitions
+            ).alias("partition_id"),
+            *[F.col(c) for c in self.lhs],
+            *[F.col(c) for c in self.rhs],
+        )
+
+    def initialize(self, df: DataFrame) -> int:
+        counts = (
+            self._keyed(df)
+            .groupBy("partition_id", *self.lhs, *self.rhs)
+            .agg(F.count(F.lit(1)).alias("ycnt"))
+        )
+        return self.state.write(counts)
+
+    def apply_delta(
+        self, inserts: DataFrame | None = None, deletes: DataFrame | None = None
+    ) -> DataFrame:
+        parts = []
+        if inserts is not None:
+            parts.append(self._keyed(inserts).withColumn("d", F.lit(1)))
+        if deletes is not None:
+            parts.append(self._keyed(deletes).withColumn("d", F.lit(-1)))
+        if not parts:
+            raise ValueError("apply_delta needs inserts and/or deletes")
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        dcounts = delta.groupBy("partition_id", *self.lhs, *self.rhs).agg(
+            F.sum("d").alias("dcnt")
+        )
+        touched = [
+            r.partition_id
+            for r in dcounts.select("partition_id").distinct().collect()
+        ]
+        state = self.state.read()
+        untouched = state.filter(~F.col("partition_id").isin(touched))
+        hot = state.filter(F.col("partition_id").isin(touched))
+        on = ["partition_id", *self.lhs, *self.rhs]
+        merged = (
+            hot.join(dcounts, on=on, how="full_outer")
+            .select(
+                *on,
+                (
+                    F.coalesce(F.col("ycnt"), F.lit(0))
+                    + F.coalesce(F.col("dcnt"), F.lit(0))
+                ).alias("ycnt"),
+            )
+            .filter(F.col("ycnt") > 0)
+        )
+        self.state.write(untouched.unionByName(merged))
+        return self.verdicts(partition_ids=touched)
+
+    def verdicts(self, partition_ids: list[int] | None = None) -> DataFrame:
+        """Per-partition FD verdicts from state (same fields as FDCheck.verdicts)."""
+        s = self.state.read()
+        if partition_ids is not None:
+            s = s.filter(F.col("partition_id").isin(partition_ids))
+        ycnt = F.col("ycnt")
+        x_level = s.groupBy("partition_id", *self.lhs).agg(
+            F.sum(ycnt).alias("cx"),
+            F.count(F.lit(1)).alias("n_distinct_y"),
+            F.sum(ycnt * (ycnt - 1)).alias("y_pairs"),
+        )
+        viol = F.col("n_distinct_y") > 1
+        cx = F.col("cx")
+        return (
+            x_level.groupBy("partition_id")
+            .agg(
+                F.sum(cx).alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct_x"),
+                F.sum("n_distinct_y").alias("n_distinct_xy"),
+                F.sum(viol.cast("long")).alias("n_error_clusters"),
+                F.sum(F.when(viol, cx).otherwise(0)).alias("n_error_rows"),
+                F.sum(cx * (cx - 1) - F.col("y_pairs")).alias("conflict_pairs"),
+            )
+            .withColumn(
+                "g1_error",
+                F.when(
+                    F.col("n_rows") > 1,
+                    F.col("conflict_pairs")
+                    / (F.col("n_rows") * F.col("n_rows") - F.col("n_rows")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn("holds", F.col("n_error_clusters") == 0)
+        )

@@ -1,0 +1,108 @@
+"""Incremental (dynamic) validation tests: delta batches must produce verdicts
+identical to a full recompute over the post-delta table (the cross-validation
+rule the reference applies between dynamic and static verifiers), and must only
+rewrite touched partitions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_validator.checks.fd import fd_check
+from pyspark_validator.checks.ucc import ucc_check
+from pyspark_validator.incremental import IncrementalFD, IncrementalUCC
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+VERDICT_COLS = [
+    "partition_id",
+    "n_rows",
+    "n_distinct",
+    "n_violating_clusters",
+    "n_violating_rows",
+    "violating_pairs",
+    "holds",
+]
+
+
+def test_incremental_ucc_matches_full_recompute(spark, tmp_path):
+    base = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    inc = IncrementalUCC(spark, str(tmp_path / "ucc"), ["k"], num_partitions=8)
+    inc.initialize(base)
+    # baseline: unique -> all partitions hold
+    v0 = inc.verdicts()
+    assert all(r.holds for r in v0.collect())
+
+    # delta: insert dup of 7, a fresh 200, delete 50
+    ins = spark.createDataFrame([(7,), (200,)], ["k"])
+    dele = spark.createDataFrame([(50,)], ["k"])
+    touched = inc.apply_delta(inserts=ins, deletes=dele)
+    # touched partitions only
+    t_pids = {r.partition_id for r in touched.collect()}
+    assert 0 < len(t_pids) <= 3
+
+    # full recompute oracle on the post-delta table
+    post = base.filter(F.col("k") != 50).unionByName(ins)
+    full = ucc_check(post, ["k"], num_partitions=8).verdicts()
+    assert _sorted_rows(inc.verdicts(), VERDICT_COLS) == _sorted_rows(
+        full, VERDICT_COLS
+    )
+    # the duplicate is detected
+    s = inc.verdicts().agg(F.sum("n_violating_clusters").alias("v")).collect()[0]
+    assert s.v == 1
+
+
+def test_incremental_ucc_delta_then_fix(spark, tmp_path):
+    base = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    inc = IncrementalUCC(spark, str(tmp_path / "ucc2"), ["k"], num_partitions=4)
+    inc.initialize(base)
+    inc.apply_delta(inserts=spark.createDataFrame([(3,)], ["k"]))
+    assert not all(r.holds for r in inc.verdicts().collect())
+    # deleting one copy of the dup restores uniqueness everywhere
+    inc.apply_delta(deletes=spark.createDataFrame([(3,)], ["k"]))
+    assert all(r.holds for r in inc.verdicts().collect())
+    assert inc.state.current_version() == 2
+
+
+FD_VERDICT_COLS = [
+    "partition_id",
+    "n_rows",
+    "n_distinct_x",
+    "n_distinct_xy",
+    "n_error_clusters",
+    "n_error_rows",
+    "conflict_pairs",
+    "holds",
+]
+
+
+def test_incremental_fd_matches_full_recompute(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, i % 10, f"y{i % 10}") for i in range(100)], ["rid", "x", "y"]
+    ).drop("rid")
+    inc = IncrementalFD(spark, str(tmp_path / "fd"), ["x"], ["y"], num_partitions=8)
+    inc.initialize(base)
+    assert all(r.holds for r in inc.verdicts().collect())
+
+    # break the FD for x=3 with a conflicting y; also delete one (5, y5) row
+    ins = spark.createDataFrame([(3, "OTHER")], ["x", "y"])
+    dele = spark.createDataFrame([(5, "y5")], ["x", "y"])
+    inc.apply_delta(inserts=ins, deletes=dele)
+
+    post = base.filter(~((F.col("x") == 5) & F.monotonically_increasing_id().isin([])))
+    # build post table explicitly: remove ONE (5, y5) row
+    rows = [(i % 10, f"y{i % 10}") for i in range(100)]
+    rows.remove((5, "y5"))
+    rows.append((3, "OTHER"))
+    post = spark.createDataFrame(rows, ["x", "y"])
+    full = fd_check(post, ["x"], ["y"], num_partitions=8).verdicts()
+    assert _sorted_rows(inc.verdicts(), FD_VERDICT_COLS) == _sorted_rows(
+        full, FD_VERDICT_COLS
+    )
+
+
+def test_incremental_requires_init(spark, tmp_path):
+    inc = IncrementalUCC(spark, str(tmp_path / "none"), ["k"])
+    with pytest.raises(ValueError, match="initialize"):
+        inc.verdicts()
