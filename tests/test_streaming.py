@@ -1,0 +1,71 @@
+"""Streaming validation tests: file-source micro-batches drive the incremental
+engine; windowed violation counts run as a real stateful streaming agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_validator.incremental import IncrementalUCC
+from pyspark_validator.streaming import attach_incremental, streaming_violation_counts
+
+
+def test_stream_foreachbatch_incremental_ucc(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch files: first unique keys, then a duplicate of 5
+    spark.createDataFrame([(i,) for i in range(20)], ["k"]).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b0.parquet"))
+    spark.createDataFrame([(5,), (100,)], ["k"]).write.mode("overwrite").parquet(
+        str(src / "b1.parquet")
+    )
+
+    stream = spark.readStream.schema("k bigint").parquet(str(src) + "/*")
+    eng = IncrementalUCC(spark, str(tmp_path / "state"), ["k"], num_partitions=4)
+    seen = []
+    q = (
+        attach_incremental(
+            stream,
+            eng,
+            str(tmp_path / "ckpt"),
+            on_batch_verdicts=lambda v, bid: seen.append((bid, v.count())),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # all files processed; the duplicate of 5 must be visible in final verdicts
+    total = eng.verdicts().agg(F.sum("n_violating_clusters").alias("v")).collect()[0]
+    assert total.v == 1
+    n_rows = eng.verdicts().agg(F.sum("n_rows").alias("n")).collect()[0]
+    assert n_rows.n == 22
+    assert len(seen) >= 1
+
+
+def test_streaming_violation_counts_windowed(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        ("2026-01-01 00:00:05", "a"),
+        ("2026-01-01 00:00:10", "a"),  # dup inside window 0
+        ("2026-01-01 00:00:20", "b"),
+        ("2026-01-01 00:01:10", "a"),  # different window -> not a dup there
+    ]
+    spark.createDataFrame(rows, ["ts_s", "k"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k"
+    ).write.mode("overwrite").parquet(str(src / "p.parquet"))
+
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(str(src) + "/*")
+    out = streaming_violation_counts(stream, ["k"], "ts", "1 minute", "2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("viol")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.k): r.occurrences
+        for r in spark.table("viol").collect()
+    }
+    assert got == {("2026-01-01T00:00:00", "a"): 2}
