@@ -132,7 +132,7 @@ def _heavy_suite(spark, sf_dir: str) -> tuple[float, int]:
     from pyspark_validator.checks.fd import fd_check
     from pyspark_validator.checks.ucc import ucc_check
 
-    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "100"))
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "1600"))
     ds = (
         entry_mod._docs_spans(spark, sf_dir)
         .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
@@ -171,14 +171,21 @@ def run_scale_worker(cpus: str, repeat: int) -> None:
     print(json.dumps({"cpus": int(cpus), "sec": round(best, 3), "n_docs": n_docs}))
 
 
-def run_scaling(low: int = 8, high: int = 32) -> None:
+def run_scaling(low: int = 2, high: int = 8) -> None:
+    """N-vs-4N evidence run. Defaults local[2] vs local[8]: this sandbox is one
+    Firecracker VM whose MEMORY BANDWIDTH saturates around ~8-16 concurrent
+    shuffle threads (threads share one host's bandwidth; real 4N-executor
+    clusters multiply bandwidth with nodes), so 2->8 is the regime where
+    thread-scaling honestly models executor-scaling. See BASELINE.md."""
     results = {}
     for cpus in (low, high):
+        env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}
+        env.setdefault("SPARK_DRIVER_MEMORY", "24g")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), "2"],
             capture_output=True,
             text=True,
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+            env=env,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -203,8 +210,8 @@ def run_scaling(low: int = 8, high: int = 32) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-        high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         run_scaling(low, high)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         run_scale_worker(sys.argv[2], int(sys.argv[3]))
