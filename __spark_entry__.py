@@ -843,11 +843,19 @@ LIMIT 10
 
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via LSH buckets + exact cosine verify
-    (rows-only: candidate generation uses the Python LSH planes)."""
+    (rows-only: candidate generation uses the Python LSH planes). Duplicates are
+    planted as 2x-scaled copies of every 25th vector: same direction => cosine
+    exactly 1 and identical sign-bit bucket, so the expected pair set is
+    deterministic."""
     from pyspark_validator.pipelines.similarity import cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    p = cosine_pairs(emb, dim=64, threshold=0.9, num_bits=8)
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda v: v * 2).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(dup)
+    p = cosine_pairs(planted, dim=64, threshold=0.95, num_bits=8)
     return p.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
 
 
