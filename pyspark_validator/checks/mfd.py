@@ -82,6 +82,10 @@ class MFDCheck:
     null_mode: NullMode = NullMode.EQUAL
     cluster_cap: int = 10_000
     highlight_cap: int = 100
+    #: reference knob (metric_verifier.h:35 dist_from_null_is_infinity): when True
+    #: a cluster containing a NULL RHS value can never fit in a finite ball ->
+    #: violating; when False NULL values are skipped (distance undefined).
+    dist_from_null_is_infinity: bool = False
 
     def __post_init__(self) -> None:
         if self.metric not in _METRICS:
@@ -110,7 +114,8 @@ class MFDCheck:
             .groupBy(*self._xk_names)
             .agg(
                 F.count(F.lit(1)).alias("cluster_size"),
-                (F.max("__y") - F.min("__y")).alias("diameter"),
+                F.coalesce(F.max("__y") - F.min("__y"), F.lit(0.0)).alias("diameter"),
+                (F.count(F.lit(1)) - F.count("__y")).alias("n_nulls"),
             )
         )
 

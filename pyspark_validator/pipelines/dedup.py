@@ -81,10 +81,21 @@ def ngram_jaccard_pairs(
     (skew guard) -> self-join on shingle hash -> per-pair common count -> jaccard
     via |A|+|B|-common. Candidate generation touches only co-shingled pairs.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
-    ).withColumn("sh", F.xxhash64("shingle")).drop("shingle")
+    # the doc table often arrives as ONE small parquet file -> spread the
+    # (expensive) shingling across the cluster before exploding; persist the
+    # shingle table because three downstream passes (sizes, doc-freq, join)
+    # would otherwise re-shingle from scratch.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .withColumn("sh", F.xxhash64("shingle"))
+        .drop("shingle")
+        .persist()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
     pruned = sh.join(
@@ -120,18 +131,24 @@ def minhash_signatures(
     """MinHash signature per doc: num_hashes permutations via seeded xxhash64 over
     the shingle set. One explode + one groupBy with num_hashes min() aggs (all
     map-side combinable). Output: [id, sig: array<long>]."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # signature = per-doc elementwise min over the shingle-hash set, computed
+    # entirely within the row: NO explode, NO groupBy, ZERO shuffle. The shingle
+    # string is hashed ONCE (xxhash64 of a long re-hash per permutation is a few
+    # multiplies); explode-of-one is a Generate barrier so the shingle-hash array
+    # is materialized once instead of being re-inlined into all num_hashes
+    # array_min branches by CollapseProject.
+    hs = F.transform(_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+    base = df.repartition(par).select(
+        F.col(id_col).alias("id"), F.explode(F.array(hs)).alias("__hs")
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("__hs"), lambda h: F.xxhash64(h, i))
+        ),
     )
+    return base.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -156,7 +173,9 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    # persist: the banded table feeds bucket-size stats AND both join sides --
+    # without it the whole signature computation runs 3x.
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
     banded = sig.select(
         "id",
         "sig",
@@ -211,11 +230,33 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b", "est_jaccard")
     if not verify:
         return est
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, k=k, threshold=threshold, max_df=2**31 - 1
+    est = est.persist()  # feeds the candidate-id scan and the verify join
+    # exact verification proportional to CANDIDATES, not the corpus: join each
+    # candidate pair to the two docs' shingle-hash sets and intersect them --
+    # the whole point of LSH is that the expensive exact pass never touches
+    # non-candidate pairs.
+    cand_ids = (
+        est.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
-    return est.join(exact, on=["id_a", "id_b"], how="inner").select(
-        "id_a", "id_b", "jaccard", "est_jaccard"
+    shsets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(cand_ids, on="id", how="left_semi")  # shingle ONLY candidate docs
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(_shingles(F.col("__t"), k), lambda s: F.xxhash64(s))
+            ).alias("shset"),
+        )
+    )
+    sa = shsets.select(F.col("id").alias("id_a"), F.col("shset").alias("sa"))
+    sb = shsets.select(F.col("id").alias("id_b"), F.col("shset").alias("sb"))
+    joined = est.join(sa, on="id_a").join(sb, on="id_b")
+    common = F.size(F.array_intersect("sa", "sb"))
+    jac = common / (F.size("sa") + F.size("sb") - common)
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "est_jaccard")
     )
 
 
@@ -227,7 +268,8 @@ def simhash(
     explode tokens -> ONE groupBy(id) with ``bits`` signed sums -> assemble the
     fingerprint with shiftleft/sum. Output: [id, simhash: long].
     """
-    toks = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -261,7 +303,7 @@ def simhash_pairs(
     (pigeonhole: hamming <= num_bands-1 guarantees a shared chunk; for
     max_hamming >= num_bands this is a high-recall heuristic), join on chunk,
     verify bit_count(xor) <= max_hamming."""
-    s = simhash(df, text_col, id_col, bits)
+    s = simhash(df, text_col, id_col, bits).persist()  # both join sides reuse it
     chunk = bits // num_bands
     mask = (1 << chunk) - 1
     banded = s.select(
