@@ -138,7 +138,13 @@ class MFDCheck:
     def _clusters(self) -> DataFrame:
         ys = [F.col(c).alias(f"__y{i}") for i, c in enumerate(self.rhs)]
         base = self.df.select(*self._xk, *ys)
-        sizes = base.groupBy(*self._xk_names).agg(F.count(F.lit(1)).alias("cluster_size"))
+        any_null = F.lit(False)
+        for i in range(len(self.rhs)):
+            any_null = any_null | F.col(f"__y{i}").isNull()
+        sizes = base.groupBy(*self._xk_names).agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(any_null.cast("long")).alias("n_nulls"),
+        )
         return base, sizes  # type: ignore[return-value]
 
     def _diameters_pairwise(self) -> DataFrame:
@@ -171,6 +177,7 @@ class MFDCheck:
                 *self._xk_names,
                 "cluster_size",
                 F.coalesce("diameter", F.lit(0.0)).alias("diameter"),
+                "n_nulls",
             )
         )
 
@@ -191,6 +198,13 @@ class MFDCheck:
         """Single row: holds (GetResult analog), n_clusters, n_violating_clusters,
         max_diameter, n_oversized (pairwise path only)."""
         viol = F.col("diameter") > self.parameter
+        if self.dist_from_null_is_infinity:
+            # a NULL coordinate makes the cluster's diameter infinite
+            # (metric_verifier.h dist_from_null_is_infinity) -- but a cluster
+            # that is ONLY nulls has no points and trivially holds.
+            viol = viol | (
+                (F.col("n_nulls") > 0) & (F.col("n_nulls") < F.col("cluster_size"))
+            )
         s = self.diameters.agg(
             F.count(F.lit(1)).alias("n_clusters"),
             F.sum(viol.cast("long")).alias("n_violating_clusters"),
@@ -231,6 +245,7 @@ def mfd_check(
     null_mode: NullMode = NullMode.EQUAL,
     cluster_cap: int = 10_000,
     highlight_cap: int = 100,
+    dist_from_null_is_infinity: bool = False,
 ) -> MFDCheck:
     """Validate a metric FD. See MFDCheck."""
     return MFDCheck(
@@ -243,4 +258,5 @@ def mfd_check(
         null_mode=null_mode,
         cluster_cap=cluster_cap,
         highlight_cap=highlight_cap,
+        dist_from_null_is_infinity=dist_from_null_is_infinity,
     )
