@@ -100,8 +100,10 @@ class DDCheck:
         (total RHS-range breaks, dd_verifier.h:24) / error (dd_verifier.h:27)."""
         return self._judged.agg(
             F.count(F.lit(1)).alias("n_lhs_pairs"),
-            F.sum((~F.col("__ok")).cast("long")).alias("n_violating_pairs"),
-            F.sum("__n_bad_rhs").alias("num_error_rhs"),
+            F.coalesce(F.sum((~F.col("__ok")).cast("long")), F.lit(0)).alias(
+                "n_violating_pairs"
+            ),
+            F.coalesce(F.sum("__n_bad_rhs"), F.lit(0)).alias("num_error_rhs"),
         ).select(
             (F.coalesce(F.col("n_violating_pairs"), F.lit(0)) == 0).alias("holds"),
             "n_lhs_pairs",
