@@ -35,10 +35,10 @@ from pyspark.sql import functions as F
 
 def _ofd_removals(df: DataFrame, context: list[str], right: str) -> DataFrame:
     """Per-context-group removal count for OFD: size - most frequent right count."""
-    vc = df.groupBy(*context, right).agg(F.count(F.lit(1)).alias("c"))
+    vc = df.groupBy(*context, right).agg(F.count(F.lit(1)).alias("__vcnt"))
     return vc.groupBy(*context).agg(
-        F.sum("c").alias("group_size"),
-        (F.sum("c") - F.max("c")).alias("removals"),
+        F.sum("__vcnt").alias("group_size"),
+        (F.sum("__vcnt") - F.max("__vcnt")).alias("removals"),
     )
 
 
