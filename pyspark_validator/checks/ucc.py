@@ -163,12 +163,30 @@ class UCCCheck:
         joined = tagged.join(viol_keys, on=cond, how="inner").select(
             "t.partition_id", *[F.col(f"t.{c}") for c in self.columns], "t.__ref", "v.cnt"
         )
+        # salted two-phase capped collect (the north star's "salted, skew-aware
+        # shuffle"): collect_list is NOT algebraic, so a hot cluster (one key
+        # with 10^9 rows) would funnel into a single task's buffer. Phase 1
+        # groups by (key, salt) and caps each partial sample; phase 2 merges
+        # <= SALT capped arrays and re-caps. Worst-case per-key memory:
+        # SALT * cap elements, regardless of cluster size.
+        salt_mod = 16
+        salted = joined.withColumn(
+            "__salt", F.pmod(F.xxhash64("__ref"), F.lit(salt_mod))
+        )
+        partial = salted.groupBy("partition_id", *self.columns, "__salt").agg(
+            F.max("cnt").alias("cnt"),
+            F.slice(
+                F.sort_array(F.collect_list("__ref")), 1, self.violation_cap
+            ).alias("__part"),
+        )
         return (
-            joined.groupBy("partition_id", *self.columns)
+            partial.groupBy("partition_id", *self.columns)
             .agg(
                 F.max("cnt").alias("cluster_size"),
                 F.slice(
-                    F.sort_array(F.collect_list("__ref")), 1, self.violation_cap
+                    F.sort_array(F.flatten(F.collect_list("__part"))),
+                    1,
+                    self.violation_cap,
                 ).alias("sample_rows"),
             )
         )
