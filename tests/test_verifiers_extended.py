@@ -317,3 +317,28 @@ def test_cind_condition_restricts_ind(spark):
         cind_check(lhs, ["k"], rhs, ["r"], lhs_condition="tier = 'gold'").summary()
     )
     assert s2.holds
+
+
+def test_ar_reference_rules_book_golden(spark):
+    """AR goldens from the reference (test_ar_verifier.cpp ARVerifierTestSingular
+    on transactional_data/rules-book.csv) -- all four rules hold, with exact
+    support/confidence values pinned."""
+    rows = [
+        (1, "Bread"), (1, "Butter"), (1, "Milk"),
+        (2, "Eggs"), (2, "Milk"), (2, "Yogurt"),
+        (3, "Cheese"), (3, "Bread"), (3, "Eggs"), (3, "Milk"),
+        (4, "Eggs"), (4, "Milk"), (4, "Yogurt"),
+        (5, "Cheese"), (5, "Milk"), (5, "Yogurt"),
+    ]
+    df = spark.createDataFrame(rows, ["tid", "item"])
+    cases = [
+        (["Bread"], ["Milk"], 0.2, 0.1, 2 / 5, 1.0),
+        (["Eggs"], ["Milk"], 0.3, 0.1, 3 / 5, 1.0),
+        (["Yogurt"], ["Eggs"], 0.2, 0.1, 2 / 5, 2 / 3),
+        (["Yogurt"], ["Milk"], 0.2, 0.1, 3 / 5, 1.0),
+    ]
+    for left, right, msup, mconf, sup, conf in cases:
+        s = _row(ar_check(df, left, right, minsup=msup, minconf=mconf).summary())
+        assert s.holds, (left, right)
+        assert float(s.support) == pytest.approx(sup)
+        assert float(s.confidence) == pytest.approx(conf)
