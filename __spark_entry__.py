@@ -938,6 +938,36 @@ GROUP BY cols."column"
 """
 
 
+def q_pac_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain PAC: Pr(value in [0,500] +- 20) >= 0.9 over events."""
+    from pyspark_validator.checks.pac import domain_pac_check, interval_distance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = domain_pac_check(ev, interval_distance(F.col("value"), 0.0, 500.0))
+    s = c.holds(epsilon=20.0, delta=0.9)
+    return s.select(
+        "holds",
+        _r(F.col("epsilon")).alias("epsilon"),
+        _r(F.col("delta")).alias("delta"),
+        _r(F.col("actual_delta"), 9).alias("actual_delta"),
+        "n",
+        "n_violating_rows",
+    )
+
+
+SQL_PAC_EVENTS_VALUE = """
+WITH d AS (
+  SELECT greatest(0, 0 - value, value - 500) AS dist FROM events WHERE value IS NOT NULL
+)
+SELECT avg(CASE WHEN dist <= 20 THEN 1.0 ELSE 0.0 END) >= 0.9 AS holds,
+       CAST(20.0 AS DOUBLE) AS epsilon, CAST(0.9 AS DOUBLE) AS delta,
+       round(avg(CASE WHEN dist <= 20 THEN 1.0 ELSE 0.0 END), 9) AS actual_delta,
+       count(*) AS n,
+       sum(CASE WHEN dist > 20 THEN 1 ELSE 0 END) AS n_violating_rows
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # extended verifier family: MFD / SD / AOD / CFD / AR / DD / DC / CIND
 
@@ -1283,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_brute_topk": q_similarity_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "stats_deviation_lineitem": q_stats_deviation_lineitem,
+        "pac_events_value": q_pac_events_value,
         "mfd_quantity_orderkey": q_mfd_quantity_orderkey,
         "mfd_levenshtein_nation": q_mfd_levenshtein_nation,
         "sd_events_gap": q_sd_events_gap,
@@ -1327,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         # driver records the weaker rows-only check.
         "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,
         "stats_deviation_lineitem": SQL_STATS_DEVIATION_LINEITEM,
+        "pac_events_value": SQL_PAC_EVENTS_VALUE,
         "mfd_quantity_orderkey": SQL_MFD_QUANTITY_ORDERKEY,
         "mfd_levenshtein_nation": SQL_MFD_LEVENSHTEIN_NATION,
         "sd_events_gap": SQL_SD_EVENTS_GAP,

@@ -33,6 +33,7 @@ from pyspark_validator.checks.ind import ind_check
 from pyspark_validator.checks.mfd import mfd_check
 from pyspark_validator.checks.nd import nd_check
 from pyspark_validator.checks.od import aod_check
+from pyspark_validator.checks.pac import domain_pac_check
 from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
@@ -49,6 +50,7 @@ __all__ = [
     "column_profile",
     "dc_check",
     "dd_check",
+    "domain_pac_check",
     "fd_check",
     "get_spark",
     "ind_check",
