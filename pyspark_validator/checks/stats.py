@@ -233,21 +233,21 @@ def entropy_and_gini(df: DataFrame, column: str) -> DataFrame:
     )
 
 
-def monotonicity(df: DataFrame, value_col: str, order_col: str) -> DataFrame:
+def monotonicity(
+    df: DataFrame, value_col: str, order_col: str, num_partitions: int = 64
+) -> DataFrame:
     """Is value_col sorted asc/desc when ordered by order_col
-    (data_stats.h:179-180)? Implemented as a sortWithinPartitions + per-partition
-    check PLUS cross-partition boundary check via min/max per sorted range --
-    here via lag window over a single ordering (acceptable: monotonicity is a
-    per-slice diagnostic; at scale run per partition_id)."""
-    from pyspark.sql import Window
+    (data_stats.h:179-180)? Delegates to the SD check's distributed
+    adjacent-gap machinery (checks/sd.py): range-partitioned per-partition lag
+    windows + a P-row boundary rollup -- no single-reducer global window."""
+    from pyspark_validator.checks.sd import SDCheck
 
-    w = Window.orderBy(order_col)
-    d = df.select(
-        (F.col(value_col) - F.lag(value_col).over(w)).alias("delta")
-    ).filter(F.col("delta").isNotNull())
-    return d.agg(
-        (F.min("delta") >= 0).alias("monotonic_asc"),
-        (F.max("delta") <= 0).alias("monotonic_desc"),
+    gaps = SDCheck(
+        df, order_col=order_col, value_col=value_col, num_partitions=num_partitions
+    )._gaps
+    return gaps.agg(
+        F.coalesce(F.min("delta") >= 0, F.lit(True)).alias("monotonic_asc"),
+        F.coalesce(F.max("delta") <= 0, F.lit(True)).alias("monotonic_desc"),
     )
 
 
