@@ -247,6 +247,60 @@ class IncrementalFD:
         self.state.write(untouched.unionByName(merged))
         return self.verdicts(partition_ids=touched)
 
+    def afd_measures(self) -> DataFrame:
+        """g1 / pdep / tau / mu+ / rho recomputed from the count state after any
+        number of delta batches (DynamicAFD analog: the reference's
+        dynamic_verifying_afd example re-reads measures after each batch).
+        All marginals derive from the stored (X, Y)-level counts -- no rescan
+        of the data."""
+        s = self.state.read()
+        ycnt = F.col("ycnt")
+        x_level = s.groupBy(*self.lhs).agg(
+            F.sum(ycnt).alias("cx"),
+            F.count(F.lit(1)).alias("n_distinct_y"),
+            F.sum(ycnt * (ycnt - 1)).alias("y_pairs"),
+        )
+        x = x_level.agg(
+            F.sum("cx").alias("n"),
+            F.count(F.lit(1)).alias("k_x"),
+            F.sum("n_distinct_y").alias("k_xy"),
+            F.sum(F.col("cx") * (F.col("cx") - 1) - F.col("y_pairs")).alias(
+                "conflict_pairs"
+            ),
+        )
+        pdep_num = x_level.agg(
+            F.sum((F.col("y_pairs") + F.col("cx")) / F.col("cx")).alias("pdep_num")
+        )
+        y_level = (
+            s.groupBy(*self.rhs)
+            .agg(F.sum(ycnt).alias("cy"))
+            .agg(F.sum(F.col("cy") * F.col("cy")).alias("sum_cy2"))
+        )
+        j = x.crossJoin(pdep_num).crossJoin(y_level)
+        n = F.col("n").cast("double")
+        pdep_xy = F.col("pdep_num") / n
+        pdep_y = F.col("sum_cy2") / (n * n)
+        k_x = F.col("k_x").cast("double")
+        tau = F.when(pdep_y == 1.0, F.lit(1.0)).otherwise(
+            (pdep_xy - pdep_y) / (F.lit(1.0) - pdep_y)
+        )
+        mu = F.lit(1.0) - (F.lit(1.0) - pdep_xy) / (F.lit(1.0) - pdep_y) * (n - 1) / (
+            n - k_x
+        )
+        mu_plus = F.when((pdep_y == 1.0) | (k_x == n), F.lit(1.0)).otherwise(
+            F.greatest(F.lit(0.0), mu)
+        )
+        return j.select(
+            (F.col("conflict_pairs") / (n * n - n)).alias("g1"),
+            pdep_xy.alias("pdep"),
+            tau.alias("tau"),
+            mu_plus.alias("mu_plus"),
+            (k_x / F.col("k_xy")).alias("rho"),
+            F.col("n").alias("n_rows"),
+            F.col("k_x").alias("n_distinct_x"),
+            F.col("k_xy").alias("n_distinct_xy"),
+        )
+
     def verdicts(self, partition_ids: list[int] | None = None) -> DataFrame:
         """Per-partition FD verdicts from state (same fields as FDCheck.verdicts)."""
         s = self.state.read()

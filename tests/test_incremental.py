@@ -106,3 +106,31 @@ def test_incremental_requires_init(spark, tmp_path):
     inc = IncrementalUCC(spark, str(tmp_path / "none"), ["k"])
     with pytest.raises(ValueError, match="initialize"):
         inc.verdicts()
+
+
+def test_incremental_fd_afd_measures_track_static(spark, tmp_path):
+    """DynamicAFD analog: after delta batches, measures from state must equal a
+    static afd_measures() over the post-delta table (the reference's
+    dynamic_verifying_afd workflow)."""
+    from pyspark_validator.checks.fd import fd_check as static_fd
+
+    rows = [(i % 7, f"y{i % 3}") for i in range(60)]
+    base = spark.createDataFrame(rows, ["x", "y"])
+    inc = IncrementalFD(spark, str(tmp_path / "afd"), ["x"], ["y"], num_partitions=4)
+    inc.initialize(base)
+    inc.apply_delta(
+        inserts=spark.createDataFrame([(1, "zz"), (2, "y0")], ["x", "y"]),
+        deletes=spark.createDataFrame([(3, "y0")], ["x", "y"]),
+    )
+    post_rows = rows + [(1, "zz"), (2, "y0")]
+    post_rows.remove((3, "y0"))
+    post = spark.createDataFrame(post_rows, ["x", "y"])
+    got = inc.afd_measures().collect()[0]
+    exp = static_fd(post, ["x"], ["y"], num_partitions=4).afd_measures().collect()[0]
+    for f in ["g1", "pdep", "tau", "mu_plus", "rho"]:
+        assert float(got[f]) == pytest.approx(float(exp[f])), f
+    assert (got.n_rows, got.n_distinct_x, got.n_distinct_xy) == (
+        exp.n_rows,
+        exp.n_distinct_x,
+        exp.n_distinct_xy,
+    )
