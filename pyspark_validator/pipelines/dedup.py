@@ -265,8 +265,10 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint (bits <= 62): majority vote per bit over token hashes.
 
-    explode tokens -> ONE groupBy(id) with ``bits`` signed sums -> assemble the
-    fingerprint with shiftleft/sum. Output: [id, simhash: long].
+    explode tokens -> ONE groupBy(id) with ``bits`` signed sums (hash-agg with
+    map-side combine; measured faster than per-row array-filter formulations,
+    whose ``bits`` lambda passes defeat codegen) -> assemble the fingerprint.
+    Output: [id, simhash: long].
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par).select(

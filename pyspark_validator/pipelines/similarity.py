@@ -135,8 +135,12 @@ def cosine_pairs(
     """Embedding near-duplicate pairs: same LSH bucket => candidate, exact cosine
     verifies. High-cosine pairs collide with high probability (collision prob per
     bit = 1 - theta/pi); oversized buckets are dropped (skew guard)."""
-    b = add_lsh_bucket(df, dim, num_bits, seed, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    # persist: the pandas-UDF bucketing feeds the size stats AND both join
+    # sides -- without it the Arrow projection runs 3x.
+    b = (
+        add_lsh_bucket(df, dim, num_bits, seed, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+        .persist()
     )
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
     b = b.join(F.broadcast(sizes.filter(F.col("bs") > max_bucket)), on="bucket", how="left_anti")
