@@ -136,6 +136,56 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_ref string, kind string, payload binary, "
+    "meta struct<width:int,height:int,duration_ms:int,codec:string>"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode: str = "fake"
+) -> DataFrame:
+    """Image resize stage: same media schema out, payload replaced by the
+    resized encoding and meta.width/height updated. The fake kernel emits a
+    deterministic byte-mapped payload of size width*height//64 (stable across
+    runs => the downstream plumbing -- schema, partitioning, re-validation --
+    is fully testable); decode='real' is the PIL/libvips integration point."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image resize requires a codec (PIL/libvips); plug here"
+                )
+            out_len = max(width * height // 64, 1)
+            payloads = []
+            for p in b["payload"]:
+                src = np.frombuffer(p if p else b"\x00", dtype=np.uint8)
+                idx = (np.arange(out_len) * max(len(src), 1) // out_len) % max(
+                    len(src), 1
+                )
+                payloads.append(src[idx].tobytes())
+            meta = [
+                {
+                    "width": width,
+                    "height": height,
+                    "duration_ms": (m["duration_ms"] if m is not None else 0),
+                    "codec": "fake-resized",
+                }
+                for m in b["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": b["media_ref"],
+                    "kind": b["kind"],
+                    "payload": payloads,
+                    "meta": meta,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests (payload = seeded bytes)."""
     rng = np.random.RandomState(seed)

@@ -193,3 +193,22 @@ def test_multimodal_plumbing(spark):
     vids = media.filter(F.col("kind") == "video").count()
     assert len(fr) == vids * 5
     assert all(len(r.frame_feat) == 4 for r in fr)
+
+
+def test_multimodal_resize_stage(spark):
+    from pyspark_validator.pipelines.multimodal import fake_media_table, resize_images
+
+    media = fake_media_table(spark, n=30)
+    out = resize_images(media, width=32, height=32)
+    rows = out.collect()
+    assert len(rows) == 10  # only the image rows
+    assert all(r.meta.width == 32 and r.meta.height == 32 for r in rows)
+    assert all(len(r.payload) == 32 * 32 // 64 for r in rows)
+    # deterministic: same input -> same payload bytes
+    again = {r.media_ref: bytes(r.payload) for r in resize_images(media, 32, 32).collect()}
+    assert {r.media_ref: bytes(r.payload) for r in rows} == again
+    # the real-decode path is an explicit stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplemented|codec"):
+        resize_images(media, 32, 32, decode="real").collect()
