@@ -122,6 +122,76 @@ def ann_topk(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: k-means centroids trained on a driver sample
+    (the standard IVF build path -- training data is a bounded sample however
+    large the table), then ONE Arrow-batched pass assigns every vector to its
+    nearest list. Returns (assigned_df with 'list_id', centroids).
+
+    The assigned frame is the index: persist/write it partitioned by list_id
+    and queries scan only nprobe lists.
+    """
+    n = df.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample = np.stack(
+        df.sample(fraction=frac, seed=seed)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(iters):  # Lloyd iterations on the sample, driver-side
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(len(cents)):
+            m = sample[assign == j]
+            if len(m):
+                cents[j] = m.mean(0)
+
+    @pandas_udf("int")
+    def nearest_list(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    return df.withColumn("list_id", nearest_list(F.col(vec_col))), cents
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query: rank lists by centroid distance, scan the nprobe nearest
+    lists only (partition-pruned when the index is written
+    partitionBy('list_id')), exact cosine re-rank inside."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(1)
+    probes = [int(i) for i in d2.argsort()[:nprobe]]
+    cand = indexed.filter(F.col("list_id").isin(probes))
+    return (
+        cand.select(
+            F.col(id_col).alias("id"),
+            _norm_dot(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     dim: int,

@@ -212,3 +212,23 @@ def test_multimodal_resize_stage(spark):
 
     with _pytest.raises(Exception, match="NotImplemented|codec"):
         resize_images(media, 32, 32, decode="real").collect()
+
+
+def test_ivf_similarity_recall(spark):
+    """IVF (sampled k-means + list pruning) must find the true top-1 (the
+    planted identical vector) and approximate brute-force top-k well."""
+    from pyspark_validator.pipelines.similarity import brute_force_topk, ivf_build, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id = 7").select("embedding").collect()[0][0]
+    indexed, cents = ivf_build(emb, dim=64, n_lists=8, iters=5)
+    indexed = indexed.persist()
+    approx = [r.id for r in ivf_topk(indexed, cents, list(q), k=10, nprobe=3).collect()]
+    exact = [r.id for r in brute_force_topk(emb, list(q), k=10).collect()]
+    assert approx[0] == exact[0] == 7  # the query vector itself
+    assert len(set(approx) & set(exact)) >= 5  # decent recall at nprobe=3/8
+    # every vector got a list in [0, n_lists)
+    import pyspark.sql.functions as F
+
+    bounds = indexed.agg(F.min("list_id"), F.max("list_id")).collect()[0]
+    assert bounds[0] >= 0 and bounds[1] < 8
