@@ -859,6 +859,19 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-k (rows-only: k-means lists are engine-
+    internal; the exact brute-force variant above is the oracle-checked
+    baseline). Deterministic: seeded sample + Lloyd iterations."""
+    from pyspark_validator.pipelines.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    indexed, cents = ivf_build(emb, dim=64, n_lists=8, iters=5)
+    t = ivf_topk(indexed, cents, list(q), k=10, nprobe=3)
+    return t.select(F.col("id").alias("vec_id"), _r(F.col("cosine")).alias("cosine"))
+
+
 def q_drift_docs_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift of span kinds between even/odd documents of the
     interleaved view (span-level check on the input_hint shape)."""
@@ -1311,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_planted": q_minhash_lsh_planted,
         "simhash_planted": q_simhash_planted,
         "similarity_brute_topk": q_similarity_brute_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "stats_deviation_lineitem": q_stats_deviation_lineitem,
         "pac_events_value": q_pac_events_value,
