@@ -192,19 +192,24 @@ class IncrementalFD:
         self.num_partitions = num_partitions
         self.state = _IncrementalState(spark, state_path)
 
+    @property
+    def _cols(self) -> list[str]:
+        # rhs may overlap lhs (the reference permits e.g. {0,1} -> {1,4});
+        # select/group on the unique union
+        return list(dict.fromkeys(self.lhs + self.rhs))
+
     def _keyed(self, df: DataFrame) -> DataFrame:
         return df.select(
             partition_id_expr(
                 F.struct(*[F.col(c) for c in self.lhs]), self.num_partitions
             ).alias("partition_id"),
-            *[F.col(c) for c in self.lhs],
-            *[F.col(c) for c in self.rhs],
+            *[F.col(c) for c in self._cols],
         )
 
     def initialize(self, df: DataFrame) -> int:
         counts = (
             self._keyed(df)
-            .groupBy("partition_id", *self.lhs, *self.rhs)
+            .groupBy("partition_id", *self._cols)
             .agg(F.count(F.lit(1)).alias("ycnt"))
         )
         return self.state.write(counts)
@@ -222,7 +227,7 @@ class IncrementalFD:
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)
-        dcounts = delta.groupBy("partition_id", *self.lhs, *self.rhs).agg(
+        dcounts = delta.groupBy("partition_id", *self._cols).agg(
             F.sum("d").alias("dcnt")
         )
         touched = [
@@ -232,7 +237,7 @@ class IncrementalFD:
         state = self.state.read()
         untouched = state.filter(~F.col("partition_id").isin(touched))
         hot = state.filter(F.col("partition_id").isin(touched))
-        on = ["partition_id", *self.lhs, *self.rhs]
+        on = ["partition_id", *self._cols]
         merged = (
             hot.join(dcounts, on=on, how="full_outer")
             .select(
