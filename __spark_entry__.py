@@ -745,6 +745,61 @@ SQL_TEXT_LANGUAGE_ID = (
 )
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_validator.pipelines.text import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    q = quality_score(d)
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        _r(F.col("punct_ratio"), 9).alias("punct_ratio"),
+        _r(F.col("stopword_ratio"), 9).alias("stopword_ratio"),
+        _r(F.col("repetition_ratio"), 9).alias("repetition_ratio"),
+        _r(F.col("quality"), 9).alias("quality"),
+    )
+
+
+_EN_STOP_PAT = "the|and|of|to|in|is|that|it|was|for"
+
+SQL_TEXT_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+    length(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS punct,
+    length(regexp_extract_all(text, '[0-9]')) AS digit,
+    length(regexp_extract_all(lower(text), '\\b({_EN_STOP_PAT})\\b')) AS stop,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END AS n_distinct_tok
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, n_chars, n_tok,
+    CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0 END AS punct_ratio,
+    CASE WHEN n_chars > 0 THEN digit * 1.0 / n_chars ELSE 0 END AS digit_ratio,
+    CASE WHEN n_tok > 0 THEN stop * 1.0 / n_tok ELSE 0 END AS stopword_ratio,
+    1.0 - CASE WHEN n_tok > 0 THEN n_distinct_tok * 1.0 / n_tok ELSE 0 END AS repetition_ratio
+  FROM f
+)
+SELECT doc_id, n_chars, n_tok AS n_ws_tokens,
+  round(punct_ratio, 9) AS punct_ratio,
+  round(stopword_ratio, 9) AS stopword_ratio,
+  round(repetition_ratio, 9) AS repetition_ratio,
+  round(greatest(0.0, least(1.0,
+      least(n_tok / 5.0, 1.0)
+    * least(1.0, 3.0 * (1.0 - punct_ratio) - 2.0)
+    * least(1.0, 3.0 * (1.0 - digit_ratio) - 2.0)
+    * least(1.0, 0.5 + 2.0 * stopword_ratio)
+    * greatest(0.0, 1.0 - repetition_ratio))), 9) AS quality
+FROM r
+"""
+
+
 def q_dedup_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.pipelines.dedup import exact_duplicates
 
@@ -1319,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_docs_kind": q_drift_docs_kind,
         "text_token_counts": q_text_token_counts,
         "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
         "dedup_exact_planted": q_dedup_exact_planted,
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
         "minhash_lsh_planted": q_minhash_lsh_planted,
@@ -1365,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_docs_kind": SQL_DRIFT_DOCS_KIND,
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
+        "text_quality": SQL_TEXT_QUALITY,
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
         # minhash_lsh_planted / simhash_planted / embedding_cosine_dups:
