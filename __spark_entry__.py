@@ -688,6 +688,58 @@ FROM psi
 """
 
 
+def q_drift_numeric_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group numeric drift: PSI/KS of `value` per event_type between
+    even/odd event ids (the per-partition drift shape from the north star)."""
+    from pyspark_validator.checks.drift import numeric_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.filter(F.col("event_id") % 2 == 0)
+    c = ev.filter(F.col("event_id") % 2 == 1)
+    d = numeric_drift(
+        b, c, "value", by=["event_type"], num_bins=20, bin_edges=(0.0, 600.0)
+    )
+    return d.select(
+        "event_type",
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("ks_stat"), 9).alias("ks_stat"),
+        "n_b",
+        "n_c",
+    )
+
+
+SQL_DRIFT_NUMERIC_BY_TYPE = """
+WITH binned AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(value / 30.0) AS BIGINT), -1), 20) AS bucket,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k
+  FROM binned GROUP BY 1
+),
+j AS (SELECT binned.*, tot.n_b, tot.n_c, tot.k FROM binned JOIN tot USING (event_type)),
+psi AS (
+  SELECT event_type,
+         sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+             * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) AS psi_v,
+         any_value(n_b) AS n_b, any_value(n_c) AS n_c
+  FROM j GROUP BY 1
+),
+cum AS (
+  SELECT event_type,
+         abs(sum(cnt_b) OVER (PARTITION BY event_type ORDER BY bucket) * 1.0 / n_b
+           - sum(cnt_c) OVER (PARTITION BY event_type ORDER BY bucket) * 1.0 / n_c) AS term
+  FROM j
+),
+ks AS (SELECT event_type, max(term) AS ks_v FROM cum GROUP BY 1)
+SELECT psi.event_type AS event_type, round(psi_v, 9) AS psi, round(ks_v, 9) AS ks_stat, n_b, n_c
+FROM psi JOIN ks ON psi.event_type = ks.event_type
+"""
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.pipelines.text import token_counts
 
@@ -1371,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_events_ts": q_monotonic_events_ts,
         "drift_categorical_events": q_drift_categorical_events,
         "drift_numeric_events": q_drift_numeric_events,
+        "drift_numeric_by_type": q_drift_numeric_by_type,
         "drift_docs_kind": q_drift_docs_kind,
         "text_token_counts": q_text_token_counts,
         "text_language_id": q_text_language_id,
@@ -1418,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "monotonic_events_ts": SQL_MONOTONIC_EVENTS_TS,
         "drift_categorical_events": SQL_DRIFT_CATEGORICAL_EVENTS,
         "drift_numeric_events": SQL_DRIFT_NUMERIC_EVENTS,
+        "drift_numeric_by_type": SQL_DRIFT_NUMERIC_BY_TYPE,
         "drift_docs_kind": SQL_DRIFT_DOCS_KIND,
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,

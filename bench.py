@@ -53,11 +53,23 @@ HEADLINE = [
     "drift_docs_kind",
     "text_token_counts",
     "text_language_id",
+    "text_quality",
     "dedup_exact_planted",
     "minhash_lsh_planted",
     "simhash_planted",
     "similarity_brute_topk",
+    "similarity_ivf_topk",
     "embedding_cosine_dups",
+    "stats_deviation_lineitem",
+    "pac_events_value",
+    "mfd_quantity_orderkey",
+    "sd_events_gap",
+    "aod_ofd_orders",
+    "cfd_orders_priority",
+    "ar_events_click_view",
+    "dd_part_price_size",
+    "dc_orders_price_inversion",
+    "cind_orders_customer_open",
 ]
 
 
