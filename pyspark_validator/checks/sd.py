@@ -133,15 +133,23 @@ class SDCheck:
                 )
             ).alias("n")
         )
-        v = self.violations().agg(
-            F.sum((F.col("kind") == "deletion").cast("long")).alias("n_deletions"),
-            F.sum((F.col("kind") == "insertion").cast("long")).alias(
-                "n_insertion_gaps"
-            ),
-            F.sum("min_insertions").alias("total_min_insertions"),
+        # ONE aggregation over the gap stream (classifications are cheap
+        # conditional sums; a separate violations() pass would re-derive the
+        # whole range-partition + window lineage)
+        d = F.col("delta")
+        g1, g2 = F.lit(float(self.g1)), F.lit(float(self.g2))
+        is_del = d < g1
+        is_ins = d > g2
+        min_ins = F.when(
+            is_ins, F.greatest(F.ceil(d / g2) - 1, F.lit(1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        v = self._gaps.agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(is_del.cast("long")).alias("n_deletions"),
+            F.sum(is_ins.cast("long")).alias("n_insertion_gaps"),
+            F.sum(min_ins).alias("total_min_insertions"),
         )
-        g = self._gaps.agg(F.count(F.lit(1)).alias("n_gaps"))
-        out = v.crossJoin(g).crossJoin(n_rows)
+        out = v.crossJoin(n_rows)
         ops = F.coalesce(F.col("n_deletions"), F.lit(0)) + F.coalesce(
             F.col("total_min_insertions"), F.lit(0)
         )
