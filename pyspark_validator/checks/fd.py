@@ -52,6 +52,10 @@ class FDCheck:
     highlight_cap: int = 100
     repartition_by_lhs: bool = True
 
+    def __post_init__(self) -> None:
+        if not self.lhs or not self.rhs:
+            raise ValueError("fd_check requires non-empty lhs and rhs")
+
     @cached_property
     def _xy_counts(self) -> DataFrame:
         """Level-1 PLI analog: one row per distinct (X, Y) with multiplicity.
