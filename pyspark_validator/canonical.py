@@ -165,6 +165,16 @@ def canonicalize(
     scan; everything else is derived (Catalyst prunes unreferenced span fields when
     downstream checks don't touch span_seq).
     """
+    if spans_col not in docs.columns:
+        # flat table (no interleaved spans): pass through with partition_id only
+        out = docs.select(
+            F.col(doc_id_col).alias("doc_id"),
+            *[F.col(c) for c in docs.columns if c != doc_id_col],
+            partition_id_expr(doc_id_col, num_partitions).alias("partition_id"),
+        )
+        if cache:
+            out = out.persist()
+        return CanonicalDocs(df=out, num_partitions=num_partitions)
     spans = F.col(spans_col)
     out = docs.select(
         F.col(doc_id_col).alias("doc_id"),

@@ -1,0 +1,62 @@
+"""spark-submit CLI (python -m pyspark_validator) regression test: run a suite
+spec end-to-end in-process, assert exit codes and resume behavior."""
+
+import json
+
+from pyspark_validator.__main__ import main
+
+
+def test_cli_suite_run_and_resume(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(f"doc_{i:04d}", f"seq_{i % 40}") for i in range(50)],
+        ["doc_id", "span_seq"],
+    )
+    src = tmp_path / "docs.parquet"
+    docs.write.parquet(str(src))
+    spec = {
+        "table": str(src),
+        "num_partitions": 8,
+        "checkpoint_path": str(tmp_path / "manifest"),
+        "snapshot_id": "snap-t",
+        "checks": [
+            {"name": "ucc", "kind": "ucc", "params": {"columns": ["doc_id"]}},
+            {
+                "name": "fd",
+                "kind": "fd",
+                "params": {"lhs": ["doc_id"], "rhs": ["span_seq"]},
+            },
+        ],
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+
+    # doc_ids are unique and each maps to one span_seq -> all checks hold
+    rc = main(["--spec", str(spec_path)])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {o["check"] for o in out} == {"ucc", "fd"}
+    assert all(o["holds"] for o in out)
+    assert all(o["partitions"] > 0 for o in out)
+
+    # resume: same snapshot -> nothing recomputed
+    rc2 = main(["--spec", str(spec_path)])
+    assert rc2 == 0
+    out2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(o["partitions"] == 0 for o in out2)
+
+
+def test_cli_violations_exit_code(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [("dup", "a"), ("dup", "b"), ("x", "c")], ["doc_id", "span_seq"]
+    )
+    src = tmp_path / "docs2.parquet"
+    docs.write.parquet(str(src))
+    spec = {
+        "table": str(src),
+        "num_partitions": 4,
+        "checks": [{"name": "ucc", "kind": "ucc", "params": {"columns": ["doc_id"]}}],
+    }
+    spec_path = tmp_path / "spec2.json"
+    spec_path.write_text(json.dumps(spec))
+    rc = main(["--spec", str(spec_path)])
+    assert rc == 3  # violations found
