@@ -306,10 +306,12 @@ def q_afd_measures_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = fd_check(o, ["o_custkey"], ["o_orderpriority"], num_partitions=32).afd_measures()
     return m.select(
         _r(F.col("g1"), 9).alias("g1"),
+        _r(F.col("g2"), 9).alias("g2"),
         _r(F.col("pdep"), 9).alias("pdep"),
         _r(F.col("tau"), 9).alias("tau"),
         _r(F.col("mu_plus"), 9).alias("mu_plus"),
         _r(F.col("rho"), 9).alias("rho"),
+        _r(F.col("fi"), 9).alias("fi"),
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_distinct_x").cast("long").alias("n_distinct_x"),
         F.col("n_distinct_xy").cast("long").alias("n_distinct_xy"),
@@ -320,22 +322,31 @@ SQL_AFD_MEASURES_ORDERS = """
 WITH xy AS (
   SELECT o_custkey AS x, o_orderpriority AS y, count(*) AS cxy FROM orders GROUP BY 1, 2
 ),
-x AS (SELECT x, sum(cxy) AS cx, count(*) AS ndy, sum(cxy * (cxy - 1)) AS ypairs FROM xy GROUP BY 1),
-yl AS (SELECT sum(cy * cy) AS sum_cy2 FROM (SELECT count(*) AS cy FROM orders GROUP BY o_orderpriority)),
+x AS (SELECT x, sum(cxy) AS cx, count(*) AS ndy, sum(cxy * (cxy - 1)) AS ypairs,
+             sum(cxy * ln(cxy)) AS y_ln FROM xy GROUP BY 1),
+yl AS (SELECT sum(cy * cy) AS sum_cy2, sum(cy * ln(cy)) AS sum_cy_ln, count(*) AS ky
+       FROM (SELECT count(*) AS cy FROM orders GROUP BY o_orderpriority)),
 agg AS (
   SELECT sum(cx) AS n, count(*) AS kx, sum(ndy) AS kxy,
          sum(cx * (cx - 1) - ypairs) AS conflict_pairs,
-         sum((ypairs + cx) * 1.0 / cx) AS pdep_num
+         sum(CASE WHEN ndy > 1 THEN cx ELSE 0 END) AS g2_rows,
+         sum((ypairs + cx) * 1.0 / cx) AS pdep_num,
+         sum(y_ln) AS sum_cxy_ln,
+         sum(cx * ln(cx)) AS sum_cx_ln
   FROM x
 )
 SELECT
   round(conflict_pairs * 1.0 / (n * n - n), 9) AS g1,
+  round(g2_rows * 1.0 / n, 9) AS g2,
   round(pdep_num / n, 9) AS pdep,
   round(CASE WHEN sum_cy2 * 1.0 / (n * n) = 1 THEN 1
         ELSE (pdep_num / n - sum_cy2 * 1.0 / (n * n)) / (1 - sum_cy2 * 1.0 / (n * n)) END, 9) AS tau,
   round(CASE WHEN sum_cy2 * 1.0 / (n * n) = 1 OR kx = n THEN 1
         ELSE greatest(0, 1 - (1 - pdep_num / n) / (1 - sum_cy2 * 1.0 / (n * n)) * (n - 1) / (n - kx)) END, 9) AS mu_plus,
   round(kx * 1.0 / kxy, 9) AS rho,
+  round(CASE WHEN ky < 2 THEN 0
+        ELSE ((ln(n) - sum_cy_ln / n) - (-(sum_cxy_ln - sum_cx_ln) / n))
+             / (ln(n) - sum_cy_ln / n) END, 9) AS fi,
   n AS n_rows, kx AS n_distinct_x, kxy AS n_distinct_xy
 FROM agg, yl
 """

@@ -85,7 +85,8 @@ class FDCheck:
     @cached_property
     def _x_level(self) -> DataFrame:
         """Level-2: per distinct X -- cluster size, distinct-Y count, max Y
-        multiplicity, and the within-cluster conflicting-ordered-pair count."""
+        multiplicity, the within-cluster conflicting-ordered-pair count, and
+        the entropy partials (sum cxy ln cxy) feeding FI."""
         ycnt = F.col("ycnt")
         return self._xy_counts.groupBy(
             "partition_id", *[f"__x{i}" for i in range(len(self.lhs))]
@@ -94,6 +95,7 @@ class FDCheck:
             F.count(F.lit(1)).alias("n_distinct_y"),
             F.max(ycnt).alias("max_y"),
             F.sum(ycnt * (ycnt - 1)).alias("y_pairs"),
+            F.sum(ycnt * F.log(ycnt.cast("double"))).alias("y_ln_sum"),
         )
 
     def verdicts(self) -> DataFrame:
@@ -203,11 +205,18 @@ class FDCheck:
             F.sum(F.col("cx") * (F.col("cx") - 1) - F.col("y_pairs")).alias(
                 "conflict_pairs"
             ),
+            # g2 numerator (afd_metric_calculator.cpp:71-87): rows inside
+            # X-clusters whose Y is not constant
             F.sum(
-                (F.col("cx") * F.col("cx") - F.col("cx") + F.col("y_pairs"))
-                / F.col("cx")
-            ).alias("pdep_num_minus"),  # placeholder, replaced below
-        ).drop("pdep_num_minus")
+                F.when(F.col("n_distinct_y") > 1, F.col("cx")).otherwise(0)
+            ).alias("g2_rows"),
+            # entropy partials for FI (afd_metric_calculator.cpp:180-211):
+            # H(Y|X) = -(1/n)[sum_xy cxy ln cxy - sum_x cx ln cx]
+            F.sum("y_ln_sum").alias("sum_cxy_ln"),
+            F.sum(F.col("cx") * F.log(F.col("cx").cast("double"))).alias(
+                "sum_cx_ln"
+            ),
+        )
         # pdep numerator needs sum cxy^2/cx -- compute at xy level with cx joined in;
         # cheaper: sum_xy cxy^2/cx = sum_x (sum_y cxy^2)/cx, and sum_y cxy^2 =
         # y_pairs + cx  (since sum f^2 = sum f(f-1) + sum f).
@@ -219,7 +228,13 @@ class FDCheck:
             self.df.select(*yk)
             .groupBy(*[f"__y{i}" for i in range(len(self.rhs))])
             .agg(F.count(F.lit(1)).alias("cy"))
-            .agg(F.sum(F.col("cy") * F.col("cy")).alias("sum_cy2"))
+            .agg(
+                F.sum(F.col("cy") * F.col("cy")).alias("sum_cy2"),
+                F.sum(F.col("cy") * F.log(F.col("cy").cast("double"))).alias(
+                    "sum_cy_ln"
+                ),
+                F.count(F.lit(1)).alias("k_y"),
+            )
         )
         j = x.crossJoin(pdep_num).crossJoin(y_level)
         n = F.col("n").cast("double")
@@ -235,12 +250,21 @@ class FDCheck:
         mu_plus = F.when((pdep_y == 1.0) | (k_x == n), F.lit(1.0)).otherwise(
             F.greatest(F.lit(0.0), mu)
         )
+        # FI = mutual information / H(Y); 0 when Y has < 2 distinct values
+        # (afd_metric_calculator.cpp:180-211). All terms use natural logs.
+        h_y = F.log(n) - F.col("sum_cy_ln") / n
+        h_y_given_x = -(F.col("sum_cxy_ln") - F.col("sum_cx_ln")) / n
+        fi = F.when(F.col("k_y") < 2, F.lit(0.0)).otherwise(
+            (h_y - h_y_given_x) / h_y
+        )
         return j.select(
             (F.col("conflict_pairs") / (n * n - n)).alias("g1"),
+            (F.col("g2_rows") / n).alias("g2"),
             pdep_xy.alias("pdep"),
             tau.alias("tau"),
             mu_plus.alias("mu_plus"),
             (k_x / F.col("k_xy")).alias("rho"),
+            fi.alias("fi"),
             F.col("n").alias("n_rows"),
             F.col("k_x").alias("n_distinct_x"),
             F.col("k_xy").alias("n_distinct_xy"),

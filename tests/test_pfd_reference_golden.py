@@ -49,3 +49,21 @@ def test_pfd_reference_golden(fd_df, lhs, rhs, measure, err, n_cl, n_rows):
     assert float(s.error) == pytest.approx(err, abs=5e-4)
     assert s.n_violating_clusters == n_cl
     assert s.n_violating_rows == n_rows
+
+
+def test_afd_metric_calculator_reference_golden(fd_df):
+    """AFD metric goldens (test_afd_metric_calculator.cpp on TestFD.csv):
+    tau / g2 / FI / mu+ for {4}->{3} and {3}->{4}."""
+    import math
+
+    m1 = fd_check(fd_df, ["c4"], ["c3"], num_partitions=4).afd_measures().collect()[0]
+    assert float(m1.tau) == pytest.approx(78 / 90)
+    assert float(m1.g2) == pytest.approx(1 / 6)
+    assert float(m1.fi) == pytest.approx(1 - math.log(4) / math.log(746496))
+    assert float(m1.mu_plus) == pytest.approx(498 / 630)
+
+    m2 = fd_check(fd_df, ["c3"], ["c4"], num_partitions=4).afd_measures().collect()[0]
+    assert float(m2.tau) == pytest.approx(54 / 114)
+    assert float(m2.g2) == pytest.approx(5 / 6)
+    assert float(m2.fi) == pytest.approx(math.log(432) / math.log(13824))
+    assert float(m2.mu_plus) == pytest.approx(252 / 912)
