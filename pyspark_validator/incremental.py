@@ -264,6 +264,7 @@ class IncrementalFD:
             F.sum(ycnt).alias("cx"),
             F.count(F.lit(1)).alias("n_distinct_y"),
             F.sum(ycnt * (ycnt - 1)).alias("y_pairs"),
+            F.sum(ycnt * F.log(ycnt.cast("double"))).alias("y_ln_sum"),
         )
         x = x_level.agg(
             F.sum("cx").alias("n"),
@@ -272,6 +273,13 @@ class IncrementalFD:
             F.sum(F.col("cx") * (F.col("cx") - 1) - F.col("y_pairs")).alias(
                 "conflict_pairs"
             ),
+            F.sum(
+                F.when(F.col("n_distinct_y") > 1, F.col("cx")).otherwise(0)
+            ).alias("g2_rows"),
+            F.sum("y_ln_sum").alias("sum_cxy_ln"),
+            F.sum(F.col("cx") * F.log(F.col("cx").cast("double"))).alias(
+                "sum_cx_ln"
+            ),
         )
         pdep_num = x_level.agg(
             F.sum((F.col("y_pairs") + F.col("cx")) / F.col("cx")).alias("pdep_num")
@@ -279,7 +287,13 @@ class IncrementalFD:
         y_level = (
             s.groupBy(*self.rhs)
             .agg(F.sum(ycnt).alias("cy"))
-            .agg(F.sum(F.col("cy") * F.col("cy")).alias("sum_cy2"))
+            .agg(
+                F.sum(F.col("cy") * F.col("cy")).alias("sum_cy2"),
+                F.sum(F.col("cy") * F.log(F.col("cy").cast("double"))).alias(
+                    "sum_cy_ln"
+                ),
+                F.count(F.lit(1)).alias("k_y"),
+            )
         )
         j = x.crossJoin(pdep_num).crossJoin(y_level)
         n = F.col("n").cast("double")
@@ -295,12 +309,19 @@ class IncrementalFD:
         mu_plus = F.when((pdep_y == 1.0) | (k_x == n), F.lit(1.0)).otherwise(
             F.greatest(F.lit(0.0), mu)
         )
+        h_y = F.log(n) - F.col("sum_cy_ln") / n
+        h_y_given_x = -(F.col("sum_cxy_ln") - F.col("sum_cx_ln")) / n
+        fi = F.when(F.col("k_y") < 2, F.lit(0.0)).otherwise(
+            (h_y - h_y_given_x) / h_y
+        )
         return j.select(
             (F.col("conflict_pairs") / (n * n - n)).alias("g1"),
+            (F.col("g2_rows") / n).alias("g2"),
             pdep_xy.alias("pdep"),
             tau.alias("tau"),
             mu_plus.alias("mu_plus"),
             (k_x / F.col("k_xy")).alias("rho"),
+            fi.alias("fi"),
             F.col("n").alias("n_rows"),
             F.col("k_x").alias("n_distinct_x"),
             F.col("k_xy").alias("n_distinct_xy"),

@@ -127,7 +127,7 @@ def test_incremental_fd_afd_measures_track_static(spark, tmp_path):
     post = spark.createDataFrame(post_rows, ["x", "y"])
     got = inc.afd_measures().collect()[0]
     exp = static_fd(post, ["x"], ["y"], num_partitions=4).afd_measures().collect()[0]
-    for f in ["g1", "pdep", "tau", "mu_plus", "rho"]:
+    for f in ["g1", "g2", "pdep", "tau", "mu_plus", "rho", "fi"]:
         assert float(got[f]) == pytest.approx(float(exp[f])), f
     assert (got.n_rows, got.n_distinct_x, got.n_distinct_xy) == (
         exp.n_rows,
