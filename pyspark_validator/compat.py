@@ -181,3 +181,180 @@ class IndVerifier(_Verifier):
 
     def get_violating_clusters(self) -> list[tuple]:
         return [tuple(r)[:-1] for r in self._violations]  # drop occurrences col
+
+
+class DataStats(_Verifier):
+    """DataStats analog (bind_statistics.cpp getters, data_stats.h:102-212).
+
+    ``execute()`` runs the wide single-pass profiles (checks/stats.py) for all
+    numeric + string columns; getters read the cached rows. Column argument is
+    a name or positional index.
+    """
+
+    def execute(self, exact_quantiles: bool = True) -> None:
+        from pyspark_validator.checks.stats import (
+            deviation_stats,
+            entropy_and_gini,
+            numeric_profile,
+            string_profile,
+        )
+
+        assert self._df is not None, "call load_data first"
+        num, strs = [], []
+        for f in self._df.schema.fields:
+            t = f.dataType.simpleString()
+            if t in ("int", "bigint", "smallint", "tinyint", "double", "float") or t.startswith("decimal"):
+                num.append(f.name)
+            elif t == "string":
+                strs.append(f.name)
+        self._num_cols, self._str_cols = num, strs
+        self._num = (
+            {
+                r["column"]: r.asDict()
+                for r in numeric_profile(
+                    self._df, num, exact_quantiles=exact_quantiles
+                ).collect()
+            }
+            if num
+            else {}
+        )
+        self._dev = (
+            {
+                r["column"]: r.asDict()
+                for r in deviation_stats(self._df, num, exact_median=exact_quantiles).collect()
+            }
+            if num
+            else {}
+        )
+        self._str = (
+            {r["column"]: r.asDict() for r in string_profile(self._df, strs).collect()}
+            if strs
+            else {}
+        )
+        self._eg = {
+            c: entropy_and_gini(self._df, c).collect()[0].asDict()
+            for c in (num + strs)
+        }
+
+    # -- helpers ------------------------------------------------------------
+    def _name(self, col) -> str:
+        return self._df.columns[col] if isinstance(col, int) else col
+
+    def _n(self, col, key):
+        return self._num[self._name(col)][key]
+
+    # -- numeric getters (bind_statistics.cpp names) ------------------------
+    def get_min(self, col):
+        return self._n(col, "min")
+
+    def get_max(self, col):
+        return self._n(col, "max")
+
+    def get_sum(self, col):
+        return self._n(col, "sum")
+
+    def get_average(self, col):
+        return self._n(col, "avg")
+
+    def get_corrected_std(self, col):
+        return self._n(col, "std")
+
+    def get_skewness(self, col):
+        return self._n(col, "skewness")
+
+    def get_kurtosis(self, col):
+        return self._n(col, "kurtosis")
+
+    def get_median(self, col):
+        return self._n(col, "median")
+
+    def get_quantile_25(self, col):
+        return self._n(col, "q25")
+
+    def get_quantile_75(self, col):
+        return self._n(col, "q75")
+
+    def get_interquartile_range(self, col):
+        return self._n(col, "iqr")
+
+    def get_geometric_mean(self, col):
+        return self._n(col, "geometric_mean")
+
+    def get_sum_of_squares(self, col):
+        return self._n(col, "sum_squares")
+
+    def get_jarque_bera_statistic(self, col):
+        return self._n(col, "jarque_bera")
+
+    def get_coefficient_of_variation(self, col):
+        return self._n(col, "std") / self._n(col, "avg")
+
+    def get_mean_ad(self, col):
+        return self._dev[self._name(col)]["mean_ad"]
+
+    def get_median_ad(self, col):
+        return self._dev[self._name(col)]["median_ad"]
+
+    def get_number_of_zeros(self, col):
+        return self._n(col, "n_zeros")
+
+    def get_number_of_negatives(self, col):
+        return self._n(col, "n_negatives")
+
+    def get_entropy(self, col):
+        return self._eg[self._name(col)]["entropy"]
+
+    def get_gini_coefficient(self, col):
+        return self._eg[self._name(col)]["gini"]
+
+    # -- counts / distinct ---------------------------------------------------
+    def get_number_of_values(self, col):
+        name = self._name(col)
+        src = self._num if name in self._num else self._str
+        return src[name]["count"]
+
+    def get_number_of_nulls(self, col):
+        name = self._name(col)
+        src = self._num if name in self._num else self._str
+        return src[name]["n_nulls"]
+
+    def get_number_of_distinct(self, col):
+        name = self._name(col)
+        src = self._num if name in self._num else self._str
+        return src[name]["n_distinct"]
+
+    def get_columns_with_null(self):
+        out = []
+        for name, d in {**self._num, **self._str}.items():
+            if d["n_nulls"] > 0:
+                out.append(name)
+        return out
+
+    def get_columns_with_all_unique_values(self):
+        out = []
+        for name, d in {**self._num, **self._str}.items():
+            if d["n_distinct"] == d["count"] and d["n_nulls"] == 0:
+                out.append(name)
+        return out
+
+    # -- string getters -------------------------------------------------------
+    def get_min_number_of_chars(self, col):
+        return self._str[self._name(col)]["min_len"]
+
+    def get_max_number_of_chars(self, col):
+        return self._str[self._name(col)]["max_len"]
+
+    def get_avg_number_of_chars(self, col):
+        return self._str[self._name(col)]["avg_len"]
+
+    def get_number_of_empties(self, col):
+        return self._str[self._name(col)]["n_empties"]
+
+    def get_all_statistics_as_string(self) -> str:
+        import json
+
+        return json.dumps(
+            {"numeric": self._num, "deviation": self._dev, "string": self._str},
+            default=str,
+            indent=1,
+        )

@@ -46,3 +46,32 @@ def test_ind_verifier_two_tables(spark):
     v.execute(lhs_indices=["o_custkey"], rhs_indices=["c_custkey"])
     assert v.ind_holds()
     assert v.get_violating_clusters_count() == 0
+
+
+def test_data_stats_facade(spark):
+    from pyspark_validator.compat import DataStats
+
+    ds = DataStats(spark)
+    ds.load_data(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    ds.execute()
+    import duckdb
+
+    exp = duckdb.sql(
+        """SELECT min(l_quantity), max(l_quantity), avg(l_quantity),
+                  stddev_samp(l_quantity), median(l_quantity),
+                  count(DISTINCT l_quantity)
+           FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"""
+    ).fetchone()
+    assert ds.get_min("l_quantity") == exp[0]
+    assert ds.get_max("l_quantity") == exp[1]
+    assert ds.get_average("l_quantity") == pytest.approx(exp[2])
+    assert ds.get_corrected_std("l_quantity") == pytest.approx(exp[3])
+    assert ds.get_median("l_quantity") == pytest.approx(exp[4])
+    assert ds.get_number_of_distinct("l_quantity") == exp[5]
+    assert ds.get_interquartile_range("l_quantity") == pytest.approx(
+        ds.get_quantile_75("l_quantity") - ds.get_quantile_25("l_quantity")
+    )
+    assert ds.get_mean_ad("l_quantity") > 0
+    assert "l_quantity" not in ds.get_columns_with_null()
+    assert ds.get_min_number_of_chars("l_returnflag") == 1
+    assert len(ds.get_all_statistics_as_string()) > 100
