@@ -85,6 +85,48 @@ class INDCheck:
             "n_rows_lhs",
         )
 
+    def verdicts(self, num_partitions: int = 64) -> DataFrame:
+        """Per-partition verdicts (north-rule shape): LHS distinct tuples are
+        assigned to logical partitions by pmod(xxhash64(key), P); each partition
+        reports its own violation counts + g3' error. Deterministic across any
+        physical parallelism."""
+        keys = [f"__l{i}" for i in range(len(self.lhs_cols))]
+        pid = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_partitions)).cast(
+            "int"
+        )
+        tot = (
+            self._lhs_distinct.withColumn("partition_id", pid)
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct_lhs"),
+                F.sum("occurrences").alias("n_rows_lhs"),
+            )
+        )
+        mis = (
+            self._missing.withColumn("partition_id", pid)
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_violating_clusters"),
+                F.sum("occurrences").alias("n_violating_rows"),
+            )
+        )
+        return (
+            tot.join(mis, on="partition_id", how="left")
+            .select(
+                "partition_id",
+                "n_distinct_lhs",
+                "n_rows_lhs",
+                F.coalesce("n_violating_clusters", F.lit(0)).alias(
+                    "n_violating_clusters"
+                ),
+                F.coalesce("n_violating_rows", F.lit(0)).alias("n_violating_rows"),
+            )
+            .withColumn(
+                "error", F.col("n_violating_clusters") / F.col("n_distinct_lhs")
+            )
+            .withColumn("holds", F.col("n_violating_clusters") == 0)
+        )
+
     def violations(self) -> DataFrame:
         """The missing LHS tuples themselves (deterministic order, capped)."""
         renamed = self._missing.select(

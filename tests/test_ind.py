@@ -94,3 +94,24 @@ def test_ind_hll_prescreen(spark):
     a = _row(ind_check(df, ["typo_col"], df, ["pk1"]).approx_inclusion())
     # union of {0..5} and pk1 {0,2,3,5,6,7,8,9} has 10 distinct; rhs has 8
     assert a.approx_violating_lhs >= 1  # proves violation without a join
+
+
+def test_ind_per_partition_verdicts(spark):
+    """Per-partition rollup must reconcile exactly with the global summary and
+    be invariant to physical repartitioning (north-rule exactness)."""
+    o = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    r = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = ind_check(o, ["c_custkey"], r, ["o_custkey"])
+    v = c.verdicts(num_partitions=16)
+    g = c.summary().collect()[0]
+    from pyspark.sql import functions as F
+
+    agg = v.agg(
+        F.sum("n_violating_clusters").alias("vc"),
+        F.sum("n_distinct_lhs").alias("nd"),
+    ).collect()[0]
+    assert agg.vc == g.n_violating_clusters
+    assert agg.nd == g.n_distinct_lhs
+    rows1 = sorted(tuple(x) for x in v.collect())
+    v2 = ind_check(o.repartition(7), ["c_custkey"], r, ["o_custkey"]).verdicts(16)
+    assert sorted(tuple(x) for x in v2.collect()) == rows1
