@@ -60,3 +60,22 @@ def test_cli_violations_exit_code(spark, tmp_path, capsys):
     spec_path.write_text(json.dumps(spec))
     rc = main(["--spec", str(spec_path)])
     assert rc == 3  # violations found
+
+
+def test_report_sink(spark, tmp_path):
+    from pyspark_validator.checks.ucc import ucc_check
+    from pyspark_validator.report import write_report
+
+    good = spark.createDataFrame([(i,) for i in range(20)], ["k"])
+    bad = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    results = {
+        "ucc_good": ucc_check(good, ["k"], num_partitions=4).verdicts(),
+        "ucc_bad": ucc_check(bad, ["k"], num_partitions=4).verdicts(),
+    }
+    summary = write_report(results, str(tmp_path / "report"))
+    assert not summary["holds"]
+    assert summary["checks"]["ucc_good"]["holds"]
+    assert not summary["checks"]["ucc_bad"]["holds"]
+    assert (tmp_path / "report.json").exists()
+    md = (tmp_path / "report.md").read_text()
+    assert "VIOLATED" in md and "ucc_good" in md
