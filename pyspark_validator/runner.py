@@ -65,6 +65,28 @@ class ValidationSuite:
                 num_partitions=self.num_partitions,
             )
             return c.verdicts()
+        if spec.kind == "ind":
+            from pyspark_validator.checks.ind import ind_check
+
+            rhs_df = spec.params.get("rhs_df")
+            if rhs_df is None:
+                rhs_df = self.spark.read.parquet(spec.params["rhs_table"])
+            return ind_check(
+                df, spec.params["lhs"], rhs_df, spec.params["rhs"]
+            ).verdicts(num_partitions=self.num_partitions)
+        if spec.kind == "nd":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.nd import nd_check
+
+            # single-row verdict framed as partition 0 for the manifest
+            return nd_check(
+                df,
+                spec.params["lhs"],
+                spec.params["rhs"],
+                weight=spec.params["weight"],
+                num_partitions=self.num_partitions,
+            ).withColumn("partition_id", F.lit(0))
         if spec.kind == "custom":
             assert spec.fn is not None
             return spec.fn(df)

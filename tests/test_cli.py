@@ -79,3 +79,36 @@ def test_report_sink(spark, tmp_path):
     assert (tmp_path / "report.json").exists()
     md = (tmp_path / "report.md").read_text()
     assert "VIOLATED" in md and "ucc_good" in md
+
+
+def test_cli_ind_and_nd_kinds(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(f"d{i}", i % 10, f"g{i % 5}") for i in range(50)], ["doc_id", "fk", "grp"]
+    )
+    dim = spark.createDataFrame([(i,) for i in range(10)], ["pk"])
+    src, dimp = tmp_path / "t.parquet", tmp_path / "dim.parquet"
+    docs.write.parquet(str(src))
+    dim.write.parquet(str(dimp))
+    spec = {
+        "table": str(src),
+        "num_partitions": 4,
+        "checks": [
+            {
+                "name": "fk_ind",
+                "kind": "ind",
+                "params": {"lhs": ["fk"], "rhs": ["pk"], "rhs_table": str(dimp)},
+            },
+            {
+                "name": "nd_grp",
+                "kind": "nd",
+                "params": {"lhs": ["grp"], "rhs": ["fk"], "weight": 2},
+            },
+        ],
+    }
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(spec))
+    rc = main(["--spec", str(p)])
+    out = {json.loads(l)["check"]: json.loads(l) for l in capsys.readouterr().out.strip().splitlines()}
+    assert out["fk_ind"]["holds"]  # fk in 0..9 subseteq pk 0..9
+    assert out["nd_grp"]["holds"]  # each grp g_k maps to fks {k, k+5}: ND(2) holds
+    assert rc == 0
