@@ -37,6 +37,8 @@ from pyspark_validator.checks.pac import domain_pac_check
 from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
+from pyspark_validator.io import read_reference_csv
+from pyspark_validator.report import write_report
 from pyspark_validator.session import get_spark
 
 __all__ = [
@@ -58,9 +60,11 @@ __all__ = [
     "nd_check",
     "partition_id_expr",
     "pfd_check",
+    "read_reference_csv",
     "sd_check",
     "span_key_expr",
     "ucc_check",
+    "write_report",
 ]
 
 __version__ = "0.1.0"
