@@ -194,7 +194,7 @@ def run_scaling(low: int = 2, high: int = 8) -> None:
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}
         env.setdefault("SPARK_DRIVER_MEMORY", "24g")
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), "2"],
+            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), "3"],
             capture_output=True,
             text=True,
             env=env,
