@@ -23,7 +23,6 @@ from functools import cached_property
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark_validator.canonical import NullMode
 
 
 @dataclass
