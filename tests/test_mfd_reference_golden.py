@@ -103,3 +103,39 @@ def test_mfd_metric_levenshtein(metric_df):
     assert not _holds(
         metric_df, ["b1"], ["m5"], "levenshtein", 10, dist_from_null_is_infinity=True
     )
+
+
+def test_mfd_highlight_diameters(metric_df):
+    """Cluster diameters pinned from the reference HighlightTestSuite
+    (test_metric_verifier.cpp:170-200): our highlight granularity is the
+    cluster (its diameter == the max of the reference's per-row distances)."""
+    from pyspark_validator.checks.mfd import mfd_check
+
+    # euclidean {0} -> {4} (Metric3): diameters 125 (Base1=1) and 20500 (Base1=2)
+    d1 = {
+        r["__x0"]: r.diameter
+        for r in mfd_check(metric_df, ["b1"], ["m3"], parameter=-1.0)
+        .highlights()
+        .collect()
+    }
+    assert d1 == {1: 125.0, 2: 20500.0}
+
+    # euclidean {0} -> {2} (Metric1): 4.572423 and 4.0331
+    d2 = {
+        r["__x0"]: round(r.diameter, 6)
+        for r in mfd_check(metric_df, ["b1"], ["m1"], parameter=-1.0)
+        .highlights()
+        .collect()
+    }
+    assert d2 == {1: 4.572423, 2: 4.0331}
+
+    # levenshtein {0} -> {5} (Metric4): both clusters diameter 2
+    d3 = {
+        r["__x0"]: r.diameter
+        for r in mfd_check(
+            metric_df, ["b1"], ["m4"], metric="levenshtein", parameter=-1.0
+        )
+        .highlights()
+        .collect()
+    }
+    assert d3 == {1: 2.0, 2: 2.0}
