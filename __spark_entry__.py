@@ -883,6 +883,28 @@ FROM norm GROUP BY t HAVING count(*) > 1
 """
 
 
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact keep-one policy: the surviving doc_ids (min id per
+    normalized content)."""
+    from pyspark_validator.pipelines.dedup import dedup_exact
+
+    d = _documents_planted(spark, sf_dir)
+    return dedup_exact(d, text_col="text", id_col="doc_id").select("doc_id")
+
+
+SQL_DEDUP_KEEP_ONE = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents_planted
+),
+r AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn FROM norm
+)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+
 def q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.pipelines.dedup import ngram_jaccard_pairs
 
@@ -1440,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "dedup_exact_planted": q_dedup_exact_planted,
+        "dedup_keep_one": q_dedup_keep_one,
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
         "minhash_lsh_planted": q_minhash_lsh_planted,
         "simhash_planted": q_simhash_planted,
@@ -1488,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
+        "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
         # minhash_lsh_planted / simhash_planted / embedding_cosine_dups:
         # intentionally no oracle (hashes/LSH planes are engine-internal) ->
