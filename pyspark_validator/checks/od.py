@@ -43,15 +43,30 @@ def _ofd_removals(df: DataFrame, context: list[str], right: str) -> DataFrame:
 
 
 def _oc_removals(
-    df: DataFrame, context: list[str], left: str, right: str, descending: bool
+    df: DataFrame,
+    context: list[str],
+    left: str,
+    right: str,
+    descending: bool,
+    group_cap: int = 5_000_000,
 ) -> DataFrame:
-    """Per-context-group removal count for OC via LNDS (applyInPandas)."""
+    """Per-context-group removal count for OC via LNDS (applyInPandas).
+
+    ``group_cap`` guards the per-group pandas materialization: a context group
+    larger than the cap would funnel its rows into ONE Arrow batch sequence on
+    one executor (LNDS is inherently sequential per group). Oversized groups
+    are excluded here and surfaced via the `oversized` marker column (-1
+    removals) so callers re-run them with a bespoke strategy instead of
+    silently OOMing."""
     sign = -1.0 if descending else 1.0
     proj = df.select(
         *context,
         (F.col(left).cast("double") * F.lit(sign)).alias("__l"),
         F.col(right).cast("double").alias("__r"),
     )
+    sizes = proj.groupBy(*context).agg(F.count(F.lit(1)).alias("__gsz"))
+    oversized = sizes.filter(F.col("__gsz") > group_cap)
+    proj = proj.join(oversized.select(*context), on=context, how="left_anti")
 
     def lnds(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf.sort_values(["__l", "__r"], kind="mergesort")
@@ -72,7 +87,13 @@ def _oc_removals(
         [f"`{c}` {dict(proj.dtypes)[c]}" for c in context]
         + ["group_size long", "removals long"]
     )
-    return proj.groupBy(*context).applyInPandas(lnds, schema=schema)
+    computed = proj.groupBy(*context).applyInPandas(lnds, schema=schema)
+    skipped = oversized.select(
+        *context,
+        F.col("__gsz").alias("group_size"),
+        F.lit(-1).cast("long").alias("removals"),  # oversized marker
+    )
+    return computed.unionByName(skipped)
 
 
 @dataclass
@@ -84,6 +105,7 @@ class AODCheck:
     oc: tuple[str, str] | None = None
     ordering: str = "ascending"  # left ordering for OC
     ofd_right: str | None = None
+    group_cap: int = 5_000_000  # max context-group size for the OC LNDS pass
 
     def __post_init__(self) -> None:
         if self.oc is None and self.ofd_right is None:
@@ -101,7 +123,12 @@ class AODCheck:
             left, right = self.oc
             parts.append(
                 _oc_removals(
-                    self.df, self.context, left, right, self.ordering == "descending"
+                    self.df,
+                    self.context,
+                    left,
+                    right,
+                    self.ordering == "descending",
+                    group_cap=self.group_cap,
                 ).withColumn("check", F.lit("oc"))
             )
         if self.ofd_right is not None:
@@ -127,15 +154,21 @@ class AODCheck:
                 F.sum((F.col("removals") > 0).cast("long")).alias(
                     "n_violating_groups"
                 ),
-                F.sum("removals").alias("n_removals"),
+                F.sum(
+                    F.when(F.col("removals") > 0, F.col("removals")).otherwise(0)
+                ).alias("n_removals"),
+                F.sum((F.col("removals") == -1).cast("long")).alias("n_oversized"),
             )
             .select(
                 "check",
-                (F.col("n_removals") == 0).alias("holds"),
+                ((F.col("n_removals") == 0) & (F.col("n_oversized") == 0)).alias(
+                    "holds"
+                ),
                 "n_rows",
                 "n_groups",
                 "n_violating_groups",
                 "n_removals",
+                "n_oversized",
                 (F.col("n_removals") / F.col("n_rows")).alias("error"),
             )
         )
@@ -147,8 +180,14 @@ def aod_check(
     oc: tuple[str, str] | None = None,
     ordering: str = "ascending",
     ofd_right: str | None = None,
+    group_cap: int = 5_000_000,
 ) -> AODCheck:
     """Validate a set-based AOD. See AODCheck."""
     return AODCheck(
-        df=df, context=list(context), oc=oc, ordering=ordering, ofd_right=ofd_right
+        df=df,
+        context=list(context),
+        oc=oc,
+        ordering=ordering,
+        ofd_right=ofd_right,
+        group_cap=group_cap,
     )

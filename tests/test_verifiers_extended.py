@@ -369,3 +369,17 @@ def test_sd_reference_golden_cases(spark):
     # deletions; the single-scan count is an upper bound
     s4 = _row(sd_check(df, "x", "y", g1=4.0, g2=4.0).summary())
     assert s4.ops >= 8 and not s4.holds
+
+
+def test_aod_oc_group_cap(spark):
+    """Context groups above group_cap are excluded from the LNDS pass and
+    surfaced as oversized (holds=False) instead of funneling into one task."""
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(100)] + [(2, 1, 2.0), (2, 2, 1.0)],
+        ["g", "l", "r"],
+    )
+    s = {r.check: r for r in aod_check(df, ["g"], oc=("l", "r"), group_cap=50).summary().collect()}
+    assert s["oc"].n_oversized == 1
+    assert not s["oc"].holds
+    # group 2 still evaluated: r decreasing -> 1 removal
+    assert s["oc"].n_removals == 1
