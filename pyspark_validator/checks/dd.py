@@ -35,6 +35,11 @@ class DDCheck:
     rhs: dict[str, Range]
     row_ref: str | None = None
     highlight_cap: int = 100
+    #: max rows per band bucket admitted to the pair join: a degenerate value
+    #: distribution (one dominant band value) would otherwise square. Oversized
+    #: buckets are excluded and surfaced via n_oversized_buckets; a summary with
+    #: oversized buckets cannot certify holds=True.
+    bucket_cap: int = 100_000
 
     def __post_init__(self) -> None:
         if not self.lhs or not self.rhs:
@@ -62,6 +67,11 @@ class DDCheck:
             # monotonically_increasing_id is only stable if the two join branches
             # see one materialization -- pin it.
             base = base.persist()
+        bucket_sizes = base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
+        self._oversized = bucket_sizes.filter(F.col("__bs") > self.bucket_cap)
+        base = base.join(
+            F.broadcast(self._oversized.select("__bucket")), on="__bucket", how="left_anti"
+        )
         # left side probes its own bucket and both neighbors
         probe = base.withColumn(
             "__probe", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
@@ -98,14 +108,19 @@ class DDCheck:
     def summary(self) -> DataFrame:
         """Single row: holds / n_lhs_pairs / n_violating_pairs / num_error_rhs
         (total RHS-range breaks, dd_verifier.h:24) / error (dd_verifier.h:27)."""
-        return self._judged.agg(
+        agg = self._judged.agg(
             F.count(F.lit(1)).alias("n_lhs_pairs"),
             F.coalesce(F.sum((~F.col("__ok")).cast("long")), F.lit(0)).alias(
                 "n_violating_pairs"
             ),
             F.coalesce(F.sum("__n_bad_rhs"), F.lit(0)).alias("num_error_rhs"),
-        ).select(
-            (F.coalesce(F.col("n_violating_pairs"), F.lit(0)) == 0).alias("holds"),
+        )
+        over = self._oversized.agg(F.count(F.lit(1)).alias("n_oversized_buckets"))
+        return agg.crossJoin(over).select(
+            (
+                (F.coalesce(F.col("n_violating_pairs"), F.lit(0)) == 0)
+                & (F.col("n_oversized_buckets") == 0)
+            ).alias("holds"),
             "n_lhs_pairs",
             "n_violating_pairs",
             "num_error_rhs",
@@ -115,6 +130,7 @@ class DDCheck:
             )
             .otherwise(F.lit(0.0))
             .alias("error"),
+            "n_oversized_buckets",
         )
 
     def highlights(self) -> DataFrame:
