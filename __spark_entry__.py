@@ -153,11 +153,11 @@ WITH g AS (
 )
 SELECT
   sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS holds,
-  sum(cnt) AS n_rows,
+  CAST(sum(cnt) AS BIGINT) AS n_rows,
   count(*) AS n_distinct,
-  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_violating_clusters,
-  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_violating_rows,
-  sum(cnt * (cnt - 1)) AS violating_pairs,
+  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
+  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_violating_rows,
+  CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS violating_pairs,
   round(sum(cnt * (cnt - 1)) * 1.0 / (sum(cnt) * (sum(cnt) - 1)), 9) AS aucc_error
 FROM g
 """
@@ -200,11 +200,11 @@ WITH {DOCS_SPANS_SQL.strip()},
 g AS (SELECT count(*) AS cnt FROM docs_spans GROUP BY doc_id)
 SELECT
   sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS holds,
-  sum(cnt) AS n_rows,
+  CAST(sum(cnt) AS BIGINT) AS n_rows,
   count(*) AS n_distinct,
-  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_violating_clusters,
-  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_violating_rows,
-  sum(cnt * (cnt - 1)) AS violating_pairs,
+  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
+  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_violating_rows,
+  CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS violating_pairs,
   round(sum(cnt * (cnt - 1)) * 1.0 / (sum(cnt) * (sum(cnt) - 1)), 9) AS aucc_error
 FROM g
 """
@@ -239,12 +239,12 @@ x AS (
 )
 SELECT
   sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) = 0 AS holds,
-  sum(cx) AS n_rows,
+  CAST(sum(cx) AS BIGINT) AS n_rows,
   count(*) AS n_distinct_x,
-  sum(ndy) AS n_distinct_xy,
-  sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS n_error_clusters,
-  sum(CASE WHEN ndy > 1 THEN cx ELSE 0 END) AS n_error_rows,
-  sum(cx * (cx - 1) - ypairs) AS conflict_pairs,
+  CAST(sum(ndy) AS BIGINT) AS n_distinct_xy,
+  CAST(sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_error_clusters,
+  CAST(sum(CASE WHEN ndy > 1 THEN cx ELSE 0 END) AS BIGINT) AS n_error_rows,
+  CAST(sum(cx * (cx - 1) - ypairs) AS BIGINT) AS conflict_pairs,
   round(sum(cx * (cx - 1) - ypairs) * 1.0 / (sum(cx) * sum(cx) - sum(cx)), 9) AS g1_error
 FROM x
 """
@@ -263,8 +263,9 @@ WITH xy AS (SELECT n_nationkey, n_regionkey, count(*) AS ycnt FROM nation GROUP 
 x AS (SELECT n_nationkey, sum(ycnt) AS cx, count(*) AS ndy FROM xy GROUP BY 1)
 SELECT
   sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) = 0 AS holds,
-  sum(cx) AS n_rows, count(*) AS n_distinct_x, sum(ndy) AS n_distinct_xy,
-  sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS n_error_clusters
+  CAST(sum(cx) AS BIGINT) AS n_rows, count(*) AS n_distinct_x,
+  CAST(sum(ndy) AS BIGINT) AS n_distinct_xy,
+  CAST(sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_error_clusters
 FROM x
 """
 
@@ -289,8 +290,8 @@ WITH xy AS (
   SELECT o_custkey, o_orderpriority, count(*) AS ycnt FROM orders GROUP BY 1, 2
 ),
 x AS (
-  SELECT o_custkey, sum(ycnt) AS cluster_size, count(*) AS num_distinct_rhs,
-         max(ycnt) AS maxy
+  SELECT o_custkey, CAST(sum(ycnt) AS BIGINT) AS cluster_size,
+         count(*) AS num_distinct_rhs, max(ycnt) AS maxy
   FROM xy GROUP BY 1
 )
 SELECT o_custkey, cluster_size, num_distinct_rhs,
@@ -347,7 +348,8 @@ SELECT
   round(CASE WHEN ky < 2 THEN 0
         ELSE ((ln(n) - sum_cy_ln / n) - (-(sum_cxy_ln - sum_cx_ln) / n))
              / (ln(n) - sum_cy_ln / n) END, 9) AS fi,
-  n AS n_rows, kx AS n_distinct_x, kxy AS n_distinct_xy
+  CAST(n AS BIGINT) AS n_rows, kx AS n_distinct_x,
+  CAST(kxy AS BIGINT) AS n_distinct_xy
 FROM agg, yl
 """
 
@@ -371,8 +373,8 @@ WITH xy AS (SELECT l_partkey AS x, l_suppkey AS y, count(*) AS cxy FROM lineitem
 x AS (SELECT x, sum(cxy) AS cx, max(cxy) AS maxy FROM xy GROUP BY 1)
 SELECT
   round(1 - sum(maxy) * 1.0 / sum(cx), 9) AS error_per_tuple,
-  sum(CASE WHEN cx > 1 AND maxy != cx THEN 1 ELSE 0 END) AS n_violating_clusters,
-  sum(cx - maxy) AS n_violating_rows,
+  CAST(sum(CASE WHEN cx > 1 AND maxy != cx THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
+  CAST(sum(cx - maxy) AS BIGINT) AS n_violating_rows,
   round(1 - sum(maxy * 1.0 / cx) / count(*), 9) AS error_per_value
 FROM x
 """
@@ -400,10 +402,10 @@ m AS (SELECT * FROM l WHERE k NOT IN (SELECT c_custkey FROM customer))
 SELECT
   (SELECT count(*) FROM m) = 0 AS holds,
   (SELECT count(*) FROM m) AS n_violating_clusters,
-  (SELECT coalesce(sum(occ), 0) FROM m) AS n_violating_rows,
+  CAST((SELECT coalesce(sum(occ), 0) FROM m) AS BIGINT) AS n_violating_rows,
   round((SELECT count(*) FROM m) * 1.0 / (SELECT count(*) FROM l), 9) AS error,
   (SELECT count(*) FROM l) AS n_distinct_lhs,
-  (SELECT sum(occ) FROM l) AS n_rows_lhs
+  CAST((SELECT sum(occ) FROM l) AS BIGINT) AS n_rows_lhs
 """
 
 
@@ -456,8 +458,8 @@ WITH x AS (
   FROM orders GROUP BY 1
 )
 SELECT max(ndy) <= 3 AS holds, max(ndy) AS real_weight,
-       sum(CASE WHEN ndy > 3 THEN 1 ELSE 0 END) AS n_violating_clusters,
-       sum(CASE WHEN ndy > 3 THEN cx ELSE 0 END) AS n_violating_rows
+       CAST(sum(CASE WHEN ndy > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
+       CAST(sum(CASE WHEN ndy > 3 THEN cx ELSE 0 END) AS BIGINT) AS n_violating_rows
 FROM x
 """
 
@@ -500,7 +502,7 @@ WITH cols AS (
 SELECT
   "column",
   count(x) AS count,
-  sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   count(DISTINCT x) AS n_distinct,
   round(min(x), 6) AS min,
   round(max(x), 6) AS max,
@@ -515,8 +517,8 @@ SELECT
   round(quantile_cont(x, 0.25), 6) AS q25,
   round(quantile_cont(x, 0.5), 6) AS median,
   round(quantile_cont(x, 0.75), 6) AS q75,
-  sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS n_zeros,
-  sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS n_negatives
+  CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+  CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negatives
 FROM cols GROUP BY "column"
 """
 
@@ -532,8 +534,8 @@ def q_stats_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nulls",
         "n_empties",
         "n_distinct",
-        "min_len",
-        "max_len",
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"),
         _r(F.col("avg_len")).alias("avg_len"),
         "total_words",
         "min_value",
@@ -552,20 +554,20 @@ WITH cols AS (
 SELECT
   "column",
   count(s) AS count,
-  sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-  sum(CASE WHEN s = '' THEN 1 ELSE 0 END) AS n_empties,
+  CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(sum(CASE WHEN s = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empties,
   count(DISTINCT s) AS n_distinct,
-  min(length(s)) AS min_len,
-  max(length(s)) AS max_len,
+  CAST(min(length(s)) AS BIGINT) AS min_len,
+  CAST(max(length(s)) AS BIGINT) AS max_len,
   round(avg(length(s)), 6) AS avg_len,
-  sum(CASE WHEN s IS NULL THEN NULL
+  CAST(sum(CASE WHEN s IS NULL THEN NULL
        WHEN length(trim(s)) = 0 THEN 0
-       ELSE array_length(regexp_split_to_array(trim(s), '\\s+')) END) AS total_words,
+       ELSE array_length(regexp_split_to_array(trim(s), '\\s+')) END) AS BIGINT) AS total_words,
   min(s) AS min_value,
   max(s) AS max_value,
-  sum(CASE WHEN s != lower(s) THEN 1 ELSE 0 END) AS n_with_uppercase,
-  sum(CASE WHEN regexp_matches(s, '^\\s|\\s$') THEN 1 ELSE 0 END) AS n_untrimmed,
-  sum(CASE WHEN regexp_matches(s, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END) AS n_non_ascii
+  CAST(sum(CASE WHEN s != lower(s) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_uppercase,
+  CAST(sum(CASE WHEN regexp_matches(s, '^\\s|\\s$') THEN 1 ELSE 0 END) AS BIGINT) AS n_untrimmed,
+  CAST(sum(CASE WHEN regexp_matches(s, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ascii
 FROM cols GROUP BY "column"
 """
 
@@ -649,7 +651,8 @@ SELECT
         pow(cnt_b - (cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_b, 2) / ((cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_b)
       + pow(cnt_c - (cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_c, 2) / ((cnt_b + cnt_c) * 1.0 / (n_b + n_c) * n_c)
       ELSE 0 END), 9) AS chi2,
-  any_value(n_b) AS n_b, any_value(n_c) AS n_c, any_value(k) AS n_buckets,
+  CAST(any_value(n_b) AS BIGINT) AS n_b, CAST(any_value(n_c) AS BIGINT) AS n_c,
+  any_value(k) AS n_buckets,
   sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
       * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) > 0.2 AS drift_detected
 FROM counts, tot
@@ -693,7 +696,7 @@ cum AS (
 )
 SELECT round(psi_v, 9) AS psi,
        round((SELECT max(term) FROM cum), 9) AS ks_stat,
-       n_b, n_c,
+       CAST(n_b AS BIGINT) AS n_b, CAST(n_c AS BIGINT) AS n_c,
        (psi_v > 0.2 OR (SELECT max(term) FROM cum) > 0.1) AS drift_detected
 FROM psi
 """
@@ -746,7 +749,8 @@ cum AS (
   FROM j
 ),
 ks AS (SELECT event_type, max(term) AS ks_v FROM cum GROUP BY 1)
-SELECT psi.event_type AS event_type, round(psi_v, 9) AS psi, round(ks_v, 9) AS ks_stat, n_b, n_c
+SELECT psi.event_type AS event_type, round(psi_v, 9) AS psi, round(ks_v, 9) AS ks_stat,
+       CAST(n_b AS BIGINT) AS n_b, CAST(n_c AS BIGINT) AS n_c
 FROM psi JOIN ks ON psi.event_type = ks.event_type
 """
 
@@ -1058,7 +1062,8 @@ tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts)
 SELECT
   round(sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
         * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))), 9) AS psi,
-  any_value(n_b) AS n_b, any_value(n_c) AS n_c, any_value(k) AS n_buckets,
+  CAST(any_value(n_b) AS BIGINT) AS n_b, CAST(any_value(n_c) AS BIGINT) AS n_c,
+  any_value(k) AS n_buckets,
   sum(((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
       * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k)))) > 0.2 AS drift_detected
 FROM counts, tot
@@ -1116,7 +1121,7 @@ SELECT avg(CASE WHEN dist <= 20 THEN 1.0 ELSE 0.0 END) >= 0.9 AS holds,
        CAST(20.0 AS DOUBLE) AS epsilon, CAST(0.9 AS DOUBLE) AS delta,
        round(avg(CASE WHEN dist <= 20 THEN 1.0 ELSE 0.0 END), 9) AS actual_delta,
        count(*) AS n,
-       sum(CASE WHEN dist > 20 THEN 1 ELSE 0 END) AS n_violating_rows
+       CAST(sum(CASE WHEN dist > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_rows
 FROM d
 """
 
@@ -1146,8 +1151,8 @@ WITH g AS (
 )
 SELECT sum(CASE WHEN d > 40 THEN 1 ELSE 0 END) = 0 AS holds,
        count(*) AS n_clusters,
-       sum(CASE WHEN d > 40 THEN 1 ELSE 0 END) AS n_violating_clusters,
-       sum(CASE WHEN d > 40 THEN c ELSE 0 END) AS n_violating_rows,
+       CAST(sum(CASE WHEN d > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
+       CAST(sum(CASE WHEN d > 40 THEN c ELSE 0 END) AS BIGINT) AS n_violating_rows,
        round(max(d), 6) AS max_diameter
 FROM g
 """
@@ -1177,7 +1182,7 @@ allg AS (
 )
 SELECT sum(CASE WHEN diameter > 5 THEN 1 ELSE 0 END) = 0 AS holds,
        count(*) AS n_clusters,
-       sum(CASE WHEN diameter > 5 THEN 1 ELSE 0 END) AS n_violating_clusters,
+       CAST(sum(CASE WHEN diameter > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
        round(max(diameter) * 1.0, 6) AS max_diameter
 FROM allg
 """
@@ -1207,11 +1212,11 @@ WITH d AS (
 ),
 v AS (
   SELECT count(delta) AS n_gaps,
-         sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS n_deletions,
-         sum(CASE WHEN delta > 600000 THEN 1 ELSE 0 END) AS n_insertion_gaps,
-         sum(CASE WHEN delta < 0 THEN 1
+         CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletions,
+         CAST(sum(CASE WHEN delta > 600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_insertion_gaps,
+         CAST(sum(CASE WHEN delta < 0 THEN 1
                   WHEN delta > 600000 THEN greatest(CAST(ceil(delta / 600000.0) AS BIGINT) - 1, 1)
-                  ELSE 0 END) AS ops
+                  ELSE 0 END) AS BIGINT) AS ops
   FROM d WHERE delta IS NOT NULL
 ),
 n AS (SELECT count(*) AS n_rows FROM events)
@@ -1240,9 +1245,10 @@ def q_aod_ofd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AOD_OFD_ORDERS = """
 WITH vc AS (SELECT o_custkey, o_orderpriority, count(*) AS c FROM orders GROUP BY 1, 2),
 g AS (SELECT o_custkey, sum(c) AS sz, sum(c) - max(c) AS rem FROM vc GROUP BY 1)
-SELECT 'ofd' AS check, sum(rem) = 0 AS holds, sum(sz) AS n_rows, count(*) AS n_groups,
-       sum(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS n_violating_groups,
-       sum(rem) AS n_removals,
+SELECT 'ofd' AS check, sum(rem) = 0 AS holds, CAST(sum(sz) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(rem) AS BIGINT) AS n_removals,
        round(sum(rem) * 1.0 / sum(sz), 9) AS error
 FROM g
 """
@@ -1294,10 +1300,10 @@ tot AS (
   FROM x
 )
 SELECT (support >= 100 AND (CASE WHEN support > 0 THEN 1 - viol_rows * 1.0 / support ELSE 0 END) >= 0.5) AS holds,
-       support,
+       CAST(support AS BIGINT) AS support,
        round(CASE WHEN support > 0 THEN 1 - viol_rows * 1.0 / support ELSE 0 END, 9) AS confidence,
-       viol_rows AS n_violating_rows,
-       viol_clusters AS n_violating_clusters
+       CAST(viol_rows AS BIGINT) AS n_violating_rows,
+       CAST(viol_clusters AS BIGINT) AS n_violating_clusters
 FROM tot
 """
 
@@ -1339,7 +1345,8 @@ SELECT (n_satisfying * 1.0 / n_transactions >= 0.3
         AND CASE WHEN n_full_left > 0 THEN n_satisfying * 1.0 / n_full_left ELSE 0 END >= 0.5) AS holds,
        round(n_satisfying * 1.0 / n_transactions, 9) AS support,
        round(CASE WHEN n_full_left > 0 THEN n_satisfying * 1.0 / n_full_left ELSE 0 END, 9) AS confidence,
-       n_transactions, n_satisfying, n_violating
+       n_transactions, CAST(n_satisfying AS BIGINT) AS n_satisfying,
+       CAST(n_violating AS BIGINT) AS n_violating
 FROM agg
 """
 
@@ -1369,8 +1376,8 @@ WITH pairs AS (
 )
 SELECT sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) = 0 AS holds,
        count(*) AS n_lhs_pairs,
-       sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) AS n_violating_pairs,
-       sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) AS num_error_rhs,
+       CAST(sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_pairs,
+       CAST(sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) AS BIGINT) AS num_error_rhs,
        round(sum(CASE WHEN ds > 10 THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS error
 FROM pairs
 """
@@ -1430,7 +1437,7 @@ m AS (SELECT * FROM l WHERE k NOT IN (SELECT c_custkey FROM customer))
 SELECT (SELECT count(*) FROM m) = 0 AS holds,
        (SELECT count(*) FROM m) AS n_violating_clusters,
        (SELECT count(*) FROM l) AS n_distinct_lhs,
-       (SELECT sum(occ) FROM l) AS support,
+       CAST((SELECT sum(occ) FROM l) AS BIGINT) AS support,
        (SELECT count(*) FROM orders) AS total_lhs_rows
 """
 
