@@ -12,12 +12,19 @@ real deployment):
     1. aggregate the delta batch to per-key +/- counts (one small shuffle),
     2. touched logical partitions = distinct partition_id in the delta (tiny),
     3. MERGE: full-outer sum of delta vs ONLY the touched state partitions;
-       untouched state files are carried over verbatim -- the 10^12-row state is
-       never rewritten for a 10^6-row delta,
+       untouched state files are carried over BY REFERENCE -- the 10^12-row
+       state is never re-read or rewritten for a 10^6-row delta,
     4. verdicts are re-derived for touched partitions only.
 
-Partition pruning note: state is written partitionBy(partition_id), so step 3's
-read of touched partitions is a parquet partition-pruned scan, not a full scan.
+Versioning is a per-partition file manifest (the local-fs stand-in for an
+Iceberg snapshot): ``manifest_v{n}.json`` maps partition_id -> the version
+directory holding its current files. apply_delta writes ONLY the touched
+``partition_id=`` directories into ``v{n+1}/`` and the new manifest points
+untouched partitions at their existing files, so the write cost of a delta is
+O(touched partitions), not O(state). Reads resolve the manifest to an explicit
+file list (file-level pruning: ``read(partition_ids=...)`` lists only those
+partitions' directories -- stronger than parquet partition pruning, nothing
+else is even enumerated).
 """
 
 from __future__ import annotations
@@ -33,7 +40,19 @@ from pyspark_validator.canonical import partition_id_expr
 
 
 class _IncrementalState:
-    """Versioned, hash-partitioned count-state table on disk."""
+    """Versioned, hash-partitioned count-state table on disk.
+
+    Layout (the local-fs stand-in for an Iceberg table + snapshot manifests):
+      _meta.json          current version + the state schema (for empty reads)
+      manifest_v{n}.json  {partition_id: "v{k}/partition_id={pid}"} -- version n
+                          references each partition's CURRENT directory, which
+                          may live in any older version dir (carried by ref)
+      v{k}/partition_id={pid}/part-*.parquet
+
+    Data files additionally store the partition id as a ``pid`` data column so a
+    manifest-resolved multi-path read keeps the column without relying on
+    partition-value inference across version directories.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -43,32 +62,94 @@ class _IncrementalState:
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_meta.json")
 
-    def current_version(self) -> int:
+    def _meta(self) -> dict:
         try:
             with open(self._meta_path()) as f:
-                return json.load(f)["version"]
+                return json.load(f)
         except FileNotFoundError:
-            return -1
+            return {"version": -1}
 
-    def _bump(self, version: int) -> None:
+    def current_version(self) -> int:
+        return self._meta()["version"]
+
+    def _save_meta(self, version: int, schema_json: str) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(self._meta_path(), "w") as f:
-            json.dump({"version": version, "updated_at": time.time()}, f)
+            json.dump(
+                {"version": version, "schema": schema_json, "updated_at": time.time()},
+                f,
+            )
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"manifest_v{version}.json")
+
+    def manifest(self, version: int | None = None) -> dict[str, str]:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise ValueError(f"no state at {self.path}; call initialize() first")
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
 
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v < 0:
-            raise ValueError(f"no state at {self.path}; call initialize() first")
-        return self.spark.read.parquet(self._vdir(v))
+    def _write_version(self, df: DataFrame, version: int) -> dict[str, str]:
+        """Write df's rows partitioned by partition_id under v{version}/ and
+        return {pid: relative dir} for the directories actually written."""
+        out = self._vdir(version)
+        (
+            df.withColumn("pid", F.col("partition_id"))
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(out)
+        )
+        written: dict[str, str] = {}
+        for name in os.listdir(out):
+            if name.startswith("partition_id="):
+                written[name.split("=", 1)[1]] = f"v{version}/{name}"
+        return written
 
-    def write(self, df: DataFrame) -> int:
+    def write_full(self, df: DataFrame) -> int:
+        """Full (re)initialization: write every partition into a new version."""
         v = self.current_version() + 1
-        df.write.mode("overwrite").partitionBy("partition_id").parquet(self._vdir(v))
-        self._bump(v)
+        written = self._write_version(df, v)
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(written, f)
+        self._save_meta(v, df.schema.json())
         return v
+
+    def write_delta(self, merged: DataFrame, touched: list[int]) -> int:
+        """Write ONLY the touched partitions' new contents; every untouched
+        partition keeps its existing files, referenced by the new manifest."""
+        v = self.current_version() + 1
+        prev = self.manifest()
+        written = self._write_version(merged, v)
+        new_manifest = {
+            pid: rel for pid, rel in prev.items() if int(pid) not in set(touched)
+        }
+        new_manifest.update(written)  # touched partitions that emptied out drop
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(new_manifest, f)
+        self._save_meta(v, self._meta()["schema"])
+        return v
+
+    def read(self, partition_ids: list[int] | None = None) -> DataFrame:
+        """Manifest-resolved read. With partition_ids, only those partitions'
+        directories are listed at all (file-level pruning)."""
+        man = self.manifest()
+        if partition_ids is not None:
+            want = {str(p) for p in partition_ids}
+            man = {pid: rel for pid, rel in man.items() if pid in want}
+        paths = [os.path.join(self.path, rel) for rel in man.values()]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(self._meta()["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.parquet(*paths)
+            .withColumnRenamed("pid", "partition_id")
+        )
 
 
 class IncrementalUCC:
@@ -100,7 +181,7 @@ class IncrementalUCC:
             .groupBy("partition_id", *self.columns)
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        return self.state.write(counts)
+        return self.state.write_full(counts)
 
     def apply_delta(
         self, inserts: DataFrame | None = None, deletes: DataFrame | None = None
@@ -126,10 +207,10 @@ class IncrementalUCC:
             r.partition_id
             for r in dcounts.select("partition_id").distinct().collect()
         ]
-        state = self.state.read()
-        untouched = state.filter(~F.col("partition_id").isin(touched))
-        # partition-pruned read of the touched slice + full-outer merge
-        hot = state.filter(F.col("partition_id").isin(touched))
+        # file-level-pruned read of ONLY the touched slice + full-outer merge;
+        # untouched partitions are never read -- write_delta carries their
+        # files by reference in the new manifest.
+        hot = self.state.read(partition_ids=touched)
         on = ["partition_id", *self.columns]
         merged = (
             hot.join(dcounts, on=on, how="full_outer")
@@ -142,15 +223,13 @@ class IncrementalUCC:
             )
             .filter(F.col("cnt") > 0)
         )
-        self.state.write(untouched.unionByName(merged))
+        self.state.write_delta(merged, touched)
         return self.verdicts(partition_ids=touched)
 
     def verdicts(self, partition_ids: list[int] | None = None) -> DataFrame:
         """Per-partition UCC verdicts derived purely from state (same fields as
         UCCCheck.verdicts)."""
-        s = self.state.read()
-        if partition_ids is not None:
-            s = s.filter(F.col("partition_id").isin(partition_ids))
+        s = self.state.read(partition_ids=partition_ids)
         cnt = F.col("cnt")
         viol = cnt > 1
         return (
@@ -212,7 +291,7 @@ class IncrementalFD:
             .groupBy("partition_id", *self._cols)
             .agg(F.count(F.lit(1)).alias("ycnt"))
         )
-        return self.state.write(counts)
+        return self.state.write_full(counts)
 
     def apply_delta(
         self, inserts: DataFrame | None = None, deletes: DataFrame | None = None
@@ -234,9 +313,7 @@ class IncrementalFD:
             r.partition_id
             for r in dcounts.select("partition_id").distinct().collect()
         ]
-        state = self.state.read()
-        untouched = state.filter(~F.col("partition_id").isin(touched))
-        hot = state.filter(F.col("partition_id").isin(touched))
+        hot = self.state.read(partition_ids=touched)
         on = ["partition_id", *self._cols]
         merged = (
             hot.join(dcounts, on=on, how="full_outer")
@@ -249,7 +326,7 @@ class IncrementalFD:
             )
             .filter(F.col("ycnt") > 0)
         )
-        self.state.write(untouched.unionByName(merged))
+        self.state.write_delta(merged, touched)
         return self.verdicts(partition_ids=touched)
 
     def afd_measures(self) -> DataFrame:
@@ -329,9 +406,7 @@ class IncrementalFD:
 
     def verdicts(self, partition_ids: list[int] | None = None) -> DataFrame:
         """Per-partition FD verdicts from state (same fields as FDCheck.verdicts)."""
-        s = self.state.read()
-        if partition_ids is not None:
-            s = s.filter(F.col("partition_id").isin(partition_ids))
+        s = self.state.read(partition_ids=partition_ids)
         ycnt = F.col("ycnt")
         x_level = s.groupBy("partition_id", *self.lhs).agg(
             F.sum(ycnt).alias("cx"),

@@ -134,3 +134,69 @@ def test_incremental_fd_afd_measures_track_static(spark, tmp_path):
         exp.n_distinct_x,
         exp.n_distinct_xy,
     )
+
+
+def test_incremental_delta_rewrites_only_touched_partitions(spark, tmp_path):
+    """The scale claim of the incremental engine: a delta must write ONLY the
+    touched partition_id= directories; every untouched partition's files are
+    carried into the new manifest by reference and stay byte-identical."""
+    import json
+    import os
+
+    base = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    inc = IncrementalUCC(spark, str(tmp_path / "nrw"), ["k"], num_partitions=8)
+    inc.initialize(base)
+    st = inc.state
+    man0 = st.manifest()
+    assert len(man0) == 8 and all(rel.startswith("v0/") for rel in man0.values())
+    snapshot = {}
+    for pid, rel in man0.items():
+        d = os.path.join(st.path, rel)
+        snapshot[pid] = {
+            f: (os.path.getmtime(p), os.path.getsize(p), open(p, "rb").read())
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+            for p in [os.path.join(d, f)]
+        }
+
+    touched_df = inc.apply_delta(inserts=spark.createDataFrame([(7,)], ["k"]))
+    touched = {str(r.partition_id) for r in touched_df.collect()}
+    assert len(touched) == 1
+
+    man1 = st.manifest()
+    # v1 holds only the touched partition; untouched entries are unchanged refs
+    v1 = os.path.join(st.path, "v1")
+    v1_parts = sorted(n for n in os.listdir(v1) if n.startswith("partition_id="))
+    assert v1_parts == [f"partition_id={p}" for p in sorted(touched)]
+    for pid, rel in man1.items():
+        if pid in touched:
+            assert rel.startswith("v1/")
+        else:
+            assert rel == man0[pid]
+            d = os.path.join(st.path, rel)
+            now = {
+                f: (os.path.getmtime(p), os.path.getsize(p), open(p, "rb").read())
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+                for p in [os.path.join(d, f)]
+            }
+            assert now == snapshot[pid]
+
+    # verdicts across versions still match a full recompute
+    post = base.unionByName(spark.createDataFrame([(7,)], ["k"]))
+    full = ucc_check(post, ["k"], num_partitions=8).verdicts()
+    assert _sorted_rows(inc.verdicts(), VERDICT_COLS) == _sorted_rows(
+        full, VERDICT_COLS
+    )
+
+
+def test_incremental_delete_all_rows_of_partition(spark, tmp_path):
+    """A touched partition whose rows all delete out drops from the manifest
+    and from verdicts (empty-partition edge of the manifest merge)."""
+    base = spark.createDataFrame([(1,), (2,)], ["k"])
+    inc = IncrementalUCC(spark, str(tmp_path / "empt"), ["k"], num_partitions=4)
+    inc.initialize(base)
+    n0 = inc.verdicts().count()
+    inc.apply_delta(deletes=spark.createDataFrame([(1,)], ["k"]))
+    assert inc.verdicts().count() == n0 - 1
+    assert inc.verdicts().agg(F.sum("n_rows").alias("s")).collect()[0].s == 1
