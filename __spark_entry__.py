@@ -1452,6 +1452,92 @@ FROM orders s JOIN orders t
 """
 
 
+def q_md_nation_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD over nation: levenshtein(n_name, n_name) >= 0.4 -> equality
+    (n_regionkey) >= 1.0 (md_verifier.h:19-46 getter surface; ordered pairs
+    incl. reflexive)."""
+    from pyspark_validator.checks.md import ColumnMatch, md_check
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = md_check(
+        n,
+        [ColumnMatch("levenshtein", "n_name", "n_name", 0.4)],
+        ColumnMatch("equality", "n_regionkey", "n_regionkey", 1.0),
+        left_id="n_nationkey",
+    ).summary()
+    return s.select(
+        "holds",
+        "n_matching_pairs",
+        "n_violating_pairs",
+        _r(F.col("true_rhs_boundary"), 9).alias("true_rhs_boundary"),
+        _r(F.col("input_rhs_boundary"), 9).alias("input_rhs_boundary"),
+    )
+
+
+SQL_MD_NATION_NAME = """
+WITH pairs AS (
+  SELECT greatest(length(a.n_name), length(b.n_name)) AS ml,
+         levenshtein(a.n_name, b.n_name) AS d,
+         CASE WHEN a.n_regionkey = b.n_regionkey THEN 1.0 ELSE 0.0 END AS rhs_sim
+  FROM nation a, nation b
+),
+m AS (
+  SELECT rhs_sim FROM pairs
+  WHERE CASE WHEN ml = 0 THEN 1.0 ELSE (ml - d) * 1.0 / ml END >= 0.4
+)
+SELECT coalesce(sum(CASE WHEN rhs_sim < 1.0 THEN 1 ELSE 0 END), 0) = 0 AS holds,
+       CAST(count(*) AS BIGINT) AS n_matching_pairs,
+       CAST(coalesce(sum(CASE WHEN rhs_sim < 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violating_pairs,
+       round(least(1.0, coalesce(min(rhs_sim), 1.0)), 9) AS true_rhs_boundary,
+       round(1.0, 9) AS input_rhs_boundary
+FROM m
+"""
+
+
+def q_md_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table MD: equality(o_custkey, c_custkey) >= 1 -> number_difference
+    (o_totalprice, c_acctbal) >= 0.2; number similarity normalized per left
+    value by its max distance to any right value (lv_normalized.h CalcFor:
+    maxd_l = max(l - min_r, max_r - l))."""
+    from pyspark_validator.checks.md import ColumnMatch, md_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = md_check(
+        o,
+        [ColumnMatch("equality", "o_custkey", "c_custkey", 1.0)],
+        ColumnMatch("number_difference", "o_totalprice", "c_acctbal", 0.2),
+        right=c,
+        left_id="o_orderkey",
+        right_id="c_custkey",
+    ).summary()
+    return s.select(
+        "holds",
+        "n_matching_pairs",
+        "n_violating_pairs",
+        _r(F.col("true_rhs_boundary"), 9).alias("true_rhs_boundary"),
+    )
+
+
+SQL_MD_ORDERS_CUSTOMER = """
+WITH r AS (SELECT min(c_acctbal) AS rmn, max(c_acctbal) AS rmx FROM customer),
+m AS (
+  SELECT CASE WHEN greatest(o_totalprice - rmn, rmx - o_totalprice) <= 0 THEN 1.0
+         ELSE (greatest(o_totalprice - rmn, rmx - o_totalprice)
+               - abs(o_totalprice - c_acctbal))
+              / greatest(o_totalprice - rmn, rmx - o_totalprice) END AS rhs_sim
+  FROM orders JOIN customer ON o_custkey = c_custkey, r
+)
+SELECT coalesce(sum(CASE WHEN rhs_sim < 0.2 THEN 1 ELSE 0 END), 0) = 0 AS holds,
+       CAST(count(*) AS BIGINT) AS n_matching_pairs,
+       CAST(coalesce(sum(CASE WHEN rhs_sim < 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violating_pairs,
+       round(least(0.2, coalesce(min(rhs_sim), 0.2)), 9) AS true_rhs_boundary
+FROM m
+"""
+
+
 def q_cind_orders_customer_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.checks.cind import cind_check
 
@@ -1526,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_part_price_size": q_dd_part_price_size,
         "dc_orders_price_inversion": q_dc_orders_price_inversion,
         "cind_orders_customer_open": q_cind_orders_customer_open,
+        "md_nation_name": q_md_nation_name,
+        "md_orders_customer": q_md_orders_customer,
     }
 
 
@@ -1581,6 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "dd_part_price_size": SQL_DD_PART_PRICE_SIZE,
         "dc_orders_price_inversion": SQL_DC_ORDERS_PRICE_INVERSION,
         "cind_orders_customer_open": SQL_CIND_ORDERS_CUSTOMER_OPEN,
+        "md_nation_name": SQL_MD_NATION_NAME,
+        "md_orders_customer": SQL_MD_ORDERS_CUSTOMER,
     }
 
 

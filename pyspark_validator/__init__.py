@@ -30,6 +30,7 @@ from pyspark_validator.checks.dc import dc_check
 from pyspark_validator.checks.dd import dd_check
 from pyspark_validator.checks.fd import afd_measures, fd_check, pfd_check
 from pyspark_validator.checks.ind import ind_check
+from pyspark_validator.checks.md import ColumnMatch, md_check
 from pyspark_validator.checks.mfd import mfd_check
 from pyspark_validator.checks.nd import nd_check
 from pyspark_validator.checks.od import aod_check
@@ -56,6 +57,8 @@ __all__ = [
     "fd_check",
     "get_spark",
     "ind_check",
+    "ColumnMatch",
+    "md_check",
     "mfd_check",
     "nd_check",
     "partition_id_expr",
