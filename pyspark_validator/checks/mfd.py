@@ -17,9 +17,16 @@ Spark design -- metric-specific plans, never a driver loop:
     via a vectorized pandas UDF only where Spark lacks a primitive), then
     groupBy(X).max(dist). Pair blowup is quadratic per cluster -- exactly the
     reference's brute algorithm (enums.h:23 kBrute) -- so ``cluster_cap`` guards
-    against a hot key exploding the join: clusters larger than the cap are reported
-    as `oversized` verdicts instead of being joined (the caller can re-run on just
-    those keys with the approx path).
+    against a hot key exploding the join.
+  * approx (enums.h:21-22 kApprox, metric_verifier.cpp ApproxVerifyCluster): the
+    2-approximation -- radius r = max distance from one pivot point; the true
+    diameter lies in [r, 2r] and the cluster is judged by 2r <= delta. One
+    pivot join + one max agg: LINEAR in cluster size, no pair join, skew-safe.
+    algo='auto' (default) verifies small clusters exactly and oversized ones
+    with the approx bound, so every cluster gets an answer; algo='approx'
+    forces the approx path everywhere (reference kApprox parity); algo='brute'
+    restores the refuse-oversized behavior. (kCalipers, the single-node 2-d
+    convex-hull walk, is subsumed by approx at scale and not implemented.)
 
 The per-row invariant (span-sequence equality) is unaffected: Y here is a scalar
 projection (e.g. total_text_len, an embedding dim, or a span text field).
@@ -82,6 +89,9 @@ class MFDCheck:
     null_mode: NullMode = NullMode.EQUAL
     cluster_cap: int = 10_000
     highlight_cap: int = 100
+    #: brute | approx | auto (enums.h:18-27; auto = brute below cluster_cap,
+    #: approx 2-bound above it -- no refused clusters)
+    algo: str = "auto"
     #: reference knob (metric_verifier.h:35 dist_from_null_is_infinity): when True
     #: a cluster containing a NULL RHS value can never fit in a finite ball ->
     #: violating; when False NULL values are skipped (distance undefined).
@@ -90,6 +100,8 @@ class MFDCheck:
     def __post_init__(self) -> None:
         if self.metric not in _METRICS:
             raise ValueError(f"unknown metric: {self.metric}; choose from {_METRICS}")
+        if self.algo not in ("brute", "approx", "auto"):
+            raise ValueError(f"unknown algo: {self.algo}")
         if self.metric in ("levenshtein", "cosine") and len(self.rhs) != 1:
             raise ValueError(f"{self.metric} MFD takes exactly one RHS column")
         if self.metric == "euclidean" and len(self.rhs) not in (1, 2):
@@ -117,6 +129,8 @@ class MFDCheck:
                 F.coalesce(F.max("__y") - F.min("__y"), F.lit(0.0)).alias("diameter"),
                 (F.count(F.lit(1)) - F.count("__y")).alias("n_nulls"),
             )
+            .withColumn("diameter_lb", F.col("diameter"))
+            .withColumn("is_approx", F.lit(False))
         )
 
     # ---- pairwise path: cluster self-join -------------------------------------
@@ -147,8 +161,48 @@ class MFDCheck:
         )
         return base, sizes  # type: ignore[return-value]
 
+    def _approx_records(self, keys: DataFrame) -> DataFrame:
+        """2-approximation records for the given cluster keys
+        (metric_verifier.cpp ApproxVerifyCluster): radius r from a
+        deterministic pivot (the min Y tuple standing in for the reference's
+        points[0]); diameter in [r, 2r], verdict by 2r. One equi-join + one
+        max agg -- linear, no pair blowup."""
+        base, sizes = self._clusters
+        yn = [f"__y{i}" for i in range(len(self.rhs))]
+        rows = base.join(keys.select(*self._xk_names), self._xk_names, "left_semi")
+        pivots = rows.dropna(subset=yn).groupBy(*self._xk_names).agg(
+            F.min(F.struct(*yn)).alias("__p")
+        )
+        j = rows.join(pivots, self._xk_names, "left")
+        if self.metric == "levenshtein":
+            d = F.levenshtein(
+                F.col(yn[0]).cast("string"), F.col("__p.__y0").cast("string")
+            ).cast("double")
+        elif self.metric == "cosine":
+            d = _qgram_cosine_dist(self.q)(
+                F.col(yn[0]).cast("string"), F.col("__p.__y0").cast("string")
+            )
+        else:  # euclidean 2-d
+            dx = F.col(yn[0]).cast("double") - F.col("__p.__y0").cast("double")
+            dy = F.col(yn[1]).cast("double") - F.col("__p.__y1").cast("double")
+            d = F.sqrt(dx * dx + dy * dy)
+        radii = j.groupBy(*self._xk_names).agg(F.max(d).alias("__r"))
+        return (
+            keys.join(radii, self._xk_names, "left")
+            .select(
+                *self._xk_names,
+                "cluster_size",
+                (F.coalesce(F.col("__r"), F.lit(0.0)) * 2).alias("diameter"),
+                "n_nulls",
+                F.coalesce(F.col("__r"), F.lit(0.0)).alias("diameter_lb"),
+                F.lit(True).alias("is_approx"),
+            )
+        )
+
     def _diameters_pairwise(self) -> DataFrame:
         base, sizes = self._clusters
+        if self.algo == "approx":
+            return self._approx_records(sizes)
         small = sizes.filter(F.col("cluster_size") <= self.cluster_cap)
         # distinct Y per cluster first: distances depend only on values, and
         # dedup collapses the quadratic blowup for heavy repeated values
@@ -171,7 +225,7 @@ class MFDCheck:
         )
         diam = pairs.groupBy(*self._xk_names).agg(F.max("__d").alias("diameter"))
         # singleton / single-value clusters have diameter 0
-        return (
+        exact = (
             small.join(diam, self._xk_names, "left")
             .select(
                 *self._xk_names,
@@ -179,7 +233,13 @@ class MFDCheck:
                 F.coalesce("diameter", F.lit(0.0)).alias("diameter"),
                 "n_nulls",
             )
+            .withColumn("diameter_lb", F.col("diameter"))
+            .withColumn("is_approx", F.lit(False))
         )
+        if self.algo == "brute":
+            return exact  # oversized clusters are refused (see oversized())
+        over = sizes.filter(F.col("cluster_size") > self.cluster_cap)
+        return exact.unionByName(self._approx_records(over))
 
     @cached_property
     def diameters(self) -> DataFrame:
@@ -188,7 +248,8 @@ class MFDCheck:
         return self._diameters_pairwise()
 
     def oversized(self) -> DataFrame:
-        """Clusters exceeding cluster_cap (skipped by the pairwise path)."""
+        """Clusters exceeding cluster_cap: refused under algo='brute',
+        resolved by the 2-approximation otherwise."""
         if self.metric == "euclidean" and len(self.rhs) == 1:
             return self.diameters.filter(F.lit(False))
         _, sizes = self._clusters
@@ -196,7 +257,11 @@ class MFDCheck:
 
     def summary(self) -> DataFrame:
         """Single row: holds (GetResult analog), n_clusters, n_violating_clusters,
-        max_diameter, n_oversized (pairwise path only)."""
+        max_diameter, n_oversized, n_approx_clusters. Approx-judged clusters
+        use the reference kApprox decision (2 * pivot radius vs parameter);
+        their `diameter` is the upper bound 2r, so max_diameter stays an upper
+        bound of the true max diameter. Only algo='brute' leaves oversized
+        clusters unanswered (and then they block holds)."""
         viol = F.col("diameter") > self.parameter
         if self.dist_from_null_is_infinity:
             # a NULL coordinate makes the cluster's diameter infinite
@@ -212,17 +277,20 @@ class MFDCheck:
             F.sum(F.when(viol, F.col("cluster_size")).otherwise(0)).alias(
                 "n_violating_rows"
             ),
+            F.sum(F.col("is_approx").cast("long")).alias("n_approx_clusters"),
         )
         n_over = self.oversized().agg(F.count(F.lit(1)).alias("n_oversized"))
+        refused = (
+            F.col("n_oversized") if self.algo == "brute" else F.lit(0).cast("long")
+        )
         return s.crossJoin(n_over).select(
-            ((F.col("n_violating_clusters") == 0) & (F.col("n_oversized") == 0)).alias(
-                "holds"
-            ),
+            ((F.col("n_violating_clusters") == 0) & (refused == 0)).alias("holds"),
             "n_clusters",
             "n_violating_clusters",
             "n_violating_rows",
             "max_diameter",
             "n_oversized",
+            "n_approx_clusters",
         )
 
     def highlights(self) -> DataFrame:
@@ -246,6 +314,7 @@ def mfd_check(
     cluster_cap: int = 10_000,
     highlight_cap: int = 100,
     dist_from_null_is_infinity: bool = False,
+    algo: str = "auto",
 ) -> MFDCheck:
     """Validate a metric FD. See MFDCheck."""
     return MFDCheck(
@@ -259,4 +328,5 @@ def mfd_check(
         cluster_cap=cluster_cap,
         highlight_cap=highlight_cap,
         dist_from_null_is_infinity=dist_from_null_is_infinity,
+        algo=algo,
     )

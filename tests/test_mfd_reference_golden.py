@@ -139,3 +139,80 @@ def test_mfd_highlight_diameters(metric_df):
         .collect()
     }
     assert d3 == {1: 2.0, 2: 2.0}
+
+
+# ---------------------------------------------------------------------------
+# approx path (enums.h:21-22 kApprox, metric_verifier.cpp ApproxVerifyCluster)
+
+
+def test_mfd_approx_bounds_and_verdict(spark):
+    """The 2-approximation judges a cluster by 2 * pivot radius: sound when it
+    holds (true diameter <= 2r), conservative when the pivot radius doubles
+    past the parameter even though the true diameter is within it."""
+    from pyspark_validator.checks.mfd import mfd_check
+
+    # one cluster, strings around pivot 'aaaa' (min Y): lev(aaaa, aabb) = 2,
+    # lev(aabb, abbb) = 1 ... true diameter = 3 (aaaa vs abbb).
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (1, "aabb"), (1, "abbb")], ["k", "s"]
+    )
+    brute = (
+        mfd_check(df, ["k"], ["s"], metric="levenshtein", parameter=3.0, algo="brute")
+        .summary().collect()[0]
+    )
+    assert brute.holds and brute.max_diameter == 3.0
+    approx = (
+        mfd_check(df, ["k"], ["s"], metric="levenshtein", parameter=3.0, algo="approx")
+        .summary().collect()[0]
+    )
+    # pivot = 'aaaa' (min), radius = 3 (lev to 'abbb') -> upper bound 6 > 3:
+    # the approx algorithm reports a violation, like the reference kApprox.
+    assert not approx.holds
+    assert approx.max_diameter == 6.0
+    assert approx.n_approx_clusters == 1
+    # with parameter >= 2r the approx path proves the MFD holds
+    ok = (
+        mfd_check(df, ["k"], ["s"], metric="levenshtein", parameter=6.0, algo="approx")
+        .summary().collect()[0]
+    )
+    assert ok.holds
+
+
+def test_mfd_auto_resolves_oversized_clusters(spark):
+    """auto mode: clusters beyond cluster_cap get an approx answer instead of
+    a refusal -- holds is decided for every cluster (no n_oversized block)."""
+    from pyspark_validator.checks.mfd import mfd_check
+
+    rows = [(1, f"v{i % 3}") for i in range(50)] + [(2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    c = mfd_check(
+        df, ["k"], ["s"], metric="levenshtein", parameter=10.0,
+        cluster_cap=10, algo="auto",
+    )
+    s = c.summary().collect()[0]
+    assert s.n_oversized == 1  # cluster k=1 exceeded the cap
+    assert s.n_approx_clusters == 1  # ...and was answered by the 2-approx
+    assert s.holds  # radius*2 <= 10 for both clusters
+    # brute mode on the same data refuses and blocks holds
+    b = mfd_check(
+        df, ["k"], ["s"], metric="levenshtein", parameter=10.0,
+        cluster_cap=10, algo="brute",
+    ).summary().collect()[0]
+    assert not b.holds and b.n_oversized == 1
+
+
+def test_mfd_approx_euclidean_2d(spark):
+    from pyspark_validator.checks.mfd import mfd_check
+
+    # square of side 1: true diameter sqrt(2); pivot = (0,0), radius sqrt(2)
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 0.0, 1.0), (1, 1.0, 0.0), (1, 1.0, 1.0)],
+        ["k", "x", "y"],
+    )
+    s = (
+        mfd_check(df, ["k"], ["x", "y"], metric="euclidean", parameter=3.0,
+                  algo="approx")
+        .summary().collect()[0]
+    )
+    assert s.holds
+    assert abs(s.max_diameter - 2 * 2**0.5) < 1e-9
