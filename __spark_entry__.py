@@ -572,6 +572,120 @@ FROM cols GROUP BY "column"
 """
 
 
+def q_stats_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's remaining string getters (data_stats.h:141-212): char
+    class totals, whitespace/special-char row counts, per-row space extremes,
+    entirely-upper/lower word counts, word-count extremes."""
+    from pyspark_validator.checks.stats import string_profile
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    p = string_profile(c, ["c_name", "c_mktsegment"])
+    return p.select(
+        "column",
+        "n_chars",
+        "n_digit_chars",
+        "n_lowercase_chars",
+        "n_uppercase_chars",
+        "n_nonletter_chars",
+        "n_whitespace_only",
+        "n_leading_ws",
+        "n_trailing_ws",
+        "n_special_rows",
+        F.col("min_whitespaces").cast("long").alias("min_whitespaces"),
+        F.col("max_whitespaces").cast("long").alias("max_whitespaces"),
+        "n_entirely_upper_words",
+        "n_entirely_lower_words",
+        F.col("min_words").cast("long").alias("min_words"),
+        F.col("max_words").cast("long").alias("max_words"),
+    )
+
+
+SQL_STATS_STRING_EXTRAS = """
+WITH cols AS (
+  SELECT 'c_name' AS "column", c_name AS s FROM customer
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+),
+f AS (
+  SELECT "column", s,
+         (s IS NOT NULL AND length(s) > 0) AS ne,
+         CASE WHEN s IS NOT NULL AND length(trim(s)) > 0
+              THEN regexp_split_to_array(trim(s), '\\s+')
+              ELSE [] END AS w
+  FROM cols
+)
+SELECT "column",
+  CAST(sum(CASE WHEN ne THEN length(s) ELSE 0 END) AS BIGINT) AS n_chars,
+  CAST(sum(CASE WHEN ne THEN length(regexp_extract_all(s, '[0-9]')) ELSE 0 END) AS BIGINT) AS n_digit_chars,
+  CAST(sum(CASE WHEN ne THEN length(regexp_extract_all(s, '[a-z]')) ELSE 0 END) AS BIGINT) AS n_lowercase_chars,
+  CAST(sum(CASE WHEN ne THEN length(regexp_extract_all(s, '[A-Z]')) ELSE 0 END) AS BIGINT) AS n_uppercase_chars,
+  CAST(sum(CASE WHEN ne THEN length(regexp_extract_all(s, '[^A-Za-z]')) ELSE 0 END) AS BIGINT) AS n_nonletter_chars,
+  CAST(sum(CASE WHEN ne AND length(trim(s)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whitespace_only,
+  CAST(sum(CASE WHEN regexp_matches(s, '^\\s') THEN 1 ELSE 0 END) AS BIGINT) AS n_leading_ws,
+  CAST(sum(CASE WHEN regexp_matches(s, '\\s$') THEN 1 ELSE 0 END) AS BIGINT) AS n_trailing_ws,
+  CAST(sum(CASE WHEN ne AND regexp_matches(s, '[@#$%^&!?*_+=~''\\-"]') THEN 1 ELSE 0 END) AS BIGINT) AS n_special_rows,
+  CAST(min(CASE WHEN ne THEN length(s) - length(replace(s, ' ', '')) END) AS BIGINT) AS min_whitespaces,
+  CAST(max(CASE WHEN ne THEN length(s) - length(replace(s, ' ', '')) END) AS BIGINT) AS max_whitespaces,
+  CAST(sum(len(list_filter(w, x -> x = upper(x)))) AS BIGINT) AS n_entirely_upper_words,
+  CAST(sum(len(list_filter(w, x -> x = lower(x)))) AS BIGINT) AS n_entirely_lower_words,
+  CAST(min(CASE WHEN s IS NOT NULL THEN len(w) END) AS BIGINT) AS min_words,
+  CAST(max(CASE WHEN s IS NOT NULL THEN len(w) END) AS BIGINT) AS max_words
+FROM f GROUP BY "column"
+"""
+
+
+def q_stats_char_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level stats (vocab / top-k chars / first-last char frequency,
+    data_stats.cpp:545,844,1074). top_k_chars joined to a string for a
+    stable value-hash; diacritics off (TPC-H text is ASCII; the NFD kernel
+    is exercised in tests)."""
+    from pyspark_validator.checks.stats import char_stats
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    p = char_stats(c, ["c_name", "c_mktsegment"], k=5, diacritics=False)
+    return p.select(
+        "column",
+        "vocab",
+        F.concat_ws("", F.col("top_k_chars")).alias("top_chars"),
+        "first_char_freq",
+        "last_char_freq",
+    )
+
+
+SQL_STATS_CHAR_CUSTOMER = """
+WITH cols AS (
+  SELECT 'c_name' AS "column", c_name AS s FROM customer
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+),
+ne AS (SELECT "column", s FROM cols WHERE s IS NOT NULL AND length(s) > 0),
+ch AS (SELECT "column", unnest(string_split(s, '')) AS c FROM ne),
+cnt AS (SELECT "column", c, count(*) AS n FROM ch GROUP BY 1, 2),
+ranked AS (
+  SELECT "column",
+         array_to_string(list_sort(list(c)), '') AS vocab,
+         array_to_string(list(c ORDER BY n DESC, c ASC)[1:5], '') AS top_chars
+  FROM cnt GROUP BY "column"
+),
+firsts AS (
+  SELECT "column", substring(s, 1, 1) AS c, count(*) AS n FROM ne GROUP BY 1, 2
+),
+lasts AS (
+  SELECT "column", substring(s, -1, 1) AS c, count(*) AS n FROM ne GROUP BY 1, 2
+),
+fbest AS (
+  SELECT "column", max(struct_pack(n := n, c := c)) AS m FROM firsts GROUP BY 1
+),
+lbest AS (
+  SELECT "column", max(struct_pack(n := n, c := c)) AS m FROM lasts GROUP BY 1
+)
+SELECT r."column" AS "column", r.vocab, r.top_chars,
+       f.m.c || ':' || CAST(f.m.n AS VARCHAR) AS first_char_freq,
+       l.m.c || ':' || CAST(l.m.n AS VARCHAR) AS last_char_freq
+FROM ranked r
+JOIN fbest f ON r."column" = f."column"
+JOIN lbest l ON r."column" = l."column"
+"""
+
+
 def q_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.checks.stats import topk_values
 
@@ -1582,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nd_orders": q_nd_orders,
         "stats_numeric_lineitem": q_stats_numeric_lineitem,
         "stats_string_customer": q_stats_string_customer,
+        "stats_string_extras": q_stats_string_extras,
+        "stats_char_customer": q_stats_char_customer,
         "topk_event_types": q_topk_event_types,
         "entropy_gini_events": q_entropy_gini_events,
         "monotonic_events_ts": q_monotonic_events_ts,
@@ -1633,6 +1749,8 @@ def oracle_sql() -> dict[str, str]:
         "nd_orders": SQL_ND_ORDERS,
         "stats_numeric_lineitem": SQL_STATS_NUMERIC_LINEITEM,
         "stats_string_customer": SQL_STATS_STRING_CUSTOMER,
+        "stats_string_extras": SQL_STATS_STRING_EXTRAS,
+        "stats_char_customer": SQL_STATS_CHAR_CUSTOMER,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "entropy_gini_events": SQL_ENTROPY_GINI_EVENTS,
         "monotonic_events_ts": SQL_MONOTONIC_EVENTS_TS,

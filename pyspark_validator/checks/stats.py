@@ -22,6 +22,8 @@ data_stats.cpp:254-271).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,14 +100,34 @@ def numeric_profile(
     ).select("p.*")
 
 
+#: the reference's special-character set (data_stats.cpp:1047 kSpecialChars)
+_SPECIAL_CHARS_RE = "[@#$%^&!?*_+=~'\\-\"]"
+
+
 def _string_struct(c: str, approx_distinct: bool) -> Column:
     s = F.col(c)
     ln = F.length(s)
-    words = F.when(
-        s.isNotNull() & (F.length(F.trim(s)) > 0),
-        F.size(F.split(F.trim(s), r"\s+")),
-    ).otherwise(F.when(s.isNotNull(), F.lit(0)))
+    trimmed = F.trim(s)
+    nonempty = s.isNotNull() & (ln > 0)
+    word_arr = F.when(
+        nonempty & (F.length(trimmed) > 0), F.split(trimmed, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+    words = F.when(s.isNotNull(), F.size(word_arr))
     distinct = F.approx_count_distinct(s) if approx_distinct else F.countDistinct(s)
+    nchars = F.sum(F.when(nonempty, ln).otherwise(0))
+
+    def ccount(pattern: str) -> Column:
+        return F.sum(
+            F.when(nonempty, F.regexp_count(s, F.lit(pattern))).otherwise(0)
+        )
+
+    spaces = F.when(nonempty, ln - F.length(F.replace(s, F.lit(" "), F.lit(""))))
+    upper_words = F.sum(
+        F.size(F.filter(word_arr, lambda w: w == F.upper(w)))
+    )
+    lower_words = F.sum(
+        F.size(F.filter(word_arr, lambda w: w == F.lower(w)))
+    )
     return F.struct(
         F.lit(c).alias("column"),
         F.count(s).alias("count"),
@@ -118,11 +140,37 @@ def _string_struct(c: str, approx_distinct: bool) -> Column:
         F.avg(ln).alias("avg_len"),
         F.sum(words).alias("total_words"),
         F.avg(words).alias("avg_words"),
+        F.min(words).alias("min_words"),
+        F.max(words).alias("max_words"),
         F.min(s).alias("min_value"),
         F.max(s).alias("max_value"),
         F.sum((s != F.lower(s)).cast("long")).alias("n_with_uppercase"),
         F.sum(s.rlike(r"^\s|\s$").cast("long")).alias("n_untrimmed"),
         F.sum(s.rlike(r"[^\x00-\x7F]").cast("long")).alias("n_non_ascii"),
+        # -- char-class totals over non-null, non-empty values
+        #    (data_stats.h:163-165,141-151; CountIfInColumn skips null/empty)
+        nchars.alias("n_chars"),
+        ccount("[0-9]").alias("n_digit_chars"),
+        ccount("[a-z]").alias("n_lowercase_chars"),
+        ccount("[A-Z]").alias("n_uppercase_chars"),
+        ccount("[^A-Za-z]").alias("n_nonletter_chars"),
+        # -- row counts (data_stats.cpp:976-1072)
+        F.sum((nonempty & (F.length(trimmed) == 0)).cast("long")).alias(
+            "n_whitespace_only"
+        ),
+        F.sum(s.rlike(r"^\s").cast("long")).alias("n_leading_ws"),
+        F.sum(s.rlike(r"\s$").cast("long")).alias("n_trailing_ws"),
+        F.sum((nonempty & s.rlike(_SPECIAL_CHARS_RE)).cast("long")).alias(
+            "n_special_rows"
+        ),
+        # -- per-row ' '-count extremes (GetMinWhiteSpaces/GetMaxWhiteSpaces)
+        F.min(spaces).alias("min_whitespaces"),
+        F.max(spaces).alias("max_whitespaces"),
+        # -- words whose alphabetic chars are all upper/lower
+        #    (IsEntirelyUppercase/IsEntirelyLowercase: non-alpha chars ignored,
+        #    so w == upper(w) is the exact predicate)
+        upper_words.alias("n_entirely_upper_words"),
+        lower_words.alias("n_entirely_lower_words"),
     )
 
 
@@ -139,6 +187,104 @@ def string_profile(
     return row.select(
         F.explode(F.array(*[F.col(f"__s{i}") for i in range(len(columns))])).alias("p")
     ).select("p.*")
+
+
+def char_stats(
+    df: DataFrame, columns: list[str], k: int = 10, diacritics: bool = True
+) -> DataFrame:
+    """Char-level profile, one row per string column (data_stats.cpp:545-564
+    GetVocab, :844-875 GetTopKChars, :1074-1116 GetCharFrequency, :807-842
+    GetNumberOfDiacriticChars):
+
+      * vocab          -- sorted distinct characters as one string
+      * top_k_chars    -- k most frequent chars, count desc then char asc
+        (the reference's tie order is hash-map iteration order; we pin the
+        deterministic char-asc tiebreak)
+      * first/last_char_freq -- "c:n" of the most frequent first/last char
+        (ties resolved to the larger char, as in the reference's max_element)
+      * n_diacritic_chars -- combining marks after NFD decomposition, via a
+        vectorized pandas UDF over Python's unicodedata (the reference uses
+        ICU); chars are Unicode codepoints here, bytes there -- identical on
+        ASCII/UTF-8 text without multibyte chars.
+
+    Null and empty values are skipped, as in the reference. Two shuffles
+    (char counts + edge-char counts), all JVM exprs except the diacritic
+    kernel."""
+    s = F.col("s")
+    stacked = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("s"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(s.isNotNull() & (F.length(s) > 0))
+    )
+    chars = stacked.select(
+        "column", F.explode(F.split(s, "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("column", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.groupBy("column").agg(
+        F.concat_ws("", F.array_sort(F.collect_list("ch"))).alias("vocab"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("neg"), "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            1,
+            k,
+        ).alias("top_k_chars"),
+    )
+
+    def edge(expr: Column, name: str) -> DataFrame:
+        return (
+            stacked.select("column", expr.alias("ch"))
+            .groupBy("column", "ch")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("column")
+            .agg(F.max(F.struct("cnt", "ch")).alias("m"))
+            .select(
+                "column",
+                F.concat_ws(":", F.col("m.ch"), F.col("m.cnt")).alias(name),
+            )
+        )
+
+    out = (
+        ranked.join(edge(F.substring(s, 1, 1), "first_char_freq"), "column")
+        .join(edge(F.substring(s, -1, 1), "last_char_freq"), "column")
+    )
+    if diacritics:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _dia(col: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return col.map(
+                lambda x: 0
+                if x is None
+                else sum(
+                    1
+                    for ch in unicodedata.normalize("NFD", x)
+                    if unicodedata.category(ch) == "Mn"
+                )
+            )
+
+        dia = stacked.groupBy("column").agg(
+            F.sum(_dia(s)).alias("n_diacritic_chars")
+        )
+        out = out.join(dia, "column")
+    return out
 
 
 def deviation_stats(

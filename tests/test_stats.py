@@ -88,3 +88,43 @@ def test_monotonicity(spark):
     df2 = spark.createDataFrame([(i, float(-i)) for i in range(100)], ["o", "v"])
     r2 = monotonicity(df2, "v", "o").collect()[0]
     assert r2.monotonic_desc and not r2.monotonic_asc
+
+
+def test_string_profile_extras(spark):
+    """Char classes, whitespace/special rows, case-word counts
+    (data_stats.h:141-212 getter parity on a hand-checked frame)."""
+    from pyspark_validator.checks.stats import string_profile
+
+    df = spark.createDataFrame(
+        [("Héllo World",), ("ABC d2f",), ("  ",), ("",), (None,), ("x@y 'Q'",)],
+        ["s"],
+    )
+    r = string_profile(df, ["s"]).collect()[0]
+    assert r.n_chars == 27
+    assert r.n_digit_chars == 1
+    assert r.n_lowercase_chars == 11  # ASCII a-z; é is non-ASCII
+    assert r.n_uppercase_chars == 6
+    assert r.n_whitespace_only == 1
+    assert r.n_leading_ws == 1 and r.n_trailing_ws == 1
+    assert r.n_special_rows == 1  # "x@y 'Q'" hits @ and ' from kSpecialChars
+    assert (r.min_whitespaces, r.max_whitespaces) == (1, 2)
+    assert r.n_entirely_upper_words == 2  # ABC, 'Q'
+    assert r.n_entirely_lower_words == 2  # d2f, x@y
+    assert (r.min_words, r.max_words) == (0, 2)
+
+
+def test_char_stats(spark):
+    """GetVocab / GetTopKChars / GetCharFrequency / diacritics parity."""
+    from pyspark_validator.checks.stats import char_stats
+
+    df = spark.createDataFrame(
+        [("banana",), ("bab",), ("",), (None,), ("Ménü",)], ["s"]
+    )
+    r = char_stats(df, ["s"], k=3).collect()[0]
+    assert r.vocab == "Mabnéü"
+    # counts: a=4 b=3 n=3 M=1 é=1 ü=1 -> top3 = a, b, n (count desc, char asc)
+    assert r.top_k_chars == ["a", "b", "n"]
+    assert r.first_char_freq == "b:2"
+    assert r.last_char_freq in ("a:1", "b:1", "ü:1")  # all counts 1 -> max char
+    assert r.last_char_freq == "ü:1"
+    assert r.n_diacritic_chars == 2  # é and ü decompose to one Mn mark each
