@@ -359,13 +359,13 @@ def q_pfd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     c = fd_check(li, ["l_partkey"], ["l_suppkey"], num_partitions=32)
-    t = c.pfd("per_tuple").select(
-        _r(F.col("error"), 9).alias("error_per_tuple"),
+    # both measures from ONE aggregation pass (pfd_measures)
+    return c.pfd_measures().select(
+        _r(F.col("error_per_tuple"), 9).alias("error_per_tuple"),
         "n_violating_clusters",
         "n_violating_rows",
+        _r(F.col("error_per_value"), 9).alias("error_per_value"),
     )
-    v = c.pfd("per_value").select(_r(F.col("error"), 9).alias("error_per_value"))
-    return t.crossJoin(v)
 
 
 SQL_PFD_LINEITEM = """

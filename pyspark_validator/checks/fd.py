@@ -150,10 +150,36 @@ class FDCheck:
             )
         )
 
-    def highlights(self) -> DataFrame:
-        """Violating clusters ranked by most-frequent-RHS proportion descending
-        (FDVerifier::SortHighlightsByProportionDescending, fd_verifier.cpp:67-76),
-        capped. Gated: run after a failed verdict.
+    def _lhs_sort_keys(self, prefix: str = "") -> list[Column]:
+        """The reference's typed LHS comparator (stats_calculator.cpp:12-43):
+        Empty < Null < value per column, values by natural type order (mixed
+        types compare as strings, which Spark's cross-type coercion mirrors
+        for the string case). Empty applies to string columns only."""
+        keys: list[Column] = []
+        for c in self.lhs:
+            col = F.col(f"{prefix}{c}")
+            dt = self.df.schema[c].dataType.simpleString()
+            if dt == "string":
+                tier = (
+                    F.when(col == "", F.lit(0))
+                    .when(col.isNull(), F.lit(1))
+                    .otherwise(F.lit(2))
+                )
+            else:
+                tier = F.when(col.isNull(), F.lit(1)).otherwise(F.lit(2))
+            keys.extend([tier, col])
+        return keys
+
+    def highlights(
+        self, sort_by: str = "proportion", ascending: bool = False
+    ) -> DataFrame:
+        """Violating clusters, capped. Sort modes mirror the reference's four
+        highlight orders, each ascending/descending (fd_verifier.cpp:67-105):
+        'proportion' (most_frequent_rhs_proportion), 'num' (num_distinct_rhs),
+        'size' (cluster_size), 'lhs' (typed Empty < Null < value comparator
+        over the LHS values, stats_calculator.cpp:12-43). Default matches the
+        reference default SortHighlightsByProportionDescending. Gated: run
+        after a failed verdict.
 
         Output: [partition_id, <lhs values...>, cluster_size, num_distinct_rhs,
         most_frequent_rhs_proportion].
@@ -183,9 +209,19 @@ class FDCheck:
                 ),
             )
         )
-        return out.orderBy(F.desc("most_frequent_rhs_proportion")).limit(
-            self.highlight_cap
-        )
+        simple = {
+            "proportion": [F.col("most_frequent_rhs_proportion")],
+            "num": [F.col("num_distinct_rhs")],
+            "size": [F.col("cluster_size")],
+        }
+        if sort_by in simple:
+            keys = simple[sort_by]
+        elif sort_by == "lhs":
+            keys = self._lhs_sort_keys()
+        else:
+            raise ValueError(f"unknown highlight sort mode: {sort_by}")
+        order = [k.asc() if ascending else k.desc() for k in keys]
+        return out.orderBy(*order).limit(self.highlight_cap)
 
     # ----- AFD measure family ------------------------------------------------
     def afd_measures(self) -> DataFrame:
@@ -216,18 +252,16 @@ class FDCheck:
             F.sum(F.col("cx") * F.log(F.col("cx").cast("double"))).alias(
                 "sum_cx_ln"
             ),
+            # pdep numerator: sum_xy cxy^2/cx = sum_x (y_pairs + cx)/cx since
+            # sum_y cxy^2 = sum cxy(cxy-1) + sum cxy -- algebraic, so it folds
+            # into THIS agg instead of a second scan of the X-level lineage.
+            F.sum((F.col("y_pairs") + F.col("cx")) / F.col("cx")).alias("pdep_num"),
         )
-        # pdep numerator needs sum cxy^2/cx -- compute at xy level with cx joined in;
-        # cheaper: sum_xy cxy^2/cx = sum_x (sum_y cxy^2)/cx, and sum_y cxy^2 =
-        # y_pairs + cx  (since sum f^2 = sum f(f-1) + sum f).
-        pdep_num = self._x_level.agg(
-            F.sum((F.col("y_pairs") + F.col("cx")) / F.col("cx")).alias("pdep_num")
-        )
-        yk = _aliased_keys(self.rhs, "__y", self.null_mode)
+        # Y marginal from the (X,Y)-level counts (cy = sum_x cxy): reuses the
+        # already-shuffled xy lineage instead of re-scanning the raw table.
         y_level = (
-            self.df.select(*yk)
-            .groupBy(*[f"__y{i}" for i in range(len(self.rhs))])
-            .agg(F.count(F.lit(1)).alias("cy"))
+            self._xy_counts.groupBy(*[f"__y{i}" for i in range(len(self.rhs))])
+            .agg(F.sum("ycnt").alias("cy"))
             .agg(
                 F.sum(F.col("cy") * F.col("cy")).alias("sum_cy2"),
                 F.sum(F.col("cy") * F.log(F.col("cy").cast("double"))).alias(
@@ -236,7 +270,7 @@ class FDCheck:
                 F.count(F.lit(1)).alias("k_y"),
             )
         )
-        j = x.crossJoin(pdep_num).crossJoin(y_level)
+        j = x.crossJoin(y_level)
         n = F.col("n").cast("double")
         pdep_xy = F.col("pdep_num") / n
         pdep_y = F.col("sum_cy2") / (n * n)
@@ -270,9 +304,10 @@ class FDCheck:
             F.col("k_xy").alias("n_distinct_xy"),
         )
 
-    def pfd(self, measure: str = "per_tuple") -> DataFrame:
-        """PFD error (pfd_stats_calculator.h:47-90), one row:
-        per_tuple: 1 - sum_x max_y / n ; per_value: 1 - sum_x (max_y/cx) / K."""
+    def pfd_measures(self) -> DataFrame:
+        """Both PFD errors (pfd_stats_calculator.h:47-90) in ONE aggregation
+        pass: per_tuple = 1 - sum_x max_y / n, per_value =
+        1 - sum_x (max_y/cx) / K, plus violation counts."""
         agg = self._x_level.agg(
             F.sum("cx").alias("n"),
             F.count(F.lit(1)).alias("k_x"),
@@ -283,14 +318,25 @@ class FDCheck:
             ).alias("n_violating_clusters"),
             F.sum(F.col("cx") - F.col("max_y")).alias("n_violating_rows"),
         )
-        if measure == "per_tuple":
-            err = F.lit(1.0) - F.col("sum_max") / F.col("n")
-        elif measure == "per_value":
-            err = F.lit(1.0) - F.col("sum_max_ratio") / F.col("k_x")
-        else:
-            raise ValueError(f"unknown PFD measure: {measure}")
         return agg.select(
-            err.alias("error"),
+            (F.lit(1.0) - F.col("sum_max") / F.col("n")).alias("error_per_tuple"),
+            (F.lit(1.0) - F.col("sum_max_ratio") / F.col("k_x")).alias(
+                "error_per_value"
+            ),
+            "n_violating_clusters",
+            "n_violating_rows",
+            "n",
+            "k_x",
+        )
+
+    def pfd(self, measure: str = "per_tuple") -> DataFrame:
+        """One PFD error by name; both come from the same single-pass agg
+        (pfd_measures), so calling this twice only re-runs a tiny projection."""
+        if measure not in ("per_tuple", "per_value"):
+            raise ValueError(f"unknown PFD measure: {measure}")
+        m = self.pfd_measures()
+        return m.select(
+            F.col(f"error_{measure}").alias("error"),
             "n_violating_clusters",
             "n_violating_rows",
             "n",

@@ -149,3 +149,66 @@ def test_nd_check(spark):
     assert r.real_weight == real
     r3 = _row(nd_check(df, ["col1"], ["col2"], weight=real, num_partitions=4))
     assert r3.holds
+
+
+def test_afd_measures_single_xy_scan(spark, tmp_path):
+    """pdep_num is folded into the X-level agg and the Y marginal derives
+    from the (X,Y) counts: the afd_measures plan scans the source exactly
+    twice (X branch + Y branch), not three times."""
+    from pyspark_validator.checks.fd import fd_check
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i % 5, f"y{i % 3}") for i in range(50)], ["x", "y"]
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    m = fd_check(df, ["x"], ["y"]).afd_measures()
+    explained = m._sc._jvm.PythonSQLUtils.explainString(
+        m._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", explained, flags=re.M)
+    assert len(scans) == 2, explained[:2000]
+
+
+def test_pfd_measures_single_pass(spark):
+    from pyspark_validator.checks.fd import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c")], ["x", "y"]
+    )
+    r = fd_check(df, ["x"], ["y"]).pfd_measures().collect()[0]
+    # per_tuple: 1 - (2+2)/5 = 0.2 ; per_value: 1 - (2/3 + 1)/2 = 1/6
+    assert abs(r.error_per_tuple - 0.2) < 1e-12
+    assert abs(r.error_per_value - (1 - (2 / 3 + 1) / 2)) < 1e-12
+    assert r.n_violating_clusters == 1 and r.n_violating_rows == 1
+    # the named accessor projects from the same agg
+    one = fd_check(df, ["x"], ["y"]).pfd("per_value").collect()[0]
+    assert abs(one.error - r.error_per_value) < 1e-15
+
+
+def test_highlight_sort_modes(spark):
+    """fd_verifier.cpp:67-105 sort-mode parity, incl. the typed LHS
+    comparator Empty < Null < value (stats_calculator.cpp:12-43)."""
+    from pyspark_validator.checks.fd import fd_check
+
+    rows = []
+    # clusters keyed by string lhs: '' (empty), None, 'a', 'b'
+    for key, ys in [("", ["p", "q"]), (None, ["p", "q", "q"]),
+                    ("a", ["p", "q", "r"]), ("b", ["p", "p", "q", "q"])]:
+        rows += [(key, y) for y in ys]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    c = fd_check(df, ["x"], ["y"])
+
+    def col_order(sort_by, ascending, col):
+        return [r[col] for r in c.highlights(sort_by=sort_by, ascending=ascending).collect()]
+
+    assert col_order("size", True, "cluster_size") == [2, 3, 3, 4]
+    assert col_order("size", False, "cluster_size") == [4, 3, 3, 2]
+    assert col_order("num", False, "num_distinct_rhs")[0] == 3
+    props = col_order("proportion", True, "most_frequent_rhs_proportion")
+    assert props == sorted(props)
+    # typed lhs: empty string < NULL < 'a' < 'b'
+    assert col_order("lhs", True, "x") == ["", None, "a", "b"]
+    assert col_order("lhs", False, "x") == ["b", "a", None, ""]
