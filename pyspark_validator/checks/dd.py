@@ -49,9 +49,8 @@ class DDCheck:
                 raise ValueError(f"bad range for {col}: [{lo}, {hi}] (need 0<=lo<=hi)")
 
     @cached_property
-    def _pairs(self) -> DataFrame:
-        """All unordered tuple pairs satisfying the LHS ranges, with per-RHS
-        difference columns. Band join on the first LHS constraint."""
+    def _base(self) -> DataFrame:
+        """Projected rows with their band bucket (band on the first LHS range)."""
         band_col, (_, band_hi) = next(iter(self.lhs.items()))
         width = float(band_hi) if band_hi > 0 else 1.0
         cols = list(dict.fromkeys(list(self.lhs) + list(self.rhs)))
@@ -67,9 +66,22 @@ class DDCheck:
             # monotonically_increasing_id is only stable if the two join branches
             # see one materialization -- pin it.
             base = base.persist()
-        bucket_sizes = base.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bs"))
-        self._oversized = bucket_sizes.filter(F.col("__bs") > self.bucket_cap)
-        base = base.join(
+        return base
+
+    @cached_property
+    def _oversized(self) -> DataFrame:
+        """Band buckets exceeding bucket_cap (excluded from the pair join)."""
+        return (
+            self._base.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > self.bucket_cap)
+        )
+
+    @cached_property
+    def _pairs(self) -> DataFrame:
+        """All unordered tuple pairs satisfying the LHS ranges, with per-RHS
+        difference columns. Band join on the first LHS constraint."""
+        base = self._base.join(
             F.broadcast(self._oversized.select("__bucket")), on="__bucket", how="left_anti"
         )
         # left side probes its own bucket and both neighbors
@@ -153,12 +165,15 @@ def dd_check(
     rhs: dict[str, Range],
     row_ref: str | None = None,
     highlight_cap: int = 100,
+    bucket_cap: int = 10_000_000,
 ) -> DDCheck:
-    """Validate a differential dependency. See DDCheck."""
+    """Validate a differential dependency. See DDCheck; ``bucket_cap`` bounds
+    the band-join bucket size for degenerate LHS distributions."""
     return DDCheck(
         df=df,
         lhs=dict(lhs),
         rhs=dict(rhs),
         row_ref=row_ref,
         highlight_cap=highlight_cap,
+        bucket_cap=bucket_cap,
     )

@@ -119,10 +119,13 @@ def numeric_drift(
     )
     psi = _psi_chi2_rollup(counts, by, alpha, psi_threshold)
     # KS over binned ECDF: cumsum per group ordered by bucket (<= num_bins+2 rows/group)
+    # ungrouped: <= num_bins+2 rows total, so one partition is correct and
+    # bounded; pmod(bucket, 1) is a constant-0 key Catalyst cannot fold away
+    # (a lit() would be pruned, resurfacing the WindowExec warning).
     w = (
         Window.partitionBy(*by).orderBy("bucket")
         if by
-        else Window.partitionBy(F.lit(1)).orderBy("bucket")
+        else Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1))).orderBy("bucket")
     )
     tot = counts.groupBy(*by).agg(
         F.sum("cnt_b").alias("tb"), F.sum("cnt_c").alias("tc")

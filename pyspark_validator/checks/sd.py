@@ -355,7 +355,11 @@ class SDCheck:
             F.min_by(F.struct("__o", "__v"), "__o").alias("first"),
             F.max_by(F.struct("__o", "__v"), "__o").alias("last"),
         )
-        wp = Window.orderBy("__pid")  # P rows total: driver-scale, not data-scale
+        # P rows total (one per range partition): a single-partition window is
+        # exactly right and bounded by num_partitions. pmod(__pid, 1) is a
+        # constant-0 partition key that Catalyst cannot constant-fold away
+        # (lit(0) would be pruned, resurfacing the WindowExec warning).
+        wp = Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1))).orderBy("__pid")
         seq = edges.withColumn("__rank", F.row_number().over(wp))
         a, b = seq.alias("a"), seq.alias("b")
         boundary = a.join(

@@ -67,10 +67,20 @@ def test_mfd_cosine_qgram(spark):
 
 def test_mfd_cluster_cap(spark):
     df = spark.createDataFrame([("a", "v%d" % i) for i in range(10)], ["x", "y"])
+    # default auto: the over-cap cluster is resolved by the 2-approximation
+    # (pivot radius <= 2, 2r <= 9 -> holds), not refused
     s = _row(
         mfd_check(df, ["x"], ["y"], metric="levenshtein", parameter=9, cluster_cap=5).summary()
     )
-    assert s.n_oversized == 1 and not s.holds
+    assert s.n_oversized == 1 and s.n_approx_clusters == 1 and s.holds
+    # brute mode keeps the refusal semantics
+    b = _row(
+        mfd_check(
+            df, ["x"], ["y"], metric="levenshtein", parameter=9, cluster_cap=5,
+            algo="brute",
+        ).summary()
+    )
+    assert b.n_oversized == 1 and not b.holds
 
 
 # ---------------------------------------------------------------------------
