@@ -17,6 +17,11 @@ Similarity functions (md/hymd/preprocessing/column_matches/):
   * jaccard      -- whitespace-token SET Jaccard; both empty -> 1, one
     empty -> 0 (jaccard.h:13-28, jaccard.cpp)
   * equality     -- 1.0 iff equal (null-safe), else 0.0 (equality.h)
+  * lcs            -- LCS length / max length (lcs.cpp:30-40)
+  * smith_waterman_gotoh -- local alignment (+1/-2/gap -0.5) normalized by
+    min length (smith_waterman_gotoh.cpp); pandas-UDF kernel
+  * monge_elkan    -- geometric mean of directed best-SWG-token-match means
+    (monge_elkan.h:11-35); pandas-UDF kernel
   * number_difference / date_difference -- |l - r| (days for dates),
     normalized PER LEFT VALUE by that value's max distance to any right
     value (lv_normalized.h CalcFor): sim = (maxd_l - d) / maxd_l with
@@ -42,11 +47,109 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-_STRING_FNS = ("levenshtein", "jaccard", "equality")
+_STRING_FNS = (
+    "levenshtein",
+    "jaccard",
+    "equality",
+    "lcs",
+    "monge_elkan",
+    "smith_waterman_gotoh",
+)
 _NUMERIC_FNS = ("number_difference", "date_difference")
+#: fns whose boundary yields a sound blocking predicate; SWG / Monge-Elkan
+#: normalize by the SHORTER string so high similarity puts no bound on the
+#: longer side -- they cannot block, only verify.
+_BLOCKABLE_FNS = ("equality", "levenshtein", "lcs", "jaccard") + _NUMERIC_FNS
+
+
+# -- MD-tier similarity kernels with no Spark built-in (SURVEY 2.6): pure
+# Python DPs inside Arrow-batched pandas UDFs, quadratic per PAIR but only
+# ever run on blocked candidates.
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Rolling-row LCS length (lcs.cpp:9-28)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(cur[j - 1], prev[j]))
+        prev = cur
+    return prev[len(b)]
+
+
+def _lcs_sim(a: str, b: str) -> float:
+    """lcs.cpp:30-40: LCS length / max length; both empty -> 1, one -> 0."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return _lcs_len(a, b) / max(len(a), len(b))
+
+
+def _swg_sim(a: str, b: str, gap: float = -0.5) -> float:
+    """smith_waterman_gotoh.cpp: local alignment with match +1 / mismatch -2 /
+    linear gap -0.5, normalized by min length."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    n = len(b)
+    sub0 = a[0]
+    v0 = [0.0] * n
+    best = 0.0
+    for j in range(n):
+        v0[j] = max(0.0, j * gap + (1.0 if sub0 == b[j] else -2.0))
+        best = max(best, v0[j])
+    for i in range(1, len(a)):
+        ca = a[i]
+        v1 = [0.0] * n
+        v1[0] = max(0.0, v0[0] + gap, 1.0 if ca == b[0] else -2.0)
+        best = max(best, v1[0])
+        for j in range(1, n):
+            v1[j] = max(
+                0.0,
+                v0[j] + gap,
+                v1[j - 1] + gap,
+                v0[j - 1] + (1.0 if ca == b[j] else -2.0),
+            )
+            if v1[j] > best:
+                best = v1[j]
+        v0 = v1
+    return best / (min(len(a), len(b)) * max(1.0, gap))
+
+
+def _monge_elkan_sim(a: str, b: str) -> float:
+    """monge_elkan.h:11-35: geometric mean of the two directed means of the
+    best normalized-SWG token match."""
+    ta, tb = a.split(), b.split()
+    if not ta and not tb:
+        return 1.0
+    if not ta or not tb:
+        return 0.0
+
+    def directed(xs: list[str], ys: list[str]) -> float:
+        return sum(max(_swg_sim(x, y) for y in ys) for x in xs) / len(xs)
+
+    return (directed(ta, tb) * directed(tb, ta)) ** 0.5
+
+
+def _pair_kernel(fn):
+    @pandas_udf("double")
+    def k(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        )
+
+    return k
 
 
 @dataclass(frozen=True)
@@ -177,6 +280,12 @@ class MDCheck:
                 .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
                 .otherwise(inter / union.cast("double"))
             )
+        if cm.fn == "lcs":
+            return _pair_kernel(_lcs_sim)(la, ra)
+        if cm.fn == "monge_elkan":
+            return _pair_kernel(_monge_elkan_sim)(la, ra)
+        if cm.fn == "smith_waterman_gotoh":
+            return _pair_kernel(_swg_sim)(la, ra)
         # number_difference / date_difference: per-left-value normalizer
         _, _, rmn, rmx = self._range_scalars(cm)
         maxd = F.greatest(la - F.lit(rmn), F.lit(rmx) - la)
@@ -190,7 +299,7 @@ class MDCheck:
             if cm.fn == "equality" and cm.boundary > 0:
                 return cm
         for cm in self.lhs:
-            if cm.fn != "equality" and cm.boundary > 0:
+            if cm.fn in _BLOCKABLE_FNS and cm.fn != "equality" and cm.boundary > 0:
                 return cm
         return None
 
@@ -210,7 +319,9 @@ class MDCheck:
         b = float(cm.boundary)
         if cm.fn == "equality":
             return lp.join(rp, on=la.eqNullSafe(ra))
-        if cm.fn == "levenshtein":
+        if cm.fn in ("levenshtein", "lcs"):
+            # both imply len_r in [b*len_l, len_l/b]: levenshtein via the edit
+            # bound, LCS via lcs <= min_len and sim = lcs/max_len >= b
             w = self.length_bucket
             ln = F.length(la)
             lo = F.ceil(ln * F.lit(b)).cast("long")

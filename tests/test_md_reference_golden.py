@@ -167,3 +167,73 @@ def test_md_two_tables(spark):
     assert s.n_matching_pairs == 2
     assert s.n_violating_pairs == 1  # (1, 8): y vs z
     assert s.holds is False
+
+
+# ---------------------------------------------------------------------------
+# MD-tier similarity kernels (md/hymd/preprocessing/column_matches/)
+
+
+def test_md_similarity_kernels():
+    from pyspark_validator.checks.md import _lcs_sim, _monge_elkan_sim, _swg_sim
+
+    # lcs.cpp:30-40
+    assert _lcs_sim("abcd", "abd") == 3 / 4
+    assert _lcs_sim("", "") == 1.0 and _lcs_sim("a", "") == 0.0
+    assert _lcs_sim("abc", "abc") == 1.0
+    # smith_waterman_gotoh.cpp: identical -> 1; "ab" vs "ba" -> best local
+    # score 1.0 over min_len 2
+    assert _swg_sim("abc", "abc") == 1.0
+    assert _swg_sim("ab", "ba") == 0.5
+    assert _swg_sim("", "") == 1.0 and _swg_sim("x", "") == 0.0
+    # monge_elkan.h:11-35: directed means 1 and 0.5 -> sqrt(0.5)
+    assert abs(_monge_elkan_sim("aa", "aa cc") - 0.5**0.5) < 1e-12
+    assert _monge_elkan_sim("aa bb", "bb aa") == 1.0
+
+
+def test_md_lcs_classifier_blocks_and_verifies(spark):
+    from pyspark_validator.checks.md import ColumnMatch, md_check
+
+    df = spark.createDataFrame(
+        [(0, "abcd", "g1"), (1, "abd", "g1"), (2, "zzzz", "g2"), (3, "abcd", "g2")],
+        ["id", "s", "g"],
+    )
+    # lcs(s) >= 0.75 -> equality(g): matching pairs are (0,1) [0.75, g1/g1 ok],
+    # (0,3) [1.0, g1 vs g2], (1,3) [0.75, g1 vs g2], each in both orders, plus
+    # 4 reflexive -> 10 matching, 4 violating.
+    s = (
+        md_check(
+            df,
+            [ColumnMatch("lcs", "s", "s", 0.75)],
+            ColumnMatch("equality", "g", "g", 1.0),
+        )
+        .summary()
+        .collect()[0]
+    )
+    assert s.n_matching_pairs == 10
+    assert s.n_violating_pairs == 4 and not s.holds
+
+
+def test_md_swg_requires_cross_join_guard(spark):
+    import pytest as _pytest
+
+    from pyspark_validator.checks.md import ColumnMatch, md_check
+
+    df = spark.createDataFrame([(0, "ab", "x")], ["id", "s", "g"])
+    with _pytest.raises(ValueError, match="allow_cross_join"):
+        md_check(
+            df,
+            [ColumnMatch("smith_waterman_gotoh", "s", "s", 0.9)],
+            ColumnMatch("equality", "g", "g", 1.0),
+        ).summary()
+    # allowed: verify runs via the pandas kernel
+    r = (
+        md_check(
+            df,
+            [ColumnMatch("smith_waterman_gotoh", "s", "s", 0.9)],
+            ColumnMatch("equality", "g", "g", 1.0),
+            allow_cross_join=True,
+        )
+        .summary()
+        .collect()[0]
+    )
+    assert r.holds and r.n_matching_pairs == 1
