@@ -14,6 +14,12 @@ see SURVEY.md section 2.8. This module lifts the incremental count-state engine
     windowed duplicate-key counts with a watermark (late data handled by Spark's
     state store), for dashboards that want live violation pressure rather than
     exact global verdicts.
+  * ``streaming_gap_check`` -- a CUSTOM STATEFUL operator via
+    applyInPandasWithState: the per-key sequential-dependency gap check
+    (checks/sd.py single-scan semantics) continued ACROSS micro-batches by
+    keeping each key's last (order, value) in the state store. Not expressible
+    as a windowed agg -- the transition depends on the previous row however
+    long ago it arrived.
 """
 
 from __future__ import annotations
@@ -56,6 +62,96 @@ def attach_incremental(
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_location)
         .outputMode("update")
+    )
+
+
+def streaming_gap_check(
+    stream: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    g1: float = 0.0,
+    g2: float = float("inf"),
+) -> DataFrame:
+    """Per-key streaming SD gap check (custom stateful operator).
+
+    Each key's rows are consumed in ``order_col`` order within a batch and
+    stitched to the key's last row from ANY previous batch via the state
+    store; every adjacent gap outside [g1, g2] emits a violation row
+    (kind 'deletion' for delta < g1 -- which also covers out-of-order
+    arrivals -- and 'insertion' for delta > g2, the same single-scan
+    classification as checks/sd.py violations()). State per key is four
+    scalars, so the state store stays O(#keys) regardless of stream length.
+
+    Returns the transformed streaming DataFrame; write it with outputMode
+    'append'.
+    """
+    import pandas as pd  # noqa: PLC0415 -- worker-side import kept local
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [stream.schema[c] for c in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("left_o", DoubleType()),
+            StructField("right_o", DoubleType()),
+            StructField("val_left", DoubleType()),
+            StructField("val_right", DoubleType()),
+            StructField("delta", DoubleType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_o", DoubleType()),
+            StructField("last_v", DoubleType()),
+            StructField("n_seen", LongType()),
+            StructField("n_violations", LongType()),
+        ]
+    )
+    g1_f, g2_f = float(g1), float(g2)
+
+    def check(key: tuple, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(order_col, kind="mergesort")
+        if state.exists:
+            last_o, last_v, n_seen, n_viol = state.get
+        else:
+            last_o = last_v = None
+            n_seen = n_viol = 0
+        out = []
+        for o, v in zip(
+            rows[order_col].astype("float64"), rows[value_col].astype("float64")
+        ):
+            if last_o is not None:
+                delta = v - last_v
+                kind = (
+                    "deletion"
+                    if delta < g1_f
+                    else ("insertion" if delta > g2_f else None)
+                )
+                if kind is not None:
+                    out.append(
+                        key + (last_o, o, last_v, v, delta, kind)
+                    )
+            last_o, last_v = float(o), float(v)
+            n_seen += 1
+        n_viol += len(out)
+        state.update((last_o, last_v, n_seen, n_viol))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return (
+        stream.groupBy(*key_cols)
+        .applyInPandasWithState(
+            check, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 

@@ -69,3 +69,48 @@ def test_streaming_violation_counts_windowed(spark, tmp_path):
         for r in spark.table("viol").collect()
     }
     assert got == {("2026-01-01T00:00:00", "a"): 2}
+
+
+def test_streaming_gap_check_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-key SD gap check stitches each key's
+    last row across micro-batches (file ordering drives two batches when
+    maxFilesPerTrigger=1)."""
+    from pyspark_validator.streaming import streaming_gap_check
+
+    src = tmp_path / "gap_src"
+    src.mkdir()
+    # batch 0: key a rising 0->10->20 (ok @ g2=15); key b 0->100 (insertion)
+    spark.createDataFrame(
+        [("a", 1.0, 0.0), ("a", 2.0, 10.0), ("a", 3.0, 20.0),
+         ("b", 1.0, 0.0), ("b", 2.0, 100.0)],
+        ["k", "o", "v"],
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    # batch 1: key a continues 20 -> 15 (delta -5 < g1 -> deletion ACROSS
+    # batches: needs the state store), then 15 -> 25 (ok)
+    spark.createDataFrame(
+        [("a", 4.0, 15.0), ("a", 5.0, 25.0)], ["k", "o", "v"]
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("k string, o double, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = streaming_gap_check(stream, ["k"], "o", "v", g1=0.0, g2=15.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gaps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.k, r.left_o, r.right_o, r.delta, r.kind)
+        for r in spark.table("gaps").collect()
+    )
+    assert ("b", 1.0, 2.0, 100.0, "insertion") in got
+    # the cross-batch deletion: a's last row of batch 0 (o=3, v=20) vs the
+    # first row of batch 1 (o=4, v=15)
+    assert ("a", 3.0, 4.0, -5.0, "deletion") in got
+    assert len(got) == 2
