@@ -1,11 +1,12 @@
-"""Mergeable sketches: HyperLogLog (register-exposed) and Count-Min.
+"""Mergeable sketches: HyperLogLog (register-exposed), Count-Min, and KLL.
 
 Why custom: Spark's approx_count_distinct is HLL++ but never exposes registers, so
 FAIDA-style register-wise inclusion testing (reference:
 faida/inclusion_testing/hll_data.h:28-37 -- "dep subseteq ref iff every register of
 dep <= ref's") and cross-snapshot sketch merging (checkpoint manifests) are
-impossible with the built-in. Quantiles stay on the built-in percentile_approx
-(KLL-family sketch) -- no need to rebuild that.
+impossible with the built-in. Likewise percentile_approx answers a one-shot
+query but cannot hand back a sketch to persist in a checkpoint manifest and
+merge across snapshots/runs -- the KLL here can.
 
 Execution model: the hashing is done JVM-side (xxhash64 -- whole-stage codegen),
 then ONE mapInPandas pass computes a per-Arrow-batch partial sketch (numpy
@@ -190,4 +191,148 @@ def cms_sketch(df: DataFrame, columns: list[str], depth: int = 5, width: int = 8
         out = out.merge(
             CMS(depth, width, np.frombuffer(r.table, dtype=np.int64).reshape(depth, width).copy(), r.n)
         )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (mergeable; persists in checkpoint manifests)
+
+
+@dataclass
+class KLL:
+    """Karnin-Lang-Liberty quantile sketch over doubles.
+
+    ``levels[i]`` holds items of weight 2^i; level capacities shrink
+    geometrically from ``k`` at the top (c = 2/3, floor 2). Compaction keeps
+    every other element of a sorted over-full level and promotes it one level
+    up; the kept-offset alternates DETERMINISTICALLY (a counter, not a coin)
+    so runs are reproducible -- the textbook analysis randomizes it, and the
+    alternation preserves the rank-error bound on stream-order-independent
+    data, which is what parquet scans give us. Size is O(k) regardless of n;
+    rank error ~ O(1/k)."""
+
+    k: int
+    levels: list[np.ndarray]
+    n: int = 0
+    _coin: int = 0
+
+    @classmethod
+    def empty(cls, k: int = 200) -> "KLL":
+        return cls(k=k, levels=[np.empty(0, dtype=np.float64)], n=0)
+
+    def _cap(self, level: int) -> int:
+        h = len(self.levels) - 1
+        return max(int(np.ceil(self.k * (2.0 / 3.0) ** (h - level))), 2)
+
+    def _compress(self) -> None:
+        while sum(len(b) for b in self.levels) > sum(
+            self._cap(i) for i in range(len(self.levels))
+        ):
+            for i, buf in enumerate(self.levels):
+                if len(buf) > self._cap(i):
+                    srt = np.sort(buf)
+                    keep = srt[self._coin % 2 :: 2]
+                    self._coin += 1
+                    self.levels[i] = np.empty(0, dtype=np.float64)
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[i + 1] = np.concatenate([self.levels[i + 1], keep])
+                    break
+            else:
+                break
+
+    def update_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        assert self.k == other.k
+        out = KLL.empty(self.k)
+        out.n = self.n + other.n
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for i in range(depth):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0)
+            out.levels.append(np.concatenate([a, b]).astype(np.float64))
+        out._coin = self._coin + other._coin
+        out._compress()
+        return out
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0)
+        wts = np.concatenate(
+            [np.full(len(b), 1 << i, dtype=np.int64) for i, b in enumerate(self.levels)]
+        ) if self.levels else np.empty(0, dtype=np.int64)
+        order = np.argsort(vals, kind="mergesort")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        vals, wts = self._weighted()
+        if not len(vals):
+            return float("nan")
+        cum = np.cumsum(wts)
+        target = q * cum[-1]
+        return float(vals[int(np.searchsorted(cum, target, side="left").clip(0, len(vals) - 1))])
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def rank(self, x: float) -> float:
+        """Approximate fraction of items <= x."""
+        vals, wts = self._weighted()
+        if not len(vals):
+            return float("nan")
+        cum = np.cumsum(wts)
+        i = int(np.searchsorted(vals, x, side="right"))
+        return float(cum[i - 1] / cum[-1]) if i > 0 else 0.0
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qqq", self.k, self.n, len(self.levels))
+        lens = struct.pack(f"<{len(self.levels)}q", *[len(b) for b in self.levels])
+        return head + lens + b"".join(b.astype(np.float64).tobytes() for b in self.levels)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLL":
+        import struct
+
+        k, n, nlev = struct.unpack_from("<qqq", data, 0)
+        off = 24
+        lens = struct.unpack_from(f"<{nlev}q", data, off)
+        off += 8 * nlev
+        levels = []
+        for ln in lens:
+            levels.append(np.frombuffer(data, dtype=np.float64, count=ln, offset=off).copy())
+            off += 8 * ln
+        return cls(k=int(k), levels=levels, n=int(n))
+
+
+def kll_sketch(df: DataFrame, column: str, k: int = 200) -> KLL:
+    """Build a KLL over a numeric column: one mapInPandas pass emits a
+    serialized per-partition sketch (O(k) bytes), driver merges -- the same
+    treeAggregate shape as hll_sketch/cms_sketch, so the result can be stored
+    in the checkpoint manifest and merged with later snapshots' sketches."""
+    vals = df.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = KLL.empty(k)
+        for b in batches:
+            if len(b):
+                sk.update_batch(b["v"].to_numpy(dtype=np.float64))
+        if sk.n:
+            yield pd.DataFrame({"sk": [sk.to_bytes()]})
+
+    rows = vals.mapInPandas(partials, "sk binary").collect()
+    out = KLL.empty(k)
+    for r in rows:
+        out = out.merge(KLL.from_bytes(r.sk))
     return out

@@ -57,3 +57,63 @@ def test_cms_estimates(spark):
     assert all(e >= 500 for e in ests)
     assert max(ests) >= 5000
     assert max(ests) <= 5000 + 2 * len(vals) // 4096 + 10
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+
+
+def test_kll_accuracy_and_roundtrip():
+    import numpy as np
+
+    from pyspark_validator.sketches import KLL
+
+    rng = np.random.RandomState(7)
+    data = rng.normal(100, 15, 200_000)
+    sk = KLL.empty(200)
+    for chunk in np.array_split(data, 40):
+        sk.update_batch(chunk)
+    assert sk.n == len(data)
+    assert sum(len(b) for b in sk.levels) < 5 * 200  # O(k) space
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.quantile(q)
+        assert abs((data <= est).mean() - q) < 0.02  # rank error << 1/k bound
+    r = KLL.from_bytes(sk.to_bytes())
+    assert r.n == sk.n and r.quantile(0.5) == sk.quantile(0.5)
+
+
+def test_kll_merge_matches_single_sketch():
+    import numpy as np
+
+    from pyspark_validator.sketches import KLL
+
+    rng = np.random.RandomState(11)
+    data = rng.exponential(10, 100_000)
+    parts = np.array_split(data, 7)
+    merged = KLL.empty(128)
+    for p in parts:
+        s = KLL.empty(128)
+        s.update_batch(p)
+        merged = merged.merge(s)
+    assert merged.n == len(data)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        assert abs((data <= est).mean() - q) < 0.03
+
+
+def test_kll_sketch_spark_builder(spark):
+    from pyspark_validator.sketches import kll_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = kll_sketch(ev, "value", k=200)
+    exact = sorted(
+        r.value for r in ev.select("value").dropna().collect()
+    )
+    assert sk.n == len(exact)
+    for q in (0.25, 0.5, 0.75):
+        est = sk.quantile(q)
+        # rank of the estimate within the exact data
+        import bisect
+
+        rank = bisect.bisect_right(exact, est) / len(exact)
+        assert abs(rank - q) < 0.03
