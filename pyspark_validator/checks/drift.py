@@ -145,3 +145,54 @@ def numeric_drift(
         "drift_detected",
         (F.col("psi") > psi_threshold) | (F.col("ks_stat") > ks_threshold),
     )
+
+
+def kll_ks_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    k: int = 200,
+    ks_threshold: float = 0.1,
+) -> dict:
+    """KS drift from two mergeable KLL sketches (sketches.py) instead of a
+    binned histogram: D = max over both sketches' support points of
+    |rank_b(x) - rank_c(x)|. No bin-edge choice, no shuffle beyond the
+    mapInPandas sketch partials, and the two sketches can come from DIFFERENT
+    runs/snapshots (deserialize + compare), which the histogram path cannot
+    offer. Rank error of the estimate is O(1/k) per side.
+
+    Returns {ks_stat, n_b, n_c, drift_detected, sketch_b, sketch_c} -- the
+    sketches are returned so callers can persist them in a checkpoint
+    manifest for future comparisons."""
+    from pyspark_validator.sketches import kll_sketch
+
+    sb = kll_sketch(baseline, column, k=k)
+    sc = kll_sketch(current, column, k=k)
+    return kll_ks_compare(sb, sc, ks_threshold=ks_threshold)
+
+
+def kll_ks_compare(sb, sc, ks_threshold: float = 0.1) -> dict:
+    """KS comparison of two already-built KLL sketches (e.g. one loaded from a
+    previous run's checkpoint manifest)."""
+    import numpy as np
+
+    support = np.unique(
+        np.concatenate(
+            [np.concatenate(sb.levels) if sb.levels else np.empty(0),
+             np.concatenate(sc.levels) if sc.levels else np.empty(0)]
+        )
+    )
+    if not len(support) or not sb.n or not sc.n:
+        return {
+            "ks_stat": float("nan"), "n_b": sb.n, "n_c": sc.n,
+            "drift_detected": False, "sketch_b": sb, "sketch_c": sc,
+        }
+    d = max(abs(sb.rank(x) - sc.rank(x)) for x in support)
+    return {
+        "ks_stat": float(d),
+        "n_b": sb.n,
+        "n_c": sc.n,
+        "drift_detected": bool(d > ks_threshold),
+        "sketch_b": sb,
+        "sketch_c": sc,
+    }

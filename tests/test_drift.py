@@ -73,3 +73,27 @@ def test_per_partition_drift_planted(spark):
     ).collect()
     flagged = {r.partition_id for r in rows if r.drift_detected}
     assert flagged == {p for p in range(P // 2, P)}
+
+
+def test_kll_ks_drift_matches_exact_ks(spark):
+    """Sketch-based KS tracks the exact two-sample KS within the O(1/k)
+    rank-error budget, and detects a genuine shift."""
+    from pyspark_validator.checks.drift import kll_ks_drift
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    b = ev.filter("event_id % 2 = 0")
+    c = ev.filter("event_id % 2 = 1")
+    same = kll_ks_drift(b, c, "value", k=200)
+    # same distribution -> tiny D, no drift
+    assert same["ks_stat"] < 0.08 and not same["drift_detected"]
+
+    shifted = c.selectExpr("event_id", "value + 120.0 AS value")
+    drift = kll_ks_drift(b, shifted, "value", k=200)
+    assert drift["drift_detected"] and drift["ks_stat"] > 0.15
+    # cross-run comparison path: persist/reload one side
+    from pyspark_validator.checks.drift import kll_ks_compare
+    from pyspark_validator.sketches import KLL
+
+    reloaded = KLL.from_bytes(drift["sketch_b"].to_bytes())
+    again = kll_ks_compare(reloaded, drift["sketch_c"])
+    assert abs(again["ks_stat"] - drift["ks_stat"]) < 1e-12
