@@ -1,0 +1,140 @@
+"""Physical-plan audits: pin the scale-critical plan properties so a refactor
+cannot silently regress them. Each assertion was verified against the actual
+formatted plan (explain) -- shuffle counts, broadcast strategy, column
+pruning, JVM-only expression paths, and TakeOrderedAndProject top-k."""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _count(plan: str, node: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    sf = "/root/testdata/sf0.001"
+    return {
+        "lineitem": spark.read.parquet(f"{sf}/lineitem.parquet"),
+        "orders": spark.read.parquet(f"{sf}/orders.parquet"),
+        "customer": spark.read.parquet(f"{sf}/customer.parquet"),
+        "documents": spark.read.parquet(f"{sf}/documents.parquet"),
+        "embeddings": spark.read.parquet(f"{sf}/embeddings.parquet"),
+    }
+
+
+def test_ucc_summary_plan(tables):
+    """One scan, bounded shuffles, no Python eval, and the parquet scan reads
+    ONLY the key columns (column pruning reached the source)."""
+    from pyspark_validator.checks.ucc import ucc_check
+
+    p = _plan(
+        ucc_check(
+            tables["lineitem"], ["l_orderkey", "l_linenumber"], num_partitions=8
+        ).summary()
+    )
+    assert _count(p, "Scan parquet") == 1
+    assert _count(p, "Exchange") <= 3
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in schema and "l_linenumber" in schema
+    assert "l_comment" not in schema and "l_extendedprice" not in schema
+
+
+def test_fd_repartition_reuses_partitioning(tables):
+    """repartition_by_lhs=True: the two chained aggs reuse the LHS hash
+    partitioning, so the plan has strictly FEWER exchanges than the
+    two-independent-shuffles fallback."""
+    from pyspark_validator.checks.fd import fd_check
+
+    with_rep = _plan(
+        fd_check(tables["orders"], ["o_custkey"], ["o_orderpriority"]).summary()
+    )
+    without = _plan(
+        fd_check(
+            tables["orders"], ["o_custkey"], ["o_orderpriority"],
+            repartition_by_lhs=False,
+        ).summary()
+    )
+    assert _count(with_rep, "Exchange") < _count(without, "Exchange")
+
+
+def test_ind_broadcasts_small_side(tables):
+    """The IND anti-join broadcasts under the configured threshold: no
+    sort-merge shuffle of the big side against a small dimension."""
+    from pyspark_validator.checks.ind import ind_check
+
+    p = _plan(
+        ind_check(
+            tables["orders"], ["o_custkey"], tables["customer"], ["c_custkey"]
+        ).summary()
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_brute_topk_is_take_ordered(tables):
+    """orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), NOT a global sort exchange."""
+    from pyspark_validator.pipelines.similarity import brute_force_topk
+
+    p = _plan(brute_force_topk(tables["embeddings"], [0.1] * 64, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert _count(p, "Exchange") == 0
+
+
+def test_text_quality_stays_jvm(tables):
+    """The quality heuristics are pure JVM exprs: a map-only plan with zero
+    shuffles and zero Python evaluation nodes."""
+    from pyspark_validator.pipelines.text import quality_score
+
+    p = _plan(quality_score(tables["documents"].filter("text is not null")))
+    assert _count(p, "Exchange") == 0
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p
+
+
+def test_mfd_1d_fast_path_no_data_join(tables):
+    """1-d euclidean MFD collapses to a range agg: one scan and no data-scale
+    join (the only join is the 1-row summary x 1-row oversized-count cross)."""
+    from pyspark_validator.checks.mfd import mfd_check
+
+    p = _plan(
+        mfd_check(
+            tables["lineitem"], ["l_orderkey"], ["l_quantity"],
+            metric="euclidean", parameter=40.0,
+        ).summary()
+    )
+    assert _count(p, "Scan parquet") == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_dc_check_join_not_cartesian(tables):
+    """The DC pair search keeps an equality key in the join condition -- the
+    plan must not degrade to CartesianProduct / BroadcastNestedLoop."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.checks.dc import dc_check
+
+    o = tables["orders"].withColumn(
+        "o_date_ms", F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    ).withColumn("o_big", F.col("o_totalprice") * 2)
+    p = _plan(
+        dc_check(
+            o,
+            [
+                ("s.o_custkey", "==", "t.o_custkey"),
+                ("s.o_date_ms", "<", "t.o_date_ms"),
+                ("s.o_totalprice", ">", "t.o_big"),
+            ],
+            row_ref="o_orderkey",
+        ).summary()
+    )
+    assert "CartesianProduct" not in p
