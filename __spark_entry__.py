@@ -1680,6 +1680,83 @@ SELECT (SELECT count(*) FROM m) = 0 AS holds,
 """
 
 
+def q_incremental_ucc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic UCC (DynPLI analog, dynamic_position_list_index.h:32-34):
+    initialize on orders(o_orderkey), apply one insert delta duplicating the
+    rows with o_orderkey % 5000 == 1, and roll up the post-delta verdicts.
+    The oracle is the same UCC computed statically over orders UNION ALL the
+    delta -- incremental state must be indistinguishable from a recompute."""
+    import tempfile
+
+    from pyspark_validator.incremental import IncrementalUCC
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    inc = IncrementalUCC(
+        spark, tempfile.mkdtemp(prefix="inc_ucc_"), ["o_orderkey"], num_partitions=32
+    )
+    inc.initialize(o)
+    inc.apply_delta(inserts=o.filter(F.col("o_orderkey") % 5000 == 1))
+    v = inc.verdicts()
+    return v.agg(
+        (F.sum(F.col("n_violating_clusters")) == 0).alias("holds"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_distinct").cast("long").alias("n_distinct"),
+        F.sum("n_violating_clusters").cast("long").alias("n_violating_clusters"),
+        F.sum("n_violating_rows").cast("long").alias("n_violating_rows"),
+        F.sum("violating_pairs").cast("long").alias("violating_pairs"),
+    )
+
+
+SQL_INCREMENTAL_UCC_DELTA = """
+WITH post AS (
+  SELECT o_orderkey FROM orders
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 5000 = 1
+),
+g AS (SELECT count(*) AS cnt FROM post GROUP BY o_orderkey)
+SELECT
+  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+  CAST(sum(cnt) AS BIGINT) AS n_rows,
+  count(*) AS n_distinct,
+  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_clusters,
+  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_violating_rows,
+  CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS violating_pairs
+FROM g
+"""
+
+
+def q_discovery_unary_fds_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary FD mining over nation (TANE level-1 criterion): all A -> B with
+    countDistinct(A) == countDistinct(A, B), from one wide aggregation."""
+    from pyspark_validator.discovery import mine_unary_fds
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    fds = mine_unary_fds(n, ["n_nationkey", "n_name", "n_regionkey"])
+    return spark.createDataFrame(fds or [("", "")], ["lhs", "rhs"]).filter(
+        F.col("lhs") != ""
+    )
+
+
+SQL_DISCOVERY_UNARY_FDS_NATION = """
+WITH c AS (
+  SELECT count(DISTINCT n_nationkey) AS d_key, count(DISTINCT n_name) AS d_name,
+         count(DISTINCT n_regionkey) AS d_reg,
+         count(DISTINCT (n_nationkey, n_name)) AS d_key_name,
+         count(DISTINCT (n_nationkey, n_regionkey)) AS d_key_reg,
+         count(DISTINCT (n_name, n_regionkey)) AS d_name_reg
+  FROM nation
+)
+SELECT lhs, rhs FROM (
+  SELECT 'n_nationkey' AS lhs, 'n_name' AS rhs, d_key = d_key_name AS holds FROM c
+  UNION ALL SELECT 'n_nationkey', 'n_regionkey', d_key = d_key_reg FROM c
+  UNION ALL SELECT 'n_name', 'n_nationkey', d_name = d_key_name FROM c
+  UNION ALL SELECT 'n_name', 'n_regionkey', d_name = d_name_reg FROM c
+  UNION ALL SELECT 'n_regionkey', 'n_nationkey', d_reg = d_key_reg FROM c
+  UNION ALL SELECT 'n_regionkey', 'n_name', d_reg = d_name_reg FROM c
+) WHERE holds
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -1730,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cind_orders_customer_open": q_cind_orders_customer_open,
         "md_nation_name": q_md_nation_name,
         "md_orders_customer": q_md_orders_customer,
+        "incremental_ucc_delta": q_incremental_ucc_delta,
+        "discovery_unary_fds_nation": q_discovery_unary_fds_nation,
     }
 
 
@@ -1789,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         "cind_orders_customer_open": SQL_CIND_ORDERS_CUSTOMER_OPEN,
         "md_nation_name": SQL_MD_NATION_NAME,
         "md_orders_customer": SQL_MD_ORDERS_CUSTOMER,
+        "incremental_ucc_delta": SQL_INCREMENTAL_UCC_DELTA,
+        "discovery_unary_fds_nation": SQL_DISCOVERY_UNARY_FDS_NATION,
     }
 
 
