@@ -358,3 +358,97 @@ class DataStats(_Verifier):
             default=str,
             indent=1,
         )
+
+
+class MdVerifier(_Verifier):
+    """md/md_verifier/md_verifier.h:19-46 getter parity: GetResult,
+    GetTrueRhsDecisionBoundary, GetMDSuggestion, GetHighlights. Classifiers
+    are (fn, left_col, right_col_or_None, boundary) tuples, as in
+    ColumnSimilarityClassifier(column_match, decision_boundary)."""
+
+    def load_data(self, left_table, right_table=None) -> None:
+        self._df = self._resolve(left_table)
+        self._right = self._resolve(right_table) if right_table is not None else None
+
+    def execute(self, lhs, rhs, left_id=None, right_id=None, cap: int = 100) -> None:
+        from pyspark_validator.checks.md import md_check
+
+        if self._df is None:
+            raise RuntimeError("call load_data first")
+        kw = {}
+        if left_id is not None:
+            kw["left_id"] = left_id
+        if right_id is not None:
+            kw["right_id"] = right_id
+        elif left_id is not None:
+            kw["right_id"] = left_id
+        check = md_check(self._df, lhs, rhs, right=self._right, **kw)
+        self._summary = check.summary().collect()[0]
+        self._highlights = [r.asDict() for r in check.highlights().limit(cap).collect()]
+        self._suggestion = {
+            "lhs": [(cm.name, cm.boundary) for cm in check.lhs],
+            "rhs": (check.rhs.name, self._summary.true_rhs_boundary),
+            "holds": self._summary.holds,
+        }
+
+    def get_result(self) -> bool:
+        return bool(self._summary.holds)
+
+    def get_true_rhs_decision_boundary(self) -> float:
+        return float(self._summary.true_rhs_boundary)
+
+    def get_md_suggestion(self) -> dict:
+        return self._suggestion
+
+    def get_highlights(self) -> list[dict]:
+        return self._highlights
+
+
+class SdVerifier(_Verifier):
+    """sd/sd_verifier/sd_verifier.h getter parity: GetOPS, GetViolations,
+    GetError, GetConfidence, Holds(error). Uses the exact Fenwick/segment-tree
+    DP (SDCheck.optimal), matching the reference's minimum operation count."""
+
+    def execute(self, lhs_indices, rhs_indices, g1: float = 0.0, g2: float = -1.0,
+                cap: int = 1000) -> None:
+        import math
+
+        from pyspark_validator.checks.sd import sd_check
+
+        if self._df is None:
+            raise RuntimeError("call load_data first")
+        (x,) = self._cols(lhs_indices)
+        (y,) = self._cols(rhs_indices)
+        g2_f = math.inf if g2 < 0 else float(g2)  # reference: negative = inf
+        row = (
+            sd_check(self._df, x, y, g1=float(g1), g2=g2_f)
+            .optimal(violation_cap=cap)
+            .collect()[0]
+        )
+        self._row = row
+
+    def get_ops(self) -> int:
+        return int(self._row.ops)
+
+    def get_confidence(self) -> float:
+        return float(self._row.confidence)
+
+    def get_error(self) -> float:
+        return 1.0 - float(self._row.confidence)
+
+    def holds(self, error: float) -> bool:
+        return self.get_error() <= error
+
+    def get_violations(self) -> list[dict]:
+        dels = [{"kind": "deletion", "row": int(i)} for i in self._row.deletions]
+        ins = [
+            {
+                "kind": "insertion",
+                "left_row": int(i.left_id),
+                "right_row": int(i.right_id),
+                "min_insertions": int(i.min_insertions),
+                "max_insertions": int(i.max_insertions),
+            }
+            for i in self._row.insertions
+        ]
+        return dels + ins

@@ -75,3 +75,50 @@ def test_data_stats_facade(spark):
     assert "l_quantity" not in ds.get_columns_with_null()
     assert ds.get_min_number_of_chars("l_returnflag") == 1
     assert len(ds.get_all_statistics_as_string()) > 100
+
+
+def test_compat_md_verifier(spark):
+    from pyspark_validator.compat import MdVerifier
+
+    rows = [
+        (0, "Simba", "lion", "meat"), (1, "Clarence", "lion", "mead"),
+        (2, "Baloo", "bear", "fish"), (3, "Pooh", "beer", "fish"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "animal", "diet"])
+    v = MdVerifier(spark)
+    v.load_data(df)
+    v.execute(
+        lhs=[("levenshtein", "animal", None, 0.75)],
+        rhs=("levenshtein", "diet", None, 0.75),
+        left_id="id",
+    )
+    assert v.get_result() is True
+    assert v.get_true_rhs_decision_boundary() == 0.75
+    v.execute(
+        lhs=[("levenshtein", "name", None, 0.125),
+             ("levenshtein", "animal", None, 0.75)],
+        rhs=("levenshtein", "name", None, 0.5),
+        left_id="id",
+    )
+    assert v.get_result() is False
+    assert abs(v.get_true_rhs_decision_boundary() - 0.2) < 1e-12
+    hl = {(h["left_id"], h["right_id"]) for h in v.get_highlights()}
+    assert hl == {(2, 3), (3, 2)}
+    assert v.get_md_suggestion()["rhs"][1] == v.get_true_rhs_decision_boundary()
+
+
+def test_compat_sd_verifier(spark):
+    from pyspark_validator.compat import SdVerifier
+
+    rows = [(x + 1, y) for x, y in enumerate([0, 5, 10, 20, 40, 45, 55, 65, 70])]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    v = SdVerifier(spark)
+    v.load_data(df)
+    v.execute(["x"], ["y"], g1=0.0, g2=10.0)  # BasicViolation fixture
+    assert v.get_ops() == 1
+    assert abs(v.get_confidence() - 8 / 9) < 1e-9
+    assert v.holds(0.2) and not v.holds(0.05)
+    viol = v.get_violations()
+    assert [x["kind"] for x in viol] == ["insertion"]
+    v.execute(["x"], ["y"], g1=0.0, g2=-1.0)  # negative g2 = infinity
+    assert v.get_ops() == 0 and v.get_error() == 0.0
