@@ -22,9 +22,10 @@ from pyspark_validator.checks.ucc import ucc_check
 
 @dataclass
 class CheckSpec:
-    """One named check. ``kind`` in {'ucc','fd','custom'}; ``params`` are
-    forwarded; 'custom' takes fn(canon_df) -> verdicts DataFrame with a
-    partition_id + holds column."""
+    """One named check. ``kind`` in {'ucc','fd','ind','nd','mfd','sd','md',
+    'custom'}; ``params`` are forwarded; single-row checks (nd/mfd/sd/md) are
+    framed as partition 0 for the manifest; 'custom' takes fn(canon_df) ->
+    verdicts DataFrame with a partition_id + holds column."""
 
     name: str
     kind: str
@@ -87,6 +88,40 @@ class ValidationSuite:
                 weight=spec.params["weight"],
                 num_partitions=self.num_partitions,
             ).withColumn("partition_id", F.lit(0))
+        if spec.kind in ("mfd", "sd", "md"):
+            # single-row verdict checks framed as partition 0 for the manifest
+            from pyspark.sql import functions as F
+
+            if spec.kind == "mfd":
+                from pyspark_validator.checks.mfd import mfd_check
+
+                s = mfd_check(
+                    df,
+                    spec.params["lhs"],
+                    spec.params["rhs"],
+                    metric=spec.params.get("metric", "euclidean"),
+                    parameter=spec.params.get("parameter", 0.0),
+                ).summary()
+            elif spec.kind == "sd":
+                from pyspark_validator.checks.sd import sd_check
+
+                s = sd_check(
+                    df,
+                    spec.params["order_col"],
+                    spec.params["value_col"],
+                    g1=spec.params.get("g1", 0.0),
+                    g2=spec.params.get("g2", float("inf")),
+                ).summary()
+            else:
+                from pyspark_validator.checks.md import md_check
+
+                s = md_check(
+                    df,
+                    spec.params["lhs"],
+                    spec.params["rhs"],
+                    left_id=spec.params.get("left_id", "doc_id"),
+                ).summary()
+            return s.withColumn("partition_id", F.lit(0))
         if spec.kind == "custom":
             assert spec.fn is not None
             return spec.fn(df)

@@ -85,3 +85,63 @@ def test_partial_then_resume(spark, tmp_path):
     )
     exp = sorted(tuple(r) for r in full.collect())
     assert got == exp
+
+
+def test_suite_single_row_check_kinds(spark, tmp_path):
+    """nd-style partition-0 framing extends to mfd / sd / md specs."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.checks.md import ColumnMatch
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", [("text", f"span {i % 3}", None, 0)]) for i in range(30)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    suite = ValidationSuite(spark, docs, num_partitions=4)
+    # derived numeric column for mfd/sd over the canonical frame
+    res = suite.run(
+        [
+            CheckSpec(
+                name="mfd_len",
+                kind="custom",
+                fn=lambda df: __import__(
+                    "pyspark_validator.checks.mfd", fromlist=["mfd_check"]
+                )
+                .mfd_check(
+                    df.withColumn("ln", F.length("span_seq")),
+                    ["span_key"], ["ln"], metric="euclidean", parameter=100.0,
+                )
+                .summary()
+                .withColumn("partition_id", F.lit(0)),
+            ),
+            CheckSpec(
+                name="md_spanseq",
+                kind="md",
+                params={
+                    "lhs": [ColumnMatch("equality", "span_seq", "span_seq", 1.0)],
+                    "rhs": ColumnMatch("equality", "span_key", "span_key", 1.0),
+                    "left_id": "doc_id",
+                },
+            ),
+        ]
+    )
+    assert res["mfd_len"].collect()[0].holds
+    # identical span_seq => identical span_key: the MD must hold
+    assert res["md_spanseq"].collect()[0].holds
+    # sd spec over an ordered numeric view
+    ev = spark.createDataFrame(
+        [(f"e{i}", [("text", "x", None, 0)]) for i in range(5)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    s2 = ValidationSuite(spark, ev, num_partitions=2)
+    out = s2.run(
+        [
+            CheckSpec(
+                name="sd_key",
+                kind="sd",
+                params={"order_col": "span_key", "value_col": "span_key",
+                        "g1": 0.0, "g2": float("inf")},
+            )
+        ]
+    )
+    assert "holds" in out["sd_key"].columns
