@@ -106,3 +106,32 @@ def cast_inferred(df: DataFrame, types: dict[str, str] | None = None) -> DataFra
         if t in spark_type:
             df = df.withColumn(c, F.col(c).cast(spark_type[t]))
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the validation key.
+
+    Bucketing pre-co-locates rows by hash(bucket_cols) AT WRITE TIME, so every
+    later groupBy/join on that key reads the buckets as an existing
+    HashPartitioning and skips the exchange entirely -- the right layout for a
+    table that is re-validated every snapshot (UCC/FD on the same key each
+    run). One write shuffle amortized over every future validation pass.
+    Requires a session catalog (any warehouse dir works; no Hive needed)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark, table_name: str) -> DataFrame:
+    """Read a table written by write_bucketed; scans report the bucket spec so
+    Catalyst plans bucket-local aggregation (verify with .explain: no Exchange
+    between the scan and the first groupBy on the bucket key)."""
+    return spark.table(table_name)

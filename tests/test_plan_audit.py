@@ -138,3 +138,37 @@ def test_dc_check_join_not_cartesian(tables):
         ).summary()
     )
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_table_skips_validation_shuffle(spark, tables, tmp_path):
+    """A table bucketed by the validation key is re-validated WITHOUT the
+    groupBy exchange: the bucketed ucc plan has strictly fewer exchanges and
+    no 'Exchange hashpartitioning' on the key before the first agg."""
+    from pyspark_validator.checks.ucc import ucc_check
+    from pyspark_validator.io import read_bucketed, write_bucketed
+
+    o = tables["orders"]
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    write_bucketed(o, "orders_bucketed", ["o_orderkey"], num_buckets=8)
+    try:
+        plain = _plan(ucc_check(o, ["o_orderkey"], num_partitions=8).summary())
+        bucketed = _plan(
+            ucc_check(
+                read_bucketed(spark, "orders_bucketed"), ["o_orderkey"],
+                num_partitions=8,
+            ).summary()
+        )
+        assert _count(bucketed, "Exchange") < _count(plain, "Exchange")
+        # verdicts agree, of course
+        a = ucc_check(o, ["o_orderkey"], num_partitions=8).summary().collect()
+        b = (
+            ucc_check(
+                read_bucketed(spark, "orders_bucketed"), ["o_orderkey"],
+                num_partitions=8,
+            )
+            .summary()
+            .collect()
+        )
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
