@@ -30,11 +30,14 @@ def tables(spark):
     }
 
 
-def test_ucc_summary_plan(tables):
+def test_ucc_summary_plan(spark, tables):
     """One scan, bounded shuffles, no Python eval, and the parquet scan reads
     ONLY the key columns (column pruning reached the source)."""
     from pyspark_validator.checks.ucc import ucc_check
 
+    # other test modules may have cached the same relation; a cache hit
+    # substitutes the materialized full-schema relation and hides pruning
+    spark.catalog.clearCache()
     p = _plan(
         ucc_check(
             tables["lineitem"], ["l_orderkey", "l_linenumber"], num_partitions=8
