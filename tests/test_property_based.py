@@ -70,3 +70,175 @@ def test_fd_matches_pandas_oracle(spark, rows):
     expected_g1 = conflict / (n * n - n) if n > 1 else 0.0
     assert float(s.g1_error) == pytest.approx(expected_g1)
     assert s.holds == (len(x_sizes) == len(xy_sizes))
+
+
+# ---------------------------------------------------------------------------
+# MD: blocking soundness + brute-force oracle
+
+
+def _md_pandas_oracle(rows, lhs_b, rhs_b):
+    """Direct ordered-pair evaluation of MD
+    [levenshtein(s) >= lhs_b] -> [equality(g) >= rhs_b]."""
+
+    def lev(a, b):
+        if not a and not b:
+            return 1.0
+        if not a or not b:
+            return 0.0
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return (max(m, n) - prev[n]) / max(m, n)
+
+    matched = viol = 0
+    min_sim = None
+    for i, (sa, ga) in enumerate(rows):
+        for j, (sb, gb) in enumerate(rows):
+            if lev(sa, sb) >= lhs_b:
+                matched += 1
+                sim = 1.0 if ga == gb else 0.0
+                min_sim = sim if min_sim is None else min(min_sim, sim)
+                if sim < rhs_b:
+                    viol += 1
+    return matched, viol, min_sim
+
+
+md_rows_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        st.sampled_from(["g1", "g2"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=md_rows_strategy, lhs_b=st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+@settings(**_SETTINGS)
+def test_md_blocking_is_sound(spark, rows, lhs_b):
+    """The length-band blocking must produce EXACTLY the brute-force
+    ordered-pair result for any data and boundary -- a lost candidate pair
+    would show up as a lower matched/violation count."""
+    from pyspark_validator.checks.md import ColumnMatch, md_check
+
+    df = spark.createDataFrame(
+        [(i, s, g) for i, (s, g) in enumerate(rows)], ["id", "s", "g"]
+    )
+    got = (
+        md_check(
+            df,
+            [ColumnMatch("levenshtein", "s", "s", lhs_b)],
+            ColumnMatch("equality", "g", "g", 1.0),
+            left_id="id",
+        )
+        .summary()
+        .collect()[0]
+    )
+    matched, viol, min_sim = _md_pandas_oracle(rows, lhs_b, 1.0)
+    assert got.n_matching_pairs == matched
+    assert got.n_violating_pairs == viol
+    expected_boundary = min(1.0, min_sim) if min_sim is not None else 1.0
+    assert abs(got.true_rhs_boundary - expected_boundary) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# SD: the optimal DP lower-bounds the greedy scan and agrees with brute force
+
+
+def _sd_brute_ops(values, g1, g2):
+    """Exponential-time exact minimum (subsequence enumeration) for tiny n:
+    keep a subset in order, pay deletions for dropped rows and the minimal
+    insertions for each kept gap; invalid gaps forbid the subsequence."""
+    import itertools
+    import math
+
+    n = len(values)
+    best = n  # delete everything but (at most) one element costs n-1 <= n
+    if n:
+        best = n - 1
+    for r in range(1, n + 1):
+        for keep in itertools.combinations(range(n), r):
+            cost = n - r
+            ok = True
+            for a, b in zip(keep, keep[1:]):
+                d = values[b] - values[a]
+                if d < 0:
+                    ok = False
+                    break
+                if math.isinf(g2):
+                    steps = 1 if d >= g1 else -1
+                else:
+                    steps = max(math.ceil(d / g2), 1)
+                    if steps * g1 > d + 1e-12:
+                        steps = -1
+                if steps == -1:
+                    ok = False
+                    break
+                cost += steps - 1
+            if ok:
+                best = min(best, cost)
+    return best
+
+
+sd_values_strategy = st.lists(
+    st.integers(min_value=0, max_value=12), min_size=1, max_size=7
+)
+
+
+@given(vals=sd_values_strategy, g=st.sampled_from([(0.0, 3.0), (2.0, 4.0), (1.0, float("inf"))]))
+@settings(**_SETTINGS)
+def test_sd_optimal_matches_bruteforce(spark, vals, g):
+    from pyspark_validator.checks.sd import _optimal_ops
+
+    g1, g2 = g
+    svals = sorted(float(v) for v in vals)
+    ops, dels, ins = _optimal_ops(svals, g1, g2)
+    assert ops == _sd_brute_ops(svals, g1, g2)
+    # reconstruct consistency: ops counted by the violation path
+    assert ops == len(dels) + sum(mi for _, _, mi, _ in ins)
+
+
+@given(vals=sd_values_strategy)
+@settings(**_SETTINGS)
+def test_sd_optimal_lower_bounds_greedy(spark, vals):
+    from pyspark_validator.checks.sd import sd_check
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["o", "v"]
+    )
+    c = sd_check(df, "o", "v", g1=1.0, g2=3.0)
+    greedy = c.summary().collect()[0].ops
+    opt = c.optimal().collect()[0].ops
+    assert opt <= greedy
+
+
+# ---------------------------------------------------------------------------
+# MFD: approx bound sandwich (r <= true diameter <= 2r)
+
+
+@given(
+    vals=st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=8)
+)
+@settings(**_SETTINGS)
+def test_mfd_approx_bounds_sandwich_true_diameter(spark, vals):
+    from pyspark_validator.checks.mfd import mfd_check
+
+    df = spark.createDataFrame([(1, v) for v in vals], ["k", "s"])
+    exact = (
+        mfd_check(df, ["k"], ["s"], metric="levenshtein", parameter=0.0, algo="brute")
+        .diameters.collect()[0]
+    )
+    approx = (
+        mfd_check(df, ["k"], ["s"], metric="levenshtein", parameter=0.0, algo="approx")
+        .diameters.collect()[0]
+    )
+    # diameter_lb = pivot radius r, diameter = 2r: r <= true <= 2r
+    assert approx.diameter_lb <= exact.diameter + 1e-9
+    assert exact.diameter <= approx.diameter + 1e-9
