@@ -1757,6 +1757,104 @@ SELECT lhs, rhs FROM (
 """
 
 
+def q_ac_ranges_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic constraint (BHUNT/ac_algorithm.h): disjunctive value ranges
+    of l_extendedprice / l_quantity via distributed sorted-gap clustering."""
+    from pyspark_validator.checks.ac import ac_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return ac_check(li, "l_extendedprice", "l_quantity", "/", weight=0.003).ranges()
+
+
+SQL_AC_RANGES_LINEITEM = """
+WITH v AS (
+  SELECT DISTINCT l_extendedprice / l_quantity AS r
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity <> 0
+), m AS (
+  SELECT (max(r) - min(r)) * (CAST(0.003 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - CAST(0.003 AS DOUBLE))) AS delta
+  FROM v
+), f AS (
+  SELECT r, CASE WHEN r - lag(r) OVER (ORDER BY r) > m.delta THEN 1 ELSE 0 END AS s
+  FROM v, m
+), c AS (
+  SELECT r, sum(s) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cid FROM f
+), g AS (
+  SELECT min(r) AS lo, max(r) AS hi, CAST(count(*) AS BIGINT) AS n_values
+  FROM c GROUP BY cid
+)
+SELECT CAST(row_number() OVER (ORDER BY lo) AS BIGINT) AS range_id, lo, hi, n_values
+FROM g
+"""
+
+
+def q_ac_exceptions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AC exception finding (ac_exception_finder.cpp): rows whose
+    l_discount + l_tax falls outside the standing range [0, 0.12]."""
+    from pyspark_validator.checks.ac import ac_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return ac_check(li, "l_discount", "l_tax", "+").exceptions(
+        ["l_orderkey", "l_linenumber"], ranges=[(0.0, 0.12)]
+    )
+
+
+SQL_AC_EXCEPTIONS_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       'l_discount' AS lhs, 'l_tax' AS rhs,
+       l_discount + l_tax AS res
+FROM lineitem
+WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+  AND NOT (l_discount + l_tax >= CAST(0.0 AS DOUBLE)
+           AND l_discount + l_tax <= CAST(0.12 AS DOUBLE))
+"""
+
+
+def q_nar_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAR verification (nar/nar.cpp SetQualities): rule
+    {o_orderstatus in (F), o_totalprice in [1000, 150000]} =>
+    {o_orderpriority in (1-URGENT, 2-HIGH)} over the 6-feature orders table."""
+    from pyspark_validator.checks.nar import nar_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = nar_check(
+        o,
+        {"o_orderstatus": ["F"], "o_totalprice": (1000.0, 150000.0)},
+        {"o_orderpriority": ["1-URGENT", "2-HIGH"]},
+    ).qualities()
+    return q.select(
+        "n_rows",
+        "n_fit_ante",
+        "n_fit_both",
+        _r(F.col("support"), 9).alias("support"),
+        _r(F.col("confidence"), 9).alias("confidence"),
+        _r(F.col("fitness"), 9).alias("fitness"),
+    )
+
+
+SQL_NAR_ORDERS_PRIORITY = """
+WITH t AS (
+  SELECT
+    o_orderstatus = 'F'
+      AND o_totalprice >= CAST(1000.0 AS DOUBLE)
+      AND o_totalprice <= CAST(150000.0 AS DOUBLE) AS ante,
+    o_orderpriority IN ('1-URGENT', '2-HIGH') AS cons
+  FROM orders
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN ante THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_ante,
+         CAST(sum(CASE WHEN ante AND cons THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_both
+  FROM t
+)
+SELECT n_rows, n_fit_ante, n_fit_both,
+  round(n_fit_both * 1.0 / n_rows, 9) AS support,
+  round(n_fit_both * 1.0 / n_fit_ante, 9) AS confidence,
+  round((n_fit_both * 1.0 / n_fit_ante + n_fit_both * 1.0 / n_rows
+         + CAST(3.0 AS DOUBLE) / CAST(6.0 AS DOUBLE)) / 3.0, 9) AS fitness
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -1809,6 +1907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_orders_customer": q_md_orders_customer,
         "incremental_ucc_delta": q_incremental_ucc_delta,
         "discovery_unary_fds_nation": q_discovery_unary_fds_nation,
+        "ac_ranges_lineitem": q_ac_ranges_lineitem,
+        "ac_exceptions_lineitem": q_ac_exceptions_lineitem,
+        "nar_orders_priority": q_nar_orders_priority,
     }
 
 
@@ -1870,6 +1971,9 @@ def oracle_sql() -> dict[str, str]:
         "md_orders_customer": SQL_MD_ORDERS_CUSTOMER,
         "incremental_ucc_delta": SQL_INCREMENTAL_UCC_DELTA,
         "discovery_unary_fds_nation": SQL_DISCOVERY_UNARY_FDS_NATION,
+        "ac_ranges_lineitem": SQL_AC_RANGES_LINEITEM,
+        "ac_exceptions_lineitem": SQL_AC_EXCEPTIONS_LINEITEM,
+        "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
     }
 
 

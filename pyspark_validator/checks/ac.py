@@ -1,0 +1,329 @@
+"""Algebraic-constraint (AC) validation.
+
+Reference (algebraic_constraints/ac_algorithm.h:19-33, BHUNT, VLDB'03
+S20P03): an AC over a numeric column pair (A, B) under a binary operation
+op is a set of disjoint value ranges covering op(a_i, b_i) for row-paired
+values; a row is an *exception* (ac_exception_finder.cpp:36-62) when its
+result falls outside every range. Ranges are built by sorting the results
+and splitting where the gap between neighbours exceeds
+``delta = (max - min) * weight / (1 - weight)``
+(ac_algorithm.cpp ConstructDisjunctiveRanges); if there are more than
+``bumps_limit`` ranges, the closest pair is merged repeatedly
+(RestrictRangesAmount). NULL/empty operands are skipped, as are division
+rows with a zero divisor (ac_exception_finder.cpp:47-56). Columns pair
+only with columns of the same numeric type (ExecuteInternal), and integer
+columns use integer arithmetic (TestZeros golden: 2/20 == 0).
+
+Spark design -- distributed gap clustering without a global sort choke:
+  1. one scan computes (n_valid, min, max) -> delta on the driver;
+  2. ``distinct()`` on the result column (gap clustering is invariant to
+     duplicates: a duplicate's gap is 0 <= delta);
+  3. repartitionByRange + sortWithinPartitions, per-partition lag windows
+     flag splits (gap > delta), a running sum numbers clusters locally;
+  4. cross-partition offsets come from a P-row per-partition rollup
+     stitched on the driver and broadcast-joined back -- the same
+     boundary-stitch pattern as checks/sd.py;
+  5. groupBy(cluster) -> [lo, hi, n_values]; ranges stay a DataFrame.
+At 10^12 rows: one distinct shuffle + one range shuffle + map-local
+windows + P-row driver work. Exceptions broadcast the (small,
+bumps-limited) range list as a literal array and filter with
+``F.exists`` -- a single scan, no join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"}
+_BINOPS = ("+", "-", "*", "/")
+
+
+def _is_integral(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes)[col] in _INT_TYPES
+
+
+def _res_expr(df: DataFrame, lhs: str, rhs: str, binop: str):
+    """(result expr cast to double, validity filter) with reference parity:
+    null operands skipped; division by zero skipped; integer columns use
+    integer arithmetic (C++ Int div truncates -- Spark's ``div`` ditto)."""
+    if binop not in _BINOPS:
+        raise ValueError(f"binop must be one of {_BINOPS}, got {binop!r}")
+    l, r = F.col(lhs), F.col(rhs)
+    valid = l.isNotNull() & r.isNotNull()
+    int_mode = _is_integral(df, lhs) and _is_integral(df, rhs)
+    if binop == "/":
+        valid = valid & (r != 0)
+    if int_mode:
+        ll, rl = l.cast("long"), r.cast("long")
+        res = {
+            "+": ll + rl,
+            "-": ll - rl,
+            "*": ll * rl,
+            "/": F.try_divide(ll, rl).cast("long"),  # trunc-toward-zero int div
+        }[binop]
+    else:
+        ld, rd = l.cast("double"), r.cast("double")
+        res = {"+": ld + rd, "-": ld - rd, "*": ld * rd, "/": F.try_divide(ld, rd)}[
+            binop
+        ]
+    return res.cast("double"), valid
+
+
+def _merge_to_limit(ranges: list[tuple[float, float]], bumps_limit: int):
+    """RestrictRangesAmount parity: while > limit, merge the two ranges
+    separated by the smallest gap (never merges when only one range)."""
+    ranges = list(ranges)
+    if bumps_limit <= 0 or len(ranges) <= 1:
+        return ranges
+    while len(ranges) > bumps_limit:
+        gaps = [ranges[i + 1][0] - ranges[i][1] for i in range(len(ranges) - 1)]
+        i = min(range(len(gaps)), key=gaps.__getitem__)
+        ranges[i : i + 2] = [(ranges[i][0], ranges[i + 1][1])]
+    return ranges
+
+
+@dataclass
+class ACCheck:
+    """Lazy AC over one column pair: build ranges, then flag exceptions."""
+
+    df: DataFrame
+    lhs: str
+    rhs: str
+    binop: str = "+"
+    weight: float = 0.1
+    bumps_limit: int = 0
+    num_partitions: int = 64
+
+    def __post_init__(self) -> None:
+        if not (0.0 < self.weight <= 1.0):
+            raise ValueError("weight must lie in (0, 1]")
+
+    @cached_property
+    def _valid(self) -> DataFrame:
+        res, valid = _res_expr(self.df, self.lhs, self.rhs, self.binop)
+        return self.df.filter(valid).select(res.alias("__r"))
+
+    @cached_property
+    def _stats(self):
+        """(n_valid_rows, min, max) -- one single-row agg."""
+        row = self._valid.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__r").alias("mn"),
+            F.max("__r").alias("mx"),
+        ).collect()[0]
+        return int(row["n"]), row["mn"], row["mx"]
+
+    @cached_property
+    def _clustered(self) -> DataFrame:
+        """Distinct results tagged with a global cluster id (sorted-gap
+        clustering at delta = (max-min) * w/(1-w))."""
+        n, mn, mx = self._stats
+        spark = self.df.sparkSession
+        if n < 2:  # ConstructDisjunctiveRanges: <2 pairs -> no ranges
+            return spark.createDataFrame([], "__r double, __cluster long")
+        if self.weight == 1.0:
+            return self._valid.distinct().select(
+                "__r", F.lit(0).cast("long").alias("__cluster")
+            )
+        delta = (mx - mn) * (self.weight / (1.0 - self.weight))
+        vals = (
+            self._valid.distinct()
+            .repartitionByRange(self.num_partitions, "__r")
+            .sortWithinPartitions("__r")
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w = Window.partitionBy("__pid").orderBy("__r")
+        flagged = vals.withColumn(
+            "__split",
+            F.when(F.col("__r") - F.lag("__r").over(w) > F.lit(delta), 1).otherwise(0),
+        ).withColumn("__local", F.sum("__split").over(w))
+        flagged = flagged.persist()
+        edges = (
+            flagged.groupBy("__pid")
+            .agg(
+                F.min("__r").alias("first"),
+                F.max("__r").alias("last"),
+                F.sum("__split").alias("nsplits"),
+            )
+            .orderBy("__pid")
+            .collect()
+        )  # P rows: one per non-empty range partition
+        offsets, run, prev_last = {}, 0, None
+        for e in edges:
+            if prev_last is not None and e["first"] - prev_last > delta:
+                run += 1
+            offsets[e["__pid"]] = run
+            run += int(e["nsplits"])
+            prev_last = e["last"]
+        off = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+            )
+        )
+        return flagged.join(off, "__pid").select(
+            "__r", (F.col("__off") + F.col("__local")).alias("__cluster")
+        )
+
+    def ranges(self) -> DataFrame:
+        """One row per range, ordered by lo: [range_id, lo, hi, n_values].
+
+        Stays distributed (groupBy over cluster ids); ``bumps_limit`` is not
+        applied here -- use ranges_list() for the merged driver-side list
+        (the merge needs the whole, provably small, range set at once)."""
+        # the result set is small (<= #clusters); pmod keeps the ordering
+        # window single-partitioned without the constant-folding warning.
+        wp = Window.partitionBy(F.pmod(F.col("__cluster"), F.lit(1))).orderBy("lo")
+        return (
+            self._clustered.groupBy("__cluster")
+            .agg(
+                F.min("__r").alias("lo"),
+                F.max("__r").alias("hi"),
+                F.count(F.lit(1)).alias("n_values"),
+            )
+            .withColumn("range_id", F.row_number().over(wp).cast("long"))
+            .select("range_id", "lo", "hi", "n_values")
+        )
+
+    def ranges_list(self) -> list[tuple[float, float]]:
+        """[(lo, hi), ...] sorted, with RestrictRangesAmount applied."""
+        rows = self.ranges().orderBy("lo").collect()
+        return _merge_to_limit([(r["lo"], r["hi"]) for r in rows], self.bumps_limit)
+
+    def exceptions(
+        self, id_cols: list[str], ranges: list[tuple[float, float]] | None = None
+    ) -> DataFrame:
+        """Rows whose result lies outside every range (borders inclusive,
+        ValueBelongsToRanges parity): [*id_cols, lhs, rhs, res].
+
+        ``ranges`` defaults to this check's own (then exceptions only exist
+        if the ranges came from a sample); pass a discovered/agreed list to
+        validate fresh data against a standing constraint."""
+        if ranges is None:
+            ranges = self.ranges_list()
+        res, valid = _res_expr(self.df, self.lhs, self.rhs, self.binop)
+        if ranges:
+            bounds = F.array(
+                *[
+                    F.struct(
+                        F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi")
+                    )
+                    for lo, hi in ranges
+                ]
+            )
+            inside = F.exists(
+                bounds,
+                lambda b: (F.col("__res") >= b["lo"]) & (F.col("__res") <= b["hi"]),
+            )
+        else:
+            inside = F.lit(False)
+        return (
+            self.df.filter(valid)
+            .withColumn("__res", res)
+            .filter(~inside)
+            .select(
+                *id_cols,
+                F.lit(self.lhs).alias("lhs"),
+                F.lit(self.rhs).alias("rhs"),
+                F.col("__res").alias("res"),
+            )
+        )
+
+
+@dataclass
+class ACSuite:
+    """All-pairs AC in the reference's ExecuteInternal shape: every ordered
+    pair of same-type numeric columns (i < j; both directions for the
+    asymmetric, zero-skipping division -- ac_algorithm.cpp:219-236)."""
+
+    df: DataFrame
+    binop: str = "+"
+    weight: float = 0.1
+    bumps_limit: int = 0
+    columns: list[str] | None = None
+    num_partitions: int = 64
+    _checks: dict[tuple[str, str], ACCheck] = field(default_factory=dict, init=False)
+
+    def pairs(self) -> list[tuple[str, str]]:
+        cols = self.columns or [
+            c
+            for c, t in self.df.dtypes
+            if t in _INT_TYPES or t in ("float", "double") or t.startswith("decimal")
+        ]
+        kinds = {c: ("int" if _is_integral(self.df, c) else "float") for c in cols}
+        out = []
+        for i, a in enumerate(cols):
+            for b in cols[i + 1 :]:
+                if kinds[a] == kinds[b]:
+                    out.append((a, b))
+                    if self.binop == "/":
+                        out.append((b, a))
+        return out
+
+    def check(self, lhs: str, rhs: str) -> ACCheck:
+        key = (lhs, rhs)
+        if key not in self._checks:
+            self._checks[key] = ACCheck(
+                self.df,
+                lhs,
+                rhs,
+                self.binop,
+                self.weight,
+                self.bumps_limit,
+                self.num_partitions,
+            )
+        return self._checks[key]
+
+    def all_ranges(self) -> DataFrame:
+        """Union of per-pair range frames: [lhs, rhs, range_id, lo, hi,
+        n_values]."""
+        frames = []
+        for lhs, rhs in self.pairs():
+            frames.append(
+                self.check(lhs, rhs)
+                .ranges()
+                .select(
+                    F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"), "*"
+                )
+            )
+        if not frames:
+            raise ValueError("no same-type numeric column pairs to check")
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def exception_rows(
+        self, id_cols: list[str], ranges_by_pair: dict[tuple[str, str], list] | None = None
+    ) -> DataFrame:
+        """ACException-shaped rollup: [*id_cols, column_pairs] where
+        column_pairs is the sorted array of (lhs, rhs) structs violated by
+        the row (ac_exception.h:12-23)."""
+        frames = []
+        for lhs, rhs in self.pairs():
+            given = (ranges_by_pair or {}).get((lhs, rhs))
+            frames.append(self.check(lhs, rhs).exceptions(id_cols, given))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.groupBy(*id_cols).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("lhs"), F.col("rhs")))
+            ).alias("column_pairs")
+        )
+
+
+def ac_check(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+    binop: str = "+",
+    weight: float = 0.1,
+    bumps_limit: int = 0,
+    num_partitions: int = 64,
+) -> ACCheck:
+    """Validate an algebraic constraint over one column pair. See ACCheck."""
+    return ACCheck(df, lhs, rhs, binop, weight, bumps_limit, num_partitions)
