@@ -75,6 +75,9 @@ HEADLINE = [
     "md_orders_customer",
     "stats_string_extras",
     "stats_char_customer",
+    "ac_ranges_lineitem",
+    "ac_exceptions_lineitem",
+    "nar_orders_priority",
 ]
 
 

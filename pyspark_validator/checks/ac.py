@@ -16,16 +16,24 @@ columns use integer arithmetic (TestZeros golden: 2/20 == 0).
 
 Spark design -- distributed gap clustering without a global sort choke:
   1. one scan computes (n_valid, min, max) -> delta on the driver;
-  2. ``distinct()`` on the result column (gap clustering is invariant to
-     duplicates: a duplicate's gap is 0 <= delta);
-  3. repartitionByRange + sortWithinPartitions, per-partition lag windows
-     flag splits (gap > delta), a running sum numbers clusters locally;
-  4. cross-partition offsets come from a P-row per-partition rollup
-     stitched on the driver and broadcast-joined back -- the same
-     boundary-stitch pattern as checks/sd.py;
-  5. groupBy(cluster) -> [lo, hi, n_values]; ranges stay a DataFrame.
-At 10^12 rows: one distinct shuffle + one range shuffle + map-local
-windows + P-row driver work. Exceptions broadcast the (small,
+  2. each result maps to one of P contiguous equal-width value buckets
+     computed from the known (min, max) -- no repartitionByRange, so no
+     boundary-sampling pass, and the bucket column doubles as the window
+     partition key so the window's own hash shuffle is the ONLY shuffle.
+     Duplicates are KEPT (their gap is 0, which never exceeds delta >= 0,
+     so they cannot split a cluster; a pre-clustering ``distinct()`` would
+     cost a full extra hash shuffle for nothing);
+  3. per-bucket lag windows flag splits (gap > delta); the running-sum
+     window's default RANGE frame makes value-ties share one cluster id;
+  4. cross-bucket offsets come from a P-row per-bucket rollup stitched on
+     the driver (buckets are contiguous in value space by construction)
+     and broadcast-joined back -- the boundary-stitch pattern of
+     checks/sd.py, minus the range partitioner;
+  5. groupBy(cluster) -> [lo, hi, countDistinct -> n_values].
+At 10^12 rows: one hash shuffle + map-local windows + P-row driver work.
+Equal-width buckets trade the range-sampler's skew resistance for a whole
+saved shuffle; raise ``num_partitions`` if one value region is hot.
+Exceptions broadcast the (small,
 bumps-limited) range list as a literal array and filter with
 ``F.exists`` -- a single scan, no join.
 """
@@ -104,8 +112,12 @@ class ACCheck:
 
     @cached_property
     def _valid(self) -> DataFrame:
+        """Single-column result projection, persisted: the stats agg, the
+        range-partitioner's boundary-sampling pass, and the clustering
+        shuffle all read it -- without the persist each would rescan the
+        source (1 column of the table; spills to disk at scale)."""
         res, valid = _res_expr(self.df, self.lhs, self.rhs, self.binop)
-        return self.df.filter(valid).select(res.alias("__r"))
+        return self.df.filter(valid).select(res.alias("__r")).persist()
 
     @cached_property
     def _stats(self):
@@ -126,45 +138,48 @@ class ACCheck:
         if n < 2:  # ConstructDisjunctiveRanges: <2 pairs -> no ranges
             return spark.createDataFrame([], "__r double, __cluster long")
         if self.weight == 1.0:
-            return self._valid.distinct().select(
+            return self._valid.select(
                 "__r", F.lit(0).cast("long").alias("__cluster")
             )
         delta = (mx - mn) * (self.weight / (1.0 - self.weight))
-        vals = (
-            self._valid.distinct()
-            .repartitionByRange(self.num_partitions, "__r")
-            .sortWithinPartitions("__r")
-            .withColumn("__pid", F.spark_partition_id())
-        )
-        w = Window.partitionBy("__pid").orderBy("__r")
+        width = (mx - mn) / self.num_partitions
+        if width > 0:
+            bucket = F.least(
+                F.lit(self.num_partitions - 1),
+                F.floor((F.col("__r") - F.lit(mn)) / F.lit(width)),
+            ).cast("int")
+        else:  # all results equal -> one bucket, one cluster
+            bucket = F.lit(0)
+        vals = self._valid.withColumn("__b", bucket)
+        w = Window.partitionBy("__b").orderBy("__r")
         flagged = vals.withColumn(
             "__split",
             F.when(F.col("__r") - F.lag("__r").over(w) > F.lit(delta), 1).otherwise(0),
         ).withColumn("__local", F.sum("__split").over(w))
         flagged = flagged.persist()
         edges = (
-            flagged.groupBy("__pid")
+            flagged.groupBy("__b")
             .agg(
                 F.min("__r").alias("first"),
                 F.max("__r").alias("last"),
                 F.sum("__split").alias("nsplits"),
             )
-            .orderBy("__pid")
+            .orderBy("__b")
             .collect()
-        )  # P rows: one per non-empty range partition
+        )  # <= P rows: one per non-empty value bucket
         offsets, run, prev_last = {}, 0, None
         for e in edges:
             if prev_last is not None and e["first"] - prev_last > delta:
                 run += 1
-            offsets[e["__pid"]] = run
+            offsets[e["__b"]] = run
             run += int(e["nsplits"])
             prev_last = e["last"]
         off = F.broadcast(
             spark.createDataFrame(
-                [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+                [(int(b), int(o)) for b, o in offsets.items()], "__b int, __off long"
             )
         )
-        return flagged.join(off, "__pid").select(
+        return flagged.join(off, "__b").select(
             "__r", (F.col("__off") + F.col("__local")).alias("__cluster")
         )
 
@@ -182,7 +197,7 @@ class ACCheck:
             .agg(
                 F.min("__r").alias("lo"),
                 F.max("__r").alias("hi"),
-                F.count(F.lit(1)).alias("n_values"),
+                F.countDistinct("__r").alias("n_values"),
             )
             .withColumn("range_id", F.row_number().over(wp).cast("long"))
             .select("range_id", "lo", "hi", "n_values")
