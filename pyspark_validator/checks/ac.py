@@ -105,19 +105,37 @@ class ACCheck:
     weight: float = 0.1
     bumps_limit: int = 0
     num_partitions: int = 64
+    sample_fraction: float | None = None
+    seed: int = 0
 
     def __post_init__(self) -> None:
         if not (0.0 < self.weight <= 1.0):
             raise ValueError("weight must lie in (0, 1]")
+        if self.sample_fraction is not None and not (0.0 < self.sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must lie in (0, 1]")
 
     @cached_property
     def _valid(self) -> DataFrame:
-        """Single-column result projection, persisted: the stats agg, the
-        range-partitioner's boundary-sampling pass, and the clustering
-        shuffle all read it -- without the persist each would rescan the
-        source (1 column of the table; spills to disk at scale)."""
+        """Single-column result projection, persisted: the stats agg and the
+        clustering shuffle both read it -- without the persist each would
+        rescan the source (1 column of the table; spills to disk at scale).
+
+        ``sample_fraction`` is the BHUNT sampled mode (the reference's
+        fuzziness/p_fuzz machinery sizes a random sample,
+        ac_algorithm.cpp:96-133): ranges come from the sample, exceptions()
+        always sees full data. The sample is a deterministic value hash
+        (all duplicates of a value in or out together) so re-runs and
+        resumed jobs agree -- an mt19937 row sample would not be
+        reproducible across partitionings."""
         res, valid = _res_expr(self.df, self.lhs, self.rhs, self.binop)
-        return self.df.filter(valid).select(res.alias("__r")).persist()
+        out = self.df.filter(valid).select(res.alias("__r"))
+        if self.sample_fraction is not None and self.sample_fraction < 1.0:
+            m = 1 << 20
+            out = out.filter(
+                F.pmod(F.xxhash64(F.col("__r"), F.lit(self.seed)), F.lit(m))
+                < F.lit(int(self.sample_fraction * m))
+            )
+        return out.persist()
 
     @cached_property
     def _stats(self):
@@ -339,6 +357,10 @@ def ac_check(
     weight: float = 0.1,
     bumps_limit: int = 0,
     num_partitions: int = 64,
+    sample_fraction: float | None = None,
+    seed: int = 0,
 ) -> ACCheck:
     """Validate an algebraic constraint over one column pair. See ACCheck."""
-    return ACCheck(df, lhs, rhs, binop, weight, bumps_limit, num_partitions)
+    return ACCheck(
+        df, lhs, rhs, binop, weight, bumps_limit, num_partitions, sample_fraction, seed
+    )

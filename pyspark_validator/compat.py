@@ -452,3 +452,113 @@ class SdVerifier(_Verifier):
             for i in self._row.insertions
         ]
         return dels + ins
+
+
+class AcRanges:
+    """ac.ACRanges analog (bind_ac.cpp): column_indices + (lo, hi) pairs."""
+
+    def __init__(self, column_indices: tuple[int, int], ranges: list[tuple[float, float]]):
+        self.column_indices = column_indices
+        self.ranges = ranges
+
+    def __repr__(self) -> str:
+        return f"AcRanges({self.column_indices}, {self.ranges})"
+
+
+class AcException:
+    """ac.ACException analog (ac_exception.h:12-23): row id + column pairs."""
+
+    def __init__(self, row_index, column_pairs: list[tuple[int, int]]):
+        self.row_index = row_index
+        self.column_pairs = column_pairs
+
+    def __repr__(self) -> str:
+        return f"AcException({self.row_index}, {self.column_pairs})"
+
+
+class AcAlgorithm(_Verifier):
+    """ACAlgorithm analog (bind_ac.cpp: get_ac_ranges / get_ac_exceptions).
+
+    Differences, by design: the reference sizes an mt19937 row sample from
+    (fuzziness, p_fuzz) -- irreproducible across partitionings -- so here the
+    sampled mode is an explicit deterministic ``sample_fraction`` (None = the
+    reference's fuzziness=0 full-data mode, in which exceptions are empty by
+    construction). Exceptions are keyed by ``id_column`` values rather than
+    positional row indices (positions are not stable under distribution);
+    pandas inputs get a positional ``__row_index`` column attached at load so
+    scripts ported from the reference keep index semantics.
+    """
+
+    def load_data(self, table) -> None:
+        if isinstance(table, pd.DataFrame):
+            table = table.reset_index(drop=True).reset_index(names="__row_index")
+        super().load_data(table)
+
+    def execute(
+        self,
+        bin_operation: str = "+",
+        weight: float = 0.1,
+        bumps_limit: int = 0,
+        sample_fraction: float | None = None,
+        id_column: str | None = None,
+        cap: int = 10000,
+    ) -> None:
+        from pyspark_validator.checks.ac import ACSuite, _merge_to_limit
+
+        if self._df is None:
+            raise RuntimeError("call load_data first")
+        self._id_column = id_column or (
+            "__row_index" if "__row_index" in self._df.columns else None
+        )
+        data_cols = [c for c in self._df.columns if c != "__row_index"]
+        self._col_index = {c: i for i, c in enumerate(data_cols)}
+        self._suite = ACSuite(
+            self._df, bin_operation, weight, bumps_limit, columns=data_cols
+        )
+        self._ranges: list[AcRanges] = []
+        self._ranges_by_pair: dict[tuple[str, str], list[tuple[float, float]]] = {}
+        for lhs, rhs in self._suite.pairs():
+            chk = self._suite.check(lhs, rhs)
+            chk.sample_fraction = sample_fraction
+            merged = _merge_to_limit(
+                [(r["lo"], r["hi"]) for r in chk.ranges().orderBy("lo").collect()],
+                bumps_limit,
+            )
+            self._ranges_by_pair[(lhs, rhs)] = merged
+            self._ranges.append(
+                AcRanges((self._col_index[lhs], self._col_index[rhs]), merged)
+            )
+        self._cap = cap
+
+    def get_ac_ranges(self) -> list[AcRanges]:
+        return self._ranges
+
+    def get_ranges_by_columns(self, lhs_i: int, rhs_i: int) -> AcRanges:
+        for r in self._ranges:
+            if r.column_indices == (lhs_i, rhs_i):
+                return r
+        raise KeyError((lhs_i, rhs_i))
+
+    def get_ac_exceptions(self) -> list[AcException]:
+        """CollectExceptions analog, sorted by row id; bounded by ``cap``."""
+        if self._id_column is None:
+            raise RuntimeError(
+                "exceptions need an id_column (or a pandas input, which gets "
+                "a positional __row_index)"
+            )
+        rows = (
+            self._suite.exception_rows([self._id_column], self._ranges_by_pair)
+            .orderBy(self._id_column)
+            .limit(self._cap)
+            .collect()
+        )
+        return [
+            AcException(
+                r[self._id_column],
+                [
+                    (self._col_index[p["lhs"]], self._col_index[p["rhs"]])
+                    for p in r["column_pairs"]
+                ],
+            )
+            for r in rows
+        ]

@@ -23,9 +23,10 @@ from pyspark_validator.checks.ucc import ucc_check
 @dataclass
 class CheckSpec:
     """One named check. ``kind`` in {'ucc','fd','ind','nd','mfd','sd','md',
-    'custom'}; ``params`` are forwarded; single-row checks (nd/mfd/sd/md) are
-    framed as partition 0 for the manifest; 'custom' takes fn(canon_df) ->
-    verdicts DataFrame with a partition_id + holds column."""
+    'ac','nar','custom'}; ``params`` are forwarded; single-row checks
+    (nd/mfd/sd/md/ac/nar) are framed as partition 0 for the manifest;
+    'custom' takes fn(canon_df) -> verdicts DataFrame with a partition_id +
+    holds column."""
 
     name: str
     kind: str
@@ -88,6 +89,43 @@ class ValidationSuite:
                 weight=spec.params["weight"],
                 num_partitions=self.num_partitions,
             ).withColumn("partition_id", F.lit(0))
+        if spec.kind in ("ac", "nar"):
+            # single-row verdict checks framed as partition 0 for the manifest
+            from pyspark.sql import functions as F
+
+            if spec.kind == "ac":
+                from pyspark_validator.checks.ac import ac_check
+
+                c = ac_check(
+                    df,
+                    spec.params["lhs"],
+                    spec.params["rhs"],
+                    spec.params.get("binop", "+"),
+                    weight=spec.params.get("weight", 0.1),
+                    bumps_limit=spec.params.get("bumps_limit", 0),
+                    num_partitions=self.num_partitions,
+                )
+                exc = c.exceptions(
+                    spec.params.get("id_cols", ["doc_id"]),
+                    ranges=spec.params.get("ranges"),
+                )
+                s = exc.agg(
+                    F.count(F.lit(1)).alias("n_exceptions")
+                ).select((F.col("n_exceptions") == 0).alias("holds"), "n_exceptions")
+            else:
+                from pyspark_validator.checks.nar import nar_check
+
+                s = nar_check(
+                    df, spec.params["ante"], spec.params["cons"]
+                ).qualities()
+                s = s.select(
+                    (
+                        F.col("confidence")
+                        >= F.lit(spec.params.get("min_confidence", 1.0))
+                    ).alias("holds"),
+                    "*",
+                )
+            return s.withColumn("partition_id", F.lit(0))
         if spec.kind in ("mfd", "sd", "md"):
             # single-row verdict checks framed as partition 0 for the manifest
             from pyspark.sql import functions as F

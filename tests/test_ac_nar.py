@@ -206,3 +206,99 @@ class TestNAR:
     def test_violations(self, df):
         v = nar_check(df, {"cat": ["a"]}, {"x": (0.0, 25.0)}).violations().collect()
         assert [r["x"] for r in v] == [30.0]
+
+
+class TestAcCompatAndSuite:
+    def test_ac_algorithm_facade(self, spark):
+        import pandas as pd
+
+        from pyspark_validator.compat import AcAlgorithm
+
+        algo = AcAlgorithm(spark)
+        algo.load_data(
+            pd.DataFrame({"a": [1.0, 2.0, 3.0, 100.0], "b": [1.0, 2.0, 3.0, 100.0]})
+        )
+        # full-data mode: ranges cover everything, exceptions empty
+        algo.execute(bin_operation="+", weight=0.1)
+        ranges = algo.get_ranges_by_columns(0, 1)
+        assert ranges.ranges == [(2.0, 6.0), (200.0, 200.0)]
+        assert algo.get_ac_exceptions() == []
+        # sampled mode: the value-hash sample drops some results -> rows whose
+        # result falls outside the sampled ranges surface as exceptions
+        algo.execute(bin_operation="+", weight=0.1, sample_fraction=0.5)
+        for exc in algo.get_ac_exceptions():
+            assert exc.column_pairs == [(0, 1)]
+
+    def test_suite_ac_nar_kinds(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+        docs = spark.createDataFrame(
+            [(f"d{i}", [("text", f"t{i}", None, 0)]) for i in range(20)],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        suite = ValidationSuite(spark, docs, num_partitions=4)
+        res = suite.run(
+            [
+                CheckSpec(
+                    name="ac_len",
+                    kind="custom",
+                    fn=lambda df: __import__(
+                        "pyspark_validator.checks.ac", fromlist=["ac_check"]
+                    )
+                    .ac_check(
+                        df.withColumn("ln", F.length("span_seq").cast("double"))
+                        .withColumn("ln2", F.col("ln") * 2),
+                        "ln",
+                        "ln2",
+                        "+",
+                    )
+                    .exceptions(["doc_id"], ranges=[(0.0, 1e6)])
+                    .agg(F.count(F.lit(1)).alias("n_exceptions"))
+                    .select(
+                        (F.col("n_exceptions") == 0).alias("holds"),
+                        "n_exceptions",
+                    )
+                    .withColumn("partition_id", F.lit(0)),
+                ),
+                CheckSpec(
+                    name="nar_kind",
+                    kind="nar",
+                    params={
+                        "ante": {"span_key": (0, 10**18)},
+                        "cons": {"span_key": (0, 10**18)},
+                        "min_confidence": 1.0,
+                    },
+                ),
+            ]
+        )
+        assert res["ac_len"].collect()[0].holds
+        assert res["nar_kind"].collect()[0].holds
+
+    def test_suite_ac_kind(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+        docs = spark.createDataFrame(
+            [(f"d{i}", [("text", "x" * (i + 1), None, 0)]) for i in range(10)],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        suite = ValidationSuite(spark, docs, num_partitions=2)
+        out = suite.run(
+            [
+                CheckSpec(
+                    name="ac_span",
+                    kind="ac",
+                    params={
+                        "lhs": "span_key",
+                        "rhs": "span_key",
+                        "binop": "-",
+                        "ranges": [(0.0, 0.0)],  # x - x == 0 always
+                    },
+                )
+            ]
+        )
+        row = out["ac_span"].collect()[0]
+        assert row.holds and row.n_exceptions == 0
