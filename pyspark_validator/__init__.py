@@ -23,6 +23,7 @@ from pyspark_validator.canonical import (
     partition_id_expr,
     span_key_expr,
 )
+from pyspark_validator.checks.ac import ac_check
 from pyspark_validator.checks.ar import ar_check
 from pyspark_validator.checks.cfd import cfd_check
 from pyspark_validator.checks.cind import cind_check
@@ -32,6 +33,7 @@ from pyspark_validator.checks.fd import afd_measures, fd_check, pfd_check
 from pyspark_validator.checks.ind import ind_check
 from pyspark_validator.checks.md import ColumnMatch, md_check
 from pyspark_validator.checks.mfd import mfd_check
+from pyspark_validator.checks.nar import nar_check
 from pyspark_validator.checks.nd import nd_check
 from pyspark_validator.checks.od import aod_check
 from pyspark_validator.checks.pac import domain_pac_check
@@ -44,6 +46,7 @@ from pyspark_validator.session import get_spark
 
 __all__ = [
     "CanonicalDocs",
+    "ac_check",
     "afd_measures",
     "aod_check",
     "ar_check",
@@ -60,6 +63,7 @@ __all__ = [
     "ColumnMatch",
     "md_check",
     "mfd_check",
+    "nar_check",
     "nd_check",
     "partition_id_expr",
     "pfd_check",
