@@ -175,3 +175,43 @@ def test_bucketed_table_skips_validation_shuffle(spark, tables, tmp_path):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_ac_clustering_single_shuffle(tables):
+    """AC gap clustering: bucket ids come from the known min/max, so the
+    window's hash Exchange is the ONLY shuffle of the data (no range
+    partitioner, no pre-clustering distinct), and the offset join is a
+    broadcast."""
+    from pyspark_validator.checks.ac import ac_check
+
+    c = ac_check(tables["lineitem"], "l_extendedprice", "l_quantity", "/")
+    p = _plan(c._clustered)
+    # one executed shuffle stage (the AQE-materialized persist echoes its
+    # pre-adaptive "Initial Plan", so counting raw Exchange nodes
+    # double-counts); the tiny offsets frame arrives via BroadcastExchange
+    assert _count(p, "ShuffleQueryStage") == 1
+    assert _count(p, "BroadcastHashJoin") == 1
+    assert "rangepartitioning" not in p.lower()
+
+def test_ac_exceptions_no_join_no_shuffle(tables):
+    """Exception finding is a pure scan: ranges are broadcast as literal
+    array structs, so the plan has no Exchange and no join at all."""
+    from pyspark_validator.checks.ac import ac_check
+
+    c = ac_check(tables["lineitem"], "l_discount", "l_tax", "+")
+    p = _plan(c.exceptions(["l_orderkey"], ranges=[(0.0, 0.12)]))
+    assert _count(p, "Exchange") == 0
+    assert "Join" not in p
+
+def test_nar_qualities_single_agg(tables):
+    """NAR qualities: one partial+final HashAggregate pair over one scan."""
+    from pyspark_validator.checks.nar import nar_check
+
+    q = nar_check(
+        tables["orders"],
+        {"o_orderstatus": ["F"]},
+        {"o_totalprice": (0.0, 1e6)},
+    ).qualities()
+    p = _plan(q)
+    assert _count(p, "Exchange") == 1  # the single-row final agg gather
+    assert _count(p, "Scan parquet") == 1
