@@ -1855,6 +1855,72 @@ FROM a
 """
 
 
+def q_sfd_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORDS soft-FD / correlation verdict (fd/sfd/cords.cpp) for
+    o_orderpriority vs o_orderstatus: cardinalities, SFD rule, contingency
+    chi-square vs the 1-1e-6 quantile, structural zeroes."""
+    from pyspark_validator.checks.sfd import sfd_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = sfd_check(o, "o_orderpriority", "o_orderstatus").summary()
+    return s.select(
+        "det",
+        "dep",
+        "n_rows",
+        "det_card",
+        "dep_card",
+        "pair_card",
+        "sfd_holds",
+        "d1",
+        "d2",
+        _r(F.col("chi2"), 6).alias("chi2"),
+        "dof",
+        _r(F.col("chi2_critical"), 6).alias("chi2_critical"),
+        "n_zero_cells",
+        "too_many_zeroes",
+        "correlated",
+    )
+
+
+# chi2_ppf(1 - 1e-6, dof=8); both columns' top-100 values cover all rows, so
+# both take the skewed (frequency-ordinal) bucket path and the contingency is
+# the raw value-pair table -- chi2 and zero counts are permutation-invariant,
+# so the oracle needs no ordinal replication.
+SQL_SFD_ORDERS_PRIORITY_STATUS = """
+WITH c AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+), m1 AS (SELECT p, sum(o) AS n_i FROM c GROUP BY p),
+m2 AS (SELECT s, sum(o) AS n_j FROM c GROUP BY s),
+t AS (
+  SELECT CAST(sum(c.o) AS BIGINT) AS n_eff,
+         sum(CAST(c.o AS DOUBLE) * c.o / (m1.n_i * m2.n_j)) AS sfrac,
+         CAST(count(*) AS BIGINT) AS n_nonzero
+  FROM c JOIN m1 USING (p) JOIN m2 USING (s)
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS det_card,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS dep_card,
+         CAST(count(DISTINCT (o_orderpriority, o_orderstatus)) AS BIGINT) AS pair_card
+  FROM orders
+)
+SELECT 'o_orderpriority' AS det, 'o_orderstatus' AS dep,
+  n_rows, det_card, dep_card, pair_card,
+  (pair_card <= 0.99 * n_rows AND det_card >= 0.9 * pair_card) AS sfd_holds,
+  det_card AS d1, dep_card AS d2,
+  round(n_eff * (sfrac - 1.0), 6) AS chi2,
+  CAST((det_card - 1) * (dep_card - 1) AS BIGINT) AS dof,
+  round(42.70091392634974, 6) AS chi2_critical,
+  CAST(det_card * dep_card - n_nonzero AS BIGINT) AS n_zero_cells,
+  (det_card * dep_card - n_nonzero > 0.3 * det_card * dep_card) AS too_many_zeroes,
+  (NOT (pair_card <= 0.99 * n_rows AND det_card >= 0.9 * pair_card))
+    AND ((det_card * dep_card - n_nonzero > 0.3 * det_card * dep_card)
+         OR n_eff * (sfrac - 1.0) > 42.70091392634974) AS correlated
+FROM t, base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -1910,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_ranges_lineitem": q_ac_ranges_lineitem,
         "ac_exceptions_lineitem": q_ac_exceptions_lineitem,
         "nar_orders_priority": q_nar_orders_priority,
+        "sfd_orders_priority_status": q_sfd_orders_priority_status,
     }
 
 
@@ -1974,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "ac_ranges_lineitem": SQL_AC_RANGES_LINEITEM,
         "ac_exceptions_lineitem": SQL_AC_EXCEPTIONS_LINEITEM,
         "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
+        "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
     }
 
 

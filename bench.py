@@ -78,6 +78,7 @@ HEADLINE = [
     "ac_ranges_lineitem",
     "ac_exceptions_lineitem",
     "nar_orders_priority",
+    "sfd_orders_priority_status",
 ]
 
 

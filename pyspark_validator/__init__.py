@@ -38,6 +38,7 @@ from pyspark_validator.checks.nd import nd_check
 from pyspark_validator.checks.od import aod_check
 from pyspark_validator.checks.pac import domain_pac_check
 from pyspark_validator.checks.sd import sd_check
+from pyspark_validator.checks.sfd import sfd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
 from pyspark_validator.io import read_reference_csv
@@ -69,6 +70,7 @@ __all__ = [
     "pfd_check",
     "read_reference_csv",
     "sd_check",
+    "sfd_check",
     "span_key_expr",
     "ucc_check",
     "write_report",

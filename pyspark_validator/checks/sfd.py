@@ -1,0 +1,263 @@
+"""Soft-FD / correlation (CORDS) validation for one column pair.
+
+Reference (fd/sfd/cords.cpp, CORDS SIGMOD'04): for a column pair ordered so
+the higher-cardinality column is the determinant,
+  * soft key    : card(col) >= (1 - min_cardinality) * n  (excluded),
+  * trivial     : card(col) == 1                          (excluded),
+  * SFD holds   : card(det, dep) <= max_diff_vals_proportion * n AND
+                  card(det) >= (1 - min_sfd_strength) * card(det, dep)
+                  (cords.cpp DetectSFD),
+  * else correlation via a contingency table over bucketed categories
+    (contingency_table.cpp): a column is *skewed* when its top
+    ``max_categories`` values cover >= (1 - min_skew_threshold) of rows --
+    then buckets are frequency-rank ordinals and other rows are filtered
+    out (cords.cpp SkewHandling / Sample::Filter); otherwise bucket =
+    hash(value) % min(card, max_categories). Correlated iff zero cells >
+    min_structural_zeroes * d1*d2 (TooMuchStructuralZeroes) OR
+    chi^2 > ppf(1 - max_false_positive_probability, (d1-1)(d2-1));
+    chi^2 is 0 whenever some bucket has an empty marginal.
+
+The reference runs on a CalculateSampleSize sample; this is the
+validation-tier full-data mode (every agg is one distributed pass -- the
+single-node reason to sample does not apply). chi^2 over all d1*d2 cells
+including empty ones reduces to the closed form
+``n * (sum_present o^2 / (n_i * n_j)) - n``, so absent cells never need
+materializing. Bucketing hash is xxhash64 (std::hash is
+platform-unspecified, so cross-engine hash parity is not meaningful);
+frequency-rank ties break by value for determinism. The chi^2 quantile
+uses a regularized-incomplete-gamma bisection (same values as
+boost::math::quantile to ~1e-12).
+
+Spark plan: one countDistinct agg + two top-k frequency aggs (bounded
+collects <= max_categories rows) + one cell agg over <= d1*d2 keys with
+window marginals on that tiny frame. Nothing scales with row count except
+the three scans.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import cached_property
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# chi-squared quantile (driver-side, pure python)
+
+
+def _gammp(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) (series / continued
+    fraction split at x = a + 1)."""
+    if x <= 0.0:
+        return 0.0
+    gln = math.lgamma(a)
+    if x < a + 1.0:
+        ap, summ, delt = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delt *= x / ap
+            summ += delt
+            if abs(delt) < abs(summ) * 1e-15:
+                break
+        return summ * math.exp(-x + a * math.log(x) - gln)
+    b, c, d = x + 1.0 - a, 1e300, 1.0 / (x + 1.0 - a)
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = b + an / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        delt = d * c
+        h *= delt
+        if abs(delt - 1.0) < 1e-15:
+            break
+    return 1.0 - math.exp(-x + a * math.log(x) - gln) * h
+
+
+def chi2_ppf(p: float, dof: float) -> float:
+    """Inverse chi-squared CDF by bisection on P(dof/2, x/2)."""
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must lie in (0, 1)")
+    lo, hi = 0.0, dof + 100.0 * math.sqrt(dof) + 100.0
+    while _gammp(dof / 2.0, hi / 2.0) < p:
+        hi *= 2.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if _gammp(dof / 2.0, mid / 2.0) < p:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SFDCheck:
+    """Lazy CORDS check over one column pair (see module docstring)."""
+
+    df: DataFrame
+    col_a: str
+    col_b: str
+    min_cardinality: float = 0.1
+    max_diff_vals_proportion: float = 0.99
+    min_sfd_strength: float = 0.1
+    min_skew_threshold: float = 0.5
+    min_structural_zeroes: float = 0.3
+    max_false_positive_probability: float = 1e-6
+    max_categories: int = 100
+
+    @cached_property
+    def _cards(self):
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(self.col_a).alias("ca"),
+            F.countDistinct(self.col_b).alias("cb"),
+            F.countDistinct(self.col_a, self.col_b).alias("cab"),
+        ).collect()[0]
+        return int(row["n"]), int(row["ca"]), int(row["cb"]), int(row["cab"])
+
+    @cached_property
+    def _roles(self):
+        """(det, dep, det_card, dep_card): higher cardinality determines
+        (cords.cpp sort_indices_by_cardinality; ties keep (a, b))."""
+        n, ca, cb, cab = self._cards
+        if cb > ca:
+            return self.col_b, self.col_a, cb, ca
+        return self.col_a, self.col_b, ca, cb
+
+    def _top_values(self, col: str):
+        """Top max_categories (value, freq) by freq desc then value asc --
+        the frequency handler's bounded per-column map."""
+        return (
+            self.df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(col).asc())
+            .limit(self.max_categories)
+            .collect()
+        )
+
+    def _bucket(self, col: str, card: int, n: int):
+        """(bucket expr, row filter, skewed, domain) per SkewHandling."""
+        top = self._top_values(col)
+        top_sum = sum(r["count"] for r in top)
+        skewed = top_sum >= (1.0 - self.min_skew_threshold) * n
+        if skewed:
+            mapping = F.create_map(
+                *[x for i, r in enumerate(top) for x in (F.lit(r[col]), F.lit(i))]
+            )
+            return mapping[F.col(col)], F.col(col).isin(
+                [r[col] for r in top]
+            ), True, len(top)
+        domain = min(card, self.max_categories)
+        return (
+            F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(domain)),
+            F.col(col).isNotNull(),
+            False,
+            domain,
+        )
+
+    def summary(self) -> DataFrame:
+        """Single row: roles, cardinalities, soft-key/trivial flags, SFD
+        verdict, contingency dimensions, chi2 vs critical, structural-zero
+        verdict, overall ``correlated``."""
+        n, ca, cb, cab = self._cards
+        det, dep, cd, cp = self._roles
+        spark = self.df.sparkSession
+        soft_a = ca >= (1.0 - self.min_cardinality) * n
+        soft_b = cb >= (1.0 - self.min_cardinality) * n
+        sfd = (cab <= self.max_diff_vals_proportion * n) and (
+            cd >= (1.0 - self.min_sfd_strength) * cab
+        )
+        bi, fi, skew_i, d1 = self._bucket(det, cd, n)
+        bj, fj, skew_j, d2 = self._bucket(dep, cp, n)
+        cells = (
+            self.df.filter(fi & fj)
+            .select(bi.alias("__bi"), bj.alias("__bj"))
+            .groupBy("__bi", "__bj")
+            .count()
+        )
+        # <= d1*d2 cells: window marginals on the tiny cell frame, then the
+        # closed-form chi2 (zero cells contribute their expectation, which
+        # telescopes into "- n_eff").
+        n_i = F.sum("count").over(Window.partitionBy("__bi"))
+        n_j = F.sum("count").over(Window.partitionBy("__bj"))
+        stats = (
+            cells.select(
+                "count",
+                n_i.alias("n_i"),
+                n_j.alias("n_j"),
+                F.col("__bi").alias("bi"),
+                F.col("__bj").alias("bj"),
+            )
+            .agg(
+                F.sum("count").alias("n_eff"),
+                F.sum(
+                    F.col("count") * F.col("count") / (F.col("n_i") * F.col("n_j"))
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n_nonzero"),
+                F.countDistinct("bi").alias("d1_seen"),
+                F.countDistinct("bj").alias("d2_seen"),
+            )
+            .collect()[0]
+        )
+        n_eff = int(stats["n_eff"] or 0)
+        complete = stats["d1_seen"] == d1 and stats["d2_seen"] == d2
+        chi2 = n_eff * (float(stats["s"]) - 1.0) if complete and n_eff else 0.0
+        dof = (d1 - 1) * (d2 - 1)
+        crit = (
+            chi2_ppf(1.0 - self.max_false_positive_probability, dof)
+            if dof > 0
+            else float("inf")
+        )
+        n_zero = d1 * d2 - int(stats["n_nonzero"])
+        too_many_zeroes = n_zero > self.min_structural_zeroes * d1 * d2
+        correlated = (not sfd) and (too_many_zeroes or chi2 > crit)
+        row = {
+            "det": det,
+            "dep": dep,
+            "n_rows": n,
+            "det_card": cd,
+            "dep_card": cp,
+            "pair_card": cab,
+            "soft_key_det": soft_b if det == self.col_b else soft_a,
+            "soft_key_dep": soft_a if det == self.col_b else soft_b,
+            "trivial_det": cd == 1,
+            "trivial_dep": cp == 1,
+            "sfd_holds": sfd,
+            "skew_det": skew_i,
+            "skew_dep": skew_j,
+            "d1": d1,
+            "d2": d2,
+            "n_used": n_eff,
+            "chi2": chi2,
+            "dof": dof,
+            "chi2_critical": crit,
+            "n_zero_cells": n_zero,
+            "too_many_zeroes": too_many_zeroes,
+            "correlated": correlated,
+        }
+        schema = (
+            "det string, dep string, n_rows long, det_card long, dep_card long, "
+            "pair_card long, soft_key_det boolean, soft_key_dep boolean, "
+            "trivial_det boolean, trivial_dep boolean, sfd_holds boolean, "
+            "skew_det boolean, skew_dep boolean, d1 long, d2 long, n_used long, "
+            "chi2 double, dof long, chi2_critical double, n_zero_cells long, "
+            "too_many_zeroes boolean, correlated boolean"
+        )
+        return spark.createDataFrame([row], schema)
+
+
+def sfd_check(df: DataFrame, col_a: str, col_b: str, **kwargs) -> SFDCheck:
+    """Validate a CORDS soft-FD / correlation over one column pair."""
+    return SFDCheck(df, col_a, col_b, **kwargs)
