@@ -235,8 +235,8 @@ def run_scaling(low: int = 1, high: int = 4) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-        high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+        high = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         run_scaling(low, high)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         run_scale_worker(sys.argv[2], int(sys.argv[3]))

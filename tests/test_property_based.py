@@ -242,3 +242,87 @@ def test_mfd_approx_bounds_sandwich_true_diameter(spark, vals):
     # diameter_lb = pivot radius r, diameter = 2r: r <= true <= 2r
     assert approx.diameter_lb <= exact.diameter + 1e-9
     assert exact.diameter <= approx.diameter + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# AC: distributed gap clustering vs a direct python reference
+# (ConstructDisjunctiveRanges, ac_algorithm.cpp)
+
+
+def _reference_ranges(results, weight):
+    vals = sorted(results)
+    if len(results) < 2:
+        return []
+    if weight == 1.0:
+        return [(vals[0], vals[-1])]
+    delta = (vals[-1] - vals[0]) * (weight / (1.0 - weight))
+    ranges, lo, prev = [], vals[0], vals[0]
+    for v in vals[1:]:
+        if v - prev > delta:
+            ranges.append((lo, prev))
+            lo = v
+        prev = v
+    ranges.append((lo, prev))
+    return ranges
+
+
+ac_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=ac_rows_strategy, weight=st.sampled_from([0.05, 0.1, 0.3, 1.0]))
+@settings(**_SETTINGS)
+def test_ac_ranges_match_python_reference(spark, rows, weight):
+    from pyspark_validator.checks.ac import ac_check
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in rows] or [(None, None)],
+        "a double, b double",
+    )
+    check = ac_check(df, "a", "b", "+", weight=weight, num_partitions=4)
+    got = [(r["lo"], r["hi"]) for r in check.ranges().orderBy("lo").collect()]
+    expected = _reference_ranges([a + b for a, b in rows], weight)
+    assert [x for p in got for x in p] == pytest.approx(
+        [x for p in expected for x in p]
+    )
+    # full-data ranges admit no exceptions (BHUNT invariant) -- except the
+    # degenerate <2-row case, where the reference emits no ranges at all and
+    # every row is therefore outside them
+    if len(rows) >= 2:
+        assert check.exceptions(["a"]).count() == 0
+
+
+@given(rows=ac_rows_strategy, weight=st.sampled_from([0.05, 0.2]))
+@settings(**_SETTINGS)
+def test_ac_cluster_gap_invariants(spark, rows, weight):
+    """Every within-range neighbour gap <= delta; every between-range gap >
+    delta -- the defining property of the clustering, independent of the
+    reference implementation."""
+    from pyspark_validator.checks.ac import ac_check
+
+    results = sorted({float(a + b) for a, b in rows})
+    if len(rows) < 2:
+        return
+    delta = (max(results) - min(results)) * (weight / (1.0 - weight))
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in rows], "a double, b double"
+    )
+    ranges = [
+        (r["lo"], r["hi"])
+        for r in ac_check(df, "a", "b", "+", weight=weight, num_partitions=4)
+        .ranges()
+        .orderBy("lo")
+        .collect()
+    ]
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next - hi_prev > delta
+    for lo, hi in ranges:
+        inside = [v for v in results if lo <= v <= hi]
+        for x, y in zip(inside, inside[1:]):
+            assert y - x <= delta
