@@ -17,6 +17,10 @@ primitives compose into discovery at Spark scale:
     those sets -- one shuffle for ALL column pairs at once, instead of p^2
     anti-joins.
 
+  * mine_sfds        -- CORDS over all pairs (soft keys, trivial columns,
+    soft FDs, correlations) with the pairwise distinct counts shared from
+    one wide aggregation and the contingency pass only on eligible pairs.
+
 Column counts in profiling tables are small (tens); the row dimension is where
 Spark scales. Exact counts by default; pass approx=True for HLL sketches at
 trillion-row scale.
@@ -127,3 +131,47 @@ def mine_unary_inds(
     j = pair_counts.join(totals, on="a")
     inds = j.filter(F.col("together") == F.col("n_values")).select("a", "b")
     return sorted((r.a, r.b) for r in inds.collect())
+
+
+def mine_sfds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    **params,
+):
+    """CORDS over all column pairs (cords.cpp ExecuteInternal): returns
+    {soft_keys, trivial_columns, sfds, correlations} with sfds/correlations
+    as (determinant, dependent) name pairs.
+
+    One wide aggregation computes every single and pairwise distinct count
+    (the per-pair 4-count agg the verifier would run is injected from it);
+    only non-excluded pairs then pay the per-pair contingency pass. ``params``
+    forward to SFDCheck (thresholds, max_categories)."""
+    from pyspark_validator.checks.sfd import SFDCheck
+
+    columns = list(columns or df.columns)
+    min_card = params.get("min_cardinality", 0.1)
+    pairs = list(combinations(columns, 2))
+    counts = _distinct_counts(df, columns, pairs, approx)
+    n = df.count()
+    soft_keys = [c for c in columns if counts[c] >= (1.0 - min_card) * n]
+    trivial = [c for c in columns if counts[c] == 1]
+    excluded = set(soft_keys) | set(trivial)
+    sfds, correlations = [], []
+    for a, b in pairs:
+        if a in excluded or b in excluded:
+            continue
+        chk = SFDCheck(df, a, b, **params)
+        # inject the shared-agg counts so the per-pair 4-count scan is skipped
+        chk.__dict__["_cards"] = (n, counts[a], counts[b], counts[f"{a}__{b}"])
+        s = chk.summary().collect()[0]
+        if s["sfd_holds"]:
+            sfds.append((s["det"], s["dep"]))
+        elif s["correlated"]:
+            correlations.append((s["det"], s["dep"]))
+    return {
+        "soft_keys": soft_keys,
+        "trivial_columns": trivial,
+        "sfds": sfds,
+        "correlations": correlations,
+    }

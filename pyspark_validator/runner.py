@@ -23,7 +23,7 @@ from pyspark_validator.checks.ucc import ucc_check
 @dataclass
 class CheckSpec:
     """One named check. ``kind`` in {'ucc','fd','ind','nd','mfd','sd','md',
-    'ac','nar','custom'}; ``params`` are forwarded; single-row checks
+    'ac','nar','sfd','custom'}; ``params`` are forwarded; single-row checks
     (nd/mfd/sd/md/ac/nar) are framed as partition 0 for the manifest;
     'custom' takes fn(canon_df) -> verdicts DataFrame with a partition_id +
     holds column."""
@@ -89,6 +89,32 @@ class ValidationSuite:
                 weight=spec.params["weight"],
                 num_partitions=self.num_partitions,
             ).withColumn("partition_id", F.lit(0))
+        if spec.kind == "sfd":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.sfd import sfd_check
+
+            s = sfd_check(
+                df,
+                spec.params["col_a"],
+                spec.params["col_b"],
+                **{
+                    k: v
+                    for k, v in spec.params.items()
+                    if k not in ("col_a", "col_b", "expect")
+                },
+            ).summary()
+            # verdict framing: expect 'sfd' (default), 'correlated', or
+            # 'independent' -- holds iff the pair matches the expectation
+            expect = spec.params.get("expect", "sfd")
+            holds = {
+                "sfd": F.col("sfd_holds"),
+                "correlated": F.col("correlated"),
+                "independent": ~F.col("sfd_holds") & ~F.col("correlated"),
+            }[expect]
+            return s.select(holds.alias("holds"), "*").withColumn(
+                "partition_id", F.lit(0)
+            )
         if spec.kind in ("ac", "nar"):
             # single-row verdict checks framed as partition 0 for the manifest
             from pyspark.sql import functions as F

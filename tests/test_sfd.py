@@ -92,3 +92,56 @@ class TestSFDDecisions:
         )
         assert not s["skew_det"] and s["d1"] == 16
         assert s["n_used"] == 300  # hash path keeps every row
+
+
+class TestMineSfds:
+    def test_all_pairs_classification(self, spark):
+        # y is a function of x (SFD); z is diagonally associated with x
+        # (correlation); u is an independent uniform; k is a soft key
+        rows = []
+        for i in range(120):
+            x = "abc"[i % 3]
+            y = {"a": "p", "b": "q", "c": "p"}[x]
+            z = x if i % 40 else "c"  # near-deterministic copy of x
+            u = "uv"[(i // 3) % 2]
+            rows.append((str(i), x, y, z, u))
+        df = spark.createDataFrame(rows, "k string, x string, y string, z string, u string")
+        out = __import__(
+            "pyspark_validator.discovery", fromlist=["mine_sfds"]
+        ).mine_sfds(df, max_false_positive_probability=0.01)
+        assert out["soft_keys"] == ["k"]
+        assert out["trivial_columns"] == []
+        assert ("x", "y") in out["sfds"]
+        assert ("x", "z") in out["sfds"] or ("z", "x") in out["sfds"] or (
+            ("x", "z") in out["correlations"] or ("z", "x") in out["correlations"]
+        )
+        # u is independent of everything: never correlated
+        flat = out["sfds"] + out["correlations"]
+        assert not any("u" in p for p in flat if "y" in p or "z" in p)
+
+    def test_suite_sfd_kind(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+        docs = spark.createDataFrame(
+            [(f"d{i}", [("text", "t" + str(i % 3), None, 0)]) for i in range(30)],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        suite = ValidationSuite(spark, docs, num_partitions=4)
+        out = suite.run(
+            [
+                CheckSpec(
+                    name="sfd_span",
+                    kind="sfd",
+                    params={
+                        "col_a": "span_key",
+                        "col_b": "span_seq",
+                        "expect": "sfd",
+                        "min_cardinality": 0.5,
+                    },
+                )
+            ]
+        )
+        row = out["sfd_span"].collect()[0]
+        assert row.holds and row.sfd_holds  # span_key determines span_seq
