@@ -1855,6 +1855,79 @@ FROM a
 """
 
 
+def q_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher line-level boilerplate filter (pipelines/text.py::line_filter)
+    over a deterministic multi-line view of documents (the corpus itself is
+    single-line; the view plants kept lines, a bullet line, a cookie line,
+    and a code-brace line on modular doc_id patterns)."""
+    from pyspark_validator.pipelines.text import line_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("This is a solid intro sentence."),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("- bullet item on some docs.")
+            ).otherwise(F.lit("Another decent closing sentence.")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("accept the cookie banner please.")
+            ).otherwise(F.lit("It ends quite well here.")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("var x = { a: 1 };")).otherwise(
+                F.lit("Nothing unusual at the end.")
+            ),
+        ).alias("text"),
+    )
+    return line_filter(multi).select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        "keep_doc",
+    )
+
+
+_LF_KEEP = (
+    "regexp_matches(trim(x), '[.!?\"]$') "
+    r"AND len(regexp_split_to_array(trim(x), '\s+')) >= 4 "
+    "AND NOT contains(lower(x), 'javascript') "
+    "AND NOT contains(lower(x), 'cookie') "
+    "AND NOT contains(lower(x), 'privacy policy')"
+)
+
+SQL_TEXT_LINE_FILTER = f"""
+WITH m AS (
+  SELECT doc_id,
+    'This is a solid intro sentence.' || chr(10) || text || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN '- bullet item on some docs.'
+         ELSE 'Another decent closing sentence.' END || chr(10) ||
+    CASE WHEN doc_id % 7 = 0 THEN 'accept the cookie banner please.'
+         ELSE 'It ends quite well here.' END || chr(10) ||
+    CASE WHEN doc_id % 11 = 0 THEN 'var x = {{ a: 1 }};'
+         ELSE 'Nothing unusual at the end.' END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM m
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(lines, x -> {_LF_KEEP})) AS BIGINT) AS n_kept_lines,
+  CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) AS BIGINT)
+    AS n_bullet_lines,
+  CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS BIGINT)
+    AS n_ellipsis_lines,
+  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{{')
+   AND len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+       <= 0.9 * len(lines)
+   AND len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+       <= 0.3 * len(lines)) AS keep_doc
+FROM s
+"""
+
+
 def q_sfd_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORDS soft-FD / correlation verdict (fd/sfd/cords.cpp) for
     o_orderpriority vs o_orderstatus: cardinalities, SFD rule, contingency
@@ -1977,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_exceptions_lineitem": q_ac_exceptions_lineitem,
         "nar_orders_priority": q_nar_orders_priority,
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
+        "text_line_filter": q_text_line_filter,
     }
 
 
@@ -2042,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "ac_exceptions_lineitem": SQL_AC_EXCEPTIONS_LINEITEM,
         "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
+        "text_line_filter": SQL_TEXT_LINE_FILTER,
     }
 
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "ac_exceptions_lineitem",
     "nar_orders_priority",
     "sfd_orders_priority_status",
+    "text_line_filter",
 ]
 
 

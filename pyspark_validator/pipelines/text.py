@@ -164,3 +164,61 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> Da
         "min_shingle_fp",
         F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
     )
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 4,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+) -> DataFrame:
+    """C4-style line-level boilerplate filter + Gopher doc gates.
+
+    Line rules (C4, Raffel et al. 2020 sec. 2.2): keep a line iff it ends in
+    terminal punctuation ('.', '!', '?', '"'), has >= ``min_words``
+    whitespace words, and does not mention javascript/cookie/privacy-policy
+    boilerplate. Doc rules: drop docs containing "lorem ipsum" or "{" (C4),
+    or with > ``max_bullet_ratio`` bullet-started lines or
+    > ``max_ellipsis_ratio`` "..."-ended lines (Gopher, Rae et al. 2021
+    repetition gates).
+
+    Pure JVM array lambdas (split -> filter -> array_join): one scan, no
+    shuffle, composes with every other per-document operator. Adds
+    [n_lines, n_kept_lines, n_bullet_lines, n_ellipsis_lines, keep_doc,
+    clean_text].
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def keep_line(l):
+        trimmed = F.trim(l)
+        words = F.size(F.split(trimmed, r"\s+"))
+        low = F.lower(l)
+        return (
+            trimmed.rlike(r'[.!?"]$')
+            & (words >= F.lit(min_words))
+            & ~low.contains("javascript")
+            & ~low.contains("cookie")
+            & ~low.contains("privacy policy")
+        )
+
+    kept = F.filter(lines, keep_line)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    low_doc = F.lower(t)
+    keep_doc = (
+        ~low_doc.contains("lorem ipsum")
+        & ~t.contains("{")
+        & (n_bullet <= F.lit(max_bullet_ratio) * n_lines)
+        & (n_ellipsis <= F.lit(max_ellipsis_ratio) * n_lines)
+    )
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn("n_bullet_lines", n_bullet.cast("long"))
+        .withColumn("n_ellipsis_lines", n_ellipsis.cast("long"))
+        .withColumn("keep_doc", keep_doc)
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )

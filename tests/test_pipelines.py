@@ -232,3 +232,36 @@ def test_ivf_similarity_recall(spark):
 
     bounds = indexed.agg(F.min("list_id"), F.max("list_id")).collect()[0]
     assert bounds[0] >= 0 and bounds[1] < 8
+
+
+def test_line_filter(spark):
+    from pyspark_validator.pipelines.text import line_filter
+
+    docs = [
+        # 3 lines: keep, drop (no terminal punct), drop (too short)
+        ("d1", "This is a good line.\nno punctuation here\nShort one."),
+        # boilerplate mentions dropped; doc gate fine
+        ("d2", "Please accept our cookie policy now.\nA perfectly normal sentence here."),
+        # doc dropped: lorem ipsum
+        ("d3", "Lorem ipsum dolor sit amet, consectetur."),
+        # doc dropped: code brace
+        ("d4", "A fine sentence with words.\nfunction f() { return 1; }"),
+        # doc dropped: all lines are bullets
+        ("d5", "- first bullet item here.\n- second bullet item here."),
+        # ellipsis gate: 1 of 2 lines ends with ... (> 0.3)
+        ("d6", "A solid opening sentence here.\nand then it trails off..."),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_filter(
+            spark.createDataFrame(docs, "doc_id string, text string")
+        ).collect()
+    }
+    assert out["d1"]["n_lines"] == 3 and out["d1"]["n_kept_lines"] == 1
+    assert out["d1"]["clean_text"] == "This is a good line."
+    assert out["d1"]["keep_doc"]
+    assert out["d2"]["n_kept_lines"] == 1  # cookie line dropped
+    assert not out["d3"]["keep_doc"]
+    assert not out["d4"]["keep_doc"]
+    assert out["d5"]["n_bullet_lines"] == 2 and not out["d5"]["keep_doc"]
+    assert out["d6"]["n_ellipsis_lines"] == 1 and not out["d6"]["keep_doc"]
