@@ -1,12 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque ``binary`` columns with typed metadata, flowing through
-Arrow-batched ``mapInPandas`` stages. The container has no image/audio codecs, so
-the decode kernels are STUBBED: ``decode=fake`` derives deterministic pseudo
-features from the payload bytes (stable => testable plumbing), ``decode=real``
-raises NotImplementedError at the first batch. Everything Spark-side -- schemas,
-repartitioning, UDF signatures, Arrow batch shapes -- is real and tested; swapping
-in a real codec is a one-function change inside the kernel.
+Arrow-batched ``mapInPandas`` stages. Decode modes:
+
+  * ``decode='fake'``  -- deterministic pseudo features from the payload bytes
+    (stable => the distributed plumbing is testable without any codec);
+  * ``decode='real'``  -- a genuine dependency-free codec layer: binary PPM/PGM
+    images (P6/P5 headers + raw pixels, numpy) and PCM WAV audio (stdlib
+    ``wave``). Compressed formats (JPEG/PNG/MP4/...) raise NotImplementedError
+    with the format name -- those need PIL/ffmpeg, absent in this container;
+    plugging them in is one branch inside ``_real_decode``.
 
 Scale notes: media rows are wide (payload-dominated). Feature extraction maps
 batch->batch with no shuffle; frame sampling explodes rows but projects the
@@ -16,6 +19,8 @@ memory (payload_bytes x rows_per_batch).
 
 from __future__ import annotations
 
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -57,24 +62,114 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
 
 
+# ---------------------------------------------------------------------------
+# real codecs (dependency-free formats only)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> uint8 array (h, w, 3) or (h, w)."""
+    if payload is None or payload[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            f"not a binary PPM/PGM payload (magic {payload[:2]!r}); compressed "
+            "image formats need PIL -- plug it into _real_decode"
+        )
+    # header: magic, width, height, maxval (whitespace/comment separated)
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> binary PPM (P6); (h, w) -> PGM (P5)."""
+    h, w = arr.shape[:2]
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float64 mono samples in [-1, 1], framerate)."""
+    try:
+        with wave.open(io.BytesIO(payload)) as f:
+            nch, sw, rate = f.getnchannels(), f.getsampwidth(), f.getframerate()
+            raw = f.readframes(f.getnframes())
+    except wave.Error as e:
+        raise NotImplementedError(
+            f"not a PCM WAV payload ({e}); compressed audio needs ffmpeg"
+        ) from e
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    a = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        a = (a - 128.0) / 128.0
+    else:
+        a = a / float(1 << (8 * sw - 1))
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1)
+    return a, rate
+
+
+def _block_means(values: np.ndarray, dim: int) -> np.ndarray:
+    chunks = np.array_split(values.astype(np.float64).ravel(), dim)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def _real_decode(payload: bytes, kind: str, dim: int) -> np.ndarray:
+    """Feature vector from a real decode: image -> luma block means / 255,
+    audio -> per-chunk RMS. Unknown kinds/formats raise with the reason."""
+    if kind == "image":
+        px = decode_ppm(payload)
+        luma = px.mean(axis=2) if px.ndim == 3 else px
+        return _block_means(luma, dim) / np.float32(255.0)
+    if kind == "audio":
+        samples, _ = decode_wav(payload)
+        chunks = np.array_split(samples, dim)
+        return np.array(
+            [np.sqrt((c**2).mean()) if len(c) else 0.0 for c in chunks],
+            dtype=np.float32,
+        )
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} needs ffmpeg (container formats); "
+        "use decode='fake' for plumbing tests"
+    )
+
+
 def extract_image_features(
     df: DataFrame, decode: str = "fake", dim: int = 8, rows_per_batch_hint: int | None = None
 ) -> DataFrame:
     """media table -> feature rows, one mapInPandas stage (batch in, batch out).
 
-    decode='real' is the integration point for an actual codec (PIL/ffmpeg) and
-    raises NotImplementedError here; decode='fake' produces deterministic
-    byte-derived features so the distributed plumbing is fully exercised.
+    decode='real' decodes binary PPM/PGM images and PCM WAV audio natively
+    (see _real_decode; compressed formats raise with the missing codec named);
+    decode='fake' produces deterministic byte-derived features so the
+    distributed plumbing is exercised without any codec.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires an image/audio codec, not present "
-                    "in this environment; use decode='fake' or plug a codec here"
-                )
-            feats = [_fake_decode(p, dim) for p in b["payload"]]
+                feats = [
+                    _real_decode(p, k, dim)
+                    for p, k in zip(b["payload"], b["kind"])
+                ]
+            else:
+                feats = [_fake_decode(p, dim) for p in b["payload"]]
             yield pd.DataFrame(
                 {
                     "media_ref": b["media_ref"],
@@ -116,6 +211,8 @@ def sample_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if decode == "real":
+                # video containers (mp4/webm/...) need ffmpeg -- the one
+                # modality the dependency-free codec layer cannot cover
                 raise NotImplementedError("real frame decode: plug ffmpeg here")
             feats = [
                 _fake_decode(
@@ -146,31 +243,38 @@ def resize_images(
     df: DataFrame, width: int, height: int, decode: str = "fake"
 ) -> DataFrame:
     """Image resize stage: same media schema out, payload replaced by the
-    resized encoding and meta.width/height updated. The fake kernel emits a
-    deterministic byte-mapped payload of size width*height//64 (stable across
-    runs => the downstream plumbing -- schema, partitioning, re-validation --
-    is fully testable); decode='real' is the PIL/libvips integration point."""
+    resized encoding and meta.width/height updated. decode='real' does a true
+    nearest-neighbor resize of binary PPM/PGM payloads (decode_ppm -> index
+    grid -> encode_ppm); the fake kernel emits a deterministic byte-mapped
+    payload of size width*height//64 (stable across runs => the downstream
+    plumbing -- schema, partitioning, re-validation -- is testable without a
+    codec)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image resize requires a codec (PIL/libvips); plug here"
-                )
-            out_len = max(width * height // 64, 1)
             payloads = []
-            for p in b["payload"]:
-                src = np.frombuffer(p if p else b"\x00", dtype=np.uint8)
-                idx = (np.arange(out_len) * max(len(src), 1) // out_len) % max(
-                    len(src), 1
-                )
-                payloads.append(src[idx].tobytes())
+            if decode == "real":
+                for p in b["payload"]:
+                    px = decode_ppm(p)
+                    ys = (np.arange(height) * px.shape[0]) // height
+                    xs = (np.arange(width) * px.shape[1]) // width
+                    payloads.append(encode_ppm(px[np.ix_(ys, xs)]))
+                codec = "ppm"
+            else:
+                out_len = max(width * height // 64, 1)
+                for p in b["payload"]:
+                    src = np.frombuffer(p if p else b"\x00", dtype=np.uint8)
+                    idx = (np.arange(out_len) * max(len(src), 1) // out_len) % max(
+                        len(src), 1
+                    )
+                    payloads.append(src[idx].tobytes())
+                codec = "fake-resized"
             meta = [
                 {
                     "width": width,
                     "height": height,
                     "duration_ms": (m["duration_ms"] if m is not None else 0),
-                    "codec": "fake-resized",
+                    "codec": codec,
                 }
                 for m in b["meta"]
             ]
@@ -184,6 +288,40 @@ def resize_images(
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def real_media_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic media table with REAL payloads: P6 PPM gradient images
+    (16x8) and 8 kHz int16 PCM WAV sine bursts -- for exercising the
+    decode='real' paths end to end with no external codec."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 16, 8
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(x * 16 + i) % 256, (y * 32) % 256, np.full((h, w), i % 256)],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append(
+                ("media://image/%06d" % i, "image", bytearray(encode_ppm(px)),
+                 (w, h, 0, "ppm"))
+            )
+        else:
+            rate, amp = 8000, 0.25 + 0.05 * (i % 5)
+            t = np.arange(rate // 10) / rate  # 100 ms burst
+            samples = (amp * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(rate)
+                f.writeframes(samples.tobytes())
+            rows.append(
+                ("media://audio/%06d" % i, "audio", bytearray(buf.getvalue()),
+                 (0, 0, 100, "pcm_s16le"))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -265,3 +265,79 @@ def test_line_filter(spark):
     assert not out["d4"]["keep_doc"]
     assert out["d5"]["n_bullet_lines"] == 2 and not out["d5"]["keep_doc"]
     assert out["d6"]["n_ellipsis_lines"] == 1 and not out["d6"]["keep_doc"]
+
+
+def test_real_codec_roundtrip():
+    import numpy as np
+
+    from pyspark_validator.pipelines.multimodal import decode_ppm, encode_ppm
+
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (decode_ppm(encode_ppm(rgb)) == rgb).all()
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+    # header comments are skipped
+    with_comment = b"P5\n# a comment\n4 3\n255\n" + gray.tobytes()
+    assert (decode_ppm(with_comment) == gray).all()
+
+
+def test_real_decode_features(spark):
+    import math
+
+    import numpy as np
+
+    from pyspark_validator.pipelines.multimodal import (
+        extract_image_features,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=8)
+    out = {
+        r["media_ref"]: r
+        for r in extract_image_features(media, decode="real", dim=4).collect()
+    }
+    assert len(out) == 8
+    # constant blue channel + known gradients: recompute one image exactly
+    y, x = np.mgrid[0:8, 0:16]
+    px = np.stack([(x * 16) % 256, (y * 32) % 256, np.zeros((8, 16))], axis=2)
+    expect_luma = float(px.mean()) / 255.0
+    got = out["media://image/000000"]
+    assert float(np.mean(got["feat"])) == pytest.approx(expect_luma, rel=1e-6)
+    # audio: sine RMS = amp / sqrt(2)
+    a = out["media://audio/000001"]
+    amp = 0.25 + 0.05 * 1
+    assert float(np.mean(a["feat"])) == pytest.approx(amp / math.sqrt(2), rel=1e-2)
+
+
+def test_real_resize_nearest(spark):
+    import numpy as np
+
+    from pyspark_validator.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(encode_ppm(px)), (4, 4, 0, "ppm"))], MEDIA_SCHEMA
+    )
+    row = resize_images(media, 2, 2, decode="real").collect()[0]
+    got = decode_ppm(bytes(row["payload"]))
+    assert (got == px[np.ix_([0, 2], [0, 2])]).all()
+    assert row["meta"]["width"] == 2 and row["meta"]["codec"] == "ppm"
+
+
+def test_real_decode_rejects_compressed(spark):
+    from pyspark_validator.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\x89PNG\r\n\x1a\n...."), (1, 1, 0, "png"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="PPM/PGM|PIL"):
+        extract_image_features(media, decode="real").collect()
