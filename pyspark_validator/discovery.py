@@ -137,6 +137,7 @@ def mine_sfds(
     df: DataFrame,
     columns: list[str] | None = None,
     approx: bool = False,
+    parallelism: int = 4,
     **params,
 ):
     """CORDS over all column pairs (cords.cpp ExecuteInternal): returns
@@ -145,8 +146,13 @@ def mine_sfds(
 
     One wide aggregation computes every single and pairwise distinct count
     (the per-pair 4-count agg the verifier would run is injected from it);
-    only non-excluded pairs then pay the per-pair contingency pass. ``params``
-    forward to SFDCheck (thresholds, max_categories)."""
+    only non-excluded pairs then pay the per-pair contingency pass, and those
+    independent per-pair jobs are submitted from ``parallelism`` driver
+    threads so a wide table does not serialize on per-job latency (Spark's
+    scheduler interleaves concurrent jobs). ``params`` forward to SFDCheck
+    (thresholds, max_categories)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark_validator.checks.sfd import SFDCheck
 
     columns = list(columns or df.columns)
@@ -157,14 +163,22 @@ def mine_sfds(
     soft_keys = [c for c in columns if counts[c] >= (1.0 - min_card) * n]
     trivial = [c for c in columns if counts[c] == 1]
     excluded = set(soft_keys) | set(trivial)
-    sfds, correlations = [], []
-    for a, b in pairs:
-        if a in excluded or b in excluded:
-            continue
+    eligible = [(a, b) for a, b in pairs if a not in excluded and b not in excluded]
+
+    def judge(pair):
+        a, b = pair
         chk = SFDCheck(df, a, b, **params)
         # inject the shared-agg counts so the per-pair 4-count scan is skipped
         chk.__dict__["_cards"] = (n, counts[a], counts[b], counts[f"{a}__{b}"])
-        s = chk.summary().collect()[0]
+        return chk.summary().collect()[0]
+
+    if parallelism > 1 and len(eligible) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            rows = list(ex.map(judge, eligible))
+    else:
+        rows = [judge(p) for p in eligible]
+    sfds, correlations = [], []
+    for s in rows:
         if s["sfd_holds"]:
             sfds.append((s["det"], s["dep"]))
         elif s["correlated"]:
