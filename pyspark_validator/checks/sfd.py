@@ -147,25 +147,43 @@ class SFDCheck:
             .collect()
         )
 
-    def _bucket(self, col: str, card: int, n: int):
-        """(bucket expr, row filter, skewed, domain) per SkewHandling."""
+    def _skew(self, col: str, n: int):
+        """(top rows, skewed) per SkewHandling: skewed when the top
+        max_categories values cover >= (1 - min_skew_threshold) of rows."""
         top = self._top_values(col)
         top_sum = sum(r["count"] for r in top)
-        skewed = top_sum >= (1.0 - self.min_skew_threshold) * n
+        return top, top_sum >= (1.0 - self.min_skew_threshold) * n
+
+    def _bucket(self, col: str, top, skewed: bool, domain: int):
+        """(bucket expr, row filter) for a decided skew mode + domain."""
         if skewed:
             mapping = F.create_map(
                 *[x for i, r in enumerate(top) for x in (F.lit(r[col]), F.lit(i))]
             )
-            return mapping[F.col(col)], F.col(col).isin(
-                [r[col] for r in top]
-            ), True, len(top)
-        domain = min(card, self.max_categories)
+            return mapping[F.col(col)], F.col(col).isin([r[col] for r in top])
         return (
             F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(domain)),
             F.col(col).isNotNull(),
-            False,
-            domain,
         )
+
+    def _domains(self, n: int, cd: int, cp: int, skew_i: bool, top_i, skew_j: bool, top_j):
+        """Contingency dimensions. Skewed columns use their real top-value
+        count (reference parity). Hash-bucketed columns additionally apply a
+        chi-square validity cap -- expected count per cell >= ~5 (Cochran's
+        rule) -- because in full-data mode WE pick the bucket count: the
+        reference's BHUNT sample-size formula guarantees enough rows per cell
+        in its sampled mode, and without that guarantee 100x100 buckets over
+        a small table would trip the structural-zero gate spuriously."""
+        d1 = len(top_i) if skew_i else min(cd, self.max_categories)
+        d2 = len(top_j) if skew_j else min(cp, self.max_categories)
+        if not skew_i and not skew_j:
+            d1 = min(d1, max(2, int((n / 5.0) ** 0.5)))
+            d2 = min(d2, max(2, n // (5 * max(d1, 1))))
+        elif not skew_i:
+            d1 = min(d1, max(2, n // (5 * max(d2, 1))))
+        elif not skew_j:
+            d2 = min(d2, max(2, n // (5 * max(d1, 1))))
+        return d1, d2
 
     def summary(self) -> DataFrame:
         """Single row: roles, cardinalities, soft-key/trivial flags, SFD
@@ -179,8 +197,11 @@ class SFDCheck:
         sfd = (cab <= self.max_diff_vals_proportion * n) and (
             cd >= (1.0 - self.min_sfd_strength) * cab
         )
-        bi, fi, skew_i, d1 = self._bucket(det, cd, n)
-        bj, fj, skew_j, d2 = self._bucket(dep, cp, n)
+        top_i, skew_i = self._skew(det, n)
+        top_j, skew_j = self._skew(dep, n)
+        d1, d2 = self._domains(n, cd, cp, skew_i, top_i, skew_j, top_j)
+        bi, fi = self._bucket(det, top_i, skew_i, d1)
+        bj, fj = self._bucket(dep, top_j, skew_j, d2)
         cells = (
             self.df.filter(fi & fj)
             .select(bi.alias("__bi"), bj.alias("__bj"))
