@@ -350,6 +350,111 @@ class DataStats(_Verifier):
     def get_number_of_empties(self, col):
         return self._str[self._name(col)]["n_empties"]
 
+    def _s(self, col, key):
+        return self._str[self._name(col)][key]
+
+    def get_number_of_chars(self, col):
+        return self._s(col, "n_chars")
+
+    def get_number_of_digit_chars(self, col):
+        return self._s(col, "n_digit_chars")
+
+    def get_number_of_lowercase_chars(self, col):
+        return self._s(col, "n_lowercase_chars")
+
+    def get_number_of_uppercase_chars(self, col):
+        return self._s(col, "n_uppercase_chars")
+
+    def get_number_of_non_letter_chars(self, col):
+        return self._s(col, "n_nonletter_chars")
+
+    def get_number_of_words(self, col):
+        return self._s(col, "total_words")
+
+    def get_min_number_of_words(self, col):
+        return self._s(col, "min_words")
+
+    def get_max_number_of_words(self, col):
+        return self._s(col, "max_words")
+
+    def get_number_of_entirely_uppercase_words(self, col):
+        return self._s(col, "n_entirely_upper_words")
+
+    def get_number_of_entirely_lowercase_words(self, col):
+        return self._s(col, "n_entirely_lower_words")
+
+    def get_whitespace_only_count(self, col):
+        return self._s(col, "n_whitespace_only")
+
+    def get_number_of_rows_with_leading_whitespace(self, col):
+        return self._s(col, "n_leading_ws")
+
+    def get_number_of_rows_with_trailing_whitespace(self, col):
+        return self._s(col, "n_trailing_ws")
+
+    def get_number_of_rows_with_special_chars(self, col):
+        return self._s(col, "n_special_rows")
+
+    def get_min_white_spaces(self, col):
+        return self._s(col, "min_whitespaces")
+
+    def get_max_white_spaces(self, col):
+        return self._s(col, "max_whitespaces")
+
+    # -- char-level getters (computed lazily on first use: two extra shuffles
+    #    the wide profile pass does not need to pay unless asked) -------------
+    def _char_row(self, col):
+        from pyspark_validator.checks.stats import char_stats
+
+        name = self._name(col)
+        if not hasattr(self, "_chars"):
+            self._chars = {}
+        if name not in self._chars:
+            self._chars[name] = (
+                char_stats(self._df, [name]).collect()[0].asDict()
+            )
+        return self._chars[name]
+
+    def get_vocab(self, col):
+        return self._char_row(col)["vocab"]
+
+    def get_top_k_chars(self, col, k: int = 10):
+        return self._char_row(col)["top_k_chars"][:k]
+
+    def get_first_char_frequency(self, col):
+        return self._char_row(col)["first_char_freq"]
+
+    def get_last_char_frequency(self, col):
+        return self._char_row(col)["last_char_freq"]
+
+    def get_number_of_diacritic_chars(self, col):
+        return self._char_row(col)["n_diacritic_chars"]
+
+    def get_top_k_words(self, col, k: int = 10):
+        from pyspark_validator.checks.stats import topk_words
+
+        return [
+            r["word"] for r in topk_words(self._df, self._name(col), k).collect()
+        ]
+
+    def get_words(self, col, cap: int = 10000):
+        """Distinct words as a sorted list, bounded by ``cap`` (the reference
+        returns the full std::set; at 10^12 rows nobody collects that)."""
+        from pyspark.sql import functions as F
+
+        name = self._name(col)
+        rows = (
+            self._df.select(
+                F.explode(F.split(F.trim(F.col(name)), r"\s+")).alias("w")
+            )
+            .filter(F.length("w") > 0)
+            .distinct()
+            .orderBy("w")
+            .limit(cap)
+            .collect()
+        )
+        return [r["w"] for r in rows]
+
     def get_all_statistics_as_string(self) -> str:
         import json
 

@@ -122,3 +122,33 @@ def test_compat_sd_verifier(spark):
     assert [x["kind"] for x in viol] == ["insertion"]
     v.execute(["x"], ["y"], g1=0.0, g2=-1.0)  # negative g2 = infinity
     assert v.get_ops() == 0 and v.get_error() == 0.0
+
+
+def test_data_stats_string_extras_getters(spark):
+    import pandas as pd
+
+    from pyspark_validator.compat import DataStats
+
+    ds = DataStats(spark)
+    ds.load_data(
+        pd.DataFrame(
+            {
+                "s": ["Hello World.", "ABC DEF", "  padded  ", "café", "x1 y2"],
+            }
+        )
+    )
+    ds.execute()
+    assert ds.get_number_of_digit_chars("s") == 2
+    assert ds.get_number_of_words("s") == 2 + 2 + 1 + 1 + 2
+    assert ds.get_min_number_of_words("s") == 1
+    assert ds.get_number_of_entirely_uppercase_words("s") >= 2  # ABC DEF
+    assert ds.get_number_of_rows_with_leading_whitespace("s") == 1
+    assert ds.get_number_of_rows_with_trailing_whitespace("s") == 1
+    # char-level (lazy)
+    assert "H" in ds.get_vocab("s")
+    assert len(ds.get_top_k_chars("s", 3)) == 3
+    assert ds.get_number_of_diacritic_chars("s") == 1  # é
+    assert ":" in ds.get_first_char_frequency("s")
+    # word-level
+    assert ds.get_top_k_words("s", 2)
+    assert "Hello" in ds.get_words("s")
