@@ -310,11 +310,22 @@ class ACSuite:
             )
         return self._checks[key]
 
-    def all_ranges(self) -> DataFrame:
+    def all_ranges(self, parallelism: int = 4) -> DataFrame:
         """Union of per-pair range frames: [lhs, rhs, range_id, lo, hi,
-        n_values]."""
+        n_values]. Each pair's clustering runs its own driver-side actions
+        (stats + bucket-offset collects), so pairs are built from
+        ``parallelism`` driver threads -- Spark interleaves the concurrent
+        jobs and a wide table does not serialize on per-job latency."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pairs = self.pairs()
+        checks = [self.check(*p) for p in pairs]  # fill the cache sequentially
+        if parallelism > 1 and len(checks) > 1:
+            with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                # force each pair's driver-side collects concurrently
+                list(ex.map(lambda c: c._clustered, checks))
         frames = []
-        for lhs, rhs in self.pairs():
+        for lhs, rhs in pairs:
             frames.append(
                 self.check(lhs, rhs)
                 .ranges()

@@ -302,3 +302,16 @@ class TestAcCompatAndSuite:
         )
         row = out["ac_span"].collect()[0]
         assert row.holds and row.n_exceptions == 0
+
+
+def test_suite_all_ranges_parallel(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i), float(100 + i)) for i in range(20)],
+        "a double, b double, c double",
+    )
+    suite = ACSuite(df, "+", columns=["a", "b", "c"])
+    rows = suite.all_ranges(parallelism=3).orderBy("lhs", "rhs", "lo").collect()
+    got = {(r["lhs"], r["rhs"]): (r["lo"], r["hi"]) for r in rows}
+    assert got[("a", "b")] == (0.0, 38.0)
+    assert got[("a", "c")] == (100.0, 138.0)
+    assert got[("b", "c")] == (100.0, 138.0)
