@@ -28,10 +28,11 @@ frequency-rank ties break by value for determinism. The chi^2 quantile
 uses a regularized-incomplete-gamma bisection (same values as
 boost::math::quantile to ~1e-12).
 
-Spark plan: one countDistinct agg + two top-k frequency aggs (bounded
-collects <= max_categories rows) + one cell agg over <= d1*d2 keys with
-window marginals on that tiny frame. Nothing scales with row count except
-the three scans.
+Spark plan: one countDistinct agg + ONE stacked top-k frequency agg for
+both columns (explode -> single shuffle; bounded collect of
+<= 2*max_categories rows) + one cell agg over <= d1*d2 keys with window
+marginals on that tiny frame. Three scans total; nothing else scales with
+row count.
 """
 
 from __future__ import annotations
@@ -116,6 +117,10 @@ class SFDCheck:
     max_false_positive_probability: float = 1e-6
     max_categories: int = 100
 
+    def __post_init__(self) -> None:
+        if self.col_a == self.col_b:
+            raise ValueError("SFD needs two distinct columns")
+
     @cached_property
     def _cards(self):
         row = self.df.agg(
@@ -135,36 +140,63 @@ class SFDCheck:
             return self.col_b, self.col_a, cb, ca
         return self.col_a, self.col_b, ca, cb
 
-    def _top_values(self, col: str):
-        """Top max_categories (value, freq) by freq desc then value asc --
-        the frequency handler's bounded per-column map."""
-        return (
-            self.df.filter(F.col(col).isNotNull())
-            .groupBy(col)
-            .count()
-            .orderBy(F.col("count").desc(), F.col(col).asc())
-            .limit(self.max_categories)
+    @cached_property
+    def _tops(self) -> dict[str, list[tuple[str, int]]]:
+        """{col: top max_categories (value-as-string, freq)} by freq desc then
+        value asc -- the frequency handler's bounded per-column maps, both
+        columns from ONE stacked scan (explode -> one shuffle) instead of a
+        per-column top-k pass each."""
+        a, b = self.col_a, self.col_b
+        stacked = (
+            self.df.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(a).alias("column"),
+                            F.col(a).cast("string").alias("v"),
+                        ),
+                        F.struct(
+                            F.lit(b).alias("column"),
+                            F.col(b).cast("string").alias("v"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .filter(F.col("v").isNotNull())
+        )
+        counts = stacked.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("column").orderBy(
+            F.col("cnt").desc(), F.col("v").asc()
+        )
+        rows = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.max_categories)
             .collect()
         )
+        out: dict[str, list[tuple[str, int]]] = {a: [], b: []}
+        for r in sorted(rows, key=lambda r: r["__rk"]):
+            out[r["column"]].append((r["v"], int(r["cnt"])))
+        return out
 
     def _skew(self, col: str, n: int):
-        """(top rows, skewed) per SkewHandling: skewed when the top
+        """(top values, skewed) per SkewHandling: skewed when the top
         max_categories values cover >= (1 - min_skew_threshold) of rows."""
-        top = self._top_values(col)
-        top_sum = sum(r["count"] for r in top)
+        top = self._tops[col]
+        top_sum = sum(cnt for _, cnt in top)
         return top, top_sum >= (1.0 - self.min_skew_threshold) * n
 
     def _bucket(self, col: str, top, skewed: bool, domain: int):
-        """(bucket expr, row filter) for a decided skew mode + domain."""
+        """(bucket expr, row filter) for a decided skew mode + domain.
+        Values compare as strings (the stacked top-k map is string-keyed;
+        within one column the cast is injective for the supported types)."""
+        c = F.col(col).cast("string")
         if skewed:
             mapping = F.create_map(
-                *[x for i, r in enumerate(top) for x in (F.lit(r[col]), F.lit(i))]
+                *[x for i, (v, _) in enumerate(top) for x in (F.lit(v), F.lit(i))]
             )
-            return mapping[F.col(col)], F.col(col).isin([r[col] for r in top])
-        return (
-            F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(domain)),
-            F.col(col).isNotNull(),
-        )
+            return mapping[c], c.isin([v for v, _ in top])
+        return F.pmod(F.xxhash64(c), F.lit(domain)), c.isNotNull()
 
     def _domains(self, n: int, cd: int, cp: int, skew_i: bool, top_i, skew_j: bool, top_j):
         """Contingency dimensions. Skewed columns use their real top-value
