@@ -215,3 +215,12 @@ def test_nar_qualities_single_agg(tables):
     p = _plan(q)
     assert _count(p, "Exchange") == 1  # the single-row final agg gather
     assert _count(p, "Scan parquet") == 1
+
+def test_line_filter_scan_only(tables):
+    """C4 line filter is pure per-row array lambdas: no Exchange, no join,
+    and the parquet scan reads only the needed columns."""
+    from pyspark_validator.pipelines.text import line_filter
+
+    p = _plan(line_filter(tables["documents"].select("doc_id", "text")))
+    assert _count(p, "Exchange") == 0
+    assert "Join" not in p
