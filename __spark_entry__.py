@@ -1153,6 +1153,28 @@ FROM embeddings WHERE vec_id % 25 = 0
 """
 
 
+def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep-one over the planted 2x-scaled copies: every
+    planted copy (vec_id + 1000000) is the larger id of a cosine-1.0 pair, so
+    the surviving id set is exactly the original table -- the closed-form
+    oracle."""
+    from pyspark_validator.pipelines.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda v: v * 2).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(dup)
+    out = semantic_dedup(planted, dim=64, threshold=0.95, num_bits=8)
+    return out.select("vec_id")
+
+
+SQL_SEMANTIC_DEDUP_PLANTED = """
+SELECT vec_id FROM embeddings
+"""
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at full probe (nprobe = n_lists): scanning every list makes
     IVF exactly equal to brute force, so the brute-force SQL is an exact
@@ -2051,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nar_orders_priority": q_nar_orders_priority,
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
         "text_line_filter": q_text_line_filter,
+        "semantic_dedup_planted": q_semantic_dedup_planted,
     }
 
 
@@ -2117,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
         "text_line_filter": SQL_TEXT_LINE_FILTER,
+        "semantic_dedup_planted": SQL_SEMANTIC_DEDUP_PLANTED,
     }
 
 

@@ -80,6 +80,7 @@ HEADLINE = [
     "nar_orders_priority",
     "sfd_orders_priority_status",
     "text_line_filter",
+    "semantic_dedup_planted",
 ]
 
 

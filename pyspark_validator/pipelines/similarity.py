@@ -235,3 +235,37 @@ def cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-space near-duplicate removal (SemDeDup-style, Abbas et al.
+    2023): LSH-bucketed candidate pairs verified by exact cosine, then a
+    single-pass keep-one reduction -- a row is dropped iff it appears as the
+    LARGER id of some >= threshold pair. Deterministic and conservative:
+    every duplicate component keeps its smallest id (and never loses all
+    rows), while two rows similar only through a dropped middleman both
+    survive -- i.e. it drops at most what iterative connected-components
+    keep-one would, without the iteration. Returns the surviving rows with
+    the input schema."""
+    pairs = cosine_pairs(
+        df,
+        dim,
+        threshold=threshold,
+        num_bits=num_bits,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_bucket=max_bucket,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # left_anti on the (usually small) loser set; AQE picks broadcast when it fits
+    return df.join(losers, on=id_col, how="left_anti")

@@ -341,3 +341,27 @@ def test_real_decode_rejects_compressed(spark):
     )
     with pytest.raises(Exception, match="PPM/PGM|PIL"):
         extract_image_features(media, decode="real").collect()
+
+
+def test_semantic_dedup_keep_one(spark):
+    import numpy as np
+
+    from pyspark_validator.pipelines.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(40)
+    ]
+    # plant: 100+i = 2x copy of i for i in {0, 5, 10}; 200 = copy of 100
+    copies = [
+        (100 + i, [2.0 * x for x in dict(base)[i]]) for i in (0, 5, 10)
+    ] + [(200, [4.0 * x for x in dict(base)[0]])]
+    df = spark.createDataFrame(
+        base + copies, "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, dim=16, threshold=0.99, num_bits=6).collect()
+    )
+    # smallest id of every duplicate component survives; all copies drop
+    assert out == sorted(range(40))
