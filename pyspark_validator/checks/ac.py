@@ -67,10 +67,14 @@ def _res_expr(df: DataFrame, lhs: str, rhs: str, binop: str):
         valid = valid & (r != 0)
     if int_mode:
         ll, rl = l.cast("long"), r.cast("long")
+        # try_* arithmetic: ANSI mode would otherwise FAIL the whole job on
+        # one overflowing row pair; overflow yields null and the row is
+        # skipped (the C++ reference silently wraps -- skipping is the
+        # defensible distributed behavior and is documented here)
         res = {
-            "+": ll + rl,
-            "-": ll - rl,
-            "*": ll * rl,
+            "+": F.try_add(ll, rl),
+            "-": F.try_subtract(ll, rl),
+            "*": F.try_multiply(ll, rl),
             "/": F.try_divide(ll, rl).cast("long"),  # trunc-toward-zero int div
         }[binop]
     else:
@@ -128,7 +132,12 @@ class ACCheck:
         resumed jobs agree -- an mt19937 row sample would not be
         reproducible across partitionings."""
         res, valid = _res_expr(self.df, self.lhs, self.rhs, self.binop)
-        out = self.df.filter(valid).select(res.alias("__r"))
+        # result-null filter: overflow rows (try_* arithmetic) are skipped
+        out = (
+            self.df.filter(valid)
+            .select(res.alias("__r"))
+            .filter(F.col("__r").isNotNull())
+        )
         if self.sample_fraction is not None and self.sample_fraction < 1.0:
             m = 1 << 20
             out = out.filter(

@@ -315,3 +315,14 @@ def test_suite_all_ranges_parallel(spark):
     assert got[("a", "b")] == (0.0, 38.0)
     assert got[("a", "c")] == (100.0, 138.0)
     assert got[("b", "c")] == (100.0, 138.0)
+
+
+def test_overflow_rows_skipped_not_fatal(spark):
+    big = (1 << 62)
+    df = spark.createDataFrame(
+        [(big, big), (1, 2), (2, 3)], "a long, b long"
+    )
+    # ANSI mode would abort the job on the overflowing (big, big) pair;
+    # try_* arithmetic skips it
+    got = _ranges(ac_check(df, "a", "b", "+"))
+    assert got == [(3.0, 3.0), (5.0, 5.0)]  # overflow pair gone, delta splits the rest
