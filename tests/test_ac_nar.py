@@ -326,3 +326,11 @@ def test_overflow_rows_skipped_not_fatal(spark):
     # try_* arithmetic skips it
     got = _ranges(ac_check(df, "a", "b", "+"))
     assert got == [(3.0, 3.0), (5.0, 5.0)]  # overflow pair gone, delta splits the rest
+
+
+def test_ranges_invariant_to_bucket_count(spark, request):
+    iris_df = request.getfixturevalue("iris")
+    expected = _ranges(ac_check(iris_df, "c0", "c2", "+", weight=0.05, num_partitions=64))
+    for p in (1, 3, 17):
+        got = _ranges(ac_check(iris_df, "c0", "c2", "+", weight=0.05, num_partitions=p))
+        assert got == expected, f"num_partitions={p}"
