@@ -14,6 +14,9 @@ see SURVEY.md section 2.8. This module lifts the incremental count-state engine
     windowed duplicate-key counts with a watermark (late data handled by Spark's
     state store), for dashboards that want live violation pressure rather than
     exact global verdicts.
+  * ``streaming_rule_qualities`` -- windowed NAR support/confidence
+    monitoring (checks/nar.py semantics) for "is this invariant degrading"
+    dashboards.
   * ``streaming_gap_check`` -- a CUSTOM STATEFUL operator via
     applyInPandasWithState: the per-key sequential-dependency gap check
     (checks/sd.py single-scan semantics) continued ACROSS micro-batches by
@@ -178,5 +181,47 @@ def streaming_violation_counts(
             F.col("w.end").alias("window_end"),
             *key_cols,
             "occurrences",
+        )
+    )
+
+
+def streaming_rule_qualities(
+    stream: DataFrame,
+    ante: dict,
+    cons: dict,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed NAR rule monitoring: per-window support/confidence of a rule
+    (checks/nar.py semantics) over a document stream -- live "is this
+    invariant degrading" pressure, the streaming analog of NARCheck.
+
+    Pure watermarked aggregation (conditional sums are map-side combinable in
+    the state store); confidence is null for windows with no antecedent rows.
+    """
+    from pyspark_validator.checks.nar import _fits
+
+    fits_ante = _fits(stream, ante)
+    fits_both = fits_ante & _fits(stream, cons)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(fits_ante.cast("long")).alias("n_fit_ante"),
+            F.sum(fits_both.cast("long")).alias("n_fit_both"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_rows",
+            "n_fit_ante",
+            "n_fit_both",
+            (F.col("n_fit_both") / F.col("n_rows")).alias("support"),
+            F.when(
+                F.col("n_fit_ante") > 0,
+                F.col("n_fit_both") / F.col("n_fit_ante"),
+            ).alias("confidence"),
         )
     )

@@ -114,3 +114,40 @@ def test_streaming_gap_check_stateful_across_batches(spark, tmp_path):
     # first row of batch 1 (o=4, v=15)
     assert ("a", 3.0, 4.0, -5.0, "deletion") in got
     assert len(got) == 2
+
+
+def test_streaming_rule_qualities_windowed(spark, tmp_path):
+    from pyspark_validator.streaming import streaming_rule_qualities
+
+    src = tmp_path / "rule_events"
+    src.mkdir()
+    rows = [
+        ("2026-01-01 00:00:05", "a", 10.0),
+        ("2026-01-01 00:00:15", "a", 90.0),  # fits ante, breaks cons
+        ("2026-01-01 00:00:25", "b", 10.0),
+        ("2026-01-01 00:01:05", "a", 10.0),  # next window: clean
+    ]
+    spark.createDataFrame(rows, ["ts_s", "cat", "x"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "cat", "x"
+    ).write.mode("overwrite").parquet(str(src / "p.parquet"))
+
+    stream = spark.readStream.schema("ts timestamp, cat string, x double").parquet(
+        str(src) + "/*"
+    )
+    out = streaming_rule_qualities(
+        stream, {"cat": ["a"]}, {"x": (0.0, 50.0)}, "ts", "1 minute", "2 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ruleq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start.isoformat(): (r.n_rows, r.n_fit_ante, r.n_fit_both, r.confidence)
+        for r in spark.table("ruleq").collect()
+    }
+    assert got["2026-01-01T00:00:00"] == (3, 2, 1, 0.5)
+    assert got["2026-01-01T00:01:00"] == (1, 1, 1, 1.0)
