@@ -9,8 +9,12 @@ Confidence = (N - ops) / N where ops = #deletions + sum(min_insertions).
 
 Two modes:
   * summary()/violations() -- single-scan gap semantics (each adjacent gap
-    scored independently): a distributed, streaming-cheap UPPER BOUND on the
-    optimal operation count; exact whenever violations are isolated.
+    scored independently): a distributed, streaming-cheap violation SCORE.
+    ``holds`` is exact (score 0 <=> no violating gap <=> SD holds), and the
+    per-gap insertion counts are exact (insertions never affect neighboring
+    gaps), but cascading DELETIONS can make the score either side of the
+    true minimum: deleting a gap's right row merges two gaps, which may
+    itself violate ([1,4,0,1] under [1,3] scores 1 yet needs 2 ops).
   * optimal() -- the reference's exact minimum (sd_verifier.h:69-80,
     sd_verifier.cpp CalculateOps): Fenwick-per-residue-class DP for the exact
     gap case (g1 == g2) and a coordinate-compressed segment-tree RMQ DP for
@@ -407,7 +411,9 @@ class SDCheck:
 
     def summary(self) -> DataFrame:
         """Single row: holds, n_gaps, n_deletions, n_insertion_gaps, ops,
-        confidence = (N - ops) / N (sd_verifier.h:64-66)."""
+        confidence = (N - ops) / N (sd_verifier.h:64-66). ``holds`` is exact;
+        ``ops`` is the per-gap score (see module docstring) -- use optimal()
+        when the exact minimum matters."""
         n_rows = self.df.select(
             F.count(
                 F.when(

@@ -207,11 +207,33 @@ def test_sd_optimal_matches_bruteforce(spark, vals, g):
 
 @given(vals=sd_values_strategy)
 @settings(**_SETTINGS)
-def test_sd_optimal_lower_bounds_greedy(spark, vals):
+def test_sd_holds_verdict_exact_vs_optimal(spark, vals):
+    """The cheap per-gap score and the exact DP agree EXACTLY on the holds
+    verdict (score 0 <=> min ops 0); the counts themselves may differ when
+    deletions cascade ([1,4,0,1] under [1,3]: score 1, true minimum 2), which
+    is documented in checks/sd.py -- so only the verdict is asserted here."""
     from pyspark_validator.checks.sd import sd_check
 
     df = spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate(vals)], ["o", "v"]
+    )
+    c = sd_check(df, "o", "v", g1=1.0, g2=3.0)
+    greedy = c.summary().collect()[0].ops
+    opt = c.optimal().collect()[0].ops
+    assert (greedy == 0) == (opt == 0)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=40), min_size=2, max_size=10, unique=True))
+@settings(**_SETTINGS)
+def test_sd_insertion_only_greedy_upper_bounds_optimal(spark, vals):
+    """With every gap >= g1 (sorted distinct ints, g1=1) the per-gap repair is
+    insertion-only and insertions never affect neighboring gaps, so the score
+    is a FEASIBLE repair and must upper-bound the exact minimum."""
+    from pyspark_validator.checks.sd import sd_check
+
+    svals = sorted(vals)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(svals)], ["o", "v"]
     )
     c = sd_check(df, "o", "v", g1=1.0, g2=3.0)
     greedy = c.summary().collect()[0].ops
