@@ -348,3 +348,67 @@ def test_ac_cluster_gap_invariants(spark, rows, weight):
         inside = [v for v in results if lo <= v <= hi]
         for x, y in zip(inside, inside[1:]):
             assert y - x <= delta
+
+
+# ---------------------------------------------------------------------------
+# NAR: qualities vs direct pandas computation (nar.cpp CalcQualities)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(min_value=0, max_value=9)),
+        min_size=1,
+        max_size=25,
+    ),
+    lo=st.integers(min_value=0, max_value=5),
+    width=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_nar_matches_pandas_oracle(spark, rows, lo, width):
+    from pyspark_validator.checks.nar import nar_check
+
+    df = spark.createDataFrame(rows, "cat string, x long")
+    q = nar_check(df, {"cat": ["a", "b"]}, {"x": (lo, lo + width)}).qualities().collect()[0]
+    pdf = pd.DataFrame(rows, columns=["cat", "x"])
+    ante = pdf["cat"].isin(["a", "b"])
+    both = ante & pdf["x"].between(lo, lo + width)
+    n, na, nb = len(pdf), int(ante.sum()), int(both.sum())
+    assert (q.n_rows, q.n_fit_ante, q.n_fit_both) == (n, na, nb)
+    if na == 0 or nb == 0:
+        assert (q.support, q.confidence, q.fitness) == (0.0, 0.0, 0.0)
+    else:
+        assert q.support == pytest.approx(nb / n)
+        assert q.confidence == pytest.approx(nb / na)
+        assert q.fitness == pytest.approx((nb / na + nb / n + 2 / 2) / 3)
+
+
+# ---------------------------------------------------------------------------
+# SFD: chi2/zero-cells vs direct pandas contingency (small alphabets => both
+# columns take the skewed full-value path, so the contingency is the raw
+# crosstab and the comparison is exact)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_sfd_chi2_matches_pandas_oracle(spark, rows):
+    from pyspark_validator.checks.sfd import sfd_check
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    s = sfd_check(df, "a", "b", min_cardinality=0.999).summary().collect()[0]
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    ct = pd.crosstab(pdf["a"], pdf["b"])
+    n = ct.values.sum()
+    ni = ct.values.sum(axis=1, keepdims=True)
+    nj = ct.values.sum(axis=0, keepdims=True)
+    e = ni * nj / n
+    chi2 = float((((ct.values - e) ** 2) / e).sum())
+    d1, d2 = ct.shape if s.det == "a" else ct.shape[::-1]
+    assert (s.d1, s.d2) == (d1, d2)
+    assert s.n_zero_cells == int((ct.values == 0).sum())
+    assert s.chi2 == pytest.approx(chi2, rel=1e-9)
