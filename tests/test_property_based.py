@@ -412,3 +412,58 @@ def test_sfd_chi2_matches_pandas_oracle(spark, rows):
     assert (s.d1, s.d2) == (d1, d2)
     assert s.n_zero_cells == int((ct.values == 0).sum())
     assert s.chi2 == pytest.approx(chi2, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Incremental UCC: random delta sequences vs full batch recompute
+
+
+@given(
+    base=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=25),
+    deltas=st.lists(
+        st.tuples(
+            st.lists(st.integers(min_value=0, max_value=15), max_size=4),  # inserts
+            st.lists(st.integers(min_value=0, max_value=15), max_size=3),  # delete keys
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_ucc_random_deltas_match_batch(spark, tmp_path_factory, base, deltas):
+    """After ANY sequence of insert/delete batches, the incremental verdicts
+    must equal a from-scratch batch recompute on the equivalent multiset
+    (deletes clamp at zero per DynPLI's existing-row precondition)."""
+    from collections import Counter
+
+    from pyspark_validator.incremental import IncrementalUCC
+
+    path = str(tmp_path_factory.mktemp("inc_prop"))
+    inc = IncrementalUCC(spark, path, ["k"], num_partitions=4)
+    inc.initialize(spark.createDataFrame([(k,) for k in base], "k long"))
+    counts = Counter(base)
+    for ins, dels in deltas:
+        kw = {}
+        if ins:
+            kw["inserts"] = spark.createDataFrame([(k,) for k in ins], "k long")
+        if dels:
+            kw["deletes"] = spark.createDataFrame([(k,) for k in dels], "k long")
+        if not kw:
+            continue
+        inc.apply_delta(**kw)
+        counts.update(ins)
+        for k in dels:
+            if counts[k] > 0:
+                counts[k] -= 1
+    post = [(k,) for k, c in counts.items() for _ in range(c)]
+    if not post:
+        assert inc.verdicts().count() == 0
+        return
+    full = ucc_check(
+        spark.createDataFrame(post, "k long"), ["k"], num_partitions=4
+    ).verdicts()
+    cols = ["partition_id", "holds", "n_rows", "n_violating_clusters"]
+    a = sorted(tuple(r[c] for c in cols) for r in inc.verdicts().collect())
+    b = sorted(tuple(r[c] for c in cols) for r in full.collect())
+    assert a == b
