@@ -120,6 +120,7 @@ class ValidationSuite:
             from pyspark.sql import functions as F
 
             if spec.kind == "ac":
+                from pyspark_validator.canonical import partition_id_expr
                 from pyspark_validator.checks.ac import ac_check
 
                 c = ac_check(
@@ -131,13 +132,37 @@ class ValidationSuite:
                     bumps_limit=spec.params.get("bumps_limit", 0),
                     num_partitions=self.num_partitions,
                 )
+                pk = spec.params.get("partition_key", "doc_id")
                 exc = c.exceptions(
-                    spec.params.get("id_cols", ["doc_id"]),
+                    [pk, *spec.params.get("id_cols", [])],
                     ranges=spec.params.get("ranges"),
                 )
-                s = exc.agg(
-                    F.count(F.lit(1)).alias("n_exceptions")
-                ).select((F.col("n_exceptions") == 0).alias("holds"), "n_exceptions")
+                # true per-partition verdicts (north-rule shape): every
+                # partition reports, exception-bearing ones fail
+                pids = df.select(
+                    partition_id_expr(pk, self.num_partitions).alias(
+                        "partition_id"
+                    )
+                ).distinct()
+                per_part = exc.groupBy(
+                    partition_id_expr(pk, self.num_partitions).alias(
+                        "partition_id"
+                    )
+                ).agg(F.count(F.lit(1)).alias("n_exceptions"))
+                return (
+                    pids.join(per_part, "partition_id", "left")
+                    .select(
+                        "partition_id",
+                        F.coalesce("n_exceptions", F.lit(0)).alias(
+                            "n_exceptions"
+                        ),
+                    )
+                    .select(
+                        (F.col("n_exceptions") == 0).alias("holds"),
+                        "n_exceptions",
+                        "partition_id",
+                    )
+                )
             else:
                 from pyspark_validator.checks.nar import nar_check
 

@@ -300,8 +300,10 @@ class TestAcCompatAndSuite:
                 )
             ]
         )
-        row = out["ac_span"].collect()[0]
-        assert row.holds and row.n_exceptions == 0
+        rows = out["ac_span"].collect()
+        assert len(rows) >= 1  # one verdict per populated partition
+        assert all(r.holds and r.n_exceptions == 0 for r in rows)
+        assert len({r.partition_id for r in rows}) == len(rows)
 
 
 def test_suite_all_ranges_parallel(spark):
