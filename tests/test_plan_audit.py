@@ -224,3 +224,13 @@ def test_line_filter_scan_only(tables):
     p = _plan(line_filter(tables["documents"].select("doc_id", "text")))
     assert _count(p, "Exchange") == 0
     assert "Join" not in p
+
+def test_semantic_dedup_no_cartesian(tables):
+    """The keep-one reduction stays candidate-bucketed end to end: the pair
+    join keys on the LSH bucket and the survivor anti-join keys on the id --
+    no cartesian/nested-loop anywhere."""
+    from pyspark_validator.pipelines.similarity import semantic_dedup
+
+    p = _plan(semantic_dedup(tables["embeddings"], dim=64, num_bits=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
