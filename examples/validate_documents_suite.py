@@ -38,6 +38,29 @@ results = suite.run(
             kind="fd",
             params={"lhs": ["doc_id"], "rhs": ["span_seq"]},
         ),
+        # round-2 kinds: per-partition AC exceptions, NAR rule quality, SFD
+        CheckSpec(
+            name="ac_span_key_self",
+            kind="ac",
+            params={"lhs": "span_key", "rhs": "span_key", "binop": "-",
+                    "ranges": [(0.0, 0.0)]},
+        ),
+        CheckSpec(
+            name="nar_span_key_total",
+            kind="nar",
+            params={"ante": {"span_key": (-(2 ** 63), 2 ** 63 - 1)},
+                    "cons": {"span_key": (-(2 ** 63), 2 ** 63 - 1)}},
+        ),
+        # span counts are strongly associated (every text span is a span):
+        # the CORDS contingency test must flag the pair as correlated. A
+        # span_key -> span_seq spec would NOT be an SFD here: near-unique
+        # determinants are soft KEYS, which CORDS excludes by design.
+        CheckSpec(
+            name="sfd_span_counts_correlated",
+            kind="sfd",
+            params={"col_a": "n_spans", "col_b": "n_text_spans",
+                    "expect": "correlated"},
+        ),
     ]
 )
 for name, verdicts in results.items():
