@@ -31,10 +31,22 @@ from pyspark.sql import functions as F
 
 def _fits(df: DataFrame, conditions: dict[str, object]) -> Column:
     """AND over feature conditions; {} -> true. A condition is a (lo, hi)
-    numeric range (inclusive) or a list/set of allowed category values."""
+    numeric range (inclusive), a list/set of allowed category values, or --
+    for JSON suite specs, where tuples and lists are indistinguishable --
+    the explicit dict forms {"between": [lo, hi]} / {"in": [...]}."""
     out = F.lit(True)
     for col, cond in conditions.items():
         c = F.col(col)
+        if isinstance(cond, dict):
+            if set(cond) == {"between"}:
+                cond = tuple(cond["between"])
+            elif set(cond) == {"in"}:
+                cond = list(cond["in"])
+            else:
+                raise ValueError(
+                    f"dict condition for {col!r} must be "
+                    '{"between": [lo, hi]} or {"in": [...]}'
+                )
         if isinstance(cond, tuple) and len(cond) == 2:
             lo, hi = cond
             term = (c >= F.lit(lo)) & (c <= F.lit(hi))

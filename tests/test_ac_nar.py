@@ -336,3 +336,22 @@ def test_ranges_invariant_to_bucket_count(spark, request):
     for p in (1, 3, 17):
         got = _ranges(ac_check(iris_df, "c0", "c2", "+", weight=0.05, num_partitions=p))
         assert got == expected, f"num_partitions={p}"
+
+
+def test_nar_json_spec_condition_forms(spark):
+    """JSON suite specs cannot distinguish tuples from lists: the explicit
+    {"between": ...} / {"in": ...} dict forms must behave identically."""
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 90.0), ("b", 10.0)], "cat string, x double"
+    )
+    native = (
+        nar_check(df, {"cat": ["a"]}, {"x": (0.0, 50.0)}).qualities().collect()[0]
+    )
+    json_form = (
+        nar_check(df, {"cat": {"in": ["a"]}}, {"x": {"between": [0.0, 50.0]}})
+        .qualities()
+        .collect()[0]
+    )
+    assert native == json_form
+    with pytest.raises(ValueError, match="between"):
+        nar_check(df, {"cat": {"oops": 1}}, {"x": (0, 1)}).qualities()
