@@ -112,3 +112,39 @@ def test_cli_ind_and_nd_kinds(spark, tmp_path, capsys):
     assert out["fk_ind"]["holds"]  # fk in 0..9 subseteq pk 0..9
     assert out["nd_grp"]["holds"]  # each grp g_k maps to fks {k, k+5}: ND(2) holds
     assert rc == 0
+
+
+def test_cli_round2_kinds_from_json(spark, tmp_path, capsys):
+    """ac / nar / sfd kinds are drivable from a pure-JSON spec (ranges as
+    nested lists, NAR conditions via the between/in dict forms)."""
+    docs = spark.createDataFrame(
+        [(f"doc_{i:04d}", float(i % 10), float((i % 10) * 2), "FGH"[i % 3])
+         for i in range(60)],
+        ["doc_id", "a", "b", "status"],
+    )
+    src = tmp_path / "flat.parquet"
+    docs.write.parquet(str(src))
+    spec = {
+        "table": str(src),
+        "num_partitions": 4,
+        "checks": [
+            {"name": "ac_b_minus_a", "kind": "ac",
+             "params": {"lhs": "b", "rhs": "a", "binop": "-",
+                        "ranges": [[0.0, 9.0]]}},
+            {"name": "nar_status_a", "kind": "nar",
+             "params": {"ante": {"status": {"in": ["F", "G"]}},
+                        "cons": {"a": {"between": [0.0, 9.0]}},
+                        "min_confidence": 1.0}},
+            {"name": "sfd_a_b", "kind": "sfd",
+             "params": {"col_a": "a", "col_b": "b", "expect": "sfd"}},
+        ],
+    }
+    spec_path = tmp_path / "spec2.json"
+    spec_path.write_text(json.dumps(spec))
+    rc = main(["--spec", str(spec_path)])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_name = {o["check"]: o for o in out}
+    assert by_name["ac_b_minus_a"]["holds"]        # b - a = a in [0, 9]
+    assert by_name["nar_status_a"]["holds"]        # cons always fits
+    assert by_name["sfd_a_b"]["holds"]             # b = 2a exactly
