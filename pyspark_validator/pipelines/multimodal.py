@@ -6,10 +6,11 @@ Arrow-batched ``mapInPandas`` stages. Decode modes:
   * ``decode='fake'``  -- deterministic pseudo features from the payload bytes
     (stable => the distributed plumbing is testable without any codec);
   * ``decode='real'``  -- a genuine dependency-free codec layer: binary PPM/PGM
-    images (P6/P5 headers + raw pixels, numpy) and PCM WAV audio (stdlib
-    ``wave``). Compressed formats (JPEG/PNG/MP4/...) raise NotImplementedError
-    with the format name -- those need PIL/ffmpeg, absent in this container;
-    plugging them in is one branch inside ``_real_decode``.
+    images (P6/P5 headers + raw pixels, numpy), PCM WAV audio (stdlib
+    ``wave``), and uncompressed YUV4MPEG2 video (luma-plane frame decode +
+    fps-indexed frame sampling). Compressed formats (JPEG/PNG/MP4/...) raise
+    NotImplementedError with the format name -- those need PIL/ffmpeg, absent
+    in this container; plugging them in is one branch inside ``_real_decode``.
 
 Scale notes: media rows are wide (payload-dominated). Feature extraction maps
 batch->batch with no shuffle; frame sampling explodes rows but projects the
@@ -102,6 +103,61 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return magic + b"\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 (.y4m) -> (frames as list of uint8 luma (h, w) arrays, fps).
+
+    The one video container decodable without ffmpeg: an ASCII stream header
+    (W<width> H<height> F<num>:<den> ...), then per-frame 'FRAME...\\n'
+    markers followed by raw planar YUV. Only the luma plane is returned
+    (features need brightness, not chroma); 4:2:0 / 4:2:2 / 4:4:4 supported.
+    """
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            f"not a YUV4MPEG2 payload (magic {payload[:9]!r}); compressed "
+            "video containers (mp4/webm) need ffmpeg"
+        )
+    nl = payload.index(b"\n")
+    w = h = 0
+    fps_num, fps_den = 25, 1
+    subsampling = "420"
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fps_num, fps_den = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            subsampling = val[:3].decode()
+    if not w or not h:
+        raise NotImplementedError("y4m header missing W/H")
+    chroma_factor = {"420": 2, "422": 1, "444": 0}.get(subsampling)
+    if chroma_factor is None:
+        raise NotImplementedError(f"unsupported y4m chroma mode C{subsampling}")
+    y_size = w * h
+    c_size = {2: y_size // 4, 1: y_size // 2, 0: y_size}[chroma_factor]
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise NotImplementedError("corrupt y4m frame marker")
+        pos = payload.index(b"\n", pos) + 1
+        luma = np.frombuffer(payload, dtype=np.uint8, count=y_size, offset=pos)
+        frames.append(luma.reshape(h, w))
+        pos += y_size + 2 * c_size
+    return frames, fps_num / fps_den
+
+
+def encode_y4m(frames, fps: int = 10) -> bytes:
+    """uint8 luma (h, w) frames -> monochrome-stored 4:2:0 y4m (gray chroma)."""
+    h, w = frames[0].shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)]
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for f in frames:
+        out.append(b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma + chroma)
+    return b"".join(out)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (float64 mono samples in [-1, 1], framerate)."""
     try:
@@ -144,10 +200,10 @@ def _real_decode(payload: bytes, kind: str, dim: int) -> np.ndarray:
             [np.sqrt((c**2).mean()) if len(c) else 0.0 for c in chunks],
             dtype=np.float32,
         )
-    raise NotImplementedError(
-        f"real decode for kind={kind!r} needs ffmpeg (container formats); "
-        "use decode='fake' for plumbing tests"
-    )
+    if kind == "video":
+        frames, _ = decode_y4m(payload)  # first-frame luma features
+        return _block_means(frames[0], dim) / np.float32(255.0)
+    raise NotImplementedError(f"unknown media kind {kind!r}")
 
 
 def extract_image_features(
@@ -211,15 +267,30 @@ def sample_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if decode == "real":
-                # video containers (mp4/webm/...) need ffmpeg -- the one
-                # modality the dependency-free codec layer cannot cover
-                raise NotImplementedError("real frame decode: plug ffmpeg here")
-            feats = [
-                _fake_decode(
-                    (p if p is not None else b"") + int(ts).to_bytes(4, "little"), 4
-                )
-                for p, ts in zip(b["payload"], b["frame_ts_ms"])
-            ]
+                # real path: uncompressed YUV4MPEG2 (decode_y4m); each video's
+                # frames decode ONCE per batch (rows for one media_ref arrive
+                # exploded per timestamp). mp4/webm need ffmpeg and raise.
+                cache: dict = {}
+                feats = []
+                for ref, p, ts in zip(
+                    b["media_ref"], b["payload"], b["frame_ts_ms"]
+                ):
+                    if ref not in cache:
+                        cache[ref] = decode_y4m(p)
+                    frames, fps = cache[ref]
+                    idx = min(int(int(ts) * fps / 1000.0), len(frames) - 1)
+                    feats.append(
+                        _block_means(frames[idx], 4) / np.float32(255.0)
+                    )
+            else:
+                feats = [
+                    _fake_decode(
+                        (p if p is not None else b"")
+                        + int(ts).to_bytes(4, "little"),
+                        4,
+                    )
+                    for p, ts in zip(b["payload"], b["frame_ts_ms"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_ref": b["media_ref"],
@@ -292,11 +363,21 @@ def resize_images(
 
 def real_media_table(spark, n: int = 24) -> DataFrame:
     """Deterministic media table with REAL payloads: P6 PPM gradient images
-    (16x8) and 8 kHz int16 PCM WAV sine bursts -- for exercising the
-    decode='real' paths end to end with no external codec."""
+    (16x8), 8 kHz int16 PCM WAV sine bursts, and 10 fps YUV4MPEG2 clips with
+    per-frame constant luma = 10*frame_index -- for exercising every
+    decode='real' path end to end with no external codec."""
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 2:
+            nframes, w, h = 5, 8, 6
+            frames = [
+                np.full((h, w), 10 * f, dtype=np.uint8) for f in range(nframes)
+            ]
+            rows.append(
+                ("media://video/%06d" % i, "video",
+                 bytearray(encode_y4m(frames, fps=10)),
+                 (w, h, nframes * 100, "y4m")))
+        elif i % 2 == 0:
             w, h = 16, 8
             y, x = np.mgrid[0:h, 0:w]
             px = np.stack(

@@ -365,3 +365,35 @@ def test_semantic_dedup_keep_one(spark):
     )
     # smallest id of every duplicate component survives; all copies drop
     assert out == sorted(range(40))
+
+
+def test_y4m_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    from pyspark_validator.pipelines.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        real_media_table,
+        sample_frames,
+    )
+
+    frames = [np.full((6, 8), 10 * f, dtype=np.uint8) for f in range(5)]
+    got, fps = decode_y4m(encode_y4m(frames, fps=10))
+    assert fps == 10 and len(got) == 5
+    assert all((a == b).all() for a, b in zip(got, frames))
+
+    media = real_media_table(spark, n=3)  # row 2 is a 5-frame 10 fps clip
+    out = sample_frames(media, every_ms=100, decode="real").collect()
+    assert len(out) == 5
+    for r in out:
+        idx = r.frame_ts_ms // 100
+        assert float(np.mean(r.frame_feat)) == pytest.approx(10 * idx / 255.0)
+
+    with pytest.raises(Exception, match="YUV4MPEG2|ffmpeg"):
+        from pyspark_validator.pipelines.multimodal import MEDIA_SCHEMA
+
+        bad = spark.createDataFrame(
+            [("m", "video", bytearray(b"\x00mp4..."), (1, 1, 500, "mp4"))],
+            MEDIA_SCHEMA,
+        )
+        sample_frames(bad, every_ms=100, decode="real").collect()
