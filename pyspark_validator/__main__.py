@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=int(spec.get("num_partitions", 64)),
         checkpoint_path=spec.get("checkpoint_path"),
         snapshot_id=spec.get("snapshot_id", "snapshot-0"),
+        # flat tables name their row id here (docs tables default to doc_id)
+        doc_id_col=spec.get("doc_id_col", "doc_id"),
+        spans_col=spec.get("spans_col", "spans"),
     )
     checks = [
         CheckSpec(name=c["name"], kind=c["kind"], params=c.get("params", {}))

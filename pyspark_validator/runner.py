@@ -42,11 +42,18 @@ class ValidationSuite:
         num_partitions: int = 64,
         checkpoint_path: str | None = None,
         snapshot_id: str = "snapshot-0",
+        doc_id_col: str = "doc_id",
+        spans_col: str = "spans",
     ):
         self.spark = spark
         self.num_partitions = num_partitions
         self.snapshot_id = snapshot_id
-        self.canon: CanonicalDocs = canonicalize(docs, num_partitions=num_partitions)
+        self.canon: CanonicalDocs = canonicalize(
+            docs,
+            num_partitions=num_partitions,
+            doc_id_col=doc_id_col,
+            spans_col=spans_col,
+        )
         self.ckpt = (
             CheckpointManager(spark, checkpoint_path) if checkpoint_path else None
         )

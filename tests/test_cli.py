@@ -148,3 +148,33 @@ def test_cli_round2_kinds_from_json(spark, tmp_path, capsys):
     assert by_name["ac_b_minus_a"]["holds"]        # b - a = a in [0, 9]
     assert by_name["nar_status_a"]["holds"]        # cons always fits
     assert by_name["sfd_a_b"]["holds"]             # b = 2a exactly
+
+
+def test_cli_flat_table_custom_id_column(spark, tmp_path, capsys):
+    """A flat table whose row id is not named doc_id is drivable via the
+    spec-level doc_id_col knob (the spark-submit path a TPC-H-shaped user hits)."""
+    rows = spark.createDataFrame(
+        [(1000 + i, "F" if i % 2 else "O", float(i) * 1.5) for i in range(40)],
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    src = tmp_path / "orders_flat.parquet"
+    rows.write.parquet(str(src))
+    spec = {
+        "table": str(src),
+        "num_partitions": 4,
+        "doc_id_col": "o_orderkey",
+        "checks": [
+            {"name": "ucc_orderkey", "kind": "ucc", "params": {"columns": ["doc_id"]}},
+            {"name": "nar_prio", "kind": "nar",
+             "params": {"ante": {"o_orderstatus": {"in": ["F"]}},
+                        "cons": {"o_totalprice": {"between": [0.0, 1e9]}},
+                        "min_confidence": 1.0}},
+        ],
+    }
+    spec_path = tmp_path / "spec_flat.json"
+    spec_path.write_text(json.dumps(spec))
+    rc = main(["--spec", str(spec_path)])
+    assert rc == 0
+    out = {json.loads(l)["check"]: json.loads(l) for l in capsys.readouterr().out.strip().splitlines()}
+    assert out["ucc_orderkey"]["holds"]
+    assert out["nar_prio"]["holds"]
