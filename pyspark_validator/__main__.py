@@ -17,6 +17,7 @@ Spec format (JSON):
   "checkpoint_path": "/path/to/manifest",  # optional -> resume support
   "snapshot_id": "snap-001",
   "output": "/path/to/verdicts",           # verdict parquet dir (optional)
+  "fuse": true,                            # one-scan fused agg checks (fused.py)
   "checks": [
     {"name": "ucc_doc_id", "kind": "ucc", "params": {"columns": ["doc_id"]}},
     {"name": "fd_doc_spans", "kind": "fd",
@@ -67,7 +68,9 @@ def main(argv: list[str] | None = None) -> int:
         CheckSpec(name=c["name"], kind=c["kind"], params=c.get("params", {}))
         for c in spec["checks"]
     ]
-    results = suite.run(checks)
+    # "fuse": true -> aggregation-shaped checks share one scan (fused.py);
+    # non-fusable kinds run on the standard per-check path either way
+    results = suite.run_fused(checks) if spec.get("fuse") else suite.run(checks)
     exit_code = 0
     for name, verdicts in results.items():
         rows = verdicts.collect()

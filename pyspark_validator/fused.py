@@ -1,0 +1,415 @@
+"""Fused single-scan multi-check execution.
+
+At 10^12 documents the dominant cost of a validation suite is the table scan
+itself: running k aggregation-shaped checks as k Spark jobs reads the table k
+times (the suite-level cache in ``runner.py`` hides this at sandbox scale, but
+a 100 TB table does not fit in cluster memory). Every check whose per-partition
+verdict is an *algebraic aggregate* -- conditional counts, sums, min/max,
+moments, fixed-bin histograms -- can instead contribute expressions to ONE
+
+    df.groupBy(partition_id).agg(<every check's expressions>)
+
+so k checks cost one scan plus one map-side-combinable shuffle whose payload is
+P rows regardless of table size. Each check's per-partition verdict frame is
+then a projection of the same tiny grouped result.
+
+Fusable check families (each mirrors the semantics of its standalone module,
+which remains the single source of truth for the un-fused path):
+
+- ``nar``          -- NAR qualities per partition + CalcQualities-parity global
+                      rollup (checks/nar.py; reference nar/nar.cpp).
+- ``ac``           -- exception counts against a standing range list
+                      (checks/ac.py exceptions(); reference ac_algorithm.h:19-33).
+- ``row_predicate``-- "no row violates <conditions>" in the NAR condition form.
+- ``completeness`` -- null-fraction bound per column.
+- ``numeric_profile`` -- n/nulls/min/max/mean/std per partition (informational).
+- ``histogram_drift`` -- fixed-bin histogram vs a given baseline distribution,
+                      PSI-gated per partition (checks/drift.py conventions).
+
+Not fusable here (and why): UCC/FD/IND shuffle BY THE CANDIDATE KEY, not by
+partition_id -- their shuffle is the computation and cannot share this pass;
+SD/OC need total order; MFD/DD/DC are pairwise. Those stay standalone jobs.
+
+Checkpoint/resume composes: the runner scans only partitions pending for at
+least one fused check and post-filters each check's verdicts to its own
+pending set (runner.py), so resume semantics are identical to the per-check
+path while preserving the one-scan property.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_validator.canonical import partition_id_expr
+from pyspark_validator.checks.ac import _res_expr
+from pyspark_validator.checks.nar import _fits
+
+
+@dataclass
+class _Member:
+    """One fused check: its aggregate expressions (all uniquely aliased with
+    the ``<name>__`` prefix) and the projection that derives its per-partition
+    verdict frame from the shared grouped result."""
+
+    name: str
+    exprs: list[Column]
+    finish: Callable[[DataFrame], DataFrame]
+
+
+def _ident(name: str) -> str:
+    if not name or not all(c.isalnum() or c == "_" for c in name):
+        raise ValueError(f"check name must be identifier-like, got {name!r}")
+    return name
+
+
+class FusedPass:
+    """Accumulate aggregation-shaped checks, execute them in one scan.
+
+    ``partition_col`` names an existing canonical partition-id column (the
+    suite path); otherwise the id is derived as pmod(xxhash64(partition_key), P)
+    -- deterministic across parallelism levels, like every verdict in this
+    engine.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        num_partitions: int = 64,
+        partition_key: str = "doc_id",
+        partition_col: str | None = None,
+    ):
+        self.df = df
+        self.num_partitions = num_partitions
+        self._pid = (
+            F.col(partition_col)
+            if partition_col is not None
+            else partition_id_expr(partition_key, num_partitions)
+        )
+        self._members: dict[str, _Member] = {}
+        self._rollups: dict[str, float] = {}
+        self._grouped: DataFrame | None = None
+
+    # ---- registration -----------------------------------------------------
+
+    def _add(self, m: _Member) -> "FusedPass":
+        if self._grouped is not None:
+            raise RuntimeError("pass already executed; build a new FusedPass")
+        if m.name in self._members:
+            raise ValueError(f"duplicate check name {m.name!r}")
+        self._members[m.name] = m
+        return self
+
+    def add_nar(
+        self,
+        name: str,
+        ante: dict[str, object],
+        cons: dict[str, object],
+        min_confidence: float = 1.0,
+        feature_count: int | None = None,
+    ) -> "FusedPass":
+        """Per-partition NAR qualities. ``holds`` is vacuously true for a
+        partition with no antecedent-fitting rows; ``rollup(name)`` reproduces
+        NARCheck.qualities() exactly (CalcQualities zero guards included)."""
+        n = _ident(name)
+        if not ante or not cons:
+            raise ValueError("degenerate NAR (empty ante/cons) is not fusable")
+        fits_ante = _fits(self.df, ante)
+        fits_both = fits_ante & _fits(self.df, cons)
+        n_features = feature_count or len(self.df.columns)
+        inclusion = (len(ante) + len(cons)) / n_features
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_rows"),
+            F.sum(fits_ante.cast("long")).alias(f"{n}__n_fit_ante"),
+            F.sum(fits_both.cast("long")).alias(f"{n}__n_fit_both"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            n_rows = F.col(f"{n}__n_rows")
+            n_ante = F.col(f"{n}__n_fit_ante")
+            n_both = F.col(f"{n}__n_fit_both")
+            zero = (n_ante == 0) | (n_both == 0)
+            support = F.when(zero, 0.0).otherwise(n_both / n_rows)
+            confidence = F.when(zero, 0.0).otherwise(n_both / n_ante)
+            fitness = F.when(zero, 0.0).otherwise(
+                (n_both / n_ante + n_both / n_rows + F.lit(inclusion)) / 3.0
+            )
+            return g.select(
+                "partition_id",
+                ((n_ante == 0) | (confidence >= F.lit(min_confidence))).alias(
+                    "holds"
+                ),
+                n_rows.alias("n_rows"),
+                n_ante.alias("n_fit_ante"),
+                n_both.alias("n_fit_both"),
+                support.alias("support"),
+                confidence.alias("confidence"),
+                fitness.alias("fitness"),
+            )
+
+        self._rollups[n] = inclusion
+        return self._add(_Member(n, exprs, finish))
+
+    def add_ac(
+        self,
+        name: str,
+        lhs: str,
+        rhs: str,
+        binop: str,
+        ranges: list[tuple[float, float]],
+    ) -> "FusedPass":
+        """Exception count against a standing AC range list (borders
+        inclusive, ValueBelongsToRanges parity; null/zero-div operands are
+        skipped exactly as checks/ac.py does)."""
+        n = _ident(name)
+        res, valid = _res_expr(self.df, lhs, rhs, binop)
+        if ranges:
+            inside = None
+            for lo, hi in ranges:
+                term = (res >= F.lit(float(lo))) & (res <= F.lit(float(hi)))
+                inside = term if inside is None else (inside | term)
+        else:
+            inside = F.lit(False)
+        exc = (valid & ~inside).cast("long")
+        exprs = [
+            F.sum(valid.cast("long")).alias(f"{n}__n_valid"),
+            F.sum(exc).alias(f"{n}__n_exceptions"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            return g.select(
+                "partition_id",
+                (F.col(f"{n}__n_exceptions") == 0).alias("holds"),
+                F.col(f"{n}__n_valid").alias("n_valid"),
+                F.col(f"{n}__n_exceptions").alias("n_exceptions"),
+            )
+
+        return self._add(_Member(n, exprs, finish))
+
+    def add_row_predicate(
+        self, name: str, conditions: dict[str, object]
+    ) -> "FusedPass":
+        """holds iff every row in the partition fits ``conditions`` (NAR
+        condition forms: (lo, hi) / category list / {"between"} / {"in"})."""
+        n = _ident(name)
+        viol = (~_fits(self.df, conditions)).cast("long")
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_rows"),
+            F.sum(viol).alias(f"{n}__n_violations"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            return g.select(
+                "partition_id",
+                (F.col(f"{n}__n_violations") == 0).alias("holds"),
+                F.col(f"{n}__n_rows").alias("n_rows"),
+                F.col(f"{n}__n_violations").alias("n_violations"),
+            )
+
+        return self._add(_Member(n, exprs, finish))
+
+    def add_completeness(
+        self, name: str, column: str, max_null_fraction: float = 0.0
+    ) -> "FusedPass":
+        n = _ident(name)
+        isnull = F.col(column).isNull().cast("long")
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_rows"),
+            F.sum(isnull).alias(f"{n}__n_null"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            frac = F.col(f"{n}__n_null") / F.col(f"{n}__n_rows")
+            return g.select(
+                "partition_id",
+                (frac <= F.lit(max_null_fraction)).alias("holds"),
+                F.col(f"{n}__n_rows").alias("n_rows"),
+                F.col(f"{n}__n_null").alias("n_null"),
+                frac.alias("null_fraction"),
+            )
+
+        return self._add(_Member(n, exprs, finish))
+
+    def add_numeric_profile(self, name: str, column: str) -> "FusedPass":
+        """Informational per-partition profile (holds is always true); the
+        full DataStats surface lives in checks/stats.py -- this is the fused
+        subset that is cheap to carry on every scan."""
+        n = _ident(name)
+        c = F.col(column).cast("double")
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_rows"),
+            F.sum(F.col(column).isNull().cast("long")).alias(f"{n}__n_null"),
+            F.min(c).alias(f"{n}__min"),
+            F.max(c).alias(f"{n}__max"),
+            F.sum(c).alias(f"{n}__sum"),
+            F.sum(c * c).alias(f"{n}__sum_sq"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            cnt = (F.col(f"{n}__n_rows") - F.col(f"{n}__n_null")).cast("double")
+            # all-null partition -> NULL mean/std, not NaN
+            mean = F.when(cnt > 0, F.col(f"{n}__sum") / cnt)
+            var = F.when(cnt > 0, F.col(f"{n}__sum_sq") / cnt - mean * mean)
+            return g.select(
+                "partition_id",
+                F.lit(True).alias("holds"),
+                F.col(f"{n}__n_rows").alias("n_rows"),
+                F.col(f"{n}__n_null").alias("n_null"),
+                F.col(f"{n}__min").alias("min"),
+                F.col(f"{n}__max").alias("max"),
+                mean.alias("mean"),
+                F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+            )
+
+        return self._add(_Member(n, exprs, finish))
+
+    def add_histogram_drift(
+        self,
+        name: str,
+        column: str,
+        bin_edges: list[float],
+        baseline_probs: list[float],
+        max_psi: float = 0.1,
+        alpha: float = 0.5,
+    ) -> "FusedPass":
+        """Fixed-bin histogram vs a GIVEN baseline distribution, PSI-gated
+        per partition (checks/drift.py smoothing conventions: Laplace alpha on
+        the observed side; the baseline is epsilon-clamped). Bins are
+        [e_i, e_{i+1}) with the last bin closed; values outside the edges land
+        in the boundary bins (baseline-histogram convention)."""
+        n = _ident(name)
+        k = len(bin_edges) - 1
+        if k < 1 or len(baseline_probs) != k:
+            raise ValueError("need len(bin_edges) == len(baseline_probs) + 1")
+        c = F.col(column).cast("double")
+        exprs = [F.sum(c.isNotNull().cast("long")).alias(f"{n}__n")]
+        for i in range(k):
+            lo = (c >= F.lit(bin_edges[i])) if i > 0 else F.lit(True)
+            hi = (c < F.lit(bin_edges[i + 1])) if i < k - 1 else F.lit(True)
+            exprs.append(
+                F.sum((c.isNotNull() & lo & hi).cast("long")).alias(f"{n}__b{i}")
+            )
+        eps = 1e-12
+        q = [max(p, eps) for p in baseline_probs]
+
+        def finish(g: DataFrame) -> DataFrame:
+            nn = F.col(f"{n}__n").cast("double")
+            psi = F.lit(0.0)
+            for i in range(k):
+                p = (F.col(f"{n}__b{i}") + F.lit(alpha)) / (
+                    nn + F.lit(alpha * k)
+                )
+                psi = psi + (p - F.lit(q[i])) * F.log(p / F.lit(q[i]))
+            return g.select(
+                "partition_id",
+                (psi <= F.lit(max_psi)).alias("holds"),
+                F.col(f"{n}__n").alias("n"),
+                psi.alias("psi"),
+            )
+
+        return self._add(_Member(n, exprs, finish))
+
+    # ---- execution --------------------------------------------------------
+
+    def grouped(self) -> DataFrame:
+        """The shared P-row aggregate: one scan, one partial-agg shuffle.
+        Persisted -- every verdict slice and rollup reads these P rows."""
+        if self._grouped is None:
+            if not self._members:
+                raise ValueError("no checks registered")
+            exprs = [e for m in self._members.values() for e in m.exprs]
+            self._grouped = (
+                self.df.groupBy(self._pid.alias("partition_id"))
+                .agg(*exprs)
+                .persist()
+            )
+        return self._grouped
+
+    def verdict(self, name: str) -> DataFrame:
+        return self._members[name].finish(self.grouped())
+
+    def verdicts(self) -> dict[str, DataFrame]:
+        g = self.grouped()
+        return {n: m.finish(g) for n, m in self._members.items()}
+
+    def rollup_nar(self, name: str) -> DataFrame:
+        """Global NAR qualities from the per-partition partials -- identical
+        to NARCheck.qualities() on the same rule (counts are algebraically
+        mergeable, so fusing loses nothing)."""
+        inclusion = self._rollups[name]
+        n = name
+        agg = self.grouped().agg(
+            F.sum(f"{n}__n_rows").alias("n_rows"),
+            F.sum(f"{n}__n_fit_ante").alias("n_fit_ante"),
+            F.sum(f"{n}__n_fit_both").alias("n_fit_both"),
+        )
+        support = F.col("n_fit_both") / F.col("n_rows")
+        zero = (F.col("n_fit_ante") == 0) | (F.col("n_fit_both") == 0)
+        confidence = F.col("n_fit_both") / F.col("n_fit_ante")
+        fitness = (confidence + support + F.lit(inclusion)) / F.lit(3.0)
+        return agg.select(
+            "n_rows",
+            "n_fit_ante",
+            "n_fit_both",
+            F.when(zero, 0.0).otherwise(support).alias("support"),
+            F.when(zero, 0.0).otherwise(confidence).alias("confidence"),
+            F.when(zero, 0.0).otherwise(fitness).alias("fitness"),
+        )
+
+    def unpersist(self) -> None:
+        if self._grouped is not None:
+            self._grouped.unpersist()
+
+
+FUSABLE_KINDS = frozenset(
+    {"nar", "ac", "row_predicate", "completeness", "numeric_profile",
+     "histogram_drift"}
+)
+
+
+def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
+    """Route a runner CheckSpec into the fused pass. Returns False when the
+    spec is of a fusable kind but its params force the standalone path (e.g.
+    an AC check without a standing range list must first DISCOVER its ranges,
+    which is the clustering job in checks/ac.py)."""
+    if kind == "nar":
+        p.add_nar(
+            name,
+            params["ante"],
+            params["cons"],
+            min_confidence=params.get("min_confidence", 1.0),
+            feature_count=params.get("feature_count"),
+        )
+    elif kind == "ac":
+        if params.get("ranges") is None:
+            return False
+        p.add_ac(
+            name,
+            params["lhs"],
+            params["rhs"],
+            params.get("binop", "+"),
+            [tuple(r) for r in params["ranges"]],
+        )
+    elif kind == "row_predicate":
+        p.add_row_predicate(name, params["conditions"])
+    elif kind == "completeness":
+        p.add_completeness(
+            name, params["column"], params.get("max_null_fraction", 0.0)
+        )
+    elif kind == "numeric_profile":
+        p.add_numeric_profile(name, params["column"])
+    elif kind == "histogram_drift":
+        p.add_histogram_drift(
+            name,
+            params["column"],
+            [float(e) for e in params["bin_edges"]],
+            [float(q) for q in params["baseline_probs"]],
+            max_psi=params.get("max_psi", 0.1),
+            alpha=params.get("alpha", 0.5),
+        )
+    else:
+        return False
+    return True

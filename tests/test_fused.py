@@ -1,0 +1,247 @@
+"""Fused single-scan multi-check pass (fused.py) + runner/CLI integration.
+
+Correctness law: fusing must change NOTHING about each check's semantics --
+every fused verdict is cross-checked against the standalone module that owns
+the semantics (checks/nar.py, checks/ac.py) or a direct computation.
+Scale law: k fused checks = ONE scan + ONE shuffle (plan-audited).
+"""
+
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_validator.fused import FusedPass
+from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _count(plan: str, node: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def fused(orders):
+    p = (
+        FusedPass(orders, num_partitions=8, partition_key="o_orderkey")
+        .add_nar(
+            "nar_f",
+            ante={"o_orderstatus": ["F"]},
+            cons={"o_totalprice": (0.0, 1e9)},
+            min_confidence=1.0,
+        )
+        .add_ac(
+            "ac_key_price",
+            "o_orderkey",
+            "o_orderkey",
+            "+",
+            ranges=[(0.0, 1e7)],
+        )
+        .add_row_predicate(
+            "pred_status", {"o_orderstatus": ["F", "O", "P"]}
+        )
+        .add_completeness("null_prio", "o_orderpriority", max_null_fraction=0.0)
+        .add_numeric_profile("prof_price", "o_totalprice")
+        .add_histogram_drift(
+            "drift_price",
+            "o_totalprice",
+            bin_edges=[0.0, 100_000.0, 200_000.0, 600_000.0],
+            baseline_probs=[0.4, 0.35, 0.25],
+            max_psi=10.0,  # generous: gate exercises the formula, not the data
+        )
+    )
+    yield p
+    p.unpersist()
+
+
+def test_fused_nar_rollup_equals_standalone(orders, fused):
+    from pyspark_validator.checks.nar import nar_check
+
+    direct = nar_check(
+        orders, {"o_orderstatus": ["F"]}, {"o_totalprice": (0.0, 1e9)}
+    ).qualities().collect()[0]
+    rolled = fused.rollup_nar("nar_f").collect()[0]
+    assert rolled.n_rows == direct.n_rows
+    assert rolled.n_fit_ante == direct.n_fit_ante
+    assert rolled.n_fit_both == direct.n_fit_both
+    assert rolled.support == pytest.approx(direct.support)
+    assert rolled.confidence == pytest.approx(direct.confidence)
+    assert rolled.fitness == pytest.approx(direct.fitness)
+
+
+def test_fused_ac_equals_standalone_exceptions(orders, fused):
+    from pyspark_validator.checks.ac import ac_check
+
+    exc = ac_check(orders, "o_orderkey", "o_orderkey", "+", num_partitions=8).exceptions(
+        ["o_orderkey"], ranges=[(0.0, 1e7)]
+    )
+    n_direct = exc.count()
+    v = fused.verdict("ac_key_price")
+    total = v.agg(F.sum("n_exceptions")).collect()[0][0]
+    assert total == n_direct
+    # per-partition exactness: recompute one partition's count directly
+    row = v.orderBy(F.desc("n_exceptions")).first()
+    pid_direct = exc.withColumn(
+        "pid", F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).cast("int")
+    ).filter(F.col("pid") == row.partition_id).count()
+    assert row.n_exceptions == pid_direct
+    assert (row.n_exceptions == 0) == row.holds
+
+
+def test_fused_row_predicate_and_completeness(orders, fused):
+    n = orders.count()
+    pred = fused.verdict("pred_status")
+    assert pred.agg(F.sum("n_rows")).collect()[0][0] == n
+    assert all(r.holds and r.n_violations == 0 for r in pred.collect())
+    comp = fused.verdict("null_prio")
+    n_null = orders.filter(F.col("o_orderpriority").isNull()).count()
+    assert comp.agg(F.sum("n_null")).collect()[0][0] == n_null
+
+
+def test_fused_numeric_profile_matches_global(orders, fused):
+    prof = fused.verdict("prof_price")
+    g = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"), F.sum("o_totalprice")
+    ).collect()[0]
+    rows = prof.collect()
+    assert min(r.min for r in rows) == pytest.approx(g[0])
+    assert max(r.max for r in rows) == pytest.approx(g[1])
+    # per-partition means recombine to the global mean
+    tot = sum(r.mean * (r.n_rows - r.n_null) for r in rows)
+    assert tot == pytest.approx(g[2], rel=1e-9)
+    assert all(r.std >= 0 for r in rows)
+
+
+def test_fused_histogram_drift_psi_formula(orders, fused):
+    import math
+
+    row = fused.verdict("drift_price").orderBy("partition_id").first()
+    pid = F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).cast("int")
+    part = orders.withColumn("pid", pid).filter(F.col("pid") == row.partition_id)
+    edges = [0.0, 100_000.0, 200_000.0, 600_000.0]
+    q = [0.4, 0.35, 0.25]
+    vals = [r[0] for r in part.select("o_totalprice").collect() if r[0] is not None]
+    counts = [0, 0, 0]
+    for v in vals:
+        if v < edges[1]:
+            counts[0] += 1
+        elif v < edges[2]:
+            counts[1] += 1
+        else:
+            counts[2] += 1
+    alpha, k = 0.5, 3
+    psi = sum(
+        ((c + alpha) / (len(vals) + alpha * k) - qq)
+        * math.log(((c + alpha) / (len(vals) + alpha * k)) / qq)
+        for c, qq in zip(counts, q)
+    )
+    assert row.n == len(vals)
+    assert row.psi == pytest.approx(psi, rel=1e-9)
+
+
+def test_fused_plan_one_scan_one_shuffle(spark, orders, fused):
+    """The scale claim itself: six checks, ONE parquet scan, ONE exchange,
+    no Python eval, and the scan reads only the referenced columns."""
+    spark.catalog.clearCache()
+    p = _plan(fused.grouped())
+    assert _count(p, "Scan parquet") == 1
+    assert _count(p, "Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_comment" not in schema  # pruned: no check touches it
+
+
+def test_run_fused_matches_run_and_resumes(spark, orders, tmp_path):
+    """runner.run_fused: fused verdicts agree with the per-check path's
+    global answers, the manifest records per-partition lineage, and a resumed
+    run recomputes nothing."""
+    checks = [
+        CheckSpec(
+            name="nar_f",
+            kind="nar",
+            params={
+                "ante": {"o_orderstatus": {"in": ["F"]}},
+                "cons": {"o_totalprice": {"between": [0.0, 1e9]}},
+                "min_confidence": 1.0,
+            },
+        ),
+        CheckSpec(
+            name="comp_prio",
+            kind="completeness",
+            params={"column": "o_orderpriority"},
+        ),
+        # non-fusable kind exercises the fallback routing
+        CheckSpec(name="ucc_key", kind="ucc", params={"columns": ["doc_id"]}),
+    ]
+    ck = str(tmp_path / "manifest")
+    suite = ValidationSuite(
+        spark,
+        orders,
+        num_partitions=8,
+        checkpoint_path=ck,
+        doc_id_col="o_orderkey",
+    )
+    res = suite.run_fused(checks)
+    assert set(res) == {"nar_f", "comp_prio", "ucc_key"}
+    nar_rows = res["nar_f"].collect()
+    assert len(nar_rows) == 8 and all(r.holds for r in nar_rows)
+    assert all(r.holds for r in res["comp_prio"].collect())
+    # resume: all partitions recorded -> second run computes zero rows
+    suite2 = ValidationSuite(
+        spark,
+        orders,
+        num_partitions=8,
+        checkpoint_path=ck,
+        doc_id_col="o_orderkey",
+    )
+    res2 = suite2.run_fused(checks)
+    assert res2["nar_f"].count() == 0
+    assert res2["comp_prio"].count() == 0
+    suite.unpersist()
+    suite2.unpersist()
+
+
+def test_cli_fuse_flag(spark, tmp_path, capsys):
+    from pyspark_validator.__main__ import main
+
+    spec = {
+        "table": "/root/testdata/sf0.001/orders.parquet",
+        "num_partitions": 4,
+        "doc_id_col": "o_orderkey",
+        "fuse": True,
+        "checks": [
+            {
+                "name": "nar_f",
+                "kind": "nar",
+                "params": {
+                    "ante": {"o_orderstatus": {"in": ["F"]}},
+                    "cons": {"o_totalprice": {"between": [0.0, 1e9]}},
+                },
+            },
+            {
+                "name": "prof_price",
+                "kind": "numeric_profile",
+                "params": {"column": "o_totalprice"},
+            },
+        ],
+    }
+    sp = tmp_path / "spec.json"
+    sp.write_text(json.dumps(spec))
+    assert main(["--spec", str(sp)]) == 0
+    out = {
+        json.loads(l)["check"]: json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    }
+    assert out["nar_f"]["holds"] and out["nar_f"]["partitions"] == 4
+    assert out["prof_price"]["partitions"] == 4
