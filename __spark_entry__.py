@@ -1877,6 +1877,93 @@ FROM a
 """
 
 
+def q_fused_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-scan multi-check pass (pyspark_validator/fused.py): four
+    checks (NAR qualities, row-predicate, completeness, numeric profile)
+    share ONE scan + ONE P-row shuffle; each per-partition verdict frame is a
+    projection of the same grouped result, re-joined here into one wide
+    per-partition row for the oracle. partition_id is o_orderkey % 8 so the
+    oracle can reproduce it (the engine default, pmod(xxhash64(key), P), has
+    no DuckDB equivalent)."""
+    from pyspark_validator.fused import FusedPass
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "partition_id", F.pmod(F.col("o_orderkey"), F.lit(8)).cast("int")
+    )
+    fp = (
+        FusedPass(o, num_partitions=8, partition_col="partition_id")
+        .add_nar(
+            "nar",
+            ante={"o_orderstatus": ["F"]},
+            cons={"o_totalprice": (1000.0, 400000.0)},
+            min_confidence=0.95,
+        )
+        .add_row_predicate("pred", {"o_totalprice": (0.0, 300000.0)})
+        .add_completeness("comp", "o_orderdate")
+        .add_numeric_profile("prof", "o_totalprice")
+    )
+    v = fp.verdicts()
+    nar = v["nar"].select(
+        "partition_id",
+        F.col("holds").alias("nar_holds"),
+        "n_rows",
+        "n_fit_ante",
+        "n_fit_both",
+        _r(F.col("confidence"), 9).alias("confidence"),
+    )
+    pred = v["pred"].select(
+        "partition_id", F.col("n_violations").alias("pred_violations")
+    )
+    comp = v["comp"].select("partition_id", F.col("n_null").alias("date_nulls"))
+    prof = v["prof"].select(
+        "partition_id",
+        _r(F.col("min"), 6).alias("price_min"),
+        _r(F.col("max"), 6).alias("price_max"),
+        _r(F.col("mean"), 6).alias("price_mean"),
+    )
+    return (
+        nar.join(pred, "partition_id")
+        .join(comp, "partition_id")
+        .join(prof, "partition_id")
+        .orderBy("partition_id")
+    )
+
+
+SQL_FUSED_SUITE_ORDERS = """
+WITH t AS (
+  SELECT CAST(o_orderkey % 8 AS INT) AS partition_id,
+         o_orderstatus = 'F' AS ante,
+         (o_totalprice >= CAST(1000.0 AS DOUBLE)
+          AND o_totalprice <= CAST(400000.0 AS DOUBLE)) AS cons,
+         (o_totalprice >= CAST(0.0 AS DOUBLE)
+          AND o_totalprice <= CAST(300000.0 AS DOUBLE)) AS fits_pred,
+         o_totalprice, o_orderdate
+  FROM orders
+), g AS (
+  SELECT partition_id,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN ante THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_ante,
+    CAST(sum(CASE WHEN ante AND cons THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_both,
+    CAST(sum(CASE WHEN NOT coalesce(fits_pred, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      AS pred_violations,
+    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS date_nulls,
+    round(CAST(min(o_totalprice) AS DOUBLE), 6) AS price_min,
+    round(CAST(max(o_totalprice) AS DOUBLE), 6) AS price_max,
+    round(CAST(avg(o_totalprice) AS DOUBLE), 6) AS price_mean
+  FROM t GROUP BY partition_id
+)
+SELECT partition_id,
+  (n_fit_ante = 0 OR (n_fit_ante > 0 AND n_fit_both > 0
+     AND n_fit_both * 1.0 / n_fit_ante >= CAST(0.95 AS DOUBLE))) AS nar_holds,
+  n_rows, n_fit_ante, n_fit_both,
+  CASE WHEN n_fit_ante = 0 OR n_fit_both = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE round(n_fit_both * 1.0 / n_fit_ante, 9) END AS confidence,
+  pred_violations, date_nulls, price_min, price_max, price_mean
+FROM g ORDER BY partition_id
+"""
+
+
 def q_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher line-level boilerplate filter (pipelines/text.py::line_filter)
     over a deterministic multi-line view of documents (the corpus itself is
@@ -2071,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_ranges_lineitem": q_ac_ranges_lineitem,
         "ac_exceptions_lineitem": q_ac_exceptions_lineitem,
         "nar_orders_priority": q_nar_orders_priority,
+        "fused_suite_orders": q_fused_suite_orders,
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
         "text_line_filter": q_text_line_filter,
         "semantic_dedup_planted": q_semantic_dedup_planted,
@@ -2138,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "ac_ranges_lineitem": SQL_AC_RANGES_LINEITEM,
         "ac_exceptions_lineitem": SQL_AC_EXCEPTIONS_LINEITEM,
         "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
+        "fused_suite_orders": SQL_FUSED_SUITE_ORDERS,
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
         "text_line_filter": SQL_TEXT_LINE_FILTER,
         "semantic_dedup_planted": SQL_SEMANTIC_DEDUP_PLANTED,

@@ -81,6 +81,8 @@ HEADLINE = [
     "sfd_orders_priority_status",
     "text_line_filter",
     "semantic_dedup_planted",
+    # round 2 session 3: fused single-scan multi-check pass
+    "fused_suite_orders",
 ]
 
 
