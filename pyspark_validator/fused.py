@@ -52,11 +52,15 @@ from pyspark_validator.checks.nar import _fits
 @dataclass
 class _Member:
     """One fused check: its aggregate expressions (all uniquely aliased with
-    the ``<name>__`` prefix) and the projection that derives its per-partition
-    verdict frame from the shared grouped result."""
+    the ``<name>__`` prefix), how each partial combines with another partial
+    of the same partition (``merges``: alias -> 'sum'|'min'|'max' -- every
+    fused aggregate is algebraically mergeable, which is what makes the
+    incremental path below possible), and the projection that derives the
+    per-partition verdict frame from the shared grouped result."""
 
     name: str
     exprs: list[Column]
+    merges: dict[str, str]
     finish: Callable[[DataFrame], DataFrame]
 
 
@@ -151,7 +155,9 @@ class FusedPass:
             )
 
         self._rollups[n] = inclusion
-        return self._add(_Member(n, exprs, finish))
+        merges = {f"{n}__n_rows": "sum", f"{n}__n_fit_ante": "sum",
+                  f"{n}__n_fit_both": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
 
     def add_ac(
         self,
@@ -187,7 +193,8 @@ class FusedPass:
                 F.col(f"{n}__n_exceptions").alias("n_exceptions"),
             )
 
-        return self._add(_Member(n, exprs, finish))
+        merges = {f"{n}__n_valid": "sum", f"{n}__n_exceptions": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
 
     def add_row_predicate(
         self, name: str, conditions: dict[str, object]
@@ -209,7 +216,8 @@ class FusedPass:
                 F.col(f"{n}__n_violations").alias("n_violations"),
             )
 
-        return self._add(_Member(n, exprs, finish))
+        merges = {f"{n}__n_rows": "sum", f"{n}__n_violations": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
 
     def add_completeness(
         self, name: str, column: str, max_null_fraction: float = 0.0
@@ -231,7 +239,8 @@ class FusedPass:
                 frac.alias("null_fraction"),
             )
 
-        return self._add(_Member(n, exprs, finish))
+        merges = {f"{n}__n_rows": "sum", f"{n}__n_null": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
 
     def add_numeric_profile(self, name: str, column: str) -> "FusedPass":
         """Informational per-partition profile (holds is always true); the
@@ -264,7 +273,10 @@ class FusedPass:
                 F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
             )
 
-        return self._add(_Member(n, exprs, finish))
+        merges = {f"{n}__n_rows": "sum", f"{n}__n_null": "sum",
+                  f"{n}__min": "min", f"{n}__max": "max",
+                  f"{n}__sum": "sum", f"{n}__sum_sq": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
 
     def add_histogram_drift(
         self,
@@ -310,7 +322,8 @@ class FusedPass:
                 psi.alias("psi"),
             )
 
-        return self._add(_Member(n, exprs, finish))
+        merges = {f"{n}__n": "sum", **{f"{n}__b{i}": "sum" for i in range(k)}}
+        return self._add(_Member(n, exprs, merges, finish))
 
     # ---- execution --------------------------------------------------------
 
@@ -362,6 +375,72 @@ class FusedPass:
     def unpersist(self) -> None:
         if self._grouped is not None:
             self._grouped.unpersist()
+
+
+class IncrementalFused:
+    """Incremental maintenance of a FusedPass's grouped partials.
+
+    Because every fused aggregate is algebraically mergeable (sum/min/max --
+    see ``_Member.merges``), an append-only delta's partials fold into the
+    stored per-partition state: verdicts over a 10^12-row table refresh at
+    DELTA cost, rescanning nothing. State lives in the same versioned,
+    manifest-referenced partition layout as incremental.py (touched
+    ``partition_id=`` dirs are rewritten, untouched files carried by
+    reference), so a stream of snapshots costs O(delta + touched partitions)
+    per update. Deletions would need retractable aggregates (counts retract,
+    min/max do not) -- out of scope, matching the reference's insert-focused
+    dynamic verifiers (dynamic_position_list_index.h:32-34).
+    """
+
+    def __init__(self, fp: FusedPass, state_path: str):
+        from pyspark_validator.incremental import _IncrementalState
+
+        self.fp = fp
+        self.state = _IncrementalState(fp.df.sparkSession, state_path)
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        exprs = [e for m in self.fp._members.values() for e in m.exprs]
+        return df.groupBy(self.fp._pid.alias("partition_id")).agg(*exprs)
+
+    def initialize(self, df: DataFrame | None = None) -> int:
+        """Full pass over the base table (the one unavoidable scan)."""
+        base = df if df is not None else self.fp.df
+        return self.state.write_full(self._partial(base))
+
+    def _merge_exprs(self) -> list[Column]:
+        fns = {"sum": F.sum, "min": F.min, "max": F.max}
+        return [
+            fns[op](alias).alias(alias)
+            for m in self.fp._members.values()
+            for alias, op in m.merges.items()
+        ]
+
+    def apply_delta(self, delta: DataFrame) -> int:
+        """Fold an appended batch into the state; only partitions the delta
+        touches are read back and rewritten."""
+        # one agg job over the delta; materialized because it is read twice
+        # (touched-pid list + merge) and is at most P rows
+        partial = self._partial(delta).localCheckpoint(eager=True)
+        touched = [r.partition_id for r in partial.select("partition_id").collect()]
+        if not touched:
+            return self.state.current_version()
+        merged = (
+            self.state.read(touched)
+            .unionByName(partial)
+            .groupBy("partition_id")
+            .agg(*self._merge_exprs())
+        )
+        return self.state.write_delta(merged, touched)
+
+    def grouped(self) -> DataFrame:
+        return self.state.read()
+
+    def verdict(self, name: str) -> DataFrame:
+        return self.fp._members[name].finish(self.grouped())
+
+    def verdicts(self) -> dict[str, DataFrame]:
+        g = self.grouped()
+        return {n: m.finish(g) for n, m in self.fp._members.items()}
 
 
 FUSABLE_KINDS = frozenset(

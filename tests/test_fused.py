@@ -212,6 +212,79 @@ def test_run_fused_matches_run_and_resumes(spark, orders, tmp_path):
     suite2.unpersist()
 
 
+def _fp_for(df):
+    return (
+        FusedPass(df, num_partitions=8, partition_key="o_orderkey")
+        .add_nar(
+            "nar_f",
+            ante={"o_orderstatus": ["F"]},
+            cons={"o_totalprice": (1000.0, 400000.0)},
+            min_confidence=0.9,
+        )
+        .add_completeness("comp_prio", "o_orderpriority")
+        .add_numeric_profile("prof_price", "o_totalprice")
+        .add_histogram_drift(
+            "drift_price",
+            "o_totalprice",
+            bin_edges=[0.0, 150_000.0, 600_000.0],
+            baseline_probs=[0.5, 0.5],
+            max_psi=10.0,
+        )
+    )
+
+
+def test_incremental_fused_equals_batch(spark, orders, tmp_path):
+    """IncrementalFused law: initialize(base) + apply_delta(d1) +
+    apply_delta(d2) == one batch FusedPass over base ∪ d1 ∪ d2, for every
+    member kind (sum, min, max merges all exercised); untouched partitions'
+    files are carried by reference, not rewritten."""
+    import json as _json
+
+    from pyspark_validator.fused import IncrementalFused
+
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    d1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    # d2 touches exactly ONE logical partition
+    one_key = orders.filter(F.col("o_orderkey") % 3 == 2).select(
+        F.min("o_orderkey")
+    ).collect()[0][0]
+    d2 = orders.filter(F.col("o_orderkey") == one_key)
+
+    inc = IncrementalFused(_fp_for(base), str(tmp_path / "state"))
+    inc.initialize()
+    inc.apply_delta(d1)
+    v_before = inc.state.current_version()
+    man_before = inc.state.manifest()
+    inc.apply_delta(d2)
+    man_after = inc.state.manifest()
+    touched_pid = (
+        d2.select(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).cast("int").alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    assert man_after[str(touched_pid)].startswith(f"v{v_before + 1}/")
+    for pid, rel in man_before.items():
+        if pid != str(touched_pid):
+            assert man_after[pid] == rel  # carried by reference
+
+    full = _fp_for(base.unionByName(d1).unionByName(d2))
+    for name in ("nar_f", "comp_prio", "prof_price", "drift_price"):
+        got = {r.partition_id: r for r in inc.verdict(name).collect()}
+        want = {r.partition_id: r for r in full.verdict(name).collect()}
+        assert set(got) == set(want)
+        for pid, w in want.items():
+            g = got[pid]
+            for field in w.asDict():
+                gv, wv = getattr(g, field), getattr(w, field)
+                if isinstance(wv, float):
+                    assert gv == pytest.approx(wv, rel=1e-9), (name, pid, field)
+                else:
+                    assert gv == wv, (name, pid, field)
+    full.unpersist()
+
+
 def test_cli_fuse_flag(spark, tmp_path, capsys):
     from pyspark_validator.__main__ import main
 
