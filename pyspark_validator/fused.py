@@ -415,31 +415,37 @@ class IncrementalFused:
             for alias, op in m.merges.items()
         ]
 
-    def apply_delta(self, delta: DataFrame) -> int:
-        """Fold an appended batch into the state; only partitions the delta
-        touches are read back and rewritten."""
+    def apply_delta(self, inserts: DataFrame) -> list[int]:
+        """Fold an appended batch into the state; only partitions the batch
+        touches are read back and rewritten. Returns the touched partition
+        ids (pass them to ``verdicts`` for the refreshed slice)."""
         # one agg job over the delta; materialized because it is read twice
         # (touched-pid list + merge) and is at most P rows
-        partial = self._partial(delta).localCheckpoint(eager=True)
+        partial = self._partial(inserts).localCheckpoint(eager=True)
         touched = [r.partition_id for r in partial.select("partition_id").collect()]
         if not touched:
-            return self.state.current_version()
+            return []
         merged = (
             self.state.read(touched)
             .unionByName(partial)
             .groupBy("partition_id")
             .agg(*self._merge_exprs())
         )
-        return self.state.write_delta(merged, touched)
+        self.state.write_delta(merged, touched)
+        return touched
 
-    def grouped(self) -> DataFrame:
-        return self.state.read()
+    def grouped(self, partition_ids: list[int] | None = None) -> DataFrame:
+        return self.state.read(partition_ids)
 
-    def verdict(self, name: str) -> DataFrame:
-        return self.fp._members[name].finish(self.grouped())
+    def verdict(
+        self, name: str, partition_ids: list[int] | None = None
+    ) -> DataFrame:
+        return self.fp._members[name].finish(self.grouped(partition_ids))
 
-    def verdicts(self) -> dict[str, DataFrame]:
-        g = self.grouped()
+    def verdicts(
+        self, partition_ids: list[int] | None = None
+    ) -> dict[str, DataFrame]:
+        g = self.grouped(partition_ids)
         return {n: m.finish(g) for n, m in self.fp._members.items()}
 
 
