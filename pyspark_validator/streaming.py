@@ -17,6 +17,11 @@ see SURVEY.md section 2.8. This module lifts the incremental count-state engine
   * ``streaming_rule_qualities`` -- windowed NAR support/confidence
     monitoring (checks/nar.py semantics) for "is this invariant degrading"
     dashboards.
+  * ``attach_incremental_fused`` -- the same foreachBatch loop over a
+    fused.IncrementalFused engine: EVERY member check of a FusedPass (NAR, AC,
+    completeness, numeric profile, drift, ...) stays live over the stream for
+    one delta-sized agg job per micro-batch, and the callback receives the
+    touched-partition slice of each member's verdicts.
   * ``streaming_gap_check`` -- a CUSTOM STATEFUL operator via
     applyInPandasWithState: the per-key sequential-dependency gap check
     (checks/sd.py single-scan semantics) continued ACROSS micro-batches by
@@ -60,6 +65,42 @@ def attach_incremental(
             verdicts = engine.apply_delta(inserts=batch_df)
         if on_batch_verdicts is not None:
             on_batch_verdicts(verdicts, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+
+
+def attach_incremental_fused(
+    stream: DataFrame,
+    engine: "IncrementalFused",  # noqa: F821 -- imported lazily below
+    checkpoint_location: str,
+    on_batch_verdicts: Callable[[dict[str, DataFrame], int], None] | None = None,
+) -> DataStreamWriter:
+    """Wire a streaming DataFrame of inserts into a fused incremental engine.
+
+    Each micro-batch folds into the shared per-partition state with ONE
+    delta-sized agg job (fused.IncrementalFused.apply_delta), so k member
+    checks are maintained for the cost of one scan of the batch.
+    ``on_batch_verdicts({name: verdicts_df}, batch_id)`` receives every
+    member's verdicts restricted to the partitions the batch touched (the
+    full slice on the initializing batch).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if engine.state.current_version() < 0:
+            engine.initialize(batch_df)
+            touched = None  # every stored partition is from this batch
+        else:
+            touched = engine.apply_delta(batch_df)
+            if not touched:
+                return
+        if on_batch_verdicts is not None:
+            on_batch_verdicts(engine.verdicts(touched), batch_id)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -151,3 +151,77 @@ def test_streaming_rule_qualities_windowed(spark, tmp_path):
     }
     assert got["2026-01-01T00:00:00"] == (3, 2, 1, 0.5)
     assert got["2026-01-01T00:01:00"] == (1, 1, 1, 1.0)
+
+
+def test_stream_foreachbatch_incremental_fused(spark, tmp_path):
+    """A stream of inserts keeps every member of a FusedPass live: each
+    micro-batch is one delta agg job, the callback sees touched-slice verdict
+    dicts, and the final state equals a batch FusedPass over all the data."""
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+    from pyspark_validator.streaming import attach_incremental_fused
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b0 = [(i, float(i), "x" if i % 3 else None) for i in range(40)]
+    b1 = [(i, 2.0 * i, "y") for i in range(40, 55)]
+    spark.createDataFrame(b0, ["k", "v", "s"]).write.parquet(str(src / "b0.parquet"))
+    spark.createDataFrame(b1, ["k", "v", "s"]).write.parquet(str(src / "b1.parquet"))
+
+    def fp_over(df):
+        return (
+            FusedPass(df, partition_key="k", num_partitions=4)
+            .add_completeness("comp_s", "s", max_null_fraction=0.5)
+            .add_numeric_profile("prof_v", "v")
+        )
+
+    static = spark.read.schema("k bigint, v double, s string").parquet(
+        str(src / "b0.parquet")
+    )
+    eng = IncrementalFused(fp_over(static), str(tmp_path / "state"))
+    # one file per micro-batch so the apply_delta (merge) path runs, not just
+    # the initializing full pass
+    stream = (
+        spark.readStream.schema("k bigint, v double, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    seen = []
+    q = (
+        attach_incremental_fused(
+            stream,
+            eng,
+            str(tmp_path / "ckpt"),
+            on_batch_verdicts=lambda vs, bid: seen.append(
+                (bid, {n: df.count() for n, df in vs.items()})
+            ),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # one batch per part-file: the first initializes, the rest merge deltas
+    assert len(seen) >= 2
+    for _bid, counts in seen:
+        assert set(counts) == {"comp_s", "prof_v"}
+        assert all(0 < c <= 4 for c in counts.values())
+
+    full = spark.read.schema("k bigint, v double, s string").parquet(
+        str(src) + "/*"
+    )
+    got = {r.partition_id: r for r in eng.verdict("prof_v").collect()}
+    want = {r.partition_id: r for r in fp_over(full).verdict("prof_v").collect()}
+    assert set(got) == set(want)
+    for pid, w in want.items():
+        g = got[pid]
+        for field in w.asDict():
+            gv, wv = getattr(g, field), getattr(w, field)
+            if isinstance(wv, float):
+                assert gv == pytest.approx(wv, rel=1e-9), (pid, field)
+            else:
+                assert gv == wv, (pid, field)
+    comp = {r.partition_id: r.holds for r in eng.verdict("comp_s").collect()}
+    comp_want = {
+        r.partition_id: r.holds for r in fp_over(full).verdict("comp_s").collect()
+    }
+    assert comp == comp_want
