@@ -25,9 +25,14 @@ which remains the single source of truth for the un-fused path):
 - ``numeric_profile`` -- n/nulls/min/max/mean/std per partition (informational).
 - ``histogram_drift`` -- fixed-bin histogram vs a given baseline distribution,
                       PSI-gated per partition (checks/drift.py conventions).
+- ``distinct``     -- approximate distinct count / uniqueness-ratio gate over
+                      a column set via a mergeable HLL sketch (JVM
+                      hll_sketch_agg; the sketch itself is the incremental
+                      state, unioned across deltas).
 
-Not fusable here (and why): UCC/FD/IND shuffle BY THE CANDIDATE KEY, not by
-partition_id -- their shuffle is the computation and cannot share this pass;
+Not fusable here (and why): exact UCC/FD/IND shuffle BY THE CANDIDATE KEY, not
+by partition_id -- their shuffle is the computation and cannot share this pass
+(``distinct`` above is the approximate escape hatch);
 SD/OC need total order; MFD/DD/DC are pairwise. Those stay standalone jobs.
 
 Checkpoint/resume composes: the runner scans only partitions pending for at
@@ -278,6 +283,60 @@ class FusedPass:
                   f"{n}__sum": "sum", f"{n}__sum_sq": "sum"}
         return self._add(_Member(n, exprs, merges, finish))
 
+    def add_distinct(
+        self,
+        name: str,
+        columns: str | list[str],
+        min_ratio: float | None = None,
+        lg_k: int = 12,
+    ) -> "FusedPass":
+        """Per-partition approximate distinct count over a column set, carried
+        as a mergeable Apache DataSketches HLL sketch (JVM hll_sketch_agg,
+        ~2^lg_k bytes of state per partition). Exact UCC stays in
+        checks/ucc.py -- its shuffle by the candidate key IS the computation
+        and cannot share this pass. This member trades bounded error
+        (~1.04/sqrt(2^lg_k) relative) for sharing the single scan AND for
+        algebraic merging across deltas (hll_union_agg), which an exact
+        distinct count fundamentally cannot do -- so an AUCC-style uniqueness
+        gate can ride the incremental/streaming path.
+
+        ``holds`` = distinct_est / n_rows >= min_ratio when ``min_ratio`` is
+        given (nulls count as values, the UCC null==null convention);
+        informational otherwise. Estimates from the merged (incremental) path
+        can differ from a single-pass sketch within the same error envelope --
+        sketch mode promotion is history-dependent -- so treat distinct_est as
+        an estimate, never an exact count.
+        """
+        n = _ident(name)
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        # null-marker interleave: hash fns skip null fields, so (a, NULL) and
+        # (NULL, a) would otherwise collide across positions
+        parts = [x for c in cols for x in (F.col(c).isNull().cast("int"), F.col(c))]
+        key = F.xxhash64(*parts)
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_rows"),
+            F.hll_sketch_agg(key, lg_k).alias(f"{n}__hll"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            est = F.hll_sketch_estimate(F.col(f"{n}__hll"))
+            ratio = est.cast("double") / F.col(f"{n}__n_rows")
+            holds = (
+                F.lit(True)
+                if min_ratio is None
+                else (ratio >= F.lit(float(min_ratio)))
+            )
+            return g.select(
+                "partition_id",
+                holds.alias("holds"),
+                F.col(f"{n}__n_rows").alias("n_rows"),
+                est.alias("distinct_est"),
+                ratio.alias("distinct_ratio"),
+            )
+
+        merges = {f"{n}__n_rows": "sum", f"{n}__hll": "hll_union"}
+        return self._add(_Member(n, exprs, merges, finish))
+
     def add_histogram_drift(
         self,
         name: str,
@@ -408,7 +467,8 @@ class IncrementalFused:
         return self.state.write_full(self._partial(base))
 
     def _merge_exprs(self) -> list[Column]:
-        fns = {"sum": F.sum, "min": F.min, "max": F.max}
+        fns = {"sum": F.sum, "min": F.min, "max": F.max,
+               "hll_union": F.hll_union_agg}
         return [
             fns[op](alias).alias(alias)
             for m in self.fp._members.values()
@@ -451,7 +511,7 @@ class IncrementalFused:
 
 FUSABLE_KINDS = frozenset(
     {"nar", "ac", "row_predicate", "completeness", "numeric_profile",
-     "histogram_drift"}
+     "histogram_drift", "distinct"}
 )
 
 
@@ -486,6 +546,13 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
         )
     elif kind == "numeric_profile":
         p.add_numeric_profile(name, params["column"])
+    elif kind == "distinct":
+        p.add_distinct(
+            name,
+            params["columns"],
+            min_ratio=params.get("min_ratio"),
+            lg_k=params.get("lg_k", 12),
+        )
     elif kind == "histogram_drift":
         p.add_histogram_drift(
             name,

@@ -218,6 +218,21 @@ class ValidationSuite:
                     left_id=spec.params.get("left_id", "doc_id"),
                 ).summary()
             return s.withColumn("partition_id", F.lit(0))
+        if spec.kind == "distinct":
+            # same member as the fused path, run as its own (single-check) pass
+            from pyspark_validator.fused import FusedPass
+
+            fp = FusedPass(
+                df,
+                num_partitions=self.num_partitions,
+                partition_col="partition_id",
+            ).add_distinct(
+                spec.name,
+                spec.params["columns"],
+                min_ratio=spec.params.get("min_ratio"),
+                lg_k=spec.params.get("lg_k", 12),
+            )
+            return fp.verdict(spec.name)
         if spec.kind == "custom":
             assert spec.fn is not None
             return spec.fn(df)

@@ -53,6 +53,7 @@ def fused(orders):
         )
         .add_completeness("null_prio", "o_orderpriority", max_null_fraction=0.0)
         .add_numeric_profile("prof_price", "o_totalprice")
+        .add_distinct("uniq_key", "o_orderkey", min_ratio=1.0)
         .add_histogram_drift(
             "drift_price",
             "o_totalprice",
@@ -151,7 +152,7 @@ def test_fused_histogram_drift_psi_formula(orders, fused):
 
 
 def test_fused_plan_one_scan_one_shuffle(spark, orders, fused):
-    """The scale claim itself: six checks, ONE parquet scan, ONE exchange,
+    """The scale claim itself: seven checks, ONE parquet scan, ONE exchange,
     no Python eval, and the scan reads only the referenced columns."""
     spark.catalog.clearCache()
     p = _plan(fused.grouped())
@@ -223,6 +224,7 @@ def _fp_for(df):
         )
         .add_completeness("comp_prio", "o_orderpriority")
         .add_numeric_profile("prof_price", "o_totalprice")
+        .add_distinct("uniq_key", "o_orderkey", min_ratio=1.0)
         .add_histogram_drift(
             "drift_price",
             "o_totalprice",
@@ -270,7 +272,7 @@ def test_incremental_fused_equals_batch(spark, orders, tmp_path):
             assert man_after[pid] == rel  # carried by reference
 
     full = _fp_for(base.unionByName(d1).unionByName(d2))
-    for name in ("nar_f", "comp_prio", "prof_price", "drift_price"):
+    for name in ("nar_f", "comp_prio", "prof_price", "uniq_key", "drift_price"):
         got = {r.partition_id: r for r in inc.verdict(name).collect()}
         want = {r.partition_id: r for r in full.verdict(name).collect()}
         assert set(got) == set(want)
@@ -278,7 +280,11 @@ def test_incremental_fused_equals_batch(spark, orders, tmp_path):
             g = got[pid]
             for field in w.asDict():
                 gv, wv = getattr(g, field), getattr(w, field)
-                if isinstance(wv, float):
+                if field.startswith("distinct_"):
+                    # HLL union == single-pass sketch only up to the sketch's
+                    # error envelope (mode promotion differs), not bit-exactly
+                    assert gv == pytest.approx(wv, rel=0.02), (name, pid, field)
+                elif isinstance(wv, float):
                     assert gv == pytest.approx(wv, rel=1e-9), (name, pid, field)
                 else:
                     assert gv == wv, (name, pid, field)
@@ -318,3 +324,61 @@ def test_cli_fuse_flag(spark, tmp_path, capsys):
     }
     assert out["nar_f"]["holds"] and out["nar_f"]["partitions"] == 4
     assert out["prof_price"]["partitions"] == 4
+
+
+def test_fused_distinct_tracks_exact_counts(spark, orders, fused):
+    """HLL member vs exact per-partition distinct counts: within the sketch's
+    error envelope (lg_k=12 -> well under 2% at these cardinalities), and
+    min_ratio=1.0 holds on a unique key."""
+    pid = F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).cast("int")
+    exact = {
+        r.partition_id: r.d
+        for r in orders.groupBy(pid.alias("partition_id"))
+        .agg(F.count_distinct("o_orderkey").alias("d"))
+        .collect()
+    }
+    got = fused.verdict("uniq_key").collect()
+    assert {r.partition_id for r in got} == set(exact)
+    for r in got:
+        assert r.holds  # o_orderkey unique -> ratio 1.0 (sketch-exact here)
+        assert r.distinct_est == pytest.approx(exact[r.partition_id], rel=0.02)
+
+
+def test_fused_distinct_null_markers_and_gate(spark):
+    """Nulls count as values (UCC null==null convention), the null-marker
+    interleave keeps (a, NULL) != (NULL, a), and min_ratio gates holds."""
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", None), ("b", "b")],
+        ["x", "y"],
+    )
+    fp = (
+        FusedPass(df, num_partitions=1, partition_key="x")
+        .add_distinct("d_xy", ["x", "y"], min_ratio=1.0)
+        .add_distinct("d_info", ["x", "y"])
+    )
+    gated = fp.verdict("d_xy").collect()[0]
+    info = fp.verdict("d_info").collect()[0]
+    # 3 distinct combos out of 4 rows: ("a",NULL) x2, (NULL,"a"), ("b","b")
+    assert gated.distinct_est == 3 and info.distinct_est == 3
+    assert not gated.holds  # 3/4 < 1.0
+    assert info.holds  # informational: always true
+    fp.unpersist()
+
+
+def test_runner_distinct_kind_standalone(spark, orders):
+    suite = ValidationSuite(
+        spark, orders, num_partitions=8, doc_id_col="o_orderkey"
+    )
+    res = suite.run(
+        [
+            CheckSpec(
+                name="uniq_orderkey",
+                kind="distinct",
+                # canonicalize() renamed o_orderkey -> doc_id
+                params={"columns": ["doc_id"], "min_ratio": 1.0},
+            )
+        ]
+    )
+    rows = res["uniq_orderkey"].collect()
+    assert len(rows) == 8 and all(r.holds for r in rows)
+    assert sum(r.n_rows for r in rows) == orders.count()
