@@ -1964,6 +1964,43 @@ FROM g ORDER BY partition_id
 """
 
 
+def q_fused_distinct_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused HLL 'distinct' member (fused.py add_distinct): per-partition
+    approximate distinct nation count over customer. At <=25 distinct values
+    per partition the DataSketches HLL sketch is still in its exact coupon
+    regime, so DuckDB's exact count(distinct) is a valid oracle for the
+    sketch path end-to-end (estimate-mode behavior is pytest-covered).
+    partition_id is c_custkey % 8 so the oracle can reproduce it."""
+    from pyspark_validator.fused import FusedPass
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "partition_id", F.pmod(F.col("c_custkey"), F.lit(8)).cast("int")
+    )
+    fp = FusedPass(c, num_partitions=8, partition_col="partition_id").add_distinct(
+        "nations", "c_nationkey"
+    )
+    return (
+        fp.verdict("nations")
+        .select(
+            "partition_id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("distinct_est").cast("long").alias("distinct_nations"),
+            _r(F.col("distinct_ratio"), 9).alias("distinct_ratio"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+SQL_FUSED_DISTINCT_CUSTOMER = """
+SELECT CAST(c_custkey % 8 AS INT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS distinct_nations,
+       round(CAST(count(DISTINCT c_nationkey) AS DOUBLE) / count(*), 9)
+         AS distinct_ratio
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher line-level boilerplate filter (pipelines/text.py::line_filter)
     over a deterministic multi-line view of documents (the corpus itself is
@@ -2159,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_exceptions_lineitem": q_ac_exceptions_lineitem,
         "nar_orders_priority": q_nar_orders_priority,
         "fused_suite_orders": q_fused_suite_orders,
+        "fused_distinct_customer": q_fused_distinct_customer,
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
         "text_line_filter": q_text_line_filter,
         "semantic_dedup_planted": q_semantic_dedup_planted,
@@ -2227,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "ac_exceptions_lineitem": SQL_AC_EXCEPTIONS_LINEITEM,
         "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
         "fused_suite_orders": SQL_FUSED_SUITE_ORDERS,
+        "fused_distinct_customer": SQL_FUSED_DISTINCT_CUSTOMER,
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
         "text_line_filter": SQL_TEXT_LINE_FILTER,
         "semantic_dedup_planted": SQL_SEMANTIC_DEDUP_PLANTED,

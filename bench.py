@@ -83,6 +83,7 @@ HEADLINE = [
     "semantic_dedup_planted",
     # round 2 session 3: fused single-scan multi-check pass
     "fused_suite_orders",
+    "fused_distinct_customer",
 ]
 
 
