@@ -446,9 +446,17 @@ class IncrementalFused:
     manifest-referenced partition layout as incremental.py (touched
     ``partition_id=`` dirs are rewritten, untouched files carried by
     reference), so a stream of snapshots costs O(delta + touched partitions)
-    per update. Deletions would need retractable aggregates (counts retract,
-    min/max do not) -- out of scope, matching the reference's insert-focused
-    dynamic verifiers (dynamic_position_list_index.h:32-34).
+    per update.
+
+    Deletions are supported exactly where the algebra allows: members whose
+    partials merge purely by ``sum`` (nar, ac, row_predicate, completeness,
+    histogram_drift) retract by folding a NEGATED delete-partial; min/max
+    (numeric_profile) and HLL sketches (distinct) are not retractable, so
+    ``apply_delta(deletes=...)`` refuses when such a member is registered --
+    the same insert-focused posture as the reference's dynamic verifiers
+    (dynamic_position_list_index.h:32-34), made explicit per member. Deletes
+    must reference previously inserted rows (DynPLI's precondition); the
+    engine does not re-derive row existence from the aggregated state.
     """
 
     def __init__(self, fp: FusedPass, state_path: str):
@@ -475,14 +483,51 @@ class IncrementalFused:
             for alias, op in m.merges.items()
         ]
 
-    def apply_delta(self, inserts: DataFrame) -> list[int]:
-        """Fold an appended batch into the state; only partitions the batch
+    def apply_delta(
+        self,
+        inserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+    ) -> list[int]:
+        """Fold a delta batch into the state; only partitions the batch
         touches are read back and rewritten. Returns the touched partition
         ids (pass them to ``verdicts`` for the refreshed slice)."""
+        if inserts is None and deletes is None:
+            raise ValueError("apply_delta needs inserts and/or deletes")
+        if deletes is not None:
+            bad = [
+                m.name
+                for m in self.fp._members.values()
+                if any(op != "sum" for op in m.merges.values())
+            ]
+            if bad:
+                raise ValueError(
+                    "deletes need every member's partials to be retractable "
+                    f"(all-'sum' merges); non-retractable members: {bad}"
+                )
+        parts = []
+        if inserts is not None:
+            parts.append(self._partial(inserts))
+        if deletes is not None:
+            d = self._partial(deletes)
+            parts.append(
+                d.select(
+                    "partition_id",
+                    *[
+                        (-F.col(c)).alias(c)
+                        for c in d.columns
+                        if c != "partition_id"
+                    ],
+                )
+            )
+        partial = parts[0]
+        for p in parts[1:]:
+            partial = partial.unionByName(p)
         # one agg job over the delta; materialized because it is read twice
-        # (touched-pid list + merge) and is at most P rows
-        partial = self._partial(inserts).localCheckpoint(eager=True)
-        touched = [r.partition_id for r in partial.select("partition_id").collect()]
+        # (touched-pid list + merge) and is at most 2P rows
+        partial = partial.localCheckpoint(eager=True)
+        touched = sorted(
+            {r.partition_id for r in partial.select("partition_id").collect()}
+        )
         if not touched:
             return []
         merged = (

@@ -382,3 +382,71 @@ def test_runner_distinct_kind_standalone(spark, orders):
     rows = res["uniq_orderkey"].collect()
     assert len(rows) == 8 and all(r.holds for r in rows)
     assert sum(r.n_rows for r in rows) == orders.count()
+
+
+def test_incremental_fused_deletes_retract_sum_members(spark, orders, tmp_path):
+    """apply_delta(deletes=...) retracts all-'sum' members to exactly the
+    batch answer over (base minus deleted), and refuses when a
+    non-retractable member (min/max/HLL) is registered."""
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+
+    def sum_only(df):
+        return (
+            FusedPass(df, num_partitions=8, partition_key="o_orderkey")
+            .add_nar(
+                "nar_f",
+                ante={"o_orderstatus": ["F"]},
+                cons={"o_totalprice": (1000.0, 400000.0)},
+                min_confidence=0.9,
+            )
+            .add_completeness("comp_prio", "o_orderpriority")
+            .add_row_predicate("pred", {"o_totalprice": (0.0, 500000.0)})
+        )
+
+    gone = orders.filter(F.col("o_orderkey") % 11 == 0)
+    kept = orders.filter(F.col("o_orderkey") % 11 != 0)
+
+    inc = IncrementalFused(sum_only(orders), str(tmp_path / "s1"))
+    inc.initialize()
+    touched = inc.apply_delta(deletes=gone)
+    assert touched  # the deletes hit some partitions
+    for name in ("nar_f", "comp_prio", "pred"):
+        got = {r.partition_id: r for r in inc.verdict(name).collect()}
+        want = {r.partition_id: r for r in sum_only(kept).verdict(name).collect()}
+        for pid, w in want.items():
+            g = got[pid]
+            for field in w.asDict():
+                gv, wv = getattr(g, field), getattr(w, field)
+                if isinstance(wv, float):
+                    assert gv == pytest.approx(wv, rel=1e-9), (name, pid, field)
+                else:
+                    assert gv == wv, (name, pid, field)
+        # partitions fully emptied by deletes may remain as zero-count rows;
+        # every partition still present in the batch answer must agree above
+        for pid in set(got) - set(want):
+            assert got[pid].n_rows == 0
+
+    # mixed insert+delete in one call
+    back = gone.limit(5)
+    t2 = inc.apply_delta(inserts=back, deletes=back)
+    assert t2  # net zero, but those partitions were rewritten
+    for name in ("comp_prio",):
+        got = {r.partition_id: r.n_rows for r in inc.verdict(name).collect()}
+        want = {
+            r.partition_id: r.n_rows for r in sum_only(kept).verdict(name).collect()
+        }
+        for pid, n in want.items():
+            assert got[pid] == n
+
+    # non-retractable member -> explicit refusal
+    inc2 = IncrementalFused(
+        FusedPass(orders, num_partitions=8, partition_key="o_orderkey")
+        .add_completeness("c", "o_orderpriority")
+        .add_numeric_profile("p", "o_totalprice"),
+        str(tmp_path / "s2"),
+    )
+    inc2.initialize()
+    with pytest.raises(ValueError, match="non-retractable.*'p'"):
+        inc2.apply_delta(deletes=orders.limit(3))
+    with pytest.raises(ValueError, match="inserts and/or deletes"):
+        inc2.apply_delta()
