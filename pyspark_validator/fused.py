@@ -431,6 +431,20 @@ class FusedPass:
             F.when(zero, 0.0).otherwise(fitness).alias("fitness"),
         )
 
+    def rollup_distinct(self, name: str) -> DataFrame:
+        """Global distinct estimate from a ``distinct`` member: union the P
+        partition sketches (a P-row agg -- the whole point of carrying a
+        mergeable sketch instead of a count)."""
+        m = self._members[name]
+        if f"{name}__hll" not in m.merges:
+            raise ValueError(f"{name!r} is not a distinct member")
+        return self.grouped().agg(
+            F.sum(f"{name}__n_rows").alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg(f"{name}__hll")).alias(
+                "distinct_est"
+            ),
+        )
+
     def unpersist(self) -> None:
         if self._grouped is not None:
             self._grouped.unpersist()

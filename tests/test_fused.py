@@ -450,3 +450,12 @@ def test_incremental_fused_deletes_retract_sum_members(spark, orders, tmp_path):
         inc2.apply_delta(deletes=orders.limit(3))
     with pytest.raises(ValueError, match="inserts and/or deletes"):
         inc2.apply_delta()
+
+
+def test_fused_rollup_distinct_global_estimate(spark, orders, fused):
+    row = fused.rollup_distinct("uniq_key").collect()[0]
+    exact = orders.select(F.count_distinct("o_orderkey")).collect()[0][0]
+    assert row.n_rows == orders.count()
+    assert row.distinct_est == pytest.approx(exact, rel=0.02)
+    with pytest.raises(ValueError, match="not a distinct member"):
+        fused.rollup_distinct("prof_price")
