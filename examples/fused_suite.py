@@ -42,6 +42,7 @@ fp = (
     .add_row_predicate("flags_valid", {"l_returnflag": ["A", "N", "R"]})
     .add_completeness("shipdate_nonnull", "l_shipdate")
     .add_numeric_profile("price_profile", "l_extendedprice")
+    .add_distinct("pk_uniqueness", ["l_orderkey", "l_linenumber"], min_ratio=0.99)
 )
 
 for name, verdict in fp.verdicts().items():
@@ -51,6 +52,9 @@ for name, verdict in fp.verdicts().items():
 
 print("\nGlobal NAR qualities (identical to nar_check().qualities()):")
 fp.rollup_nar("discount_band").show()
+
+print("Global distinct estimate (P partition sketches unioned):")
+fp.rollup_distinct("pk_uniqueness").show()
 
 print("The whole suite above was ONE scan + ONE 16-row shuffle:")
 fp.grouped().explain(mode="simple")
