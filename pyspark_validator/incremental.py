@@ -133,6 +133,58 @@ class _IncrementalState:
         self._save_meta(v, self._meta()["schema"])
         return v
 
+    def vacuum(self, keep_last: int = 1) -> dict[str, int]:
+        """Garbage-collect old state versions: retain the newest ``keep_last``
+        manifests (snapshots), delete older manifest files plus every
+        ``partition_id=`` directory that no retained manifest references.
+        Retention is reference-based, not age-based: an untouched partition's
+        files may live in an arbitrarily old ``v{k}/`` directory and survive
+        as long as a retained manifest points at them -- the same contract as
+        Iceberg's expire_snapshots + remove_orphan_files pair, which this
+        local-fs layout stands in for. Without periodic vacuuming a
+        streaming/delta cadence accumulates a version directory per batch.
+        Returns {"manifests_deleted": n, "dirs_deleted": n}.
+        """
+        import shutil
+
+        cur = self.current_version()
+        if cur < 0:
+            return {"manifests_deleted": 0, "dirs_deleted": 0}
+        keep_last = max(1, keep_last)
+        versions = sorted(
+            int(f[len("manifest_v") : -len(".json")])
+            for f in os.listdir(self.path)
+            if f.startswith("manifest_v") and f.endswith(".json")
+        )
+        retained = versions[-keep_last:]
+        live: set[str] = set()
+        for v in retained:
+            live.update(self.manifest(v).values())
+        dirs_deleted = 0
+        for name in os.listdir(self.path):
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            vdir = os.path.join(self.path, name)
+            for sub in os.listdir(vdir):
+                if not sub.startswith("partition_id="):
+                    continue
+                if f"{name}/{sub}" not in live:
+                    shutil.rmtree(os.path.join(vdir, sub))
+                    dirs_deleted += 1
+            if not any(
+                s.startswith("partition_id=") for s in os.listdir(vdir)
+            ):
+                shutil.rmtree(vdir)
+        manifests_deleted = 0
+        for v in versions:
+            if v not in retained:
+                os.remove(self._manifest_path(v))
+                manifests_deleted += 1
+        return {
+            "manifests_deleted": manifests_deleted,
+            "dirs_deleted": dirs_deleted,
+        }
+
     def read(self, partition_ids: list[int] | None = None) -> DataFrame:
         """Manifest-resolved read. With partition_ids, only those partitions'
         directories are listed at all (file-level pruning)."""

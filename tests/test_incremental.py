@@ -200,3 +200,39 @@ def test_incremental_delete_all_rows_of_partition(spark, tmp_path):
     inc.apply_delta(deletes=spark.createDataFrame([(1,)], ["k"]))
     assert inc.verdicts().count() == n0 - 1
     assert inc.verdicts().agg(F.sum("n_rows").alias("s")).collect()[0].s == 1
+
+
+def test_state_vacuum_reference_based(spark, tmp_path):
+    """vacuum keeps every file a retained manifest references (even in old
+    version dirs -- carry-by-reference), deletes unreferenced dirs and old
+    manifests, and never changes what read()/verdicts() return."""
+    import os
+
+    from pyspark_validator.incremental import IncrementalUCC
+
+    eng = IncrementalUCC(spark, str(tmp_path / "s"), ["k"], num_partitions=4)
+    eng.initialize(spark.createDataFrame([(i,) for i in range(20)], ["k"]))
+    for i in range(3):  # each delta touches a subset of partitions
+        eng.apply_delta(inserts=spark.createDataFrame([(100 + i,)], ["k"]))
+    before = eng.verdicts().orderBy("partition_id").collect()
+    st = eng.state
+    manifests = [f for f in os.listdir(st.path) if f.startswith("manifest_v")]
+    assert len(manifests) == 4
+
+    stats = st.vacuum(keep_last=1)
+    assert stats["manifests_deleted"] == 3
+    assert stats["dirs_deleted"] >= 1  # superseded touched-partition dirs
+    after = eng.verdicts().orderBy("partition_id").collect()
+    assert before == after
+    for rel in st.manifest().values():  # every live reference still on disk
+        assert os.path.isdir(os.path.join(st.path, rel))
+
+    # keep_last=2 retains the previous snapshot's manifest for time travel
+    eng.apply_delta(inserts=spark.createDataFrame([(200,)], ["k"]))
+    st.vacuum(keep_last=2)
+    assert st.manifest(st.current_version() - 1)
+    # vacuuming an empty state is a no-op
+    from pyspark_validator.incremental import _IncrementalState
+
+    empty = _IncrementalState(spark, str(tmp_path / "none"))
+    assert empty.vacuum() == {"manifests_deleted": 0, "dirs_deleted": 0}
