@@ -24,6 +24,11 @@ Spec format (JSON):
      "params": {"lhs": ["doc_id"], "rhs": ["span_seq"]}}
   ]
 }
+
+Check kinds: ucc fd ind nd sfd ac nar mfd sd md (dependency verifiers);
+completeness row_predicate numeric_profile histogram_drift distinct
+(agg-shaped -- these share one scan under "fuse": true and run as
+single-member passes otherwise); custom (python callable, API only).
 """
 
 from __future__ import annotations

@@ -218,20 +218,24 @@ class ValidationSuite:
                     left_id=spec.params.get("left_id", "doc_id"),
                 ).summary()
             return s.withColumn("partition_id", F.lit(0))
-        if spec.kind == "distinct":
-            # same member as the fused path, run as its own (single-check) pass
-            from pyspark_validator.fused import FusedPass
+        if spec.kind in (
+            "distinct",
+            "row_predicate",
+            "completeness",
+            "numeric_profile",
+            "histogram_drift",
+        ):
+            # agg-shaped kinds whose only home is fused.py: run each as its
+            # own single-member pass so they work without "fuse": true too
+            from pyspark_validator.fused import FusedPass, member_from_spec
 
             fp = FusedPass(
                 df,
                 num_partitions=self.num_partitions,
                 partition_col="partition_id",
-            ).add_distinct(
-                spec.name,
-                spec.params["columns"],
-                min_ratio=spec.params.get("min_ratio"),
-                lg_k=spec.params.get("lg_k", 12),
             )
+            routed = member_from_spec(fp, spec.name, spec.kind, spec.params)
+            assert routed  # these kinds never fall back
             return fp.verdict(spec.name)
         if spec.kind == "custom":
             assert spec.fn is not None

@@ -459,3 +459,44 @@ def test_fused_rollup_distinct_global_estimate(spark, orders, fused):
     assert row.distinct_est == pytest.approx(exact, rel=0.02)
     with pytest.raises(ValueError, match="not a distinct member"):
         fused.rollup_distinct("prof_price")
+
+
+def test_runner_agg_kinds_standalone_without_fuse(spark, orders):
+    """completeness / numeric_profile / row_predicate / histogram_drift specs
+    work through plain run() (no "fuse": true) via single-member passes."""
+    suite = ValidationSuite(
+        spark, orders, num_partitions=8, doc_id_col="o_orderkey"
+    )
+    res = suite.run(
+        [
+            CheckSpec(
+                name="comp",
+                kind="completeness",
+                params={"column": "o_orderpriority"},
+            ),
+            CheckSpec(
+                name="prof", kind="numeric_profile", params={"column": "o_totalprice"}
+            ),
+            CheckSpec(
+                name="pred",
+                kind="row_predicate",
+                params={"conditions": {"o_orderstatus": {"in": ["F", "O", "P"]}}},
+            ),
+            CheckSpec(
+                name="drift",
+                kind="histogram_drift",
+                params={
+                    "column": "o_totalprice",
+                    "bin_edges": [0.0, 150000.0, 600000.0],
+                    "baseline_probs": [0.5, 0.5],
+                    "max_psi": 10.0,
+                },
+            ),
+        ]
+    )
+    assert set(res) == {"comp", "prof", "pred", "drift"}
+    for name, v in res.items():
+        rows = v.collect()
+        assert len(rows) == 8, name
+        assert {r.partition_id for r in rows} == set(range(8)), name
+    assert all(r.holds for r in res["pred"].collect())
