@@ -56,4 +56,46 @@ print(f"final state: {total.rows} docs validated, {total.viol} duplicate cluster
 print("violating partitions:")
 engine.verdicts().filter(~F.col("holds")).show()
 
+# ---- a whole SUITE of agg-shaped checks live on the same stream ------------
+# (fused engine: one delta-sized agg per micro-batch maintains k checks;
+# periodic state.vacuum() keeps the versioned state from accumulating a
+# directory per batch)
+from pyspark_validator.fused import FusedPass, IncrementalFused
+from pyspark_validator.streaming import attach_incremental_fused
+
+docs = spark.createDataFrame([("seed", 1.0)], ["doc_id", "score"]).limit(0)
+fp = (
+    FusedPass(docs, num_partitions=16, partition_key="doc_id")
+    .add_completeness("score_nonnull", "score")
+    .add_numeric_profile("score_profile", "score")
+    .add_distinct("doc_id_uniq", "doc_id", min_ratio=0.95)
+)
+spark.createDataFrame(
+    [(f"doc_{i:04d}", float(i % 7)) for i in range(80)], ["doc_id", "score"]
+).write.parquet(os.path.join(src := tempfile.mkdtemp(prefix="fstream_"), "b0.parquet"))
+spark.createDataFrame(
+    [("doc_0007", 3.0), ("doc_0100", None)], ["doc_id", "score"]
+).write.parquet(os.path.join(src, "b1.parquet"))
+
+feng = IncrementalFused(fp, tempfile.mkdtemp(prefix="fstate_"))
+fq = (
+    attach_incremental_fused(
+        spark.readStream.schema("doc_id string, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        feng,
+        tempfile.mkdtemp(prefix="fckpt_"),
+        on_batch_verdicts=lambda vs, bid: print(
+            f"fused batch {bid}: "
+            + ", ".join(f"{n}={v.count()}p" for n, v in vs.items())
+        ),
+    )
+    .trigger(availableNow=True)
+    .start()
+)
+fq.awaitTermination(300)
+feng.state.vacuum(keep_last=1)  # retain only the live snapshot's files
+print("fused final (uniqueness gate at 0.95):")
+feng.verdict("doc_id_uniq").orderBy("partition_id").show(4)
+
 spark.stop()
