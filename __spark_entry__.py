@@ -1964,6 +1964,58 @@ FROM g ORDER BY partition_id
 """
 
 
+def q_incremental_fused_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fused state (fused.py IncrementalFused): initialize a
+    two-member pass (completeness + row-predicate) on orders with
+    o_orderkey % 7 != 0, fold an INSERT delta (% 7 == 0, completing the
+    table) and then a DELETE delta (% 3 == 0, retraction through negated
+    partials). The oracle computes the same per-partition answers statically
+    over the net remaining rows (o_orderkey % 3 != 0) -- the delta-folded
+    state must be indistinguishable from a recompute. partition_id is
+    o_orderkey % 8 so the oracle can reproduce it."""
+    import tempfile
+
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "partition_id", F.pmod(F.col("o_orderkey"), F.lit(8)).cast("int")
+    )
+    fp = (
+        FusedPass(o, num_partitions=8, partition_col="partition_id")
+        .add_completeness("comp", "o_orderpriority")
+        .add_row_predicate("pred", {"o_totalprice": (0.0, 300000.0)})
+    )
+    inc = IncrementalFused(fp, tempfile.mkdtemp(prefix="inc_fused_"))
+    inc.initialize(o.filter(F.col("o_orderkey") % 7 != 0))
+    inc.apply_delta(inserts=o.filter(F.col("o_orderkey") % 7 == 0))
+    inc.apply_delta(deletes=o.filter(F.col("o_orderkey") % 3 == 0))
+    v = inc.verdicts()
+    comp = v["comp"].select(
+        "partition_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("prio_nulls"),
+    )
+    pred = v["pred"].select(
+        "partition_id",
+        F.col("n_violations").cast("long").alias("pred_violations"),
+    )
+    return comp.join(pred, "partition_id").orderBy("partition_id")
+
+
+SQL_INCREMENTAL_FUSED_DELTA = """
+SELECT CAST(o_orderkey % 8 AS INT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS prio_nulls,
+       CAST(sum(CASE WHEN NOT coalesce(
+           o_totalprice >= CAST(0.0 AS DOUBLE)
+           AND o_totalprice <= CAST(300000.0 AS DOUBLE), FALSE)
+         THEN 1 ELSE 0 END) AS BIGINT) AS pred_violations
+FROM orders WHERE o_orderkey % 3 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_fused_distinct_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused HLL 'distinct' member (fused.py add_distinct): per-partition
     approximate distinct nation count over customer. At <=25 distinct values
@@ -2197,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nar_orders_priority": q_nar_orders_priority,
         "fused_suite_orders": q_fused_suite_orders,
         "fused_distinct_customer": q_fused_distinct_customer,
+        "incremental_fused_delta": q_incremental_fused_delta,
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
         "text_line_filter": q_text_line_filter,
         "semantic_dedup_planted": q_semantic_dedup_planted,
@@ -2266,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "nar_orders_priority": SQL_NAR_ORDERS_PRIORITY,
         "fused_suite_orders": SQL_FUSED_SUITE_ORDERS,
         "fused_distinct_customer": SQL_FUSED_DISTINCT_CUSTOMER,
+        "incremental_fused_delta": SQL_INCREMENTAL_FUSED_DELTA,
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
         "text_line_filter": SQL_TEXT_LINE_FILTER,
         "semantic_dedup_planted": SQL_SEMANTIC_DEDUP_PLANTED,
