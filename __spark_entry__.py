@@ -2192,6 +2192,171 @@ FROM t, base
 """
 
 
+def q_schema_verdict_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level schema diff of the interleaved view against the
+    input_hint shape, plus one deliberately-missing required column. No scan:
+    the verdict is computed from the StructType alone (schema.py layer 1)."""
+    from pyspark_validator.schema import ColumnSpec, SchemaSpec, schema_verdict
+
+    ds = _docs_spans(spark, sf_dir)
+    spec = SchemaSpec(
+        [
+            ColumnSpec("doc_id", "string"),
+            ColumnSpec(
+                "spans",
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+            ),
+            ColumnSpec("license", "string"),
+        ]
+    )
+    return schema_verdict(spark, ds, spec).orderBy("column")
+
+
+SQL_SCHEMA_VERDICT_DOCS = """
+SELECT * FROM (VALUES
+  ('doc_id', 'ok', 'string', 'string', TRUE),
+  ('license', 'missing', 'string', '', FALSE),
+  ('spans', 'ok',
+   'array<struct<kind:string,text:string,media_ref:string,offset:int>>',
+   'array<struct<kind:string,text:string,media_ref:string,offset:int>>', TRUE)
+) t("column", status, expected, actual, holds)
+ORDER BY "column"
+"""
+
+
+def q_span_integrity_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence integrity (schema.py layer 3) over the interleaved view
+    with three deterministic corruptions planted: doc_id % 97 -> appended
+    out-of-order span (offset -1), % 89 -> first span kind 'bogus' (which for
+    text-first docs also orphans media_ref), % 83 -> first span text NULLed.
+    Counted per rule through the fused member, rolled up globally. The moduli
+    are pairwise-coprime with ranges such that only did=0 stacks corruptions,
+    and there the kind corruption masks the text_null one -- both sides count
+    the masked form."""
+    from pyspark_validator.fused import FusedPass
+
+    ds = _docs_spans(spark, sf_dir)
+    did = F.substring("doc_id", 5, 12).cast("long")
+    tail = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("tail").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(-1).cast("int").alias("offset"),
+    )
+    spans = F.when(did % 97 == 0, F.concat(F.col("spans"), F.array(tail))).otherwise(
+        F.col("spans")
+    )
+    spans = F.transform(
+        spans,
+        lambda x, i: F.when(
+            i == 0,
+            F.struct(
+                F.when(did % 89 == 0, F.lit("bogus")).otherwise(x["kind"]).alias("kind"),
+                F.when(did % 83 == 0, F.lit(None).cast("string"))
+                .otherwise(x["text"])
+                .alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["offset"].alias("offset"),
+            ),
+        ).otherwise(x),
+    )
+    corrupted = ds.select("doc_id", spans.alias("spans"))
+    fp = FusedPass(corrupted, num_partitions=32, partition_key="doc_id")
+    fp.add_span_integrity("si")
+    return fp.verdict("si").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("kind_violations").cast("bigint").alias("kind_violations"),
+        F.sum("media_null_violations").cast("bigint").alias("media_null_violations"),
+        F.sum("order_violations").cast("bigint").alias("order_violations"),
+        F.sum("text_null_violations").cast("bigint").alias("text_null_violations"),
+        (
+            F.sum("kind_violations")
+            + F.sum("media_null_violations")
+            + F.sum("order_violations")
+            + F.sum("text_null_violations")
+            == 0
+        ).alias("holds"),
+    )
+
+
+SQL_SPAN_INTEGRITY_PLANTED = """
+WITH m AS (
+  SELECT doc_id AS did,
+         CASE WHEN doc_id % 1000 = 0 THEN 3
+              WHEN doc_id % 100 = 0 THEN 2
+              ELSE 1 END AS copies
+  FROM documents
+),
+c AS (
+  SELECT
+    CAST(sum(copies) AS BIGINT) AS n_docs,
+    -- kind: every % 89 doc (first span's kind becomes 'bogus')
+    CAST(coalesce(sum(CASE WHEN did % 89 = 0 THEN copies END), 0) AS BIGINT)
+      AS kind_violations,
+    -- media_null: 'bogus' (non-text) first span with NULL media_ref --
+    -- only docs whose first span was a text span (did % 7 != 0)
+    CAST(coalesce(sum(CASE WHEN did % 89 = 0 AND did % 7 != 0 THEN copies END), 0)
+      AS BIGINT) AS media_null_violations,
+    -- order: every % 97 doc gets the offset -1 tail span
+    CAST(coalesce(sum(CASE WHEN did % 97 = 0 THEN copies END), 0) AS BIGINT)
+      AS order_violations,
+    -- text_null: NULLed text on a first span that is still kind 'text'
+    -- (not an image first span, not kind-corrupted by the % 89 rule)
+    CAST(coalesce(sum(CASE WHEN did % 83 = 0 AND did % 7 != 0 AND did % 89 != 0
+                           THEN copies END), 0) AS BIGINT) AS text_null_violations
+  FROM m
+)
+SELECT n_docs, kind_violations, media_null_violations, order_violations,
+       text_null_violations,
+       (kind_violations + media_null_violations + order_violations
+        + text_null_violations = 0) AS holds
+FROM c
+"""
+
+
+def q_type_conformance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-level type conformance (schema.py layer 2): a string column
+    claimed castable to double, planted so exactly the doc_id % 3 == 0 rows
+    conform ('12.<did>') and the rest are ISO language codes (never numeric).
+    Exercises Column.try_cast parity with DuckDB TRY_CAST."""
+    from pyspark_validator.fused import FusedPass
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    claimed = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("12."), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("lang"))
+        .alias("val")
+    )
+    df = d.select(F.col("doc_id"), claimed)
+    fp = FusedPass(df, num_partitions=32, partition_key="doc_id")
+    fp.add_type_conformance("tc", "val", "double")
+    return fp.verdict("tc").agg(
+        F.sum("n_checked").cast("bigint").alias("n_checked"),
+        F.sum("n_bad").cast("bigint").alias("n_bad"),
+        (F.sum("n_bad") == 0).alias("holds"),
+    )
+
+
+SQL_TYPE_CONFORMANCE_LANG = """
+WITH v AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN '12.' || CAST(doc_id AS VARCHAR)
+              ELSE lang END AS val
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(val) AS BIGINT) AS n_checked,
+         CAST(coalesce(sum(CASE WHEN val IS NOT NULL
+                                AND TRY_CAST(val AS DOUBLE) IS NULL
+                                THEN 1 END), 0) AS BIGINT) AS n_bad
+  FROM v
+)
+SELECT n_checked, n_bad, (n_bad = 0) AS holds FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -2253,6 +2418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
         "text_line_filter": q_text_line_filter,
         "semantic_dedup_planted": q_semantic_dedup_planted,
+        "schema_verdict_docs": q_schema_verdict_docs,
+        "span_integrity_planted": q_span_integrity_planted,
+        "type_conformance_lang": q_type_conformance_lang,
     }
 
 
@@ -2323,6 +2491,9 @@ def oracle_sql() -> dict[str, str]:
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
         "text_line_filter": SQL_TEXT_LINE_FILTER,
         "semantic_dedup_planted": SQL_SEMANTIC_DEDUP_PLANTED,
+        "schema_verdict_docs": SQL_SCHEMA_VERDICT_DOCS,
+        "span_integrity_planted": SQL_SPAN_INTEGRITY_PLANTED,
+        "type_conformance_lang": SQL_TYPE_CONFORMANCE_LANG,
     }
 
 

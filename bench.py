@@ -84,6 +84,11 @@ HEADLINE = [
     # round 2 session 3: fused single-scan multi-check pass
     "fused_suite_orders",
     "fused_distinct_customer",
+    # round 2 session 4: schema validation surface (metadata diff is
+    # scan-free; the two data-level layers ride the fused member path)
+    "schema_verdict_docs",
+    "span_integrity_planted",
+    "type_conformance_lang",
 ]
 
 

@@ -43,6 +43,13 @@ from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.report import write_report
+from pyspark_validator.schema import (
+    ColumnSpec,
+    SchemaSpec,
+    schema_check,
+    schema_verdict,
+    span_integrity_violations,
+)
 from pyspark_validator.session import get_spark
 
 __all__ = [
@@ -70,7 +77,12 @@ __all__ = [
     "pfd_check",
     "read_reference_csv",
     "sd_check",
+    "schema_check",
+    "schema_verdict",
+    "ColumnSpec",
+    "SchemaSpec",
     "sfd_check",
+    "span_integrity_violations",
     "span_key_expr",
     "ucc_check",
     "write_report",

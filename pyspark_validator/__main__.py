@@ -27,8 +27,10 @@ Spec format (JSON):
 
 Check kinds: ucc fd ind nd sfd ac nar mfd sd md (dependency verifiers);
 completeness row_predicate numeric_profile histogram_drift distinct
-(agg-shaped -- these share one scan under "fuse": true and run as
-single-member passes otherwise); custom (python callable, API only).
+type_conformance span_integrity (agg-shaped -- these share one scan under
+"fuse": true and run as single-member passes otherwise); schema (metadata-only
+expected-vs-actual StructType diff, params = SchemaSpec.from_dict form);
+custom (python callable, API only).
 """
 
 from __future__ import annotations

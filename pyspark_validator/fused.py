@@ -29,6 +29,11 @@ which remains the single source of truth for the un-fused path):
                       a column set via a mergeable HLL sketch (JVM
                       hll_sketch_agg; the sketch itself is the incremental
                       state, unioned across deltas).
+- ``type_conformance`` -- non-null values must try_cast to a declared type
+                      (schema.py layer 2).
+- ``span_integrity``-- the input-hint span-sequence invariant (known kinds,
+                      text/media payload presence, strictly increasing
+                      offsets) counted per partition (schema.py layer 3).
 
 Not fusable here (and why): exact UCC/FD/IND shuffle BY THE CANDIDATE KEY, not
 by partition_id -- their shuffle is the computation and cannot share this pass
@@ -245,6 +250,87 @@ class FusedPass:
             )
 
         merges = {f"{n}__n_rows": "sum", f"{n}__n_null": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
+
+    def add_type_conformance(
+        self,
+        name: str,
+        column: str,
+        dtype: str,
+        max_violation_fraction: float = 0.0,
+    ) -> "FusedPass":
+        """Data-level schema conformance: non-null values of ``column`` must
+        ``try_cast`` cleanly to ``dtype`` (schema.py layer 2 -- the scan-cost
+        companion to the metadata-only schema_check). A NULL value is not a
+        conformance violation; completeness is its own member."""
+        n = _ident(name)
+        c = F.col(column)
+        bad = (c.isNotNull() & c.try_cast(dtype).isNull()).cast("long")
+        exprs = [
+            F.sum(c.isNotNull().cast("long")).alias(f"{n}__n_checked"),
+            F.sum(bad).alias(f"{n}__n_bad"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            n_checked = F.col(f"{n}__n_checked")
+            n_bad = F.col(f"{n}__n_bad")
+            return g.select(
+                "partition_id",
+                (n_bad <= F.lit(max_violation_fraction) * n_checked).alias(
+                    "holds"
+                ),
+                n_checked.alias("n_checked"),
+                n_bad.alias("n_bad"),
+            )
+
+        merges = {f"{n}__n_checked": "sum", f"{n}__n_bad": "sum"}
+        return self._add(_Member(n, exprs, merges, finish))
+
+    def add_span_integrity(
+        self,
+        name: str,
+        spans_col: str = "spans",
+        kinds: tuple[str, ...] | list[str] = None,
+    ) -> "FusedPass":
+        """Input-hint invariant on the interleaved span sequence (schema.py
+        layer 3): known kinds, text spans carry text, media spans carry
+        media_ref, offsets present/non-negative/strictly increasing. Counts
+        violating documents per rule; ``schema.span_integrity_violations``
+        yields the corresponding violation rows."""
+        from pyspark_validator.schema import (
+            DEFAULT_SPAN_KINDS,
+            span_violation_flags,
+        )
+
+        n = _ident(name)
+        flags = span_violation_flags(
+            spans_col, tuple(kinds) if kinds else DEFAULT_SPAN_KINDS
+        )
+        exprs = [F.count(F.lit(1)).alias(f"{n}__n_docs")] + [
+            F.sum(fcol.cast("long")).alias(f"{n}__{fname}_violations")
+            for fname, fcol in sorted(flags.items())
+        ]
+        names = sorted(flags)
+
+        def finish(g: DataFrame) -> DataFrame:
+            viols = [F.col(f"{n}__{fname}_violations") for fname in names]
+            total = viols[0]
+            for v in viols[1:]:
+                total = total + v
+            return g.select(
+                "partition_id",
+                (total == 0).alias("holds"),
+                F.col(f"{n}__n_docs").alias("n_docs"),
+                *[
+                    F.col(f"{n}__{fname}_violations").alias(
+                        f"{fname}_violations"
+                    )
+                    for fname in names
+                ],
+            )
+
+        merges = {f"{n}__n_docs": "sum"}
+        merges.update({f"{n}__{fname}_violations": "sum" for fname in names})
         return self._add(_Member(n, exprs, merges, finish))
 
     def add_numeric_profile(self, name: str, column: str) -> "FusedPass":
@@ -464,7 +550,8 @@ class IncrementalFused:
 
     Deletions are supported exactly where the algebra allows: members whose
     partials merge purely by ``sum`` (nar, ac, row_predicate, completeness,
-    histogram_drift) retract by folding a NEGATED delete-partial; min/max
+    histogram_drift, type_conformance, span_integrity) retract by folding a
+    NEGATED delete-partial; min/max
     (numeric_profile) and HLL sketches (distinct) are not retractable, so
     ``apply_delta(deletes=...)`` refuses when such a member is registered --
     the same insert-focused posture as the reference's dynamic verifiers
@@ -570,7 +657,7 @@ class IncrementalFused:
 
 FUSABLE_KINDS = frozenset(
     {"nar", "ac", "row_predicate", "completeness", "numeric_profile",
-     "histogram_drift", "distinct"}
+     "histogram_drift", "distinct", "type_conformance", "span_integrity"}
 )
 
 
@@ -611,6 +698,19 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
             params["columns"],
             min_ratio=params.get("min_ratio"),
             lg_k=params.get("lg_k", 12),
+        )
+    elif kind == "type_conformance":
+        p.add_type_conformance(
+            name,
+            params["column"],
+            params["dtype"],
+            max_violation_fraction=params.get("max_violation_fraction", 0.0),
+        )
+    elif kind == "span_integrity":
+        p.add_span_integrity(
+            name,
+            spans_col=params.get("spans_col", "spans"),
+            kinds=params.get("kinds"),
         )
     elif kind == "histogram_drift":
         p.add_histogram_drift(

@@ -48,6 +48,9 @@ class ValidationSuite:
         self.spark = spark
         self.num_partitions = num_partitions
         self.snapshot_id = snapshot_id
+        # the user-facing input schema, before canonicalize adds derived
+        # columns -- what a "schema" kind check validates against
+        self.input_schema = docs.schema
         self.canon: CanonicalDocs = canonicalize(
             docs,
             num_partitions=num_partitions,
@@ -184,6 +187,24 @@ class ValidationSuite:
                     "*",
                 )
             return s.withColumn("partition_id", F.lit(0))
+        if spec.kind == "schema":
+            # metadata-only (no scan); framed as partition 0 for the manifest
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.schema import (
+                SchemaSpec,
+                _VERDICT_SCHEMA,
+                schema_check,
+            )
+
+            rows = [
+                tuple(d[k] for k in ("column", "status", "expected", "actual", "holds"))
+                for d in schema_check(
+                    self.input_schema, SchemaSpec.from_dict(spec.params)
+                )
+            ]
+            v = self.spark.createDataFrame(rows, _VERDICT_SCHEMA)
+            return v.withColumn("partition_id", F.lit(0))
         if spec.kind in ("mfd", "sd", "md"):
             # single-row verdict checks framed as partition 0 for the manifest
             from pyspark.sql import functions as F
@@ -224,6 +245,8 @@ class ValidationSuite:
             "completeness",
             "numeric_profile",
             "histogram_drift",
+            "type_conformance",
+            "span_integrity",
         ):
             # agg-shaped kinds whose only home is fused.py: run each as its
             # own single-member pass so they work without "fuse": true too
