@@ -243,3 +243,65 @@ def test_runner_schema_ignores_derived_columns(spark, docs):
     )
     assert all(r.holds for r in out["shape"].collect())
     suite.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# scale properties: plan shape and incremental algebra of the new members
+
+
+def test_fused_schema_members_plan(spark, docs, tmp_path):
+    """One parquet scan, one exchange, no Python eval: the schema-conformance
+    members ride the shared fused scan like every other agg-shaped check."""
+    import re
+
+    path = str(tmp_path / "docs.parquet")
+    docs.withColumn("maybe_num", F.col("doc_id")).write.parquet(path)
+    df = spark.read.parquet(path)
+    fp = (
+        FusedPass(df, num_partitions=4, partition_key="doc_id")
+        .add_span_integrity("si")
+        .add_type_conformance("tc", "maybe_num", "double")
+    )
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        fp.grouped()._jdf.queryExecution(), "formatted"
+    )
+
+    def count(node):
+        return len(re.findall(rf"^\(\d+\) {node}", p, re.M))
+
+    assert count("Scan parquet") == 1
+    assert count("Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_fused_schema_members(spark, docs, tmp_path):
+    """The new members' partials are pure sums, so they fold append deltas
+    AND retract deletes through IncrementalFused."""
+    from pyspark_validator.fused import IncrementalFused
+
+    def fp_for(df):
+        return (
+            FusedPass(df, num_partitions=4, partition_key="doc_id")
+            .add_span_integrity("si")
+            .add_type_conformance("tc", "doc_id", "double")
+        )
+
+    base = docs.filter(~F.col("doc_id").startswith("bad_order"))
+    delta = docs.filter(F.col("doc_id").startswith("bad_order"))
+
+    inc = IncrementalFused(fp_for(base), str(tmp_path / "state"))
+    inc.initialize()
+    inc.apply_delta(delta)
+    full = fp_for(docs)
+    got = {r.partition_id: r for r in inc.verdict("si").collect()}
+    want = {r.partition_id: r for r in full.verdict("si").collect()}
+    assert set(got) == set(want)
+    for pid, w in want.items():
+        assert got[pid].asDict() == w.asDict()
+
+    # retract the delta -> back to the base answer
+    inc.apply_delta(deletes=delta)
+    back = {r.partition_id: r for r in inc.verdict("si").collect()}
+    base_want = {r.partition_id: r for r in fp_for(base).verdict("si").collect()}
+    for pid, w in base_want.items():
+        assert back[pid].asDict() == w.asDict()
