@@ -103,3 +103,106 @@ class CheckpointManager:
             F.lit(time.time()).alias("completed_at"),
         )
         out.write.mode("append").parquet(self.path)
+
+    # ---- cross-snapshot monitoring over the recorded lineage ---------------
+    #
+    # The manifest is already the engine's metrics time-series: one row per
+    # (check, snapshot, partition) with every verdict metric in metrics_json.
+    # These readers turn that lineage into snapshot-over-snapshot regression
+    # detection. Everything here joins P-row frames (per check) -- cost is
+    # independent of source-table size at any scale.
+
+    def snapshots(self, check_id: str) -> list[str]:
+        """Snapshot ids recorded for a check, oldest first (by completion)."""
+        rows = (
+            self.manifest()
+            .filter(F.col("check_id") == check_id)
+            .groupBy("snapshot_id")
+            .agg(F.max("completed_at").alias("t"))
+            .orderBy("t")
+            .collect()
+        )
+        return [r.snapshot_id for r in rows]
+
+    def metric_history(self, check_id: str, metric: str) -> DataFrame:
+        """One row per (snapshot_id, partition_id) with ``metric`` pulled out
+        of metrics_json as a double; if a partition was re-validated within a
+        snapshot, the latest record wins."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("snapshot_id", "partition_id").orderBy(
+            F.col("completed_at").desc()
+        )
+        return (
+            self.manifest()
+            .filter(F.col("check_id") == check_id)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "snapshot_id",
+                "partition_id",
+                "status",
+                F.get_json_object("metrics_json", f"$.{metric}")
+                .cast("double")
+                .alias(metric),
+                "completed_at",
+            )
+        )
+
+    def metric_regressions(
+        self,
+        check_id: str,
+        metric: str,
+        baseline_snapshot: str,
+        current_snapshot: str,
+        max_rel_change: float = 0.1,
+        min_abs_change: float = 0.0,
+    ) -> DataFrame:
+        """Per-partition drift of a recorded metric between two snapshots.
+
+        A partition regresses when |current - baseline| exceeds BOTH
+        ``min_abs_change`` and ``max_rel_change * |baseline|`` (the abs floor
+        mutes rel-change noise on near-zero baselines). Partitions present in
+        only one snapshot surface with a NULL other side and regressed=true --
+        a vanished or newborn partition is itself a signal."""
+        h = self.metric_history(check_id, metric)
+        base = h.filter(F.col("snapshot_id") == baseline_snapshot).select(
+            "partition_id",
+            F.col(metric).alias("baseline"),
+            F.col("status").alias("baseline_status"),
+        )
+        cur = h.filter(F.col("snapshot_id") == current_snapshot).select(
+            "partition_id",
+            F.col(metric).alias("current"),
+            F.col("status").alias("current_status"),
+        )
+        j = base.join(cur, "partition_id", "full_outer")
+        abs_change = F.abs(F.col("current") - F.col("baseline"))
+        rel_change = F.when(
+            F.col("baseline") != 0.0, abs_change / F.abs(F.col("baseline"))
+        )
+        one_sided = F.col("baseline").isNull() | F.col("current").isNull()
+        moved = (abs_change > F.lit(min_abs_change)) & (
+            F.coalesce(
+                rel_change > F.lit(max_rel_change),
+                # zero baseline: any move past the abs floor counts
+                F.lit(True),
+            )
+        )
+        status_flip = (
+            F.col("baseline_status").isNotNull()
+            & F.col("current_status").isNotNull()
+            & (F.col("baseline_status") != F.col("current_status"))
+        )
+        return j.select(
+            "partition_id",
+            "baseline",
+            "current",
+            abs_change.alias("abs_change"),
+            rel_change.alias("rel_change"),
+            "baseline_status",
+            "current_status",
+            (one_sided | F.coalesce(moved, F.lit(False)) | status_flip).alias(
+                "regressed"
+            ),
+        )

@@ -145,3 +145,94 @@ def test_suite_single_row_check_kinds(spark, tmp_path):
         ]
     )
     assert "holds" in out["sd_key"].columns
+
+
+def _verdicts(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("holds", T.BooleanType()),
+            T.StructField("n_violations", T.LongType()),
+            T.StructField("null_fraction", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_metric_history_and_regressions(spark, tmp_path):
+    """The manifest doubles as a metrics time-series: snapshot-over-snapshot
+    per-partition regression detection from the recorded lineage alone."""
+    from pyspark_validator.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, str(tmp_path / "m"))
+    ck.record_verdicts(
+        "comp", "snap-1",
+        _verdicts(spark, [(0, True, 0, 0.00), (1, True, 2, 0.01), (2, True, 0, 0.00)]),
+    )
+    ck.record_verdicts(
+        "comp", "snap-2",
+        _verdicts(
+            spark,
+            [
+                (0, True, 0, 0.00),    # unchanged
+                (1, False, 90, 0.45),  # metric jumped AND status flipped
+                (3, True, 0, 0.00),    # new partition (2 vanished)
+            ],
+        ),
+    )
+
+    assert ck.snapshots("comp") == ["snap-1", "snap-2"]
+
+    h = ck.metric_history("comp", "null_fraction")
+    assert h.count() == 6
+    row = h.filter(
+        (F.col("snapshot_id") == "snap-2") & (F.col("partition_id") == 1)
+    ).collect()[0]
+    assert row.null_fraction == 0.45 and row.status == "violated"
+
+    r = {
+        x.partition_id: x
+        for x in ck.metric_regressions(
+            "comp", "null_fraction", "snap-1", "snap-2", max_rel_change=0.5
+        ).collect()
+    }
+    assert set(r) == {0, 1, 2, 3}
+    assert not r[0].regressed
+    assert r[1].regressed and r[1].current_status == "violated"
+    assert r[2].regressed and r[2].current is None   # vanished partition
+    assert r[3].regressed and r[3].baseline is None  # newborn partition
+
+
+def test_metric_regressions_abs_floor_and_rerun(spark, tmp_path):
+    """min_abs_change mutes relative noise on near-zero baselines, and a
+    re-validated partition's LATEST record wins within a snapshot."""
+    import time as _time
+
+    from pyspark_validator.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, str(tmp_path / "m"))
+    ck.record_verdicts(
+        "comp", "s1", _verdicts(spark, [(0, True, 0, 0.0001)])
+    )
+    _time.sleep(0.01)
+    # re-run of partition 0 in s1 supersedes the first record
+    ck.record_verdicts(
+        "comp", "s1", _verdicts(spark, [(0, True, 0, 0.0002)])
+    )
+    ck.record_verdicts(
+        "comp", "s2", _verdicts(spark, [(0, True, 0, 0.0004)])
+    )
+    # 2x relative jump, but under the abs floor -> not a regression
+    out = ck.metric_regressions(
+        "comp", "null_fraction", "s1", "s2",
+        max_rel_change=0.5, min_abs_change=0.01,
+    ).collect()[0]
+    assert out.baseline == 0.0002 and out.current == 0.0004
+    assert not out.regressed
+    # no floor -> the same jump regresses
+    out2 = ck.metric_regressions(
+        "comp", "null_fraction", "s1", "s2", max_rel_change=0.5
+    ).collect()[0]
+    assert out2.regressed
