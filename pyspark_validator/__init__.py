@@ -46,6 +46,7 @@ from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
     SchemaSpec,
+    quarantine_by_integrity,
     schema_check,
     schema_verdict,
     span_integrity_violations,
@@ -75,6 +76,7 @@ __all__ = [
     "nd_check",
     "partition_id_expr",
     "pfd_check",
+    "quarantine_by_integrity",
     "read_reference_csv",
     "sd_check",
     "schema_check",

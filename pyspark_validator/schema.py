@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pyspark_validator.canonical import span_seq_expr
+from pyspark_validator.canonical import partition_id_expr, span_seq_expr
 
 DEFAULT_SPAN_KINDS = ("text", "image", "audio", "video")
 
@@ -248,21 +248,34 @@ def span_violation_flags(
     }
 
 
+def _any_violation(flags: dict[str, Column]) -> Column:
+    any_bad = None
+    for fcol in flags.values():
+        any_bad = fcol if any_bad is None else (any_bad | fcol)
+    return any_bad
+
+
 def span_integrity_violations(
     df: DataFrame,
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
     kinds: tuple[str, ...] = DEFAULT_SPAN_KINDS,
+    max_rows_per_partition: int | None = None,
+    num_partitions: int = 64,
 ) -> DataFrame:
     """Violation rows: (doc_id, reason, span_seq) — one row per violated rule
     per document, with the offending span sequence rendered in the canonical
     form used for the reference's span-sequence-equality invariant
     (``canonical.span_seq_expr``). Selectivity pushes down: the filter on the
-    OR of the flags runs before the (expensive) sequence render."""
+    OR of the flags runs before the (expensive) sequence render.
+
+    With ``max_rows_per_partition``, at most that many documents are reported
+    per logical partition (deterministic: lowest doc_ids win) — the
+    reference's capped-highlights posture, so a systemic corruption at 10^12
+    docs yields a bounded, partition-balanced diagnostic table instead of a
+    violation set the size of the input. The cap's window shuffles only the
+    already-filtered violating rows."""
     flags = span_violation_flags(spans_col, kinds)
-    any_bad = None
-    for fcol in flags.values():
-        any_bad = fcol if any_bad is None else (any_bad | fcol)
     reasons = F.array_compact(
         F.array(
             *[
@@ -271,13 +284,38 @@ def span_integrity_violations(
             ]
         )
     )
-    return (
-        df.where(any_bad)
-        .select(
-            F.col(doc_id_col).alias("doc_id"),
-            F.explode(reasons).alias("reason"),
-            F.when(
-                F.col(spans_col).isNotNull(), span_seq_expr(spans_col)
-            ).alias("span_seq"),
-        )
+    bad = df.where(_any_violation(flags)).select(
+        F.col(doc_id_col).alias("doc_id"),
+        reasons.alias("reasons"),
+        F.when(F.col(spans_col).isNotNull(), span_seq_expr(spans_col)).alias(
+            "span_seq"
+        ),
     )
+    if max_rows_per_partition is not None:
+        from pyspark.sql import Window
+
+        pid = partition_id_expr("doc_id", num_partitions)
+        w = Window.partitionBy(pid).orderBy("doc_id")
+        bad = (
+            bad.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_rows_per_partition)
+            .drop("__rn")
+        )
+    return bad.select("doc_id", F.explode("reasons").alias("reason"), "span_seq")
+
+
+def quarantine_by_integrity(
+    df: DataFrame,
+    spans_col: str = "spans",
+    kinds: tuple[str, ...] = DEFAULT_SPAN_KINDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Route documents by span integrity: ``(clean, quarantined)``.
+
+    The training-data gate: write ``clean`` onward, persist ``quarantined``
+    (full original rows, so nothing is lost for repair) next to the
+    violation-row diagnostics. Each side is a pure filter over the scan —
+    no shuffle, no Python; writing both sides costs two scans, or one when
+    the caller persists the source."""
+    flags = span_violation_flags(spans_col, kinds)
+    any_bad = _any_violation(flags)
+    return df.where(~any_bad), df.where(any_bad)

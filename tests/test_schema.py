@@ -305,3 +305,34 @@ def test_incremental_fused_schema_members(spark, docs, tmp_path):
     base_want = {r.partition_id: r for r in fp_for(base).verdict("si").collect()}
     for pid, w in base_want.items():
         assert back[pid].asDict() == w.asDict()
+
+
+def test_violations_cap_per_partition(spark):
+    """max_rows_per_partition bounds the diagnostic table deterministically
+    (lowest doc_ids win within each logical partition)."""
+    rows = [(f"d{i:03d}", [_t(None, 0)]) for i in range(40)]  # all violate
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    capped = span_integrity_violations(
+        df, max_rows_per_partition=2, num_partitions=4
+    ).collect()
+    assert 0 < len(capped) <= 8
+    # deterministic across invocations
+    again = span_integrity_violations(
+        df, max_rows_per_partition=2, num_partitions=4
+    ).collect()
+    assert sorted(r.doc_id for r in capped) == sorted(r.doc_id for r in again)
+    # uncapped reports all 40
+    assert span_integrity_violations(df).count() == 40
+
+
+def test_quarantine_by_integrity(spark, docs):
+    from pyspark_validator.schema import quarantine_by_integrity
+
+    clean, bad = quarantine_by_integrity(docs)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {
+        "ok_1",
+        "ok_empty",
+    }
+    assert bad.count() == 8
+    # quarantined rows keep the full original schema for repair
+    assert bad.columns == docs.columns
