@@ -467,3 +467,69 @@ def test_incremental_ucc_random_deltas_match_batch(spark, tmp_path_factory, base
     a = sorted(tuple(r[c] for c in cols) for r in inc.verdicts().collect())
     b = sorted(tuple(r[c] for c in cols) for r in full.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# span-sequence integrity (schema.py): fused counts vs direct python oracle
+
+span_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["text", "image", "audio", "bogus", None]),
+        st.sampled_from(["payload", None]),
+        st.sampled_from(["media://m/1", None]),
+        st.sampled_from([0, 1, 5, 64, -1, None]),
+    ),
+    min_size=0,
+    max_size=4,
+)
+docs_strategy = st.lists(span_strategy, min_size=1, max_size=12)
+
+_KINDS = ("text", "image", "audio", "video")
+
+
+def _py_flags(spans):
+    if spans is None:
+        return {"kind": False, "text_null": False, "media_null": False, "order": True}
+    kind = any(s[0] is None or s[0] not in _KINDS for s in spans)
+    text_null = any(s[0] == "text" and s[1] is None for s in spans)
+    media_null = any(
+        s[0] is not None and s[0] != "text" and s[2] is None for s in spans
+    )
+    bad_off = any(s[3] is None or s[3] < 0 for s in spans)
+    disorder = any(
+        a[3] is not None and b[3] is not None and b[3] <= a[3]
+        for a, b in zip(spans, spans[1:])
+    )
+    return {
+        "kind": kind,
+        "text_null": text_null,
+        "media_null": media_null,
+        "order": bad_off or disorder,
+    }
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_span_integrity_matches_python_oracle(spark, docs):
+    from pyspark.sql import types as T
+
+    from pyspark_validator.fused import FusedPass
+
+    schema = T.StructType.fromDDL(
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [(f"d{i}", s) for i, s in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema)
+    fp = FusedPass(df, num_partitions=4, partition_key="doc_id").add_span_integrity("si")
+    v = fp.verdict("si").collect()
+    got = {
+        "kind": sum(r.kind_violations for r in v),
+        "text_null": sum(r.text_null_violations for r in v),
+        "media_null": sum(r.media_null_violations for r in v),
+        "order": sum(r.order_violations for r in v),
+    }
+    flags = [_py_flags(s) for s in docs]
+    want = {k: sum(f[k] for f in flags) for k in got}
+    assert got == want
+    assert sum(r.n_docs for r in v) == len(docs)
