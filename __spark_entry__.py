@@ -2357,6 +2357,102 @@ SELECT n_checked, n_bad, (n_bad = 0) AS holds FROM c
 """
 
 
+def q_media_ref_integrity_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity of span media_refs against the media catalog
+    (north rule: 'referential checks' on the interleaved shape). Docs with
+    did % 101 == 0 get every image span's media_ref rewritten to a dangling
+    media://missing/<did>; the catalog is the clean view's distinct refs.
+    AIND semantics via checks/ind.py (distinct-reduce then anti-join,
+    broadcastable catalog)."""
+    from pyspark_validator.checks.ind import ind_check
+
+    ds = _docs_spans(spark, sf_dir)
+    catalog = (
+        ds.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("ref"))
+        .dropDuplicates()
+    )
+    did = F.substring("doc_id", 5, 12).cast("long")
+    corrupted = ds.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda x: F.when(
+                (did % 101 == 0) & (x["kind"] == "image"),
+                F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    F.concat(F.lit("media://missing/"), did.cast("string")).alias(
+                        "media_ref"
+                    ),
+                    x["offset"].alias("offset"),
+                ),
+            ).otherwise(x),
+        ).alias("spans"),
+    )
+    refs = (
+        corrupted.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("ref"))
+    )
+    s = ind_check(refs, ["ref"], catalog, ["ref"]).summary()
+    return s.select(
+        "holds",
+        F.col("n_violating_clusters").cast("bigint").alias("n_violating_clusters"),
+        F.col("n_violating_rows").cast("bigint").alias("n_violating_rows"),
+        _r(F.col("error"), 9).alias("error"),
+        F.col("n_distinct_lhs").cast("bigint").alias("n_distinct_lhs"),
+        F.col("n_rows_lhs").cast("bigint").alias("n_rows_lhs"),
+    )
+
+
+SQL_MEDIA_REF_INTEGRITY_PLANTED = """
+WITH base AS (
+  SELECT d.doc_id, d.text, c.copy
+  FROM documents d
+  JOIN (SELECT unnest(range(0, 3)) AS copy) c
+    ON c.copy = 0 OR (c.copy = 1 AND d.doc_id % 100 = 0) OR (c.copy = 2 AND d.doc_id % 1000 = 0)
+),
+img AS (
+  SELECT b.doc_id, b.copy, t.i
+  FROM base b,
+       unnest(range(0, greatest(CAST(ceil(length(b.text) / 64.0) AS INT), 1))) AS t(i)
+  WHERE (b.doc_id + t.i) % 7 = 0
+),
+refs AS (
+  SELECT CASE WHEN doc_id % 101 = 0
+              THEN 'media://missing/' || CAST(doc_id AS VARCHAR)
+              ELSE 'media://image/' || CAST((doc_id * 31 + i) % 100000 AS VARCHAR)
+         END AS ref
+  FROM img
+),
+catalog AS (
+  SELECT DISTINCT 'media://image/' || CAST((doc_id * 31 + i) % 100000 AS VARCHAR) AS ref
+  FROM img
+),
+lhs AS (SELECT ref, count(*) AS occ FROM refs GROUP BY ref),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_distinct_lhs,
+         CAST(sum(occ) AS BIGINT) AS n_rows_lhs
+  FROM lhs
+),
+miss AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_violating_clusters,
+         CAST(coalesce(sum(l.occ), 0) AS BIGINT) AS n_violating_rows
+  FROM lhs l LEFT JOIN catalog c USING (ref)
+  WHERE c.ref IS NULL
+)
+SELECT (n_violating_clusters = 0) AS holds,
+       n_violating_clusters,
+       n_violating_rows,
+       round(CAST(n_violating_clusters AS DOUBLE) / n_distinct_lhs, 9) AS error,
+       n_distinct_lhs,
+       n_rows_lhs
+FROM tot, miss
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -2421,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_verdict_docs": q_schema_verdict_docs,
         "span_integrity_planted": q_span_integrity_planted,
         "type_conformance_lang": q_type_conformance_lang,
+        "media_ref_integrity_planted": q_media_ref_integrity_planted,
     }
 
 
@@ -2494,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_verdict_docs": SQL_SCHEMA_VERDICT_DOCS,
         "span_integrity_planted": SQL_SPAN_INTEGRITY_PLANTED,
         "type_conformance_lang": SQL_TYPE_CONFORMANCE_LANG,
+        "media_ref_integrity_planted": SQL_MEDIA_REF_INTEGRITY_PLANTED,
     }
 
 

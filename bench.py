@@ -89,6 +89,7 @@ HEADLINE = [
     "schema_verdict_docs",
     "span_integrity_planted",
     "type_conformance_lang",
+    "media_ref_integrity_planted",
 ]
 
 
