@@ -18,6 +18,10 @@ Spec format (JSON):
   "snapshot_id": "snap-001",
   "output": "/path/to/verdicts",           # verdict parquet dir (optional)
   "fuse": true,                            # one-scan fused agg checks (fused.py)
+  "quarantine": {"output": "/path"},       # optional: route docs by span
+                                           # integrity -> <output>/clean + /quarantined
+                                           # parquet (schema.quarantine_by_integrity);
+                                           # optional "kinds": ["text", ...]
   "checks": [
     {"name": "ucc_doc_id", "kind": "ucc", "params": {"columns": ["doc_id"]}},
     {"name": "fd_doc_spans", "kind": "fd",
@@ -96,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
             exit_code = 3
         if spec.get("output"):
             verdicts.write.mode("overwrite").parquet(f"{spec['output']}/{name}")
+    q = spec.get("quarantine")
+    if q:
+        from pyspark_validator.schema import quarantine_by_integrity
+
+        kw = {"spans_col": spec.get("spans_col", "spans")}
+        if q.get("kinds"):
+            kw["kinds"] = tuple(q["kinds"])
+        clean, bad = quarantine_by_integrity(docs, **kw)
+        clean.write.mode("overwrite").parquet(f"{q['output']}/clean")
+        bad.write.mode("overwrite").parquet(f"{q['output']}/quarantined")
+        n_clean = spark.read.parquet(f"{q['output']}/clean").count()
+        n_bad = spark.read.parquet(f"{q['output']}/quarantined").count()
+        print(json.dumps({"quarantine": {"clean": n_clean, "quarantined": n_bad}}))
     suite.unpersist()
     return exit_code
 

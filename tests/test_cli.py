@@ -178,3 +178,42 @@ def test_cli_flat_table_custom_id_column(spark, tmp_path, capsys):
     out = {json.loads(l)["check"]: json.loads(l) for l in capsys.readouterr().out.strip().splitlines()}
     assert out["ucc_orderkey"]["holds"]
     assert out["nar_prio"]["holds"]
+
+
+def test_cli_quarantine_routing(spark, tmp_path, capsys):
+    """The spec's quarantine knob writes clean/quarantined parquet splits."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("good", [("text", "a", None, 0)]),
+            ("bad", [("text", None, None, 0)]),
+        ],
+        schema,
+    )
+    src = tmp_path / "docs.parquet"
+    docs.write.parquet(str(src))
+    spec = {
+        "table": str(src),
+        "num_partitions": 4,
+        "quarantine": {"output": str(tmp_path / "gate")},
+        "checks": [
+            {"name": "si", "kind": "span_integrity", "params": {}},
+        ],
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+
+    rc = main(["--spec", str(spec_path)])
+    assert rc == 3  # the bad doc violates the span-integrity check
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    gate = next(o["quarantine"] for o in out if "quarantine" in o)
+    assert gate == {"clean": 1, "quarantined": 1}
+    clean = spark.read.parquet(str(tmp_path / "gate" / "clean")).collect()
+    assert [r.doc_id for r in clean] == ["good"]
+    bad = spark.read.parquet(str(tmp_path / "gate" / "quarantined")).collect()
+    assert [r.doc_id for r in bad] == ["bad"]
