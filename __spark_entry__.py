@@ -2453,6 +2453,63 @@ FROM tot, miss
 """
 
 
+def q_sketch_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column sketch profile (sketches.sketch_profile: HLL +
+    CMS + KLL for every column in ONE scan + bounded-fan-in tree merge). The
+    oracle checks the exact parts (row/null counts) plus the HLL estimate
+    bounded against the true distinct count (rel err << the 2.5% envelope at
+    p=12, asserted here as a boolean so the check is deterministic)."""
+    from pyspark_validator.sketches import sketch_profile
+
+    cols = ["l_orderkey", "l_quantity", "l_flag_nullable"]
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn(
+            "l_flag_nullable",
+            F.when(F.col("l_linenumber") == 1, F.col("l_returnflag")),
+        )
+        .repartition(8)  # single-file parquet: parallelize the one pass
+    )
+    prof = sketch_profile(li, cols, fanin=8)
+    exact_row = li.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    exact = {c: exact_row[c] for c in cols}
+    rows = [
+        (
+            c,
+            prof[c].n,
+            prof[c].n_null,
+            bool(
+                abs(prof[c].distinct_est() - exact[c]) <= 0.05 * exact[c]
+            ),
+            prof[c].kll is not None,
+        )
+        for c in sorted(prof)
+    ]
+    return spark.createDataFrame(
+        rows, "col string, n_rows bigint, n_null bigint, "
+        "distinct_est_within_5pct boolean, has_quantile_sketch boolean"
+    )
+
+
+SQL_SKETCH_PROFILE_LINEITEM = """
+SELECT * FROM (VALUES
+  ('l_flag_nullable',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   (SELECT CAST(count(*) FILTER (WHERE l_linenumber != 1) AS BIGINT) FROM lineitem),
+   TRUE, FALSE),
+  ('l_orderkey',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   CAST(0 AS BIGINT), TRUE, TRUE),
+  ('l_quantity',
+   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+   CAST(0 AS BIGINT), TRUE, TRUE)
+) t(col, n_rows, n_null, distinct_est_within_5pct, has_quantile_sketch)
+ORDER BY col
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -2518,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_integrity_planted": q_span_integrity_planted,
         "type_conformance_lang": q_type_conformance_lang,
         "media_ref_integrity_planted": q_media_ref_integrity_planted,
+        "sketch_profile_lineitem": q_sketch_profile_lineitem,
     }
 
 
@@ -2592,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "span_integrity_planted": SQL_SPAN_INTEGRITY_PLANTED,
         "type_conformance_lang": SQL_TYPE_CONFORMANCE_LANG,
         "media_ref_integrity_planted": SQL_MEDIA_REF_INTEGRITY_PLANTED,
+        "sketch_profile_lineitem": SQL_SKETCH_PROFILE_LINEITEM,
     }
 
 

@@ -52,6 +52,7 @@ from pyspark_validator.schema import (
     span_integrity_violations,
 )
 from pyspark_validator.session import get_spark
+from pyspark_validator.sketches import sketch_profile
 
 __all__ = [
     "CanonicalDocs",
@@ -84,6 +85,7 @@ __all__ = [
     "ColumnSpec",
     "SchemaSpec",
     "sfd_check",
+    "sketch_profile",
     "span_integrity_violations",
     "span_key_expr",
     "ucc_check",

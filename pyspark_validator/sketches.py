@@ -336,3 +336,215 @@ def kll_sketch(df: DataFrame, column: str, k: int = 200) -> KLL:
     for r in rows:
         out = out.merge(KLL.from_bytes(r.sk))
     return out
+
+
+# ---------------------------------------------------------------------------
+# one-pass multi-column sketch profile (the north star's "combined in a
+# single salted, skew-aware shuffle pass")
+
+
+@dataclass
+class ColumnSketches:
+    """All three mergeable sketches for one column, plus exact null/row
+    counts, as produced by :func:`sketch_profile`. Serializable pieces can be
+    persisted in the checkpoint manifest and merged with later snapshots."""
+
+    column: str
+    hll: HLL
+    cms: CMS
+    kll: "KLL | None"
+    n: int
+    n_null: int
+
+    def distinct_est(self) -> float:
+        return self.hll.cardinality()
+
+    def quantiles(self, qs: list[float]) -> "list[float] | None":
+        return self.kll.quantiles(qs) if self.kll is not None else None
+
+    def heavy_hitter_counts(self, spark, values: list) -> dict:
+        """CMS point estimates for candidate values. The CMS is keyed by JVM
+        xxhash64, so candidates are hashed by one tiny Spark job (len(values)
+        rows) -- never a Python re-implementation of the hash."""
+        rows = spark.createDataFrame(
+            [(v,) for v in values], f"v {'string' if values and isinstance(values[0], str) else 'bigint'}"
+        ).select(F.xxhash64("v").alias("h")).collect()
+        hashes = np.array([r.h for r in rows], dtype=np.int64)
+        est = self.cms.estimate_hashes(hashes)
+        return {v: int(e) for v, e in zip(values, est)}
+
+
+def _sketch_profile_frame(
+    df: DataFrame,
+    columns: list[str],
+    p: int = 12,
+    kll_k: int = 200,
+    cms_depth: int = 5,
+    cms_width: int = 8192,
+    fanin: int = 64,
+) -> tuple[DataFrame, list]:
+    """HLL + CMS + KLL for EVERY requested column in ONE scan.
+
+    The separate ``hll_sketch``/``cms_sketch``/``kll_sketch`` builders each
+    cost a table scan; a 100 TB profile of 50 columns must not cost 150
+    scans. Here the per-column hashing/casting is JVM-side (xxhash64 +
+    try-cast to double), one mapInPandas pass updates every column's three
+    sketches per Arrow batch (numpy, no per-row Python), and emits ONE
+    serialized partial row per (input partition, column).
+
+    Merging is a bounded-fan-in tree, not a driver collect: level 1 groups
+    partials by (column, salt) with ``salt = spark_partition_id() % fanin``
+    -- the salt bounds how many partials any single reducer materializes
+    (applyInPandas loads a whole group: group bytes ~ (P/fanin) *
+    sketch_bytes, so set fanin ~ sqrt(P) for very large task counts) and
+    spreads the merge across the cluster instead of hot-spotting one reducer
+    per column -- then level 2 merges the <=fanin survivors per column. Two
+    tiny shuffles (P*C rows, then fanin*C rows); the driver receives exactly
+    C rows.
+
+    Numeric columns (castable to double) get a KLL; the KLL of a non-numeric
+    column is None. NULLs are counted exactly and excluded from all sketches.
+    """
+    meta = []
+    sel = []
+    # date deliberately absent: cast(date as double) is not a valid Spark
+    # cast; timestamps cast to epoch seconds
+    numeric_kinds = ("int", "bigint", "smallint", "tinyint", "double", "float",
+                     "decimal", "timestamp")
+    for i, c in enumerate(columns):
+        dt = df.schema[c].dataType.simpleString()
+        is_num = any(dt.startswith(k) for k in numeric_kinds)
+        meta.append((c, is_num))
+        sel.append(F.xxhash64(F.col(c)).alias(f"h{i}"))
+        sel.append(F.col(c).isNull().alias(f"m{i}"))
+        if is_num:
+            sel.append(F.col(c).cast("double").alias(f"v{i}"))
+
+    hashed = df.select(*sel)
+    out_schema = (
+        "col string, hll binary, cms binary, kll binary, n long, n_null long"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        regs = {i: np.zeros(1 << p, dtype=np.uint8) for i in range(len(meta))}
+        tables = {
+            i: np.zeros((cms_depth, cms_width), dtype=np.int64)
+            for i in range(len(meta))
+        }
+        klls = {i: KLL.empty(kll_k) for i, (_, num) in enumerate(meta) if num}
+        n = {i: 0 for i in range(len(meta))}
+        n_null = {i: 0 for i in range(len(meta))}
+        for b in batches:
+            if not len(b):
+                continue
+            for i, (_, num) in enumerate(meta):
+                mask = b[f"m{i}"].to_numpy(dtype=bool)
+                h = b[f"h{i}"].to_numpy(dtype=np.int64)[~mask]
+                n[i] += len(b)
+                n_null[i] += int(mask.sum())
+                if len(h):
+                    hu = h.view(np.uint64)
+                    _hll_update(regs[i], hu, p)
+                    for d in range(cms_depth):
+                        idx = (
+                            (hu * np.uint64(2 * d + 1) + np.uint64(d * 0x9E3779B9))
+                            & _MASK64
+                        ) % np.uint64(cms_width)
+                        np.add.at(tables[i][d], idx.astype(np.int64), 1)
+                if num:
+                    v = b[f"v{i}"].to_numpy(dtype=np.float64)
+                    v = v[~np.isnan(v)]
+                    if len(v):
+                        klls[i].update_batch(v)
+        rows = []
+        for i, (c, num) in enumerate(meta):
+            if n[i] == 0:
+                continue
+            rows.append(
+                {
+                    "col": c,
+                    "hll": regs[i].tobytes(),
+                    "cms": tables[i].tobytes(),
+                    "kll": klls[i].to_bytes() if num and klls[i].n else None,
+                    "n": n[i],
+                    "n_null": n_null[i],
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = None
+        table = None
+        kll = None
+        n = 0
+        n_null = 0
+        for r in pdf.itertuples(index=False):
+            regs = (
+                np.frombuffer(r.hll, dtype=np.uint8).copy()
+                if regs is None
+                else np.maximum(regs, np.frombuffer(r.hll, dtype=np.uint8))
+            )
+            t = np.frombuffer(r.cms, dtype=np.int64).reshape(cms_depth, cms_width)
+            table = t.copy() if table is None else table + t
+            if r.kll is not None:
+                k2 = KLL.from_bytes(r.kll)
+                kll = k2 if kll is None else kll.merge(k2)
+            n += int(r.n)
+            n_null += int(r.n_null)
+        return pd.DataFrame(
+            [
+                {
+                    "col": pdf["col"].iloc[0],
+                    "hll": regs.tobytes(),
+                    "cms": table.tobytes(),
+                    "kll": kll.to_bytes() if kll is not None else None,
+                    "n": n,
+                    "n_null": n_null,
+                }
+            ]
+        )
+
+    level0 = hashed.mapInPandas(partials, out_schema).withColumn(
+        "salt", F.spark_partition_id() % F.lit(fanin)
+    )
+    level1 = level0.groupBy("col", "salt").applyInPandas(
+        lambda pdf: merge_group(pdf.drop(columns=["salt"])), out_schema
+    )
+    final = level1.groupBy("col").applyInPandas(merge_group, out_schema)
+    return final, meta
+
+
+def sketch_profile(
+    df: DataFrame,
+    columns: list[str],
+    p: int = 12,
+    kll_k: int = 200,
+    cms_depth: int = 5,
+    cms_width: int = 8192,
+    fanin: int = 64,
+) -> dict[str, ColumnSketches]:
+    final, meta = _sketch_profile_frame(
+        df, columns, p=p, kll_k=kll_k, cms_depth=cms_depth,
+        cms_width=cms_width, fanin=fanin,
+    )
+    result = {}
+    for r in final.collect():
+        c = r.col
+        is_num = dict(meta)[c]
+        result[c] = ColumnSketches(
+            column=c,
+            hll=HLL.from_bytes(r.hll, p),
+            cms=CMS(
+                cms_depth,
+                cms_width,
+                np.frombuffer(r.cms, dtype=np.int64)
+                .reshape(cms_depth, cms_width)
+                .copy(),
+                int(r.n) - int(r.n_null),
+            ),
+            kll=KLL.from_bytes(r.kll) if (is_num and r.kll is not None) else None,
+            n=int(r.n),
+            n_null=int(r.n_null),
+        )
+    return result

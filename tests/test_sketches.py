@@ -117,3 +117,60 @@ def test_kll_sketch_spark_builder(spark):
 
         rank = bisect.bisect_right(exact, est) / len(exact)
         assert abs(rank - q) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# one-pass multi-column sketch profile
+
+
+def test_sketch_profile_one_pass_matches_exact(spark):
+    import numpy as np
+
+    from pyspark_validator.sketches import hll_sketch, sketch_profile
+
+    rows = [
+        (i % 37, f"cat_{i % 5}" if i % 10 else None, float(i)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "cat", "x"]).repartition(8)
+    prof = sketch_profile(df, ["k", "cat", "x"], fanin=4)
+
+    assert set(prof) == {"k", "cat", "x"}
+    # exact counts
+    assert prof["k"].n == 2000 and prof["k"].n_null == 0
+    assert prof["cat"].n_null == 200
+    # HLL: small-range regime is near-exact, and the one-pass registers must
+    # equal the standalone builder's (max-merge is order-independent)
+    assert prof["k"].distinct_est() == pytest.approx(37, abs=1)
+    solo = hll_sketch(df.where("k is not null"), ["k"])
+    assert np.array_equal(prof["k"].hll.registers, solo.registers)
+    # KLL quantiles vs numpy (k=200 over n=2000 -> tight)
+    xs = np.array([r[2] for r in rows])
+    q = prof["x"].quantiles([0.25, 0.5, 0.75])
+    for got, want in zip(q, np.percentile(xs, [25, 50, 75])):
+        assert got == pytest.approx(want, rel=0.05)
+    # non-numeric column carries no KLL
+    assert prof["cat"].kll is None
+    # CMS point estimates: upper bounds that are exact for these cardinalities
+    hh = prof["cat"].heavy_hitter_counts(spark, [f"cat_{i}" for i in range(5)])
+    assert hh["cat_1"] == 400          # i%5==1 is never i%10==0 -> no nulls
+    assert hh["cat_0"] == 200          # half of i%5==0 are the planted nulls
+    assert all(v >= 200 for v in hh.values())
+
+
+def test_sketch_profile_plan_one_scan_two_exchanges(spark, tmp_path):
+    import re
+
+    from pyspark_validator.sketches import _sketch_profile_frame
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(0, 1000, 1, 4).selectExpr(
+        "id as k", "cast(id % 7 as string) as cat"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    final, _ = _sketch_profile_frame(df, ["k", "cat"], fanin=4)
+    p = final._sc._jvm.PythonSQLUtils.explainString(
+        final._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
