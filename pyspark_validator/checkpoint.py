@@ -206,3 +206,137 @@ class CheckpointManager:
                 "regressed"
             ),
         )
+
+
+SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("hll", T.BinaryType()),
+        T.StructField("cms", T.BinaryType()),
+        T.StructField("kll", T.BinaryType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_null", T.LongType()),
+        T.StructField("hll_p", T.IntegerType()),
+        T.StructField("cms_depth", T.IntegerType()),
+        T.StructField("cms_width", T.IntegerType()),
+        T.StructField("recorded_at", T.DoubleType()),
+    ]
+)
+
+
+class SketchStore:
+    """Persist per-snapshot column sketch profiles (sketches.sketch_profile)
+    and combine them WITHOUT rescanning old data.
+
+    This closes the north star's sketch lifecycle: profiles are mergeable, so
+    the cumulative profile of an append-only table is the merge of its
+    per-snapshot sketches -- each new snapshot costs one scan of the DELTA,
+    never of history -- and distribution drift between any two snapshots is a
+    KS test on their stored KLLs (drift.kll_ks_compare), zero scans."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _frame(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(SKETCH_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], SKETCH_SCHEMA)
+
+    def record(self, snapshot_id: str, profiles: dict) -> None:
+        rows = [
+            (
+                snapshot_id,
+                c,
+                s.hll.to_bytes(),
+                s.cms.to_bytes(),
+                s.kll.to_bytes() if s.kll is not None else None,
+                s.n,
+                s.n_null,
+                s.hll.p,
+                s.cms.depth,
+                s.cms.width,
+                time.time(),
+            )
+            for c, s in profiles.items()
+        ]
+        self.spark.createDataFrame(rows, SKETCH_SCHEMA).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def load(self, snapshot_id: str) -> dict:
+        """dict[column -> ColumnSketches] for one snapshot (latest record per
+        column wins)."""
+        from pyspark_validator.sketches import CMS, HLL, KLL, ColumnSketches
+
+        import numpy as np
+
+        rows = (
+            self._frame()
+            .filter(F.col("snapshot_id") == snapshot_id)
+            .orderBy("recorded_at")
+            .collect()
+        )
+        out = {}
+        for r in rows:  # later records overwrite earlier (orderBy asc)
+            out[r.column] = ColumnSketches(
+                column=r.column,
+                hll=HLL.from_bytes(r.hll, r.hll_p),
+                cms=CMS(
+                    r.cms_depth,
+                    r.cms_width,
+                    np.frombuffer(r.cms, dtype=np.int64)
+                    .reshape(r.cms_depth, r.cms_width)
+                    .copy(),
+                    int(r.n) - int(r.n_null),
+                ),
+                kll=KLL.from_bytes(r.kll) if r.kll is not None else None,
+                n=int(r.n),
+                n_null=int(r.n_null),
+            )
+        return out
+
+    def merged(self, snapshot_ids: list[str]) -> dict:
+        """Cumulative profile across snapshots by pure sketch algebra: HLL
+        register max, CMS table add, KLL merge, exact count sums. For an
+        append-only table this equals profiling the union -- at delta cost."""
+        from pyspark_validator.sketches import ColumnSketches
+
+        acc: dict = {}
+        for sid in snapshot_ids:
+            for c, s in self.load(sid).items():
+                if c not in acc:
+                    acc[c] = s
+                else:
+                    a = acc[c]
+                    acc[c] = ColumnSketches(
+                        column=c,
+                        hll=a.hll.merge(s.hll),
+                        cms=a.cms.merge(s.cms),
+                        kll=(
+                            a.kll.merge(s.kll)
+                            if a.kll is not None and s.kll is not None
+                            else a.kll or s.kll
+                        ),
+                        n=a.n + s.n,
+                        n_null=a.n_null + s.n_null,
+                    )
+        return acc
+
+    def ks_drift(
+        self, column: str, snapshot_a: str, snapshot_b: str,
+        ks_threshold: float = 0.1,
+    ) -> dict:
+        """Numeric drift between two recorded snapshots from their stored
+        KLLs alone -- no data scan."""
+        from pyspark_validator.checks.drift import kll_ks_compare
+
+        a = self.load(snapshot_a).get(column)
+        b = self.load(snapshot_b).get(column)
+        if a is None or b is None or a.kll is None or b.kll is None:
+            raise ValueError(
+                f"no stored KLL for {column!r} in both snapshots"
+            )
+        return kll_ks_compare(a.kll, b.kll, ks_threshold=ks_threshold)

@@ -236,3 +236,52 @@ def test_metric_regressions_abs_floor_and_rerun(spark, tmp_path):
         "comp", "null_fraction", "s1", "s2", max_rel_change=0.5
     ).collect()[0]
     assert out2.regressed
+
+
+def test_sketch_store_roundtrip_merge_and_drift(spark, tmp_path):
+    """Per-snapshot sketch profiles persist, reload byte-identically, merge
+    by pure algebra into the union profile, and answer KS drift with zero
+    data scans."""
+    import numpy as np
+
+    from pyspark_validator.checkpoint import SketchStore
+    from pyspark_validator.sketches import sketch_profile
+
+    s1 = spark.range(0, 1500).selectExpr(
+        "id as k", "cast(id as double) as x"
+    ).repartition(4)
+    # shifted distribution + new keys in snapshot 2
+    s2 = spark.range(1500, 3000).selectExpr(
+        "id as k", "cast(id * 10 as double) as x"
+    ).repartition(4)
+
+    store = SketchStore(spark, str(tmp_path / "sketches"))
+    p1 = sketch_profile(s1, ["k", "x"], fanin=4)
+    p2 = sketch_profile(s2, ["k", "x"], fanin=4)
+    store.record("snap-1", p1)
+    store.record("snap-2", p2)
+
+    # roundtrip: registers byte-identical
+    back = store.load("snap-1")
+    assert set(back) == {"k", "x"}
+    assert np.array_equal(back["k"].hll.registers, p1["k"].hll.registers)
+    assert np.array_equal(back["k"].cms.table, p1["k"].cms.table)
+    assert back["x"].kll.n == p1["x"].kll.n
+
+    # merged == profile of the union (HLL/CMS exactly; counts exactly)
+    union_prof = sketch_profile(s1.unionByName(s2), ["k", "x"], fanin=4)
+    m = store.merged(["snap-1", "snap-2"])
+    assert m["k"].n == 3000 and m["k"].n_null == 0
+    assert np.array_equal(m["k"].hll.registers, union_prof["k"].hll.registers)
+    assert np.array_equal(m["k"].cms.table, union_prof["k"].cms.table)
+    # KLL merge: same mass, quantiles within envelope
+    assert m["x"].kll.n == union_prof["x"].kll.n
+    got = m["x"].quantiles([0.5])[0]
+    want = union_prof["x"].quantiles([0.5])[0]
+    assert got == pytest.approx(want, rel=0.1)
+
+    # drift between snapshots from stored sketches alone
+    d = store.ks_drift("x", "snap-1", "snap-2")
+    assert d["drift_detected"] and d["ks_stat"] > 0.9
+    with pytest.raises(ValueError):
+        store.ks_drift("k", "snap-1", "missing-snap")
