@@ -34,6 +34,8 @@ completeness row_predicate numeric_profile histogram_drift distinct
 type_conformance span_integrity (agg-shaped -- these share one scan under
 "fuse": true and run as single-member passes otherwise); schema (metadata-only
 expected-vs-actual StructType diff, params = SchemaSpec.from_dict form);
+sketch_profile (one-pass HLL+CMS+KLL per column; params = {"columns": [...],
+"store_path": optional SketchStore dir for cross-snapshot merge/drift});
 custom (python callable, API only).
 """
 

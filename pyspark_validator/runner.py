@@ -187,6 +187,34 @@ class ValidationSuite:
                     "*",
                 )
             return s.withColumn("partition_id", F.lit(0))
+        if spec.kind == "sketch_profile":
+            # one-pass HLL+CMS+KLL profile (sketches.sketch_profile);
+            # informational verdict, optionally persisted to a SketchStore so
+            # later snapshots can merge/drift without rescanning this one
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.sketches import sketch_profile
+
+            prof = sketch_profile(
+                df,
+                spec.params["columns"],
+                p=spec.params.get("p", 12),
+                fanin=spec.params.get("fanin", 64),
+            )
+            if spec.params.get("store_path"):
+                from pyspark_validator.checkpoint import SketchStore
+
+                SketchStore(self.spark, spec.params["store_path"]).record(
+                    self.snapshot_id, prof
+                )
+            rows = [
+                (c, s.n, s.n_null, float(s.distinct_est()))
+                for c, s in sorted(prof.items())
+            ]
+            v = self.spark.createDataFrame(
+                rows, "column string, n_rows long, n_null long, distinct_est double"
+            ).withColumn("holds", F.lit(True))
+            return v.withColumn("partition_id", F.lit(0))
         if spec.kind == "schema":
             # metadata-only (no scan); framed as partition 0 for the manifest
             from pyspark.sql import functions as F

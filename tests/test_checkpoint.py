@@ -285,3 +285,35 @@ def test_sketch_store_roundtrip_merge_and_drift(spark, tmp_path):
     assert d["drift_detected"] and d["ks_stat"] > 0.9
     with pytest.raises(ValueError):
         store.ks_drift("k", "snap-1", "missing-snap")
+
+
+def test_suite_sketch_profile_kind(spark, tmp_path):
+    """The 'sketch_profile' check kind: informational verdict + persisted
+    sketches a later snapshot can merge with."""
+    from pyspark_validator.checkpoint import SketchStore
+    from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", float(i % 11)) for i in range(300)], ["doc_id", "score"]
+    )
+    suite = ValidationSuite(
+        spark, docs, num_partitions=4, snapshot_id="s1"
+    )
+    store_path = str(tmp_path / "sk")
+    out = suite.run(
+        [
+            CheckSpec(
+                name="prof",
+                kind="sketch_profile",
+                params={"columns": ["doc_id", "score"], "store_path": store_path,
+                        "fanin": 4},
+            )
+        ]
+    )
+    rows = {r.column: r for r in out["prof"].collect()}
+    assert rows["doc_id"].n_rows == 300 and rows["doc_id"].n_null == 0
+    assert abs(rows["score"].distinct_est - 11) <= 1
+    stored = SketchStore(spark, store_path).load("s1")
+    assert set(stored) == {"doc_id", "score"}
+    assert stored["score"].kll is not None
+    suite.unpersist()
