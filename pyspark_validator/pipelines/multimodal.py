@@ -422,3 +422,127 @@ def fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# media payload conformance: the validation-tier face of the codec layer
+
+MEDIA_CONFORMANCE_SCHEMA = (
+    "media_ref string, kind string, decode_ok boolean, meta_ok boolean, "
+    "reason string"
+)
+
+
+def media_conformance_flags(
+    df: DataFrame,
+    decode: str = "real",
+    duration_tol_ms: int = 1,
+    rows_per_batch_hint: int | None = None,
+) -> DataFrame:
+    """Row-level conformance of media payloads against their typed metadata.
+
+    For each (media_ref, kind, payload, meta) row: does the payload decode
+    with the engine's codec for its kind, and do the decoded dimensions /
+    duration agree with the declared meta? Runs as one Arrow-batched
+    mapInPandas stage (payloads never leave the executor); emits only the
+    tiny flag columns. ``decode='fake'`` validates plumbing only (payload
+    present); unsupported compressed formats surface as
+    ``undecodable: NotImplementedError(...)`` rows rather than failing the
+    job -- a mixed-format lake degrades per row, not per run."""
+    cols = df.select(
+        "media_ref", "kind", "payload",
+        F.col("meta.width").alias("w"), F.col("meta.height").alias("h"),
+        F.col("meta.duration_ms").alias("dur"),
+    )
+    if rows_per_batch_hint:
+        cols = cols.repartition(rows_per_batch_hint)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples(index=False):
+                decode_ok, meta_ok, reason = True, True, None
+                payload = bytes(r.payload) if r.payload is not None else b""
+                try:
+                    if decode == "fake":
+                        if not payload:
+                            raise ValueError("empty payload")
+                    elif r.kind == "image":
+                        px = decode_ppm(payload)
+                        hh, ww = px.shape[0], px.shape[1]
+                        if (r.w, r.h) != (ww, hh):
+                            meta_ok = False
+                            reason = f"meta_mismatch: {ww}x{hh} != declared {r.w}x{r.h}"
+                    elif r.kind == "audio":
+                        samples, rate = decode_wav(payload)
+                        dur = int(round(len(samples) / rate * 1000))
+                        if abs(dur - int(r.dur)) > duration_tol_ms:
+                            meta_ok = False
+                            reason = f"meta_mismatch: {dur}ms != declared {r.dur}ms"
+                    elif r.kind == "video":
+                        frames, fps = decode_y4m(payload)
+                        hh, ww = frames[0].shape
+                        dur = int(round(len(frames) / fps * 1000))
+                        if (r.w, r.h) != (ww, hh):
+                            meta_ok = False
+                            reason = f"meta_mismatch: {ww}x{hh} != declared {r.w}x{r.h}"
+                        elif abs(dur - int(r.dur)) > duration_tol_ms:
+                            meta_ok = False
+                            reason = f"meta_mismatch: {dur}ms != declared {r.dur}ms"
+                    else:
+                        raise NotImplementedError(f"unknown media kind {r.kind!r}")
+                except Exception as e:  # undecodable payload, per-row verdict
+                    decode_ok, meta_ok = False, False
+                    reason = f"undecodable: {type(e).__name__}: {e}"
+                out.append(
+                    {
+                        "media_ref": r.media_ref,
+                        "kind": r.kind,
+                        "decode_ok": decode_ok,
+                        "meta_ok": meta_ok,
+                        "reason": reason,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return cols.mapInPandas(kernel, MEDIA_CONFORMANCE_SCHEMA)
+
+
+def media_conformance_check(
+    df: DataFrame,
+    decode: str = "real",
+    num_partitions: int = 64,
+    duration_tol_ms: int = 1,
+) -> DataFrame:
+    """Per-partition media-conformance verdicts (north-rule shape):
+    pmod(xxhash64(media_ref), P) partition ids, counts of undecodable and
+    meta-mismatched payloads, holds iff both are zero. Violation rows come
+    from ``media_conformance_flags(...).where(~decode_ok | ~meta_ok)``."""
+    from pyspark_validator.canonical import partition_id_expr
+
+    flags = media_conformance_flags(
+        df, decode=decode, duration_tol_ms=duration_tol_ms
+    )
+    return (
+        flags.withColumn(
+            "partition_id", partition_id_expr("media_ref", num_partitions)
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum((~F.col("decode_ok")).cast("long")).alias("n_undecodable"),
+            F.sum(
+                (F.col("decode_ok") & ~F.col("meta_ok")).cast("long")
+            ).alias("n_meta_mismatch"),
+        )
+        .select(
+            "partition_id",
+            ((F.col("n_undecodable") == 0) & (F.col("n_meta_mismatch") == 0)).alias(
+                "holds"
+            ),
+            "n_media",
+            "n_undecodable",
+            "n_meta_mismatch",
+        )
+    )

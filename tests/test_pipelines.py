@@ -397,3 +397,60 @@ def test_y4m_roundtrip_and_frame_sampling(spark):
             MEDIA_SCHEMA,
         )
         sample_frames(bad, every_ms=100, decode="real").collect()
+
+
+def test_media_conformance_clean_and_corrupted(spark):
+    """Payload-vs-metadata conformance over the real codec layer: the clean
+    fixture conforms everywhere; truncation, meta lies, and unsupported
+    formats degrade per row with typed reasons."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.multimodal import (
+        media_conformance_check,
+        media_conformance_flags,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=12)
+    v = media_conformance_check(media, num_partitions=4)
+    rows = v.collect()
+    assert sum(r.n_media for r in rows) == 12
+    assert all(r.holds for r in rows)
+
+    # corrupt: truncate one image payload, lie about one wav's duration,
+    # and relabel one video as compressed junk
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_ref") == "media://image/000000",
+            F.expr("substring(payload, 1, 10)"),
+        ).otherwise(F.col("payload")),
+    ).withColumn(
+        "meta",
+        F.when(
+            F.col("media_ref") == "media://audio/000001",
+            F.named_struct(
+                F.lit("width"), F.col("meta.width"),
+                F.lit("height"), F.col("meta.height"),
+                F.lit("duration_ms"), F.lit(999),
+                F.lit("codec"), F.col("meta.codec"),
+            ).cast(media.schema["meta"].dataType),
+        ).otherwise(F.col("meta")),
+    )
+    flags = {
+        r.media_ref: r
+        for r in media_conformance_flags(corrupted).collect()
+    }
+    bad_img = flags["media://image/000000"]
+    assert not bad_img.decode_ok and bad_img.reason.startswith("undecodable")
+    bad_wav = flags["media://audio/000001"]
+    assert bad_wav.decode_ok and not bad_wav.meta_ok
+    assert "999" in bad_wav.reason
+    # everything else still conforms
+    others = [r for k, r in flags.items()
+              if k not in ("media://image/000000", "media://audio/000001")]
+    assert all(r.decode_ok and r.meta_ok for r in others)
+
+    v2 = media_conformance_check(corrupted, num_partitions=4)
+    assert sum(r.n_undecodable for r in v2.collect()) == 1
+    assert sum(r.n_meta_mismatch for r in v2.collect()) == 1
