@@ -2510,6 +2510,53 @@ ORDER BY col
 """
 
 
+def q_media_conformance_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-vs-metadata conformance over the deterministic real-codec media
+    fixture (PPM/WAV/Y4M payloads), with one truncated image payload and one
+    lying audio duration planted. The engine decodes every payload with its
+    dependency-free codecs (pipelines/multimodal.py) and verdicts globally;
+    the fixture is deterministic, so the oracle is the closed-form verdict."""
+    from pyspark_validator.pipelines.multimodal import (
+        media_conformance_check,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=24)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_ref") == "media://image/000000",
+            F.expr("substring(payload, 1, 10)"),
+        ).otherwise(F.col("payload")),
+    ).withColumn(
+        "meta",
+        F.when(
+            F.col("media_ref") == "media://audio/000001",
+            F.named_struct(
+                F.lit("width"), F.col("meta.width"),
+                F.lit("height"), F.col("meta.height"),
+                F.lit("duration_ms"), F.lit(999),
+                F.lit("codec"), F.col("meta.codec"),
+            ).cast(media.schema["meta"].dataType),
+        ).otherwise(F.col("meta")),
+    )
+    v = media_conformance_check(corrupted, num_partitions=8)
+    return v.agg(
+        F.sum("n_media").cast("bigint").alias("n_media"),
+        F.sum("n_undecodable").cast("bigint").alias("n_undecodable"),
+        F.sum("n_meta_mismatch").cast("bigint").alias("n_meta_mismatch"),
+        (F.sum("n_undecodable") + F.sum("n_meta_mismatch") == 0).alias("holds"),
+    )
+
+
+SQL_MEDIA_CONFORMANCE_PLANTED = """
+SELECT CAST(24 AS BIGINT) AS n_media,
+       CAST(1 AS BIGINT) AS n_undecodable,
+       CAST(1 AS BIGINT) AS n_meta_mismatch,
+       FALSE AS holds
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -2576,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_conformance_lang": q_type_conformance_lang,
         "media_ref_integrity_planted": q_media_ref_integrity_planted,
         "sketch_profile_lineitem": q_sketch_profile_lineitem,
+        "media_conformance_planted": q_media_conformance_planted,
     }
 
 
@@ -2651,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "type_conformance_lang": SQL_TYPE_CONFORMANCE_LANG,
         "media_ref_integrity_planted": SQL_MEDIA_REF_INTEGRITY_PLANTED,
         "sketch_profile_lineitem": SQL_SKETCH_PROFILE_LINEITEM,
+        "media_conformance_planted": SQL_MEDIA_CONFORMANCE_PLANTED,
     }
 
 
