@@ -96,6 +96,89 @@ def _oc_removals(
     return computed.unionByName(skipped)
 
 
+def _ofd_removal_rows(
+    df: DataFrame, context: list[str], right: str, row_ref: str
+) -> DataFrame:
+    """Row refs removed for OFD: every row whose right value is not the group's
+    most frequent one (ties broken toward the smallest value, deterministic --
+    the removal COUNT is tie-invariant, the row SET needs a canonical pick).
+    Pure JVM: value counts -> per-group argmax -> null-safe mismatch join."""
+    vc = df.groupBy(*context, right).agg(F.count(F.lit(1)).alias("__vcnt"))
+    maxc = vc.groupBy(*context).agg(F.max("__vcnt").alias("__maxc"))
+    winners = vc.join(maxc, on=context, how="inner").filter(
+        F.col("__vcnt") == F.col("__maxc")
+    )
+    canonical = winners.groupBy(*context).agg(F.min(right).alias("__mode"))
+    return (
+        df.join(canonical, on=context, how="inner")
+        .filter(~F.col(right).eqNullSafe(F.col("__mode")))
+        .select(*context, F.col(row_ref).alias("row_ref"))
+    )
+
+
+def _oc_removal_rows(
+    df: DataFrame,
+    context: list[str],
+    left: str,
+    right: str,
+    descending: bool,
+    row_ref: str,
+    group_cap: int = 5_000_000,
+) -> DataFrame:
+    """Row refs removed for OC: rows outside one maximal non-decreasing
+    subsequence of right in (left asc, right asc) order, reconstructed by
+    patience sorting with predecessor links (same subsequence the counting
+    kernel measures). Oversized groups (> group_cap) are excluded here and
+    surfaced by removals()/summary() as n_oversized."""
+    sign = -1.0 if descending else 1.0
+    proj = df.select(
+        *context,
+        (F.col(left).cast("double") * F.lit(sign)).alias("__l"),
+        F.col(right).cast("double").alias("__r"),
+        F.col(row_ref).alias("row_ref"),
+    )
+    sizes = proj.groupBy(*context).agg(F.count(F.lit(1)).alias("__gsz"))
+    oversized = sizes.filter(F.col("__gsz") > group_cap)
+    proj = proj.join(oversized.select(*context), on=context, how="left_anti")
+
+    def removed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # row_ref as a tertiary key pins ONE canonical maximal subsequence:
+        # the returned set is deterministic regardless of partition order.
+        s = pdf.sort_values(["__l", "__r", "row_ref"], kind="mergesort")
+        vals = s["__r"].to_numpy()
+        n = len(vals)
+        tails: list[float] = []
+        tails_idx: list[int] = []
+        parent = [-1] * n
+        for i, v in enumerate(vals):
+            k = bisect.bisect_right(tails, v)
+            if k == len(tails):
+                tails.append(v)
+                tails_idx.append(i)
+            else:
+                tails[k] = v
+                tails_idx[k] = i
+            if k > 0:
+                parent[i] = tails_idx[k - 1]
+        keep = set()
+        i = tails_idx[-1] if tails_idx else -1
+        while i != -1:
+            keep.add(i)
+            i = parent[i]
+        mask = [i not in keep for i in range(n)]
+        out = s.loc[mask, ["row_ref"]].copy()
+        for c in context:
+            out[c] = pdf[c].iloc[0]
+        return out[[*context, "row_ref"]]
+
+    ref_type = dict(proj.dtypes)["row_ref"]
+    schema = ", ".join(
+        [f"`{c}` {dict(proj.dtypes)[c]}" for c in context]
+        + [f"row_ref {ref_type}"]
+    )
+    return proj.groupBy(*context).applyInPandas(removed, schema=schema)
+
+
 @dataclass
 class AODCheck:
     """Lazy set-based AOD check. Provide oc=(left, right) and/or ofd_right."""
@@ -171,6 +254,53 @@ class AODCheck:
                 "n_oversized",
                 (F.col("n_removals") / F.col("n_rows")).alias("error"),
             )
+        )
+
+
+    def removal_rows(self, row_ref: str) -> DataFrame:
+        """The union removal SET as rows [row_ref], distinct across OC and OFD
+        (reference verifier.cpp:74-76 inserts both per-OD sets into one
+        std::set; error = |union| / n). ``row_ref`` names a stable row id
+        column. OC rows are one canonical maximal-LNDS complement; OFD rows are
+        the complement of the (deterministically tie-broken) per-group mode."""
+        parts = []
+        if self.oc is not None:
+            left, right = self.oc
+            parts.append(
+                _oc_removal_rows(
+                    self.df,
+                    self.context,
+                    left,
+                    right,
+                    self.ordering == "descending",
+                    row_ref,
+                    group_cap=self.group_cap,
+                ).select("row_ref")
+            )
+        if self.ofd_right is not None:
+            parts.append(
+                _ofd_removal_rows(
+                    self.df, self.context, self.ofd_right, row_ref
+                ).select("row_ref")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def union_summary(self, row_ref: str) -> DataFrame:
+        """Single row with the reference's exact error semantics
+        (verifier.cpp:117): [holds, n_rows, n_removals, error] where
+        n_removals = |OC-set union OFD-set| and error = n_removals / n."""
+        n = self.df.agg(F.count(F.lit(1)).alias("n_rows"))
+        rem = self.removal_rows(row_ref).agg(
+            F.count(F.lit(1)).alias("n_removals")
+        )
+        return n.crossJoin(rem).select(
+            (F.col("n_removals") == 0).alias("holds"),
+            "n_rows",
+            "n_removals",
+            (F.col("n_removals") / F.col("n_rows")).alias("error"),
         )
 
 

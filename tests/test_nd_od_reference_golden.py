@@ -128,3 +128,42 @@ def test_aod_bernoulli_single_removals(bern_df):
     }
     assert sd["oc"].n_removals == 1
     assert sd["ofd"].n_removals == 1
+
+
+def test_aod_removal_set_bernoulli_golden(bern_df):
+    """Removal SET parity vs test_set_based_verifier.cpp (rows are 0-based
+    there; rid = pos+1 here). All three type-clean Bernoulli cases reproduce
+    the reference's exact witness set, not just its cardinality."""
+    from pyspark_validator.checks.od import aod_check
+
+    # {A}: D<= ~ E<= , {A}: [] -> F  => {3}
+    c1 = aod_check(bern_df, ["a"], oc=("d", "e"), ofd_right="f")
+    assert sorted(r.row_ref for r in c1.removal_rows("rid").collect()) == [4]
+    u1 = c1.union_summary("rid").collect()[0]
+    assert (u1.n_removals, u1.holds) == (1, False)
+    assert abs(u1.error - 1 / 6) < 1e-12
+
+    # {A}: D>= ~ E<= , {A}: [] -> E  => {4}
+    c2 = aod_check(bern_df, ["a"], oc=("d", "e"), ordering="descending", ofd_right="e")
+    assert sorted(r.row_ref for r in c2.removal_rows("rid").collect()) == [5]
+
+    # {}: C>= ~ B<= , {D}: [] -> C  => {0, 4, 5}  (different contexts -> two
+    # checks; the union across them is the reference's one removal std::set)
+    g = bern_df.withColumn("g", F.pmod(F.col("rid"), F.lit(1)))
+    oc3 = aod_check(g, ["g"], oc=("c", "b"), ordering="descending")
+    ofd3 = aod_check(bern_df, ["d"], ofd_right="c")
+    union = set(r.row_ref for r in oc3.removal_rows("rid").collect()) | set(
+        r.row_ref for r in ofd3.removal_rows("rid").collect()
+    )
+    assert sorted(union) == [1, 5, 6]
+
+
+def test_aod_removal_rows_empty_when_holds(bern_df):
+    from pyspark_validator.checks.od import aod_check
+
+    # {}: F>= ~ E<= holds -> empty removal set (case :105-112)
+    g = bern_df.withColumn("g", F.pmod(F.col("rid"), F.lit(1)))
+    c = aod_check(g, ["g"], oc=("f", "e"), ordering="descending")
+    assert c.removal_rows("rid").count() == 0
+    row = c.union_summary("rid").collect()[0]
+    assert row.holds and row.n_removals == 0 and row.error == 0.0
