@@ -667,3 +667,589 @@ class AcAlgorithm(_Verifier):
             )
             for r in rows
         ]
+
+
+class MetricVerifier(_Verifier):
+    """MetricVerifier analog (bind_mfd_verification.cpp: mfd_holds,
+    get_highlights). Highlights are per violating CLUSTER (lhs values +
+    max_distance = diameter or its 2-approx upper bound), not per point --
+    at scale the per-point list (highlight.h data_index) is unboundedly
+    large; the furthest-pair witness per cluster is what a user acts on."""
+
+    def execute(
+        self,
+        lhs_indices,
+        rhs_indices,
+        metric: str = "euclidean",
+        parameter: float = 0.0,
+        q: int = 2,
+        metric_algorithm: str = "auto",
+        dist_from_null_is_infinity: bool = False,
+        cap: int = 100,
+    ) -> None:
+        from pyspark_validator.checks.mfd import mfd_check
+
+        algo = {"brute": "brute", "approx": "approx", "calipers": "approx", "auto": "auto"}[
+            metric_algorithm
+        ]
+        check = mfd_check(
+            self._df,
+            self._cols(lhs_indices),
+            self._cols(rhs_indices),
+            metric=metric,
+            parameter=parameter,
+            q=q,
+            dist_from_null_is_infinity=dist_from_null_is_infinity,
+            algo=algo,
+            highlight_cap=cap,
+        )
+        self._summary = check.summary().collect()[0]
+        self._highlights = (
+            [r.asDict() for r in check.highlights().collect()]
+            if not self._summary.holds
+            else []
+        )
+
+    def mfd_holds(self) -> bool:
+        return bool(self._summary.holds)
+
+    def get_highlights(self) -> list[dict]:
+        return [
+            {**h, "max_distance": h.get("diameter")} for h in self._highlights
+        ]
+
+
+class NdVerifier(_Verifier):
+    """NDVerifier analog (bind_nd_verification.cpp). nd_holds /
+    global_min_weight / real_weight are exact; highlights carry each violating
+    LHS value with its occurrence count, distinct-RHS count and the most
+    frequent RHS values (value lists bounded -- nobody collects a 10^12-row
+    cluster's index vector to the driver)."""
+
+    def execute(self, lhs_indices, rhs_indices, weight: int, cap: int = 100) -> None:
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.checks.nd import nd_check
+
+        lhs, rhs = self._cols(lhs_indices), self._cols(rhs_indices)
+        self._lhs, self._rhs, self._weight = lhs, rhs, int(weight)
+        self._summary = nd_check(self._df, lhs, rhs, weight=weight).collect()[0]
+        self._hl_rows = []
+        if not self._summary.holds:
+            lv = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs])
+            rv = F.concat_ws("|", *[F.col(c).cast("string") for c in rhs])
+            vc = (
+                self._df.select(lv.alias("__x"), rv.alias("__y"))
+                .groupBy("__x", "__y")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            per_x = vc.groupBy("__x").agg(
+                F.sum("__c").alias("occurrences_number"),
+                F.count(F.lit(1)).alias("distinct_rhs_values_number"),
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("__c"), F.col("__y"))),
+                        asc=False,
+                    ),
+                    1,
+                    20,
+                ).alias("__top"),
+            )
+            self._hl_rows = (
+                per_x.filter(F.col("distinct_rhs_values_number") > self._weight)
+                .orderBy(F.desc("distinct_rhs_values_number"), F.asc("__x"))
+                .limit(cap)
+                .collect()
+            )
+
+    @property
+    def nd_holds(self) -> bool:
+        return bool(self._summary.holds)
+
+    @property
+    def real_weight(self) -> int:
+        return int(self._summary.real_weight)
+
+    @property
+    def global_min_weight(self) -> int:
+        """The minimal weight for which the ND holds == the real weight."""
+        return int(self._summary.real_weight)
+
+    @property
+    def highlights(self) -> list[dict]:
+        out = []
+        for r in self._hl_rows:
+            top_c = r["__top"][0]["__c"] if r["__top"] else 0
+            out.append(
+                {
+                    "lhs_value": r["__x"],
+                    "occurrences_number": int(r["occurrences_number"]),
+                    "distinct_rhs_values_number": int(
+                        r["distinct_rhs_values_number"]
+                    ),
+                    "most_frequent_rhs_values": [
+                        s["__y"] for s in r["__top"] if s["__c"] == top_c
+                    ],
+                }
+            )
+        return out
+
+    def _freqs(self, cols: list[str], cap: int) -> dict:
+        from pyspark.sql import functions as F
+
+        v = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        rows = (
+            self._df.select(v.alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__v"))
+            .limit(cap)
+            .collect()
+        )
+        return {r["__v"]: int(r["__c"]) for r in rows}
+
+    def get_lhs_frequencies(self, cap: int = 10000) -> dict:
+        return self._freqs(self._lhs, cap)
+
+    def get_rhs_frequencies(self, cap: int = 10000) -> dict:
+        return self._freqs(self._rhs, cap)
+
+
+class OdVerifier(_Verifier):
+    """SetBasedAodVerifier analog (bind_od_verification.cpp: holds(error),
+    get_error, get_removal_set). OC and OFD take their own contexts, exactly
+    like the reference options; the removal set is the union of both per-OD
+    sets (verifier.cpp:74-76). Row identity: pass ``row_ref`` naming a stable
+    id column, or load a pandas frame (a positional __row_index is attached,
+    so reference scripts keep 0-based row indices)."""
+
+    def load_data(self, table) -> None:
+        if isinstance(table, pd.DataFrame):
+            table = table.reset_index(drop=True).reset_index(names="__row_index")
+        super().load_data(table)
+
+    def execute(
+        self,
+        oc_context: list | None = None,
+        oc_left=None,
+        oc_right=None,
+        oc_left_ordering: str = "ascending",
+        ofd_context: list | None = None,
+        ofd_right=None,
+        row_ref: str | None = None,
+        cap: int = 100_000,
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.checks.od import aod_check
+
+        ref = row_ref or (
+            "__row_index" if "__row_index" in self._df.columns else None
+        )
+        if ref is None:
+            raise RuntimeError(
+                "removal sets need a row id: pass row_ref= or load a pandas "
+                "frame (gets a positional __row_index)"
+            )
+        sets = []
+        if oc_left is not None:
+            ctx = self._cols(oc_context or [])
+            df = self._df
+            if not ctx:  # global group: non-foldable constant key
+                df = df.withColumn("__g", F.pmod(F.xxhash64(F.col(ref)), F.lit(1)))
+                ctx = ["__g"]
+            (l,) = self._cols([oc_left])
+            (r,) = self._cols([oc_right])
+            sets.append(
+                aod_check(df, ctx, oc=(l, r), ordering=oc_left_ordering)
+                .removal_rows(ref)
+            )
+        if ofd_right is not None:
+            ctx = self._cols(ofd_context or [])
+            df = self._df
+            if not ctx:
+                df = df.withColumn("__g", F.pmod(F.xxhash64(F.col(ref)), F.lit(1)))
+                ctx = ["__g"]
+            (rr,) = self._cols([ofd_right])
+            sets.append(aod_check(df, ctx, ofd_right=rr).removal_rows(ref))
+        if not sets:
+            raise ValueError("provide an OC (oc_left/oc_right) and/or ofd_right")
+        union = sets[0]
+        for s in sets[1:]:
+            union = union.unionByName(s)
+        self._n_rows = self._df.count()
+        self._removal = sorted(
+            r.row_ref for r in union.distinct().limit(cap).collect()
+        )
+
+    def get_removal_set(self) -> list:
+        return list(self._removal)
+
+    def get_error(self) -> float:
+        return len(self._removal) / self._n_rows
+
+    def holds(self, error: float = 0.0) -> bool:
+        return self.get_error() <= error
+
+
+class CfdVerifier(_Verifier):
+    """CFDVerifier analog (bind_cfd_verification.cpp). LHS/RHS pattern items
+    are (column, constant-or-None) pairs: None = variable (_)."""
+
+    def execute(self, lhs, rhs, minsup: int = 1, minconf: float = 1.0, cap: int = 100) -> None:
+        from pyspark_validator.checks.cfd import cfd_check
+
+        lhs = [(self._cols([c])[0], v) for c, v in lhs]
+        rhs = (self._cols([rhs[0]])[0], rhs[1])
+        check = cfd_check(
+            self._df, lhs, rhs, minsup=minsup, minconf=minconf, highlight_cap=cap
+        )
+        self._summary = check.summary().collect()[0]
+        self._highlights = (
+            [r.asDict() for r in check.highlights().collect()]
+            if self._summary.n_violating_rows > 0
+            else []
+        )
+
+    def cfd_holds(self) -> bool:
+        return bool(self._summary.holds)
+
+    def get_real_support(self) -> int:
+        return int(self._summary.support)
+
+    def get_real_confidence(self) -> float:
+        return float(self._summary.confidence)
+
+    def get_num_clusters_violating_cfd(self) -> int:
+        return int(self._summary.n_violating_clusters)
+
+    def get_num_rows_violating_cfd(self) -> int:
+        return int(self._summary.n_violating_rows)
+
+    def get_highlights(self) -> list[dict]:
+        return self._highlights
+
+
+class CindVerifier(_Verifier):
+    """CINDVerifier analog (cind_verifier.h:60-83). Open-world semantics:
+    real_validity = 1 - AIND g3' error over the conditioned LHS rows (distinct
+    value = basket level, like the reference's per-condition-value baskets);
+    real_completeness = conditioned-rows / all-LHS-rows (the reference's
+    included_support / included_baskets_total over per-basket itemsets is a
+    transaction encoding of the same two ratios)."""
+
+    def load_data(self, table, rhs_table=None) -> None:
+        self._df = self._resolve(table).persist()
+        self._df.count()
+        self._rhs_df = (
+            self._resolve(rhs_table).persist() if rhs_table is not None else self._df
+        )
+
+    def execute(
+        self,
+        lhs_indices,
+        rhs_indices,
+        lhs_condition=None,
+        rhs_condition=None,
+        min_validity: float = 1.0,
+        min_completeness: float = 1.0,
+        cap: int = 100,
+    ) -> None:
+        from pyspark_validator.checks.cind import cind_check
+
+        rhs_cols = (
+            [self._rhs_df.columns[i] for i in rhs_indices]
+            if all(isinstance(i, int) for i in rhs_indices)
+            else list(rhs_indices)
+        )
+        check = cind_check(
+            self._df,
+            self._cols(lhs_indices),
+            self._rhs_df,
+            rhs_cols,
+            lhs_condition=lhs_condition,
+            rhs_condition=rhs_condition,
+            violation_cap=cap,
+        )
+        self._summary = check.summary().collect()[0]
+        self._violations = (
+            [tuple(r) for r in check.violations().collect()]
+            if self._summary.n_violating_rows > 0
+            else []
+        )
+        self._min_validity = float(min_validity)
+        self._min_completeness = float(min_completeness)
+
+    def get_real_validity(self) -> float:
+        return 1.0 - float(self._summary.error)
+
+    def get_real_completeness(self) -> float:
+        total = int(self._summary.total_lhs_rows)
+        return (int(self._summary.support) / total) if total else 0.0
+
+    def holds(self) -> bool:
+        return (
+            self.get_real_validity() >= self._min_validity
+            and self.get_real_completeness() >= self._min_completeness
+        )
+
+    def get_violating_clusters_count(self) -> int:
+        return int(self._summary.n_violating_clusters)
+
+    def get_violating_rows_count(self) -> int:
+        return int(self._summary.n_violating_rows)
+
+    def get_violating_clusters(self) -> list[tuple]:
+        return self._violations
+
+
+class PacVerifier(_Verifier):
+    """DomainPACVerifier analog (domain_pac_verifier.h:70-79: get_pac,
+    get_highlights(eps_1, eps_2)). The domain is an interval, a value set, a
+    category set, or any pyspark Column distance expression (CustomDomain
+    analog)."""
+
+    def execute(
+        self,
+        column,
+        domain,
+        min_delta: float = 0.9,
+        steps: int = 100,
+        exact: bool = False,
+    ) -> None:
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.checks.pac import (
+            categorical_distance,
+            domain_pac_check,
+            interval_distance,
+            value_set_distance,
+        )
+
+        (name,) = self._cols([column])
+        if isinstance(domain, Column):
+            dist = domain
+        elif isinstance(domain, tuple) and len(domain) == 2:
+            dist = interval_distance(F.col(name), *domain)
+        elif isinstance(domain, (set, frozenset)):
+            dist = categorical_distance(F.col(name), sorted(domain))
+        elif isinstance(domain, list):
+            dist = value_set_distance(F.col(name), domain)
+        else:
+            raise TypeError(f"unsupported domain spec: {type(domain)}")
+        self._col_name = name
+        self._check = domain_pac_check(self._df, dist, exact=exact)
+        self._dist = dist
+        self._pac = self._check.elbow(min_delta=min_delta, steps=steps)
+
+    def get_pac(self) -> dict:
+        """DomainPAC analog: {'epsilon','delta','column_names'}."""
+        return {**self._pac, "column_names": [self._col_name]}
+
+    def get_highlights(self, eps_1: float = 0.0, eps_2: float = -1.0, cap: int = 100) -> list:
+        from pyspark.sql import functions as F
+
+        cond = self._dist > F.lit(float(eps_1))
+        if eps_2 >= 0:
+            cond = cond & (self._dist <= F.lit(float(eps_2)))
+        rows = (
+            self._df.filter(cond)
+            .select(F.col(self._col_name).alias("value"), self._dist.alias("distance"))
+            .orderBy(F.desc("distance"), F.asc("value"))
+            .limit(cap)
+            .collect()
+        )
+        return [(r["value"], float(r["distance"])) for r in rows]
+
+
+class ArVerifier(_Verifier):
+    """ARVerifier analog (bind_ar_verification.cpp). Input is the long
+    (tid, item) transaction encoding; the rule is LEFT -> RIGHT item lists.
+    get_clusters_violating_ar returns {priority_class: n_transactions}
+    (the reference's per-cluster index vectors are unbounded at scale)."""
+
+    def execute(
+        self,
+        left: list[str],
+        right: list[str],
+        tid_col: str = "tid",
+        item_col: str = "item",
+        minsup: float = 0.0,
+        minconf: float = 0.0,
+        cap: int = 1000,
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.checks.ar import ar_check
+
+        check = ar_check(
+            self._df, left, right, tid_col=tid_col, item_col=item_col,
+            minsup=minsup, minconf=minconf,
+        )
+        self._summary = check.summary().collect()[0]
+        self._clusters = {
+            r["priority"]: int(r["n_transactions"])
+            for r in check.clusters().collect()
+        }
+        nl = F.col("n_left")
+        full = (nl == len(check.left)) & (F.col("n_right") == len(check.right))
+        self._violating_tids = (
+            [
+                r["tid"]
+                for r in check._coverage.filter((nl > 0) & ~full)
+                .select("tid")
+                .orderBy("tid")
+                .limit(cap)
+                .collect()
+            ]
+            if self._summary.n_violating > 0
+            else []
+        )
+
+    def ar_holds(self) -> bool:
+        return bool(self._summary.holds)
+
+    def get_real_support(self) -> float:
+        return float(self._summary.support)
+
+    def get_real_confidence(self) -> float:
+        return float(self._summary.confidence)
+
+    def get_num_transactions_satisfying_ar(self) -> int:
+        return int(self._summary.n_satisfying)
+
+    def get_num_transactions_violating_ar(self) -> int:
+        return int(self._summary.n_violating)
+
+    def get_num_clusters_violating_ar(self) -> int:
+        return len([k for k, v in self._clusters.items() if v > 0])
+
+    def get_clusters_violating_ar(self) -> dict:
+        return dict(self._clusters)
+
+    def get_violating_transaction_ids(self) -> list:
+        return list(self._violating_tids)
+
+
+class DcVerifier(_Verifier):
+    """DCVerifier analog (bind_dc_verification.cpp: dc_holds,
+    get_violations). Predicates are (s_expr, op, t_expr) triples like
+    ('s.price', '<', 't.price')."""
+
+    def execute(
+        self,
+        predicates: list[tuple[str, str, str]],
+        row_ref: str | None = None,
+        allow_cross_join: bool = False,
+        cap: int = 100,
+    ) -> None:
+        from pyspark_validator.checks.dc import dc_check
+
+        check = dc_check(
+            self._df,
+            predicates,
+            row_ref=row_ref,
+            allow_cross_join=allow_cross_join,
+            highlight_cap=cap,
+        )
+        self._summary = check.summary().collect()[0]
+        self._violations = (
+            [(r["rid_s"], r["rid_t"]) for r in check.highlights().collect()]
+            if not self._summary.holds
+            else []
+        )
+
+    def dc_holds(self) -> bool:
+        return bool(self._summary.holds)
+
+    def get_violations(self) -> list[tuple]:
+        return list(self._violations)
+
+    def get_num_violating_pairs(self) -> int:
+        return int(self._summary.n_violating_pairs)
+
+
+class DdVerifier(_Verifier):
+    """DDVerifier analog (bind_dd_verification.cpp: dd_holds, get_error,
+    get_num_error_pairs, get_highlights). The DD is lhs/rhs {column: (lo, hi)}
+    range maps."""
+
+    def execute(self, lhs: dict, rhs: dict, row_ref: str | None = None, cap: int = 100) -> None:
+        from pyspark_validator.checks.dd import dd_check
+
+        check = dd_check(self._df, lhs, rhs, row_ref=row_ref, highlight_cap=cap)
+        self._summary = check.summary().collect()[0]
+        self._highlights = (
+            [r.asDict() for r in check.highlights().collect()]
+            if self._summary.n_violating_pairs > 0
+            else []
+        )
+
+    def dd_holds(self) -> bool:
+        return bool(self._summary.holds)
+
+    def get_error(self) -> float:
+        return float(self._summary.error)
+
+    def get_num_error_pairs(self) -> int:
+        return int(self._summary.n_violating_pairs)
+
+    def get_highlights(self) -> list[dict]:
+        return self._highlights
+
+
+class PfdVerifier(_Verifier):
+    """PFDVerifier analog (bind_pfd_verification.cpp: get_error,
+    get_num_violating_clusters, get_num_violating_rows,
+    get_violating_clusters). error_measure in {'per_tuple', 'per_value'}."""
+
+    def execute(
+        self, lhs_indices, rhs_indices, error_measure: str = "per_tuple", cap: int = 100
+    ) -> None:
+        from pyspark_validator.checks.fd import fd_check
+
+        check = fd_check(
+            self._df, self._cols(lhs_indices), self._cols(rhs_indices),
+            highlight_cap=cap,
+        )
+        self._row = check.pfd(measure=error_measure).collect()[0]
+        self._clusters = (
+            [r.asDict() for r in check.highlights().collect()]
+            if self._row.n_violating_clusters > 0
+            else []
+        )
+
+    def get_error(self) -> float:
+        return float(self._row.error)
+
+    def get_num_violating_clusters(self) -> int:
+        return int(self._row.n_violating_clusters)
+
+    def get_num_violating_rows(self) -> int:
+        return int(self._row.n_violating_rows)
+
+    def get_violating_clusters(self) -> list[dict]:
+        return self._clusters
+
+
+class AfdMetricCalculator(_Verifier):
+    """AFDMetricCalculator analog (bind_afd_metric_calculation.cpp:
+    get_result; metrics afd_metric.h: g2, tau, mu_plus, fi)."""
+
+    _METRICS = {"g2": "g2", "tau": "tau", "mu_plus": "mu_plus", "fi": "fi"}
+
+    def execute(self, lhs_indices, rhs_indices, metric: str = "g2") -> None:
+        from pyspark_validator.checks.fd import fd_check
+
+        if metric not in self._METRICS:
+            raise ValueError(f"unknown AFD metric: {metric}")
+        self._metric = metric
+        self._row = (
+            fd_check(self._df, self._cols(lhs_indices), self._cols(rhs_indices))
+            .afd_measures()
+            .collect()[0]
+        )
+
+    def get_result(self) -> float:
+        return float(self._row[self._METRICS[self._metric]])

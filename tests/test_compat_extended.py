@@ -1,0 +1,216 @@
+"""Reference-API facade tests for the round-2 verifier families: every
+remaining pybind verifier class (src/python_bindings/{mfd,nd,od,cfd,cind,pac,
+ar,dc,dd,pfd,afd_metric}) has a compat analog with the reference's getter
+names. Small closed-form inputs so every expected value is hand-checkable."""
+
+import pandas as pd
+import pytest
+
+from pyspark_validator.compat import (
+    AfdMetricCalculator,
+    ArVerifier,
+    CfdVerifier,
+    CindVerifier,
+    DcVerifier,
+    DdVerifier,
+    MetricVerifier,
+    NdVerifier,
+    OdVerifier,
+    PacVerifier,
+    PfdVerifier,
+)
+
+BERNOULLI = pd.DataFrame(
+    {
+        "a": [1, 0, 0, 0, 0, 0],
+        "b": [1, 0, 0, 1, 1, 0],
+        "c": [1, 0, 1, 0, 1, 0],
+        "d": [1, 1, 0, 1, 0, 0],
+        "e": [1, 1, 1, 1, 0, 1],
+        "f": [1, 1, 1, 0, 1, 1],
+    }
+)
+
+
+def test_metric_verifier(spark):
+    v = MetricVerifier(spark)
+    v.load_data(pd.DataFrame({"x": ["a", "a", "b"], "y": [1.0, 5.0, 2.0]}))
+    v.execute(["x"], ["y"], metric="euclidean", parameter=3.0)
+    assert not v.mfd_holds()
+    hl = v.get_highlights()
+    assert len(hl) == 1 and hl[0]["max_distance"] == pytest.approx(4.0)
+    v.execute(["x"], ["y"], metric="euclidean", parameter=4.0)
+    assert v.mfd_holds()
+
+
+def test_nd_verifier(spark):
+    # c0 -> c1 with 4 distinct c1 values under the single c0 value
+    df = pd.DataFrame(
+        {"c0": ["1"] * 12, "c1": list("aaabbbcccddd")}
+    )
+    v = NdVerifier(spark)
+    v.load_data(df)
+    v.execute(["c0"], ["c1"], weight=4)
+    assert v.nd_holds and v.real_weight == 4 and v.global_min_weight == 4
+    assert v.highlights == []
+    v.execute(["c0"], ["c1"], weight=3)
+    assert not v.nd_holds
+    (h,) = v.highlights
+    assert h["lhs_value"] == "1"
+    assert h["occurrences_number"] == 12
+    assert h["distinct_rhs_values_number"] == 4
+    assert sorted(h["most_frequent_rhs_values"]) == ["a", "b", "c", "d"]
+    assert v.get_lhs_frequencies() == {"1": 12}
+    assert v.get_rhs_frequencies()["a"] == 3
+
+
+def test_od_verifier_reference_positional_parity(spark):
+    """test_set_based_verifier.cpp Bernoulli cases: a pandas load gets
+    positional row ids, so removal sets match the reference's 0-based indices
+    verbatim."""
+    v = OdVerifier(spark)
+    v.load_data(BERNOULLI)
+    # {A}: D<= ~ E<= , {A}: [] -> F  => {3}
+    v.execute(oc_context=["a"], oc_left="d", oc_right="e", ofd_context=["a"], ofd_right="f")
+    assert v.get_removal_set() == [3]
+    assert not v.holds()
+    assert v.holds(error=0.2)
+    assert v.get_error() == pytest.approx(1 / 6)
+    # {A}: D>= ~ E<= , {A}: [] -> E  => {4}
+    v.execute(
+        oc_context=["a"], oc_left="d", oc_right="e",
+        oc_left_ordering="descending", ofd_context=["a"], ofd_right="e",
+    )
+    assert v.get_removal_set() == [4]
+    # {}: C>= ~ B<= , {D}: [] -> C  => {0, 4, 5}  (empty OC context)
+    v.execute(
+        oc_context=[], oc_left="c", oc_right="b",
+        oc_left_ordering="descending", ofd_context=["d"], ofd_right="c",
+    )
+    assert v.get_removal_set() == [0, 4, 5]
+
+
+def test_cfd_verifier(spark):
+    # pattern (x='p', y=_) -> z=_ over 4 supported rows, one violating
+    df = pd.DataFrame(
+        {
+            "x": ["p", "p", "p", "p", "q"],
+            "y": ["u", "u", "u", "v", "u"],
+            "z": ["1", "1", "2", "3", "9"],
+        }
+    )
+    v = CfdVerifier(spark)
+    v.load_data(df)
+    v.execute(lhs=[("x", "p"), ("y", None)], rhs=("z", None), minsup=3, minconf=0.5)
+    assert v.get_real_support() == 4
+    # group (p,u): mode count 2 of 3 -> 1 violation; group (p,v): clean
+    assert v.get_num_rows_violating_cfd() == 1
+    assert v.get_num_clusters_violating_cfd() == 1
+    assert v.get_real_confidence() == pytest.approx(1 - 1 / 4)
+    assert v.cfd_holds()
+    hl = v.get_highlights()
+    assert len(hl) == 1 and hl[0]["violations"] == 1
+
+
+def test_cind_verifier(spark):
+    lhs = pd.DataFrame({"k": [1, 1, 2, 3], "cond": ["O", "O", "O", "F"]})
+    rhs = pd.DataFrame({"k": [1, 9]})
+    v = CindVerifier(spark)
+    v.load_data(lhs, rhs)
+    v.execute(["k"], ["k"], lhs_condition="cond = 'O'", min_validity=0.5,
+              min_completeness=0.5)
+    # conditioned distinct lhs: {1, 2}; 2 not included -> g3' validity 1/2
+    # (basket-level, like the reference's per-condition-value baskets)
+    assert v.get_real_validity() == pytest.approx(1 / 2)
+    assert v.get_real_completeness() == pytest.approx(3 / 4)
+    assert v.holds()  # 0.5 >= 0.5 and 0.75 >= 0.5
+    assert v.get_violating_rows_count() == 1
+    assert v.get_violating_clusters_count() == 1
+
+
+def test_pac_verifier(spark):
+    df = pd.DataFrame({"v": [float(i) for i in range(10)]})
+    v = PacVerifier(spark)
+    v.load_data(df)
+    v.execute("v", domain=(0.0, 5.0), exact=True)
+    pac = v.get_pac()
+    assert set(pac) >= {"epsilon", "delta", "column_names"}
+    hl = v.get_highlights(eps_1=0.0)
+    # values 6..9 lie outside [0,5] by 1..4, sorted by distance desc
+    assert [h[0] for h in hl] == [9.0, 8.0, 7.0, 6.0]
+    assert v.get_highlights(eps_1=2.0, eps_2=3.0) == [(8.0, 3.0)]
+
+
+def test_ar_verifier(spark):
+    df = pd.DataFrame(
+        {
+            "tid": [1, 1, 2, 2, 3, 4],
+            "item": ["l", "r", "l", "r", "l", "x"],
+        }
+    )
+    v = ArVerifier(spark)
+    v.load_data(df)
+    v.execute(left=["l"], right=["r"], minsup=0.5, minconf=0.5)
+    assert v.get_real_support() == pytest.approx(2 / 4)
+    assert v.get_real_confidence() == pytest.approx(2 / 3)
+    assert v.get_num_transactions_satisfying_ar() == 2
+    assert v.get_num_transactions_violating_ar() == 1  # tid 3: left, no right
+    assert v.ar_holds()
+    assert v.get_violating_transaction_ids() == [3]
+    assert v.get_num_clusters_violating_ar() >= 1
+
+
+def test_dc_verifier(spark):
+    # DC: no two rows share k with s.v > t.w (planted violation rows 1,2)
+    df = pd.DataFrame(
+        {"rid": [1, 2, 3], "k": [7, 7, 8], "v": [10.0, 1.0, 1.0], "w": [5.0, 5.0, 5.0]}
+    )
+    v = DcVerifier(spark)
+    v.load_data(df)
+    v.execute(
+        [("s.k", "==", "t.k"), ("s.v", ">", "t.w")], row_ref="rid"
+    )
+    assert not v.dc_holds()
+    assert v.get_num_violating_pairs() == 1
+    assert v.get_violations() == [(1, 2)]
+
+
+def test_dd_verifier(spark):
+    df = pd.DataFrame(
+        {"rid": [1, 2, 3], "x": [1.0, 1.5, 9.0], "y": [10.0, 30.0, 11.0]}
+    )
+    v = DdVerifier(spark)
+    v.load_data(df)
+    # lhs pair (rows 1,2: |dx|=0.5 in [0,1]) must have |dy| <= 5 -> violated (20)
+    v.execute(lhs={"x": (0.0, 1.0)}, rhs={"y": (0.0, 5.0)}, row_ref="rid")
+    assert not v.dd_holds()
+    assert v.get_num_error_pairs() == 1
+    assert v.get_error() == pytest.approx(1.0)
+    (h,) = v.get_highlights()
+    assert (h["rid_a"], h["rid_b"]) == (1, 2)
+
+
+def test_pfd_verifier(spark):
+    df = pd.DataFrame({"x": ["a", "a", "a", "b"], "y": ["1", "1", "2", "1"]})
+    v = PfdVerifier(spark)
+    v.load_data(df)
+    v.execute(["x"], ["y"], error_measure="per_tuple")
+    assert v.get_error() == pytest.approx(1 - 3 / 4)
+    assert v.get_num_violating_clusters() == 1
+    assert v.get_num_violating_rows() == 1
+    assert len(v.get_violating_clusters()) == 1
+    v.execute(["x"], ["y"], error_measure="per_value")
+    assert v.get_error() == pytest.approx(1 - (2 / 3 + 1) / 2)
+
+
+def test_afd_metric_calculator(spark):
+    df = pd.DataFrame({"x": ["a", "a", "a", "b"], "y": ["1", "1", "2", "1"]})
+    v = AfdMetricCalculator(spark)
+    v.load_data(df)
+    v.execute(["x"], ["y"], metric="g2")
+    assert v.get_result() == pytest.approx(3 / 4)  # rows in conflicted clusters / n
+    for m in ("tau", "mu_plus", "fi"):
+        v.execute(["x"], ["y"], metric=m)
+        assert 0.0 <= v.get_result() <= 1.0
+    with pytest.raises(ValueError):
+        v.execute(["x"], ["y"], metric="nope")
