@@ -1428,6 +1428,38 @@ FROM g
 """
 
 
+def q_aod_removal_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OFD removal SET itself (reference verifier.cpp:74-76 semantics, the
+    per-row witness a user deletes to make the OD hold): every order whose
+    priority is not its customer's most frequent one, deterministic mode
+    tie-break toward the smallest value. Top-200 by key for a bounded result."""
+    from pyspark_validator.checks.od import aod_check
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = aod_check(o, ["o_custkey"], ofd_right="o_orderpriority").removal_rows(
+        "o_orderkey"
+    )
+    return (
+        rows.select(F.col("row_ref").alias("o_orderkey"))
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+SQL_AOD_REMOVAL_ROWS_ORDERS = """
+WITH vc AS (SELECT o_custkey, o_orderpriority, count(*) AS c FROM orders GROUP BY 1, 2),
+mx AS (SELECT o_custkey, max(c) AS maxc FROM vc GROUP BY 1),
+mode AS (SELECT vc.o_custkey, min(vc.o_orderpriority) AS m
+         FROM vc JOIN mx ON vc.o_custkey = mx.o_custkey AND vc.c = mx.maxc
+         GROUP BY 1)
+SELECT o.o_orderkey
+FROM orders o JOIN mode ON o.o_custkey = mode.o_custkey
+WHERE o.o_orderpriority IS DISTINCT FROM mode.m
+ORDER BY o.o_orderkey
+LIMIT 200
+"""
+
+
 def q_aod_oc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OC order-compatibility (o_orderdate ~ o_totalprice within each customer).
     No SQL oracle: the minimal removal set needs a longest-nondecreasing-
@@ -2599,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mfd_levenshtein_nation": q_mfd_levenshtein_nation,
         "sd_events_gap": q_sd_events_gap,
         "aod_ofd_orders": q_aod_ofd_orders,
+        "aod_removal_rows_orders": q_aod_removal_rows_orders,
         "aod_oc_orders": q_aod_oc_orders,
         "cfd_orders_priority": q_cfd_orders_priority,
         "ar_events_click_view": q_ar_events_click_view,
@@ -2674,6 +2707,7 @@ def oracle_sql() -> dict[str, str]:
         "mfd_levenshtein_nation": SQL_MFD_LEVENSHTEIN_NATION,
         "sd_events_gap": SQL_SD_EVENTS_GAP,
         "aod_ofd_orders": SQL_AOD_OFD_ORDERS,
+        "aod_removal_rows_orders": SQL_AOD_REMOVAL_ROWS_ORDERS,
         # aod_oc_orders: no oracle (per-group LNDS is not SQL-expressible) ->
         # rows-only driver check; the OFD variant above is value-checked.
         "cfd_orders_priority": SQL_CFD_ORDERS_PRIORITY,

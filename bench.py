@@ -95,6 +95,8 @@ HEADLINE = [
     # pay ~3 scans per column) + real-codec payload conformance
     "sketch_profile_lineitem",
     "media_conformance_planted",
+    # round 2 session 5: AOD removal-set witness rows (union semantics)
+    "aod_removal_rows_orders",
 ]
 
 
