@@ -1253,3 +1253,107 @@ class AfdMetricCalculator(_Verifier):
 
     def get_result(self) -> float:
         return float(self._row[self._METRICS[self._metric]])
+
+
+class DynamicFdVerifier(_Verifier):
+    """DynamicFDVerifier analog (bind_dynamic_fd_verification.cpp: fd_holds,
+    get_error, get_num_error_clusters, get_highlights). load_data seeds the
+    versioned count state (dynamic_position_list_index.h:32-34 cluster-map
+    semantics); each execute() folds an insert/delete/update delta batch and
+    the getters read the rolled-up state without rescanning the base table.
+    Updates are (old_rows, new_rows) -- the reference's row-id updates reduce
+    to delete-old + insert-new at the value level."""
+
+    def __init__(self, spark: SparkSession | None = None, state_path: str | None = None):
+        super().__init__(spark)
+        self._state_path = state_path
+        self._inc = None
+
+    def load_data(self, table, lhs_indices=None, rhs_indices=None) -> None:
+        import tempfile
+
+        from pyspark_validator.incremental import IncrementalFD
+
+        self._df = self._resolve(table)
+        if lhs_indices is None or rhs_indices is None:
+            raise ValueError("DynamicFdVerifier.load_data needs lhs_indices and rhs_indices")
+        path = self._state_path or tempfile.mkdtemp(prefix="dynfd_state_")
+        spark = self._spark or SparkSession.active()
+        self._inc = IncrementalFD(
+            spark, path, self._cols(lhs_indices), self._cols(rhs_indices)
+        )
+        self._inc.initialize(self._df)
+
+    def _resolve_rows(self, rows):
+        if rows is None:
+            return None
+        return self._resolve(
+            pd.DataFrame(rows, columns=self._df.columns)
+            if isinstance(rows, list)
+            else rows
+        )
+
+    def execute(self, insert=None, delete=None, update=None) -> None:
+        """Fold one delta batch. insert/delete: row lists or DataFrames with
+        the base schema; update: (old_rows, new_rows)."""
+        if self._inc is None:
+            raise RuntimeError("call load_data first")
+        ins = self._resolve_rows(insert)
+        dels = self._resolve_rows(delete)
+        if update is not None:
+            old, new = update
+            old_df, new_df = self._resolve_rows(old), self._resolve_rows(new)
+            dels = old_df if dels is None else dels.unionByName(old_df)
+            ins = new_df if ins is None else ins.unionByName(new_df)
+        if ins is not None or dels is not None:
+            self._inc.apply_delta(inserts=ins, deletes=dels)
+        from pyspark.sql import functions as F
+
+        self._rollup = (
+            self._inc.verdicts()
+            .agg(
+                F.sum("n_rows").alias("n"),
+                F.sum("n_error_clusters").alias("clusters"),
+                F.sum("n_error_rows").alias("rows"),
+                F.sum("conflict_pairs").alias("cp"),
+            )
+            .collect()[0]
+        )
+
+    def fd_holds(self) -> bool:
+        return int(self._rollup.clusters) == 0
+
+    def get_error(self) -> float:
+        n = int(self._rollup.n)
+        return (int(self._rollup.cp) / (n * (n - 1))) if n > 1 else 0.0
+
+    def get_num_error_clusters(self) -> int:
+        return int(self._rollup.clusters)
+
+    def get_num_error_rows(self) -> int:
+        return int(self._rollup.rows)
+
+    def get_highlights(self, cap: int = 100) -> list[dict]:
+        """Violating X clusters from state: lhs values + cluster_size +
+        num_distinct_rhs_values, largest first, capped."""
+        from pyspark.sql import functions as F
+
+        s = self._inc.state.read()
+        x_level = s.groupBy(*self._inc.lhs).agg(
+            F.sum("ycnt").alias("cluster_size"),
+            F.count(F.lit(1)).alias("num_distinct_rhs_values"),
+        )
+        rows = (
+            x_level.filter(F.col("num_distinct_rhs_values") > 1)
+            .orderBy(F.desc("cluster_size"), *[F.asc_nulls_first(c) for c in self._inc.lhs])
+            .limit(cap)
+            .collect()
+        )
+        return [
+            {
+                "lhs_values": [r[c] for c in self._inc.lhs],
+                "cluster_size": int(r["cluster_size"]),
+                "num_distinct_rhs_values": int(r["num_distinct_rhs_values"]),
+            }
+            for r in rows
+        ]

@@ -214,3 +214,48 @@ def test_afd_metric_calculator(spark):
         assert 0.0 <= v.get_result() <= 1.0
     with pytest.raises(ValueError):
         v.execute(["x"], ["y"], metric="nope")
+
+
+def test_dynamic_fd_verifier(spark, tmp_path):
+    """dynamic_fd_verification facade over the golden case
+    (test_dynamic_fd_verifier.cpp: lhs {0..4} -> rhs {5}, insert batch =>
+    1 error cluster, 2 error rows, error 1/105)."""
+    from pyspark_validator.compat import DynamicFdVerifier
+
+    INIT = [
+        ("1", "1", "1", "1.233", "-", "1"),
+        ("1", "1", "1", "0", "8", "2"),
+        ("1", "1", "2.1", "0", "8", "3"),
+        ("1", "2", "2", "hjkl", "444", "4"),
+        ("1", "2", "2", "hjkl", "444", "4"),
+        ("1", "2", "", "hjkl", "444", "5"),
+        ("1", "3", "3", "0", "9", "6"),
+        ("1", "3", "3", "0", "9", "6"),
+        ("1", "3", "NULL", "999", "-", "7"),
+        ("1", "4", "4", "hjkl", "555", "8"),
+        ("1", "4", "4", "hjkl", "555", "8"),
+        ("1", "4", "abc", "hjkl", "555", "9"),
+    ]
+    INSERT = [
+        ("1", "5", "5", "mnop", "10", "10"),
+        ("1", "5", "5", "mnop", "10", "11"),
+        ("1", "5", "666", "hjkl", "666", "11"),
+    ]
+    cols = [f"c{i}" for i in range(6)]
+    v = DynamicFdVerifier(spark, state_path=str(tmp_path / "state"))
+    v.load_data(pd.DataFrame(INIT, columns=cols), lhs_indices=[0, 1, 2, 3, 4],
+                rhs_indices=[5])
+    v.execute()  # no delta: verdict over the initial state
+    # every repeated LHS cluster in INIT carries a constant rhs -> holds
+    assert v.fd_holds() and v.get_num_error_clusters() == 0
+    v2 = DynamicFdVerifier(spark, state_path=str(tmp_path / "state2"))
+    v2.load_data(pd.DataFrame(INIT, columns=cols), lhs_indices=[0, 1, 2, 3, 4],
+                 rhs_indices=[5])
+    v2.execute(insert=INSERT)
+    assert not v2.fd_holds()
+    assert v2.get_num_error_clusters() == 1
+    assert v2.get_num_error_rows() == 2
+    assert v2.get_error() == pytest.approx(2 / (15 * 14))
+    (h,) = v2.get_highlights()
+    assert h["lhs_values"] == ["1", "5", "5", "mnop", "10"]
+    assert h["num_distinct_rhs_values"] == 2
