@@ -450,7 +450,10 @@ def _sketch_profile_frame(
                             (hu * np.uint64(2 * d + 1) + np.uint64(d * 0x9E3779B9))
                             & _MASK64
                         ) % np.uint64(cms_width)
-                        np.add.at(tables[i][d], idx.astype(np.int64), 1)
+                        # bincount beats np.add.at ~3x at these widths
+                        tables[i][d] += np.bincount(
+                            idx.astype(np.int64), minlength=cms_width
+                        )
                 if num:
                     v = b[f"v{i}"].to_numpy(dtype=np.float64)
                     v = v[~np.isnan(v)]
