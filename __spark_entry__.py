@@ -2085,6 +2085,115 @@ FROM customer GROUP BY 1 ORDER BY 1
 """
 
 
+def q_text_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gates (pipelines/text.py::repetition_signals) over
+    the first 500 documents: most frequent word 2-gram + its character
+    coverage, and the duplicate word-5-gram fraction. Zero-shuffle array
+    lambdas; the oracle rebuilds the same mode with a min-gram tie-break."""
+    from pyspark_validator.pipelines.text import repetition_signals
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    r = repetition_signals(d, top_n=2, dup_n=5)
+    return r.select(
+        "doc_id",
+        "top_ngram",
+        _r(F.col("top_ngram_char_frac"), 9).alias("top_ngram_char_frac"),
+        _r(F.col("dup_ngram_frac"), 9).alias("dup_ngram_frac"),
+    )
+
+
+SQL_TEXT_REPETITION_DOCS = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id < 500),
+w AS (SELECT doc_id,
+             string_split(trim(regexp_replace(t, '\s+', ' ', 'g')), ' ') AS w,
+             length(regexp_replace(t, '\s', '', 'g')) AS ns
+      FROM d),
+g2 AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       FROM w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mc FROM gc GROUP BY 1),
+top AS (SELECT gc.doc_id, min(gc.gram) AS gram, max(gc.c) AS c
+        FROM gc JOIN mx ON gc.doc_id = mx.doc_id AND gc.c = mx.mc
+        GROUP BY 1),
+g5 AS (SELECT w.doc_id,
+              greatest(len(w.w) - 4, 0) AS total,
+              (SELECT count(DISTINCT array_to_string(w.w[i:i+4], ' '))
+               FROM unnest(generate_series(1, greatest(len(w.w) - 4, 0))) AS t(i)) AS dist
+       FROM w)
+SELECT w.doc_id,
+       coalesce(top.gram, '') AS top_ngram,
+       round(CASE WHEN w.ns > 0 AND top.c IS NOT NULL
+                  THEN top.c * length(replace(top.gram, ' ', '')) * 1.0 / w.ns
+                  ELSE 0.0 END, 9) AS top_ngram_char_frac,
+       round(CASE WHEN g5.total > 0
+                  THEN (g5.total - g5.dist) * 1.0 / g5.total
+                  ELSE 0.0 END, 9) AS dup_ngram_frac
+FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+       LEFT JOIN g5 ON w.doc_id = g5.doc_id
+"""
+
+
+#: Planted PII corpus, identical literals on both engines.
+_PII_ROWS = [
+    (0, "plain text without any identifiers at all"),
+    (1, "reach bob.smith+x@corp.example.com or alice@ex.org today"),
+    (2, "see https://example.com/a?b=1 and http://ex.org/path"),
+    (3, "server at 10.0.0.1 fell back to 192.168.10.20 overnight"),
+    (4, "call +1 555 123 4567 or 020-7946-0958 now"),
+    (5, "mixed: a@b.io via https://b.io from 8.8.8.8 dial 99887766554"),
+]
+
+
+def q_text_pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (pipelines/text.py) on a planted corpus:
+    counts per kind and the redacted text itself, byte-compared vs the
+    oracle's identical regexp chain."""
+    from pyspark_validator.pipelines.text import pii_signals, redact_pii
+
+    d = spark.createDataFrame(_PII_ROWS, ["doc_id", "text"])
+    out = redact_pii(pii_signals(d))
+    return out.select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "redacted"
+    ).orderBy("doc_id")
+
+
+def _sql_pii_values() -> str:
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _PII_ROWS
+    )
+    return vals
+
+
+SQL_TEXT_PII_PLANTED = r"""
+WITH d(doc_id, text) AS (VALUES {vals}),
+pats AS (SELECT
+  'https?://[^\s]+' AS url,
+  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}' AS email,
+  '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b' AS ipv4,
+  '\+?\d[\d -]{{7,}}\d' AS phone),
+s AS (SELECT doc_id, text,
+             len(regexp_extract_all(text, (SELECT url FROM pats))) AS n_url,
+             regexp_replace(text, (SELECT url FROM pats), ' ', 'g') AS t1
+      FROM d),
+s2 AS (SELECT *, len(regexp_extract_all(t1, (SELECT email FROM pats))) AS n_email,
+              regexp_replace(t1, (SELECT email FROM pats), ' ', 'g') AS t2 FROM s),
+s3 AS (SELECT *, len(regexp_extract_all(t2, (SELECT ipv4 FROM pats))) AS n_ipv4,
+              regexp_replace(t2, (SELECT ipv4 FROM pats), ' ', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, len(regexp_extract_all(t3, (SELECT phone FROM pats))) AS n_phone FROM s3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_url AS BIGINT) AS n_url, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phone AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           (SELECT url FROM pats), '<URL>', 'g'),
+           (SELECT email FROM pats), '<EMAIL>', 'g'),
+           (SELECT ipv4 FROM pats), '<IPV4>', 'g'),
+           (SELECT phone FROM pats), '<PHONE>', 'g') AS redacted
+FROM s4 ORDER BY doc_id
+""".format(vals=_sql_pii_values())
+
+
+
 def q_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher line-level boilerplate filter (pipelines/text.py::line_filter)
     over a deterministic multi-line view of documents (the corpus itself is
@@ -2650,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_fused_delta": q_incremental_fused_delta,
         "sfd_orders_priority_status": q_sfd_orders_priority_status,
         "text_line_filter": q_text_line_filter,
+        "text_repetition_docs": q_text_repetition_docs,
+        "text_pii_planted": q_text_pii_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
         "schema_verdict_docs": q_schema_verdict_docs,
         "span_integrity_planted": q_span_integrity_planted,
@@ -2727,6 +2838,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_fused_delta": SQL_INCREMENTAL_FUSED_DELTA,
         "sfd_orders_priority_status": SQL_SFD_ORDERS_PRIORITY_STATUS,
         "text_line_filter": SQL_TEXT_LINE_FILTER,
+        "text_repetition_docs": SQL_TEXT_REPETITION_DOCS,
+        "text_pii_planted": SQL_TEXT_PII_PLANTED,
         "semantic_dedup_planted": SQL_SEMANTIC_DEDUP_PLANTED,
         "schema_verdict_docs": SQL_SCHEMA_VERDICT_DOCS,
         "span_integrity_planted": SQL_SPAN_INTEGRITY_PLANTED,

@@ -95,8 +95,11 @@ HEADLINE = [
     # pay ~3 scans per column) + real-codec payload conformance
     "sketch_profile_lineitem",
     "media_conformance_planted",
-    # round 2 session 5: AOD removal-set witness rows (union semantics)
+    # round 2 session 5: AOD removal-set witness rows (union semantics) +
+    # Gopher repetition gates + PII detection/redaction
     "aod_removal_rows_orders",
+    "text_repetition_docs",
+    "text_pii_planted",
 ]
 
 

@@ -222,3 +222,149 @@ def line_filter(
         .withColumn("keep_doc", keep_doc)
         .withColumn("clean_text", F.array_join(kept, "\n"))
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021, Table A1), zero-shuffle.
+
+    Adds per document:
+      * dup_line_frac       -- 1 - distinct lines / lines,
+      * dup_line_char_frac  -- chars on repeated lines / chars on all lines,
+      * top_ngram_char_frac -- chars covered by the most frequent word
+                               ``top_n``-gram (count * gram length / non-space
+                               chars); ties break to the lexicographically
+                               smallest gram,
+      * dup_ngram_frac      -- 1 - distinct / total word ``dup_n``-grams
+                               (count-level simplification of Gopher's
+                               char-level duplicate n-gram mass).
+
+    All pure JVM array lambdas: the mode-of-array is a run-length scan over
+    the SORTED gram array via F.aggregate -- no explode, no shuffle, so the
+    operator composes with every other per-document expression in one scan.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    total_line_chars = chars_of(lines)
+    dist_line_chars = chars_of(F.array_distinct(lines))
+
+    words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    n_words = F.size(words)
+
+    def grams(n: int):
+        # sequence(0, stop) runs BACKWARDS when stop < 0 -- guard short docs
+        # with an explicit empty array instead
+        return F.when(
+            n_words >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_words - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sorted_top = F.array_sort(grams(top_n))
+    # run-length scan: (prev, run, best_run, best_gram); strict > keeps the
+    # first (= smallest) gram among ties
+    scan = F.aggregate(
+        sorted_top,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_run"),
+            F.lit("").alias("best_gram"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best_run"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc["best_run"])
+            .alias("best_run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best_run"],
+                x,
+            )
+            .otherwise(acc["best_gram"])
+            .alias("best_gram"),
+        ),
+    )
+    # CollapseProject would re-inline the aggregate once per consumer; pin it
+    # behind a Generate barrier (see language_id note)
+    df = df.withColumn("__scan", F.explode(F.array(scan)))
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    gram_chars = F.length(F.regexp_replace(F.col("__scan.best_gram"), " ", ""))
+    dup_grams = grams(dup_n)
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_line_frac", frac((n_lines - n_dist_lines), n_lines))
+        .withColumn(
+            "dup_line_char_frac",
+            frac(total_line_chars - dist_line_chars, total_line_chars),
+        )
+        .withColumn("top_ngram", F.col("__scan.best_gram"))
+        .withColumn(
+            "top_ngram_char_frac",
+            frac(F.col("__scan.best_run") * gram_chars, nonspace),
+        )
+        .withColumn(
+            "dup_ngram_frac",
+            frac(
+                F.size(dup_grams) - F.size(F.array_distinct(dup_grams)),
+                F.size(dup_grams),
+            ),
+        )
+        .drop("__scan")
+    )
+
+
+#: PII patterns, shared by detection and redaction. Deliberately restricted to
+#: syntax valid in BOTH Java regex (Spark) and RE2-ish engines (DuckDB oracle):
+#: no backrefs, no lookaround.
+PII_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+#: Redaction order: URLs first (may embed emails/digits), then emails, then
+#: IPs, then the greedy phone heuristic.
+_PII_ORDER = ["url", "email", "ipv4", "phone"]
+
+
+def pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII counts (n_url / n_email / n_ipv4 / n_phone) -- pure
+    regexp_count exprs, one scan. The phone pattern is a digit-run heuristic
+    (>= 9 digits with optional spaces/hyphens), counted AFTER conceptually
+    removing URLs/emails/IPs so an IP's octets don't double-count as a phone."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    stripped = t
+    for kind in _PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(stripped, F.lit(pat)).cast("long")
+        )
+        stripped = F.regexp_replace(stripped, pat, " ")
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Replace each PII match with a typed token (<URL>/<EMAIL>/<IPV4>/<PHONE>)
+    in redaction order. One scan, chained JVM regexp_replace."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    for kind in _PII_ORDER:
+        t = F.regexp_replace(t, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.withColumn(out_col, t)

@@ -454,3 +454,57 @@ def test_media_conformance_clean_and_corrupted(spark):
     v2 = media_conformance_check(corrupted, num_partitions=4)
     assert sum(r.n_undecodable for r in v2.collect()) == 1
     assert sum(r.n_meta_mismatch for r in v2.collect()) == 1
+
+
+def test_repetition_signals_closed_form(spark):
+    """Hand-checked Gopher gates: 'a b'x3 of 11 words; dup lines 'l1'."""
+    from pyspark_validator.pipelines.text import repetition_signals
+
+    rows = [
+        (1, "a b a b a b c\nx y\nx y"),
+        (2, "hello world"),
+        (3, "l1\nl1\nl2"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in repetition_signals(df, top_n=2, dup_n=2).collect()
+    }
+    assert out[1].top_ngram == "a b"
+    assert out[1].top_ngram_char_frac == pytest.approx(6 / 11)
+    assert out[1].dup_ngram_frac == pytest.approx(0.4)  # 10 grams, 6 distinct
+    assert out[1].dup_line_frac == pytest.approx(1 / 3)  # 'x y' repeats
+    assert out[3].dup_line_frac == pytest.approx(1 / 3)
+    assert out[3].dup_line_char_frac == pytest.approx(2 / 6)
+    assert out[2].top_ngram == "hello world"
+    assert out[2].top_ngram_char_frac == pytest.approx(1.0)
+    assert out[4].top_ngram == "" and out[4].top_ngram_char_frac == 0.0
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """The whole operator must stay in one stage: no Exchange in the plan."""
+    from pyspark_validator.pipelines.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_signals_and_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.text import pii_signals, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io via https://b.io from 10.0.0.1 call +1 555 123 4567")],
+        ["doc_id", "text"],
+    )
+    r = pii_signals(df).collect()[0]
+    assert (r.n_url, r.n_email, r.n_ipv4, r.n_phone) == (1, 1, 1, 1)
+    red = redact_pii(df).collect()[0].redacted
+    assert red == "mail <EMAIL> via <URL> from <IPV4> call <PHONE>"
+    # an IP must not double-count as a phone number
+    ip_only = spark.createDataFrame([(1, "host 192.168.10.20 up")], ["doc_id", "text"])
+    r2 = pii_signals(ip_only).collect()[0]
+    assert (r2.n_ipv4, r2.n_phone) == (1, 0)
