@@ -252,6 +252,59 @@ class FusedPass:
         merges = {f"{n}__n_rows": "sum", f"{n}__n_null": "sum"}
         return self._add(_Member(n, exprs, merges, finish))
 
+    def add_pii_budget(
+        self,
+        name: str,
+        text_col: str = "text",
+        max_doc_fraction: float = 0.0,
+        kinds: list[str] | None = None,
+    ) -> "FusedPass":
+        """PII budget gate: a partition holds iff at most ``max_doc_fraction``
+        of its documents contain any PII match (pipelines/text.py patterns,
+        applied in the same strip order as pii_signals so an IP's octets never
+        double-count as a phone). Pure-sum partials: folds deltas AND retracts
+        deletes through IncrementalFused. Emits per-kind match totals for the
+        metrics time-series."""
+        from pyspark_validator.pipelines.text import _PII_ORDER, PII_PATTERNS
+
+        n = _ident(name)
+        use = [k for k in _PII_ORDER if kinds is None or k in kinds]
+        if not use:
+            raise ValueError("kinds filtered every PII pattern away")
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        counts: dict[str, Column] = {}
+        stripped = t
+        for kind in _PII_ORDER:
+            pat = PII_PATTERNS[kind]
+            if kind in use:
+                counts[kind] = F.regexp_count(stripped, F.lit(pat))
+            stripped = F.regexp_replace(stripped, pat, " ")
+        any_pii = sum(counts.values(), F.lit(0)) > 0
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_rows"),
+            F.sum(any_pii.cast("long")).alias(f"{n}__n_pii_docs"),
+            *[
+                F.sum(c.cast("long")).alias(f"{n}__n_{kind}")
+                for kind, c in counts.items()
+            ],
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            n_rows = F.col(f"{n}__n_rows")
+            n_docs = F.col(f"{n}__n_pii_docs")
+            return g.select(
+                "partition_id",
+                (n_docs <= F.lit(max_doc_fraction) * n_rows).alias("holds"),
+                n_rows.alias("n_rows"),
+                n_docs.alias("n_pii_docs"),
+                (n_docs / n_rows).alias("pii_doc_fraction"),
+                *[F.col(f"{n}__n_{kind}").alias(f"n_{kind}") for kind in counts],
+            )
+
+        merges = {f"{n}__n_rows": "sum", f"{n}__n_pii_docs": "sum"}
+        merges.update({f"{n}__n_{kind}": "sum" for kind in counts})
+        return self._add(_Member(n, exprs, merges, finish))
+
     def add_type_conformance(
         self,
         name: str,
@@ -657,7 +710,8 @@ class IncrementalFused:
 
 FUSABLE_KINDS = frozenset(
     {"nar", "ac", "row_predicate", "completeness", "numeric_profile",
-     "histogram_drift", "distinct", "type_conformance", "span_integrity"}
+     "histogram_drift", "distinct", "type_conformance", "span_integrity",
+     "pii_budget"}
 )
 
 
@@ -710,6 +764,13 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
         p.add_span_integrity(
             name,
             spans_col=params.get("spans_col", "spans"),
+            kinds=params.get("kinds"),
+        )
+    elif kind == "pii_budget":
+        p.add_pii_budget(
+            name,
+            text_col=params.get("text_col", "text"),
+            max_doc_fraction=params.get("max_doc_fraction", 0.0),
             kinds=params.get("kinds"),
         )
     elif kind == "histogram_drift":

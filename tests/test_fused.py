@@ -500,3 +500,56 @@ def test_runner_agg_kinds_standalone_without_fuse(spark, orders):
         assert len(rows) == 8, name
         assert {r.partition_id for r in rows} == set(range(8)), name
     assert all(r.holds for r in res["pred"].collect())
+
+
+def test_fused_pii_budget_member(spark, tmp_path):
+    """add_pii_budget: verdicts equal the standalone pii_signals rollup, and
+    the pure-sum partials fold deltas AND retract deletes exactly."""
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+    from pyspark_validator.pipelines.text import pii_signals
+
+    rows = [
+        (i, "clean doc number %d" % i) for i in range(20)
+    ] + [
+        (100, "mail a@b.io now"),
+        (101, "visit https://x.io and http://y.io"),
+        (102, "from 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def fp(d):
+        return FusedPass(d, num_partitions=8, partition_key="doc_id").add_pii_budget(
+            "pii", max_doc_fraction=0.1
+        )
+
+    verdicts = fp(df).verdicts()["pii"]
+    agg = verdicts.agg(
+        F.sum("n_rows").alias("n"),
+        F.sum("n_pii_docs").alias("docs"),
+        F.sum("n_url").alias("url"),
+        F.sum("n_email").alias("email"),
+        F.sum("n_ipv4").alias("ipv4"),
+        F.sum("n_phone").alias("phone"),
+    ).collect()[0]
+    direct = pii_signals(df).agg(
+        F.sum((F.col("n_url") + F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") > 0).cast("long")),
+        F.sum("n_url"), F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"),
+    ).collect()[0]
+    assert (agg.n, agg.docs) == (23, direct[0]) and agg.docs == 3
+    assert (agg.url, agg.email, agg.ipv4, agg.phone) == tuple(direct[1:])
+    # 3/23 > 0.1 -> at least one partition must fail
+    assert verdicts.filter(~F.col("holds")).count() >= 1
+
+    # incremental: base + delta, then retract the delta == base
+    base = df.filter(F.col("doc_id") < 100)
+    delta = df.filter(F.col("doc_id") >= 100)
+    inc = IncrementalFused(fp(base), str(tmp_path / "pii_state"))
+    inc.initialize()
+    inc.apply_delta(inserts=delta)
+    after_ins = inc.verdicts()["pii"].agg(F.sum("n_pii_docs")).collect()[0][0]
+    assert after_ins == 3
+    inc.apply_delta(deletes=delta)
+    after_del = inc.verdicts()["pii"].agg(
+        F.sum("n_pii_docs"), F.sum("n_rows")
+    ).collect()[0]
+    assert (after_del[0], after_del[1]) == (0, 20)
