@@ -1,0 +1,92 @@
+"""Port a Desbordante script with minimal edits.
+
+Every pybind verifier family from the reference (src/python_bindings/*) has a
+compat analog with the SAME getter names and the same load_data/execute
+lifecycle (algorithm.cpp:76-96) -- the edits are the import line and passing a
+SparkSession. Run: python examples/migrating_from_reference.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+# reference:  import desbordante
+# here:
+from pyspark_validator import compat, get_spark
+
+spark = get_spark(master="local[4]", shuffle_partitions=8)
+
+TABLE = pd.DataFrame(
+    {
+        "id": [1, 2, 3, 4, 5, 6],
+        "dept": ["a", "a", "a", "b", "b", "b"],
+        "salary": [10.0, 12.0, 11.0, 50.0, 52.0, 9000.0],
+        "grade": ["x", "x", "y", "z", "z", "z"],
+    }
+)
+
+# reference:  algo = desbordante.ucc_verification.algorithms.Default()
+#             algo.load_data(table=(path, ',', True)); algo.execute(ucc_indices=[1])
+ucc = compat.UccVerifier(spark)
+ucc.load_data(TABLE)
+ucc.execute(ucc_indices=["dept"])
+print("UCC(dept) holds:", ucc.ucc_holds(),
+      "| violating clusters:", ucc.get_num_clusters_violating_ucc())
+
+fd = compat.FdVerifier(spark)
+fd.load_data(TABLE)
+fd.execute(lhs_indices=["dept"], rhs_indices=["grade"])
+print("FD dept->grade holds:", fd.fd_holds(), "| g1:", round(fd.get_error(), 4))
+
+afd = compat.AfdMetricCalculator(spark)
+afd.load_data(TABLE)
+afd.execute(["dept"], ["grade"], metric="tau")
+print("AFD tau(dept->grade):", round(afd.get_result(), 4))
+
+pfd = compat.PfdVerifier(spark)
+pfd.load_data(TABLE)
+pfd.execute(["dept"], ["grade"], error_measure="per_tuple")
+print("PFD per-tuple error:", round(pfd.get_error(), 4))
+
+mfd = compat.MetricVerifier(spark)
+mfd.load_data(TABLE)
+mfd.execute(["dept"], ["salary"], metric="euclidean", parameter=5.0)
+print("MFD(salary within 5 per dept) holds:", mfd.mfd_holds(),
+      "| worst cluster:", mfd.get_highlights()[:1])
+
+nd = compat.NdVerifier(spark)
+nd.load_data(TABLE)
+nd.execute(["dept"], ["grade"], weight=1)
+print("ND dept->grade weight 1 holds:", nd.nd_holds,
+      "| real weight:", nd.real_weight)
+
+od = compat.OdVerifier(spark)
+od.load_data(TABLE)  # pandas input -> positional row ids, like the reference
+od.execute(ofd_context=["dept"], ofd_right="grade")
+print("AOD removal set (0-based rows):", od.get_removal_set(),
+      "| error:", round(od.get_error(), 4))
+
+cfd = compat.CfdVerifier(spark)
+cfd.load_data(TABLE)
+cfd.execute(lhs=[("dept", "b"), ("grade", None)], rhs=("grade", "z"),
+            minsup=2, minconf=0.9)
+print("CFD (dept=b, grade=_) -> grade=z:", cfd.cfd_holds(),
+      "| support:", cfd.get_real_support(),
+      "| confidence:", round(cfd.get_real_confidence(), 4))
+
+pac = compat.PacVerifier(spark)
+pac.load_data(TABLE)
+pac.execute("salary", domain=(0.0, 100.0), exact=True)
+print("Domain PAC salary in [0,100]:", pac.get_pac(),
+      "| outliers:", pac.get_highlights(eps_1=0.0))
+
+dyn = compat.DynamicFdVerifier(spark)
+dyn.load_data(TABLE, lhs_indices=["dept"], rhs_indices=["grade"])
+dyn.execute(insert=[(7, "a", 13.0, "y")])
+print("Dynamic FD after insert: holds:", dyn.fd_holds(),
+      "| error clusters:", dyn.get_num_error_clusters())
+
+spark.stop()

@@ -704,8 +704,12 @@ class MetricVerifier(_Verifier):
             highlight_cap=cap,
         )
         self._summary = check.summary().collect()[0]
+        lhs_names = {f"__x{i}": c for i, c in enumerate(check.lhs)}
         self._highlights = (
-            [r.asDict() for r in check.highlights().collect()]
+            [
+                {lhs_names.get(k, k): v for k, v in r.asDict().items()}
+                for r in check.highlights().collect()
+            ]
             if not self._summary.holds
             else []
         )
