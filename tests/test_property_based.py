@@ -533,3 +533,80 @@ def test_span_integrity_matches_python_oracle(spark, docs):
     want = {k: sum(f[k] for f in flags) for k in got}
     assert got == want
     assert sum(r.n_docs for r in v) == len(docs)
+
+
+_words_st = st.lists(
+    st.sampled_from(["a", "b", "cc", "ddd", "e"]), min_size=0, max_size=24
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_words_st, min_size=1, max_size=6))
+def test_repetition_signals_match_python_oracle(spark, docs):
+    """Law: top-2-gram coverage and dup-5-gram fraction equal a direct python
+    computation (mode with lexicographic-min tie-break, like the engine)."""
+    from collections import Counter
+
+    from pyspark_validator.pipelines.text import repetition_signals
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in repetition_signals(df, top_n=2, dup_n=5).collect()
+    }
+    for i, ws in enumerate(docs):
+        # engine splits the trimmed text: an empty doc becomes ['']
+        eff = ws if ws else [""]
+        grams2 = [" ".join(eff[j : j + 2]) for j in range(len(eff) - 1)]
+        grams5 = [" ".join(eff[j : j + 5]) for j in range(len(eff) - 4)]
+        ns = sum(len(w) for w in eff)
+        if grams2:
+            cnt = Counter(grams2)
+            best_c = max(cnt.values())
+            best_g = min(g for g, c in cnt.items() if c == best_c)
+            exp_top = best_c * len(best_g.replace(" ", "")) / ns if ns else 0.0
+            assert got[i].top_ngram == best_g
+        else:
+            exp_top = 0.0
+        assert got[i].top_ngram_char_frac == pytest.approx(exp_top)
+        exp_dup5 = (
+            (len(grams5) - len(set(grams5))) / len(grams5) if grams5 else 0.0
+        )
+        assert got[i].dup_ngram_frac == pytest.approx(exp_dup5)
+
+
+@settings(**_SETTINGS)
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            [
+                "plain words here",
+                "x@y.io",
+                "https://ex.com/p",
+                "10.0.0.1",
+                "+1 555 123 4567",
+            ]
+        ),
+        min_size=0,
+        max_size=5,
+    )
+)
+def test_pii_counts_match_python_oracle(spark, parts):
+    """Law: PII counts equal python re on the same strip chain."""
+    import re
+
+    from pyspark_validator.pipelines.text import (
+        _PII_ORDER,
+        PII_PATTERNS,
+        pii_signals,
+    )
+
+    text = " | ".join(parts)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = pii_signals(df).collect()[0]
+    t = text
+    for kind in _PII_ORDER:
+        exp = len(re.findall(PII_PATTERNS[kind], t))
+        assert got[f"n_{kind}"] == exp, (kind, t)
+        t = re.sub(PII_PATTERNS[kind], " ", t)
