@@ -343,3 +343,123 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# pair list -> dedup clusters (distributed connected components)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors re-point at the
+    minimum of its closed neighborhood. Two shuffles (groupBy min + hash join);
+    neighborhoods are never materialized (no collect_list), so hub nodes cost
+    nothing beyond their edge count."""
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("u"), F.col("__mv")).alias("m"))
+    )
+    return (
+        bidir.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high->low; every node and its smaller
+    neighbors re-point at the neighborhood minimum."""
+    canon = e.select(
+        F.greatest("u", "v").alias("cu"), F.least("u", "v").alias("cv")
+    ).select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    out = canon.join(mins, on="u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    out = out.union(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list; the step that turns
+    near-duplicate PAIRS (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs
+    output) into dedup GROUPS.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 -- the standard shuffle-bounded CC for
+    this shape): converges in O(log^2 n) rounds on adversarial graphs and 2-3
+    rounds on real dedup graphs (near-dup clusters are dense, diameter ~1-2).
+    Each round is a constant number of hash shuffles keyed on node id; there is
+    NO collect_list / neighborhood materialization anywhere, so a hub node with
+    millions of candidate edges costs its edge count, not its degree squared.
+    Convergence is detected by an (edge count, xxhash64 checksum) pair -- one
+    tiny agg per round -- rather than a full self-join diff.
+
+    Returns [id: long, component: long] for every node that appears in
+    ``pairs``, where component = the minimum node id reachable from ``id``
+    (singleton nodes never appear in a pair list; callers map them to
+    themselves, see ``dedup_clusters``).
+    """
+    # localCheckpoint per round is load-bearing, not an optimization: each round
+    # references the previous frontier 4x (bidirectional union + join), so
+    # without lineage truncation the logical plan grows ~4^k and the *driver*
+    # OOMs in analysis before any data moves. persist() alone does not truncate
+    # the plan. On a real cluster swap for checkpoint() on a reliable dir.
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # bit_xor, not sum: an order-independent checksum that cannot hit the
+        # ANSI-mode long-overflow that sum(xxhash64) does
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        e = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged: every edge is (node -> its component root)
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component")).union(roots)
+    return comp.distinct()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Assign every document a dedup ``cluster_id`` from a candidate-pair list:
+    connected components over the pairs, singletons (docs in no pair) mapped to
+    themselves. One broadcast-or-hash join against the (small) component map;
+    keep-one-per-cluster is then a groupBy/window on cluster_id."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col).withColumnRenamed(
+        "id", "__cc_id"
+    )
+    return (
+        df.join(comp, on=df[id_col].cast("long") == comp["__cc_id"], how="left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+        )
+        .drop("__cc_id", "component")
+    )
