@@ -1023,6 +1023,40 @@ SELECT doc_id FROM r WHERE rn = 1
 """
 
 
+def q_cc_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering over a CHAIN pair list: within
+    each planted exact-dup group, only consecutive (sorted) doc_id pairs are
+    emitted, so the operator must close the transitive chain to recover the
+    group. Oracle: cluster_id = min(doc_id) over the normalized-content group
+    (singletons map to themselves)."""
+    from pyspark.sql import Window
+
+    from pyspark_validator.pipelines.dedup import dedup_clusters
+
+    d = _documents_planted(spark, sf_dir)
+    norm = d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
+    )
+    w = Window.partitionBy("t").orderBy("doc_id")
+    pairs = (
+        norm.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return dedup_clusters(d, pairs, id_col="doc_id").select("doc_id", "cluster_id")
+
+
+SQL_CC_CLUSTERS_PLANTED = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents_planted
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS cluster_id FROM norm
+"""
+
+
 def q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.pipelines.dedup import ngram_jaccard_pairs
 
@@ -2728,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "dedup_exact_planted": q_dedup_exact_planted,
         "dedup_keep_one": q_dedup_keep_one,
+        "cc_clusters_planted": q_cc_clusters_planted,
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
         "minhash_lsh_planted": q_minhash_lsh_planted,
         "simhash_planted": q_simhash_planted,
@@ -2801,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
         "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
+        "cc_clusters_planted": SQL_CC_CLUSTERS_PLANTED,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
         # verify=True restricts LSH candidates to true jaccard >= 0.9, and
         # banding recall over the planted dups is total -> the exhaustive
