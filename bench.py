@@ -100,6 +100,8 @@ HEADLINE = [
     "aod_removal_rows_orders",
     "text_repetition_docs",
     "text_pii_planted",
+    # round 2 session 6: pairs -> clusters (iterative large-star/small-star CC)
+    "cc_clusters_planted",
 ]
 
 
