@@ -2732,6 +2732,175 @@ SELECT CAST(24 AS BIGINT) AS n_media,
 """
 
 
+def _hex_cut(fraction: float, k: int = 12) -> str:
+    """Same cut points as pipelines/curation.py::hex_threshold (md5-prefix
+    fraction threshold), re-derived here so the SQL oracles are plain module
+    constants."""
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return ""
+    return format(int(fraction * (16**k)), "0{}x".format(k))
+
+
+def q_curation_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold train/val/test split
+    (pipelines/curation.py::hash_split): per-split doc counts + id checksum.
+    Zero-shuffle per-row expression; the oracle re-derives the identical split
+    from the same md5 prefix cut points."""
+    from pyspark_validator.pipelines.curation import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(
+        d, fractions={"test": 0.05, "val": 0.05, "train": 0.90}, salt="r2"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_CURATION_HASH_SPLIT_DOCS = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|r2'), 1, 12) < '{t1}' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|r2'), 1, 12) < '{t2}' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY split ORDER BY split
+""".format(t1=_hex_cut(0.05), t2=_hex_cut(0.10))
+
+
+def q_curation_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling
+    (pipelines/curation.py::mixture_sample): src0 kept at 1.0, src1 at 0.25,
+    src2 dropped, every other source at the 0.5 default. Per-source kept
+    counts + id checksum vs the identical md5-threshold CASE in SQL."""
+    from pyspark_validator.pipelines.curation import mixture_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(
+        d,
+        {"src0": 1.0, "src1": 0.25, "src2": 0.0},
+        default_rate=0.5,
+        salt="mix",
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CURATION_MIXTURE_DOCS = """
+WITH s AS (
+  SELECT doc_id, source
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 12) <
+        CASE WHEN source = 'src0' THEN 'g'
+             WHEN source = 'src1' THEN '{h25}'
+             WHEN source = 'src2' THEN ''
+             ELSE '{h50}' END)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY source ORDER BY source
+""".format(h25=_hex_cut(0.25), h50=_hex_cut(0.50))
+
+
+def q_curation_decontam_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipelines/curation.py::decontaminate) on a
+    planted corpus: docs with doc_id % 37 == 0 act as the benchmark; training
+    docs with doc_id % 31 == 3 get benchmark doc 0's text appended, so they
+    MUST be flagged. Returns (doc_id, n_contaminated_grams) for flagged docs;
+    the oracle builds the identical planted corpus and counts shared 8-gram
+    instances with a list-slice n-gram join."""
+    from pyspark_validator.pipelines.curation import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    b0 = bench.where(F.col("doc_id") == 0).select(F.col("text").alias("btext"))
+    train = (
+        d.where(F.col("doc_id") % 37 != 0)
+        .select("doc_id", "text")
+        .crossJoin(F.broadcast(b0))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 31 == 3,
+                F.concat(F.col("text"), F.lit(" "), F.col("btext")),
+            ).otherwise(F.col("text")),
+        )
+        .drop("btext")
+    )
+    out = decontaminate(train, bench, n=8)
+    return (
+        out.where("contaminated")
+        .select("doc_id", "n_contaminated_grams")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURATION_DECONTAM_PLANTED = r"""
+WITH b0 AS (SELECT text AS btext FROM documents WHERE doc_id = 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
+train AS (SELECT doc_id,
+                 CASE WHEN doc_id % 31 = 3
+                      THEN text || ' ' || (SELECT btext FROM b0)
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 37 <> 0),
+bt AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM bench),
+bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+       FROM (SELECT w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM bt)),
+tt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM train),
+tg AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+       FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM tt))
+SELECT CAST(tg.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM tg JOIN bg USING (g)
+GROUP BY tg.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_curation_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pipelines/curation.py::pack_sequences)
+    with 8 cross-engine-reproducible bins (doc_id % 8) and 512-token chunks:
+    per-doc (bin, token count, chunk id, offset). The oracle replays the same
+    per-bin running-prefix-sum window."""
+    from pyspark_validator.pipelines.curation import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = pack_sequences(
+        d, chunk_tokens=512, num_bins=8, bin_col=F.col("doc_id") % 8
+    )
+    return out.select(
+        "doc_id", "pack_bin", "n_tokens", "chunk_id", "chunk_offset"
+    ).orderBy("doc_id")
+
+
+SQL_CURATION_PACK_DOCS = r"""
+WITH t AS (SELECT doc_id, doc_id % 8 AS pack_bin,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, pack_bin, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY pack_bin ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pack_bin AS BIGINT) AS pack_bin,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(before / 512) AS BIGINT) AS chunk_id,
+       CAST(before % 512 AS BIGINT) AS chunk_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -2803,6 +2972,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_integrity_planted": q_media_ref_integrity_planted,
         "sketch_profile_lineitem": q_sketch_profile_lineitem,
         "media_conformance_planted": q_media_conformance_planted,
+        "curation_hash_split_docs": q_curation_hash_split_docs,
+        "curation_mixture_docs": q_curation_mixture_docs,
+        "curation_decontam_planted": q_curation_decontam_planted,
+        "curation_pack_docs": q_curation_pack_docs,
     }
 
 
@@ -2883,6 +3056,10 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_integrity_planted": SQL_MEDIA_REF_INTEGRITY_PLANTED,
         "sketch_profile_lineitem": SQL_SKETCH_PROFILE_LINEITEM,
         "media_conformance_planted": SQL_MEDIA_CONFORMANCE_PLANTED,
+        "curation_hash_split_docs": SQL_CURATION_HASH_SPLIT_DOCS,
+        "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
+        "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
+        "curation_pack_docs": SQL_CURATION_PACK_DOCS,
     }
 
 

@@ -102,6 +102,9 @@ HEADLINE = [
     "text_pii_planted",
     # round 2 session 6: pairs -> clusters (iterative large-star/small-star CC)
     "cc_clusters_planted",
+    # round 2 session 6: training-data curation tier
+    "curation_decontam_planted",
+    "curation_pack_docs",
 ]
 
 

@@ -1,0 +1,235 @@
+"""Training-data curation operators: deterministic splits, mixture sampling,
+benchmark decontamination, and concat-and-chunk sequence packing.
+
+These complete the SURVEY.md §2.8 training-data-pipeline tier next to
+``pipelines/dedup.py`` (near-dup removal) and ``pipelines/text.py`` (quality
+gates): after documents are validated, deduped and filtered, a pipeline still
+has to (a) carve reproducible train/val/test splits, (b) hit per-source
+mixture rates, (c) strip benchmark contamination, and (d) pack documents into
+fixed-token training sequences.  The reference engine (Desbordante) has no
+curation tier; this is net-new Spark-first surface mandated by the brief.
+
+Scale design (the 100 TB contract for each operator):
+
+* ``hash_split`` / ``mixture_sample`` -- zero shuffle: the split / keep
+  decision is a pure per-row expression on an md5 prefix of the stable id, so
+  both are narrow maps that ride whatever scan is already running.  md5 (not
+  xxhash64) is deliberate: every engine agrees on it, so the SAME rows land in
+  the same split when a DuckDB/Trino/pandas consumer re-derives the split.
+* ``decontaminate`` -- the benchmark side is tiny by definition (eval suites
+  are KBs-to-MBs); its distinct shingle set is broadcast, so the trillion-row
+  training side is never shuffled -- one scan, one broadcast hash join, one
+  partial-aggregated count per doc.
+* ``pack_sequences`` -- exactly one shuffle, on a deterministic bin id; the
+  running-token prefix sum is windowed PER BIN, so parallelism = ``num_bins``
+  (size it to the cluster, e.g. 10k bins at 1000 executors) and no global
+  single-task window ever exists.  Bins are independent streams of packed
+  sequences, which is exactly how multi-worker training shards consume them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_split",
+    "mixture_sample",
+    "word_ngrams",
+    "decontaminate",
+    "pack_sequences",
+    "pack_summary",
+    "hex_threshold",
+]
+
+#: md5-prefix length used for threshold comparisons. 12 hex chars = 48 bits of
+#: the hash -- fraction resolution of 2^-48, far below any real split ratio.
+_PREFIX_LEN = 12
+
+
+def hex_threshold(fraction: float, k: int = _PREFIX_LEN) -> str:
+    """Hex string ``h`` such that ``P[md5_prefix(k) < h] == fraction`` for a
+    uniform hash. ``fraction >= 1`` returns ``"g"`` which is lexicographically
+    above every hex digit (always-true predicate); ``<= 0`` returns ``""``.
+
+    Shared by the Spark operators and the SQL oracles so both sides draw the
+    exact same cut points.
+    """
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return ""
+    return format(int(fraction * (16**k)), "0{}x".format(k))
+
+
+def _md5_prefix(id_col: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit("|" + salt))), 1, _PREFIX_LEN
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, stable train/val/test assignment by hashed id.
+
+    ``fractions`` maps split name -> fraction in iteration order; the LAST
+    split absorbs the remainder (so ``{"test": .05, "val": .05, "train": .9}``
+    puts every row whose hash clears both small cuts into ``train``).  The
+    assignment depends only on ``(id, salt)``: re-runs, repartitions, and
+    engine changes cannot move a document across splits.
+    """
+    fractions = fractions or {"test": 0.05, "val": 0.05, "train": 0.90}
+    names = list(fractions)
+    prefix = _md5_prefix(F.col(id_col), salt)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    cuts: list[tuple[str, float]] = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cuts.append((name, cum))
+    for name, cum in reversed(cuts):
+        expr = F.when(prefix < hex_threshold(cum), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling to mixture rates.
+
+    Keeps a row iff ``md5(id|salt) < threshold(rates[source])``; sources not in
+    ``rates`` use ``default_rate``.  Upsampling (rate > 1) is out of scope --
+    that is a generation step, not a filter.
+    """
+    prefix = _md5_prefix(F.col(id_col), salt)
+    thr = F.lit(hex_threshold(default_rate))
+    for src, rate in rates.items():
+        thr = F.when(F.col(source_col) == src, F.lit(hex_threshold(rate))).otherwise(
+            thr
+        )
+    return df.where(prefix < thr)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined lowercase word ``n``-grams (whitespace tokens).
+
+    Empty array when the text has fewer than ``n`` tokens; the explicit branch
+    also guards ``F.sequence`` against a negative stop (which would count
+    backwards, not return empty).
+    """
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with a benchmark corpus.
+
+    Adds ``n_contaminated_grams`` (count of the doc's n-gram INSTANCES that
+    appear anywhere in the benchmark) and ``contaminated``.  The benchmark's
+    distinct gram set is broadcast -- the training table is scanned once and
+    never shuffled.  ``hash_grams`` joins on ``xxhash64(gram)`` instead of the
+    gram string (8 bytes broadcast per gram instead of ~8 words; collision
+    odds at 64 bits are negligible for any real benchmark size).
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bench = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+        )
+        .select(key(F.col("_g")).alias("_gk"))
+        .distinct()
+    )
+    grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    ).select(id_col, key(F.col("_g")).alias("_gk"))
+    hits = (
+        grams.join(F.broadcast(bench), "_gk")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        train.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    chunk_tokens: int = 2048,
+    num_bins: int = 64,
+    bin_col: Column | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: assign each doc the training chunk where its
+    first token lands.
+
+    Docs are streamed in ``id_col`` order within ``num_bins`` independent bins
+    (``bin_col`` defaults to ``pmod(xxhash64(id), num_bins)``; pass e.g.
+    ``F.col("doc_id") % num_bins`` when a cross-engine-reproducible bin is
+    needed).  Within a bin, ``chunk_id = floor(tokens_before / chunk_tokens)``
+    and ``chunk_offset = tokens_before % chunk_tokens`` -- i.e. the bin's docs
+    are concatenated and sliced into ``chunk_tokens``-sized sequences; a doc
+    longer than the remaining room straddles into the next chunk, which is the
+    standard pretraining packing semantics (no padding, no doc drops).
+
+    Token counts default to whitespace tokens of ``text_col``; pass
+    ``token_col`` to use a precomputed count (e.g. BPE).  Adds ``pack_bin``,
+    ``n_tokens``, ``chunk_id``, ``chunk_offset``.
+    """
+    if token_col is not None:
+        tok = F.col(token_col).cast("bigint")
+    else:
+        t = F.trim(F.col(text_col))
+        tok = (
+            F.when(t.isNull() | (F.length(t) == 0), F.lit(0))
+            .otherwise(F.size(F.split(t, r"\s+")))
+            .cast("bigint")
+        )
+    if bin_col is None:
+        bin_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_bins))
+    out = df.withColumn("pack_bin", bin_col.cast("bigint")).withColumn(
+        "n_tokens", tok
+    )
+    w = (
+        Window.partitionBy("pack_bin")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.withColumn(
+        "chunk_id", F.floor(before / chunk_tokens).cast("bigint")
+    ).withColumn("chunk_offset", (before % chunk_tokens).cast("bigint"))
+
+
+def pack_summary(packed: DataFrame) -> DataFrame:
+    """Per-(bin, chunk) doc and token totals of a ``pack_sequences`` result."""
+    return packed.groupBy("pack_bin", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

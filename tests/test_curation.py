@@ -1,0 +1,208 @@
+"""Curation operators (pipelines/curation.py) vs direct Python oracles:
+deterministic hash split, mixture sampling, benchmark decontamination, and
+concat-and-chunk packing."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pyspark_validator.pipelines.curation import (
+    decontaminate,
+    hash_split,
+    hex_threshold,
+    mixture_sample,
+    pack_sequences,
+    pack_summary,
+    word_ngrams,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_prefix(i, salt):
+    return hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:12]
+
+
+def _py_split(i, fractions, salt):
+    names = list(fractions)
+    cum = 0.0
+    p = _md5_prefix(i, salt)
+    for name in names[:-1]:
+        cum += fractions[name]
+        if p < hex_threshold(cum):
+            return name
+    return names[-1]
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(1.0) == "g" and hex_threshold(2.0) == "g"
+    assert hex_threshold(0.0) == "" and hex_threshold(-1.0) == ""
+    # fraction resolves to a 12-char hex cut strictly inside the range
+    t = hex_threshold(0.5)
+    assert len(t) == 12 and t == "800000000000"
+
+
+def test_hash_split_matches_python_oracle(spark):
+    fr = {"test": 0.1, "val": 0.2, "train": 0.7}
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    got = dict(
+        hash_split(df, fractions=fr, salt="s6").select("doc_id", "split").collect()
+    )
+    for i in range(3000):
+        assert got[i] == _py_split(i, fr, "s6")
+    # all three splits are populated and roughly proportional
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"test", "val", "train"}
+    assert abs(c["test"] / 3000 - 0.1) < 0.03
+    assert abs(c["val"] / 3000 - 0.2) < 0.03
+
+
+def test_hash_split_stable_under_repartition_and_salt(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = dict(hash_split(df, salt="x").select("doc_id", "split").collect())
+    b = dict(
+        hash_split(df.repartition(13), salt="x").select("doc_id", "split").collect()
+    )
+    assert a == b
+    c = dict(hash_split(df, salt="y").select("doc_id", "split").collect())
+    assert a != c  # salt actually moves the cut
+
+
+def test_mixture_sample_matches_python_oracle(spark):
+    rows = [(i, f"src{i % 3}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = {
+        r.doc_id
+        for r in mixture_sample(df, rates, salt="m").select("doc_id").collect()
+    }
+    expect = {
+        i
+        for i, s in rows
+        if _md5_prefix(i, "m") < hex_threshold(rates[s])
+    }
+    assert kept == expect
+    assert all(i in kept for i, s in rows if s == "src0")
+    assert not any(s == "src2" for i, s in rows if i in kept)
+
+
+def test_word_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("  One  Two three  ",), ("",)], ["t"]
+    )
+    out = [r.g for r in df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # fewer tokens than n -> empty, not reversed sequence
+    assert out[2] == ["one two three"]  # lowercased, whitespace-normalized
+    assert out[3] == []
+
+
+def test_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon y"),
+            (2, "clean words only here nothing shared at all"),
+            (3, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_grams, r.contaminated)
+        for r in decontaminate(train, bench, n=5).collect()
+    }
+    # python oracle: count train 5-gram instances present in the benchmark set
+    def grams(t, n=5):
+        w = t.lower().split()
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    bset = set(grams("alpha beta gamma delta epsilon zeta"))
+    texts = {r.doc_id: r.text for r in train.collect()}
+    for d, (cnt, flag) in out.items():
+        exp = sum(g in bset for g in grams(texts[d]))
+        assert cnt == exp and flag == (exp > 0)
+    assert out[2] == (0, False)
+    assert out[1][1] and out[3][1]
+
+
+def test_decontaminate_string_and_hashed_grams_agree(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 37 != 0).select("doc_id", "text")
+    a = decontaminate(train, bench, n=8, hash_grams=True)
+    b = decontaminate(train, bench, n=8, hash_grams=False)
+    assert sorted(map(tuple, a.select("doc_id", "n_contaminated_grams").collect())) == sorted(
+        map(tuple, b.select("doc_id", "n_contaminated_grams").collect())
+    )
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 700)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "ntok"])
+    out = pack_sequences(
+        df,
+        token_col="ntok",
+        chunk_tokens=512,
+        num_bins=8,
+        bin_col=F.col("doc_id") % 8,
+    )
+    got = {
+        r.doc_id: (r.pack_bin, r.n_tokens, r.chunk_id, r.chunk_offset)
+        for r in out.collect()
+    }
+    # oracle: per bin, stream docs in id order, cumulative starting offset
+    cum = {b: 0 for b in range(8)}
+    for i, ntok in rows:  # rows already in doc_id order
+        b = i % 8
+        before = cum[b]
+        assert got[i] == (b, ntok, before // 512, before % 512)
+        cum[b] = before + ntok
+    # invariant: offset always inside a chunk
+    assert all(0 <= off < 512 for (_, _, _, off) in got.values())
+
+
+def test_pack_summary_token_conservation(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("ntok")
+    )
+    packed = pack_sequences(df, token_col="ntok", chunk_tokens=256, num_bins=4)
+    s = pack_summary(packed)
+    total = s.agg(F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")).collect()[0]
+    assert total.t == sum(i % 97 + 1 for i in range(300))
+    assert total.d == 300
+    # within every bin, consecutive chunks exist from 0..max (no gaps)
+    for r in s.groupBy("pack_bin").agg(
+        F.countDistinct("chunk_id").alias("n"), F.max("chunk_id").alias("m")
+    ).collect():
+        assert r.n == r.m + 1
+
+
+def test_split_and_mixture_plans_are_narrow(spark):
+    """Zero-shuffle contract: split/sample are pure per-row exprs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in [
+        hash_split(docs),
+        mixture_sample(docs, {"src0": 0.5}),
+    ]:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    out = decontaminate(docs, bench, n=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
