@@ -134,6 +134,26 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
 
 
+def _exploded_grams(df: DataFrame, text_col: str, n: int, keep: list[str]) -> DataFrame:
+    """One row per word n-gram (column ``_g``), carrying ``keep`` columns.
+
+    Same gram strings as ``word_ngrams`` but ~20x faster: the words array is
+    materialized once per row behind a Generate barrier (``explode(array(w))``)
+    — without it CollapseProject re-inlines the regex split into the transform
+    lambda and re-tokenizes the document once PER GRAM (measured 8.1s -> 0.4s
+    on 236k grams).
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    wdf = df.select(*keep, F.explode(F.array(w)).alias("_w"))
+    idx = F.when(
+        F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gdf = wdf.select(*keep, F.col("_w"), F.explode(idx).alias("_i"))
+    return gdf.select(
+        *keep, F.array_join(F.slice("_w", F.col("_i"), n), " ").alias("_g")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -153,15 +173,13 @@ def decontaminate(
     """
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
     bench = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-        )
+        _exploded_grams(benchmark, text_col, n, [])
         .select(key(F.col("_g")).alias("_gk"))
         .distinct()
     )
-    grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-    ).select(id_col, key(F.col("_g")).alias("_gk"))
+    grams = _exploded_grams(train, text_col, n, [id_col]).select(
+        id_col, key(F.col("_g")).alias("_gk")
+    )
     hits = (
         grams.join(F.broadcast(bench), "_gk")
         .groupBy(id_col)
