@@ -610,3 +610,99 @@ def test_pii_counts_match_python_oracle(spark, parts):
         exp = len(re.findall(PII_PATTERNS[kind], t))
         assert got[f"n_{kind}"] == exp, (kind, t)
         t = re.sub(PII_PATTERNS[kind], " ", t)
+
+
+# ---------------------------------------------------------------------------
+# curation laws (pipelines/curation.py)
+
+word_st = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+doc_st = st.lists(word_st, min_size=0, max_size=14).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(doc_st, min_size=1, max_size=12),
+    bench=st.lists(doc_st, min_size=1, max_size=4),
+    n=st.sampled_from([2, 3, 5]),
+)
+def test_decontaminate_matches_python_oracle(spark, texts, bench, n):
+    """Law: n_contaminated_grams equals a direct python n-gram count, for both
+    the hashed and string gram join."""
+    from pyspark_validator.pipelines.curation import decontaminate
+
+    train_df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    bench_df = spark.createDataFrame(list(enumerate(bench)), ["doc_id", "text"])
+
+    def grams(t):
+        w = t.lower().split()
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    bset = {g for b in bench for g in grams(b)}
+    expected = {i: sum(g in bset for g in grams(t)) for i, t in enumerate(texts)}
+    for hashed in (True, False):
+        got = {
+            r.doc_id: r.n_contaminated_grams
+            for r in decontaminate(train_df, bench_df, n=n, hash_grams=hashed).collect()
+        }
+        assert got == expected, (hashed, texts, bench)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=25),
+    chunk=st.sampled_from([1, 7, 16]),
+    bins=st.sampled_from([1, 3]),
+)
+def test_pack_sequences_matches_stream_oracle(spark, toks, chunk, bins):
+    """Law: packing equals the sequential per-bin stream; tokens conserve and
+    offsets stay inside the chunk."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.curation import pack_sequences
+
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, ["doc_id", "ntok"])
+    got = {
+        r.doc_id: (r.pack_bin, r.chunk_id, r.chunk_offset)
+        for r in pack_sequences(
+            df,
+            token_col="ntok",
+            chunk_tokens=chunk,
+            num_bins=bins,
+            bin_col=F.col("doc_id") % bins,
+        ).collect()
+    }
+    cum = {b: 0 for b in range(bins)}
+    for i, t in rows:
+        b = i % bins
+        before = cum[b]
+        assert got[i] == (b, before // chunk, before % chunk), (toks, chunk, bins)
+        assert 0 <= got[i][2] < chunk
+        cum[b] = before + t
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    fr=st.sampled_from([{"a": 0.3, "b": 0.7}, {"t": 0.05, "v": 0.05, "tr": 0.9}]),
+)
+def test_hash_split_partitions_ids_exhaustively(spark, ids, fr):
+    """Law: every id lands in exactly one declared split, and the assignment
+    equals the md5-threshold python oracle."""
+    import hashlib
+
+    from pyspark_validator.pipelines.curation import hash_split, hex_threshold
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = dict(hash_split(df, fractions=fr, salt="law").select("doc_id", "split").collect())
+    names = list(fr)
+    for i in ids:
+        p = hashlib.md5(f"{i}|law".encode()).hexdigest()[:12]
+        exp = names[-1]
+        cum = 0.0
+        for name in names[:-1]:
+            cum += fr[name]
+            if p < hex_threshold(cum):
+                exp = name
+                break
+        assert got[i] == exp
