@@ -22,6 +22,11 @@ see SURVEY.md section 2.8. This module lifts the incremental count-state engine
     completeness, numeric profile, drift, ...) stays live over the stream for
     one delta-sized agg job per micro-batch, and the callback receives the
     touched-partition slice of each member's verdicts.
+  * ``streaming_dedup`` -- exact content dedup on a stream via
+    ``dropDuplicatesWithinWatermark`` over the batch pipeline's 8-byte
+    normalized-content key; state bounded by rate x watermark horizon.
+  * ``streaming_quality_gate`` -- the batch quality gate as a stateless
+    streaming filter (pure per-row JVM exprs, no state, no watermark).
   * ``streaming_gap_check`` -- a CUSTOM STATEFUL operator via
     applyInPandasWithState: the per-key sequential-dependency gap check
     (checks/sd.py single-scan semantics) continued ACROSS micro-batches by
@@ -265,4 +270,51 @@ def streaming_rule_qualities(
                 F.col("n_fit_both") / F.col("n_fit_ante"),
             ).alias("confidence"),
         )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of the same content.
+
+    The dedup key defaults to ``xxhash64(lower(trim(text)))`` -- the same
+    normalized-content key as the batch exact dedup
+    (pipelines/dedup.py::exact_duplicates) -- so the state store keeps ONE
+    8-byte key per distinct document, never the text.
+    ``dropDuplicatesWithinWatermark`` evicts a key once the watermark passes
+    its arrival time, so state is bounded by rate x watermark horizon; plain
+    ``dropDuplicates`` on a stream would grow state forever.  Pass
+    ``key_cols`` to dedup on explicit columns instead (no derived key).
+    """
+    if key_cols is None:
+        from pyspark_validator.pipelines.text import normalize_text
+
+        stream = stream.withColumn(
+            "_content_key", F.xxhash64(normalize_text(F.col(text_col)))
+        )
+        key_cols = ["_content_key"]
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def streaming_quality_gate(
+    stream: DataFrame, text_col: str = "text", min_quality: float = 0.3
+) -> DataFrame:
+    """Stateless quality filter for a document stream.
+
+    ``pipelines/text.py::quality_score`` is pure per-row JVM expressions, so
+    it composes with Structured Streaming with zero state and no watermark --
+    this wrapper exists to pin that property with a test (and to give the
+    stream the same gate semantics as the batch pipeline).
+    """
+    from pyspark_validator.pipelines.text import quality_score
+
+    return quality_score(stream, text_col=text_col).where(
+        F.col("quality") >= min_quality
     )
