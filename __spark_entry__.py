@@ -2732,6 +2732,54 @@ SELECT CAST(24 AS BIGINT) AS n_media,
 """
 
 
+def q_discovery_unary_inds_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-style unary IND discovery (discovery.py::mine_unary_inds) over
+    the key columns of nation/region/customer/supplier: one inverted
+    (value -> attribute-set) shuffle judges ALL ordered column pairs at once.
+    The oracle replays the same inverted-domain containment in SQL."""
+    from pyspark_validator.discovery import mine_unary_inds
+
+    tables = {
+        "nation": spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_regionkey"
+        ),
+        "region": spark.read.parquet(f"{sf_dir}/region.parquet").select(
+            "r_regionkey"
+        ),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_nationkey"
+        ),
+        "supplier": spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_nationkey"
+        ),
+    }
+    inds = mine_unary_inds(tables)
+    return spark.createDataFrame(
+        inds or [("", "")], ["dependent", "referenced"]
+    ).filter(F.col("dependent") != "").orderBy("dependent", "referenced")
+
+
+SQL_DISCOVERY_UNARY_INDS_KEYS = """
+WITH tagged AS (
+  SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS value, 'nation.n_nationkey' AS attr FROM nation WHERE n_nationkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(n_regionkey AS VARCHAR), 'nation.n_regionkey' FROM nation WHERE n_regionkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(r_regionkey AS VARCHAR), 'region.r_regionkey' FROM region WHERE r_regionkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(c_nationkey AS VARCHAR), 'customer.c_nationkey' FROM customer WHERE c_nationkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(s_nationkey AS VARCHAR), 'supplier.s_nationkey' FROM supplier WHERE s_nationkey IS NOT NULL),
+attrs AS (SELECT DISTINCT attr FROM tagged),
+pairs AS (SELECT a.attr AS dependent, b.attr AS referenced
+          FROM attrs a, attrs b WHERE a.attr <> b.attr)
+SELECT p.dependent, p.referenced
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM tagged d
+  WHERE d.attr = p.dependent
+    AND NOT EXISTS (SELECT 1 FROM tagged r
+                    WHERE r.attr = p.referenced AND r.value = d.value))
+ORDER BY dependent, referenced
+"""
+
+
 def _hex_cut(fraction: float, k: int = 12) -> str:
     """Same cut points as pipelines/curation.py::hex_threshold (md5-prefix
     fraction threshold), re-derived here so the SQL oracles are plain module
@@ -2976,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
         "curation_pack_docs": q_curation_pack_docs,
+        "discovery_unary_inds_keys": q_discovery_unary_inds_keys,
     }
 
 
@@ -3060,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,
+        "discovery_unary_inds_keys": SQL_DISCOVERY_UNARY_INDS_KEYS,
     }
 
 
