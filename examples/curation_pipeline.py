@@ -1,0 +1,71 @@
+"""End-to-end training-data curation over a documents table:
+
+  quality gate -> exact dedup -> benchmark decontamination ->
+  per-source mixture sampling -> deterministic train/val/test split ->
+  concat-and-chunk sequence packing.
+
+Every stage is built from the operators in pipelines/ (all JVM exprs or
+broadcast joins; the only shuffle in the whole pipeline below is the packing
+window's bin exchange and dedup's content-hash groupBy).
+
+Run:  python examples/curation_pipeline.py [documents_parquet]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import pyspark_validator as pv
+from pyspark_validator.pipelines.curation import (
+    decontaminate,
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+    pack_summary,
+)
+from pyspark_validator.pipelines.dedup import dedup_exact
+from pyspark_validator.pipelines.text import quality_score
+
+path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
+spark = pv.get_spark(app_name="curation", master="local[4]", shuffle_partitions=8)
+docs = spark.read.parquet(path)
+n0 = docs.count()
+
+# 1. quality gate (stateless per-row exprs)
+gated = quality_score(docs).where(F.col("quality") >= 0.2).drop("quality")
+n1 = gated.count()
+
+# 2. exact dedup on the normalized-content hash
+deduped = dedup_exact(gated)
+n2 = deduped.count()
+
+# 3. decontamination: treat every 37th doc as the "benchmark suite"
+bench = docs.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+clean = (
+    decontaminate(deduped.where(F.col("doc_id") % 37 != 0), bench, n=8)
+    .where(~F.col("contaminated"))
+    .drop("n_contaminated_grams", "contaminated")
+)
+n3 = clean.count()
+
+# 4. mixture: keep all of src0, half of everything else
+mixed = mixture_sample(clean, {"src0": 1.0}, default_rate=0.5, salt="mix-v1")
+n4 = mixed.count()
+
+# 5. deterministic split (stable under re-runs and engine changes)
+split = hash_split(mixed, fractions={"test": 0.05, "val": 0.05, "train": 0.90})
+print("funnel:", {"raw": n0, "quality": n1, "dedup": n2, "decontam": n3, "mixture": n4})
+split.groupBy("split").count().orderBy("split").show()
+
+# 6. pack the train split into 2048-token sequences across 8 bins
+train = split.where(F.col("split") == "train")
+packed = pack_sequences(train, chunk_tokens=2048, num_bins=8)
+print("packed chunks per bin:")
+pack_summary(packed).groupBy("pack_bin").agg(
+    F.countDistinct("chunk_id").alias("n_chunks"),
+    F.sum("n_tokens").alias("n_tokens"),
+).orderBy("pack_bin").show()
+spark.stop()
