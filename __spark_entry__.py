@@ -2949,6 +2949,221 @@ FROM c ORDER BY doc_id
 """
 
 
+# --- level-2 lattice discovery (discovery.py round-2 additions) -----------
+
+_FD_DISCOVERY_COLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+    "o_totalprice",
+]
+_AFD_DISCOVERY_COLS = ["o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"]
+_AFD_MAX_ERROR = 1e-5
+
+
+def q_discovery_fds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal exact FDs with |LHS| <= 2 over five orders columns
+    (discovery.py::mine_fds, the TANE lattice one level past unary). At
+    sf0.01 the truth mixes levels: o_totalprice -> status/priority at level 1
+    plus pair-key FDs like (o_custkey, o_totalprice) -> o_orderdate at
+    level 2. The oracle replays the distinct-count criterion + minimality."""
+    from pyspark_validator.discovery import mine_fds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fds = mine_fds(o, _FD_DISCOVERY_COLS)
+    rows = [(",".join(lhs), rhs) for lhs, rhs in fds]
+    return (
+        spark.createDataFrame(rows or [("__none__", "")], ["lhs", "rhs"])
+        .filter(F.col("rhs") != "")
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _fd_discovery_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_fds_orders: one CTE of all
+    single/pair/triple row-value distinct counts, then every candidate with
+    the TANE criterion and subset-minimality spelled out. Row-value structs
+    ((a,b)) count NULL as a value in both engines, matching groupBy."""
+    cols = _FD_DISCOVERY_COLS
+
+    def dname(sub):
+        return "d_" + "_".join(str(cols.index(c)) for c in sub)
+
+    def dexpr(sub):
+        inner = ",".join(sub) if len(sub) > 1 else f"{sub[0]},{sub[0]}"
+        return f"count(DISTINCT ({inner})) AS {dname(sub)}"
+
+    from itertools import combinations as _comb
+
+    subs = (
+        [(c,) for c in cols]
+        + list(_comb(cols, 2))
+        + list(_comb(cols, 3))
+    )
+    cte = "WITH c AS (SELECT " + ", ".join(dexpr(s) for s in subs) + " FROM orders)"
+
+    def d(sub):
+        return dname(tuple(sorted(sub, key=cols.index)))
+
+    def holds(lhs, rhs):
+        if not lhs:
+            return f"{d((rhs,))} = 1"
+        return f"{d(lhs)} = {d(lhs + (rhs,))}"
+
+    rows = []
+    for rhs in cols:
+        others = [c for c in cols if c != rhs]
+        rows.append(f"SELECT '' AS lhs, '{rhs}' AS rhs, {holds((), rhs)} AS m FROM c")
+        for a in others:
+            cond = f"{holds((a,), rhs)} AND NOT ({holds((), rhs)})"
+            rows.append(f"SELECT '{a}', '{rhs}', {cond} FROM c")
+        for a, b in _comb(others, 2):
+            cond = (
+                f"{holds((a, b), rhs)} AND NOT ({holds((a,), rhs)}) "
+                f"AND NOT ({holds((b,), rhs)}) AND NOT ({holds((), rhs)})"
+            )
+            rows.append(f"SELECT '{a},{b}', '{rhs}', {cond} FROM c")
+    return (
+        cte
+        + "\nSELECT lhs, rhs FROM (\n"
+        + "\nUNION ALL ".join(rows)
+        + "\n) WHERE m ORDER BY lhs, rhs"
+    )
+
+
+SQL_DISCOVERY_FDS_ORDERS = _fd_discovery_oracle_sql()
+
+
+def q_discovery_afds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal approximate FDs under a g1 budget (discovery.py::mine_afds,
+    the TANE-with-error lattice the reference's AFD benchmark gates run,
+    fd_benchmark.h:40-49). g1 <= 1e-5 keeps it discriminating at sf0.01:
+    near-key LHS nodes qualify, 10-row o_custkey clusters do not."""
+    from pyspark_validator.discovery import mine_afds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    afds = mine_afds(o, _AFD_DISCOVERY_COLS, max_error=_AFD_MAX_ERROR)
+    rows = [(",".join(lhs), rhs, round(g1, 9)) for lhs, rhs, g1 in afds]
+    return (
+        spark.createDataFrame(rows or [("__none__", "", 0.0)], ["lhs", "rhs", "g1"])
+        .filter(F.col("rhs") != "")
+        .select("lhs", "rhs", F.col("g1").cast("double").alias("g1"))
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _afd_discovery_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_afds_orders: one CTE per
+    candidate computing g1 = (sum cx(cx-1) - sum cxy(cxy-1)) / (n^2 - n)
+    (afd_measures.cpp:6-130), then threshold + subset minimality on the g1
+    values themselves."""
+    from itertools import combinations as _comb
+
+    cols = _AFD_DISCOVERY_COLS
+    e = repr(_AFD_MAX_ERROR)
+
+    def gname(lhs, rhs):
+        ix = "_".join(str(cols.index(c)) for c in lhs)
+        return f"g_{ix}__{cols.index(rhs)}"
+
+    ctes, rows = [], []
+    cands = []
+    for rhs in cols:
+        others = [c for c in cols if c != rhs]
+        cands.append(((), rhs))
+        cands += [((a,), rhs) for a in others]
+        cands += [((a, b), rhs) for a, b in _comb(others, 2)]
+    for lhs, rhs in cands:
+        keys = ", ".join(lhs + (rhs,))
+        xkeys = ", ".join(lhs)
+        xy = f"SELECT {keys}, count(*) AS cxy FROM orders GROUP BY {keys}"
+        if lhs:
+            x = (
+                f"SELECT sum(cxy) AS cx, sum(cxy*(cxy-1)) AS yp "
+                f"FROM ({xy}) GROUP BY {xkeys}"
+            )
+        else:
+            x = f"SELECT sum(cxy) AS cx, sum(cxy*(cxy-1)) AS yp FROM ({xy})"
+        ctes.append(
+            f"{gname(lhs, rhs)} AS (SELECT CAST(sum(cx*(cx-1)-yp) AS DOUBLE) /"
+            f" (CAST(sum(cx) AS DOUBLE)*sum(cx) - sum(cx)) AS g1 FROM ({x}))"
+        )
+
+    def q(lhs, rhs):
+        return f"(SELECT g1 FROM {gname(lhs, rhs)}) <= {e}"
+
+    for lhs, rhs in cands:
+        minimal = [f"NOT ({q(sub, rhs)})" for k in range(len(lhs)) for sub in _comb(lhs, k)]
+        cond = " AND ".join([q(lhs, rhs)] + minimal)
+        rows.append(
+            f"SELECT '{','.join(lhs)}' AS lhs, '{rhs}' AS rhs, "
+            f"round((SELECT g1 FROM {gname(lhs, rhs)}), 9) AS g1 WHERE {cond}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows) + "\nORDER BY lhs, rhs"
+    )
+
+
+SQL_DISCOVERY_AFDS_ORDERS = _afd_discovery_oracle_sql()
+
+
+def q_discovery_ainds_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mind-style AIND discovery at max_error = 0.8 -- the reference's own
+    Mind benchmark setting (ind_benchmark.h:43-50) -- over the
+    nation/region/customer/supplier key columns. The error is the fraction
+    of the dependent column's distinct values missing from the referenced
+    one (mind.cpp:190-204); at 0.8 the nationkey -> regionkey pairs sit
+    exactly on the boundary (20 of 25 values missing)."""
+    from pyspark_validator.discovery import mine_ainds
+
+    tables = {
+        "nation": spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", "n_regionkey"
+        ),
+        "region": spark.read.parquet(f"{sf_dir}/region.parquet").select(
+            "r_regionkey"
+        ),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_nationkey"
+        ),
+        "supplier": spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            "s_nationkey"
+        ),
+    }
+    ainds = mine_ainds(tables, max_error=0.8)
+    rows = [(a, b, round(err, 9)) for a, b, err in ainds]
+    return (
+        spark.createDataFrame(
+            rows or [("__none__", "", 0.0)], ["dependent", "referenced", "error"]
+        )
+        .filter(F.col("referenced") != "")
+        .select(
+            "dependent", "referenced", F.col("error").cast("double").alias("error")
+        )
+        .orderBy("dependent", "referenced")
+    )
+
+
+SQL_DISCOVERY_AINDS_KEYS = """
+WITH tagged AS (
+  SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS value, 'nation.n_nationkey' AS attr FROM nation WHERE n_nationkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(n_regionkey AS VARCHAR), 'nation.n_regionkey' FROM nation WHERE n_regionkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(r_regionkey AS VARCHAR), 'region.r_regionkey' FROM region WHERE r_regionkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(c_nationkey AS VARCHAR), 'customer.c_nationkey' FROM customer WHERE c_nationkey IS NOT NULL
+  UNION SELECT DISTINCT CAST(s_nationkey AS VARCHAR), 'supplier.s_nationkey' FROM supplier WHERE s_nationkey IS NOT NULL),
+tot AS (SELECT attr, count(*) AS n_values FROM tagged GROUP BY attr),
+pair AS (SELECT d.attr AS a, r.attr AS b, count(*) AS together
+         FROM tagged d JOIN tagged r ON d.value = r.value AND d.attr <> r.attr
+         GROUP BY d.attr, r.attr)
+SELECT p.a AS dependent, p.b AS referenced,
+       round(CAST(t.n_values - p.together AS DOUBLE) / t.n_values, 9) AS error
+FROM pair p JOIN tot t ON t.attr = p.a
+WHERE CAST(t.n_values - p.together AS DOUBLE) / t.n_values <= 0.8
+ORDER BY dependent, referenced
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -3025,6 +3240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontam_planted": q_curation_decontam_planted,
         "curation_pack_docs": q_curation_pack_docs,
         "discovery_unary_inds_keys": q_discovery_unary_inds_keys,
+        "discovery_fds_orders": q_discovery_fds_orders,
+        "discovery_afds_orders": q_discovery_afds_orders,
+        "discovery_ainds_keys": q_discovery_ainds_keys,
     }
 
 
@@ -3110,6 +3328,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,
         "discovery_unary_inds_keys": SQL_DISCOVERY_UNARY_INDS_KEYS,
+        "discovery_fds_orders": SQL_DISCOVERY_FDS_ORDERS,
+        "discovery_afds_orders": SQL_DISCOVERY_AFDS_ORDERS,
+        "discovery_ainds_keys": SQL_DISCOVERY_AINDS_KEYS,
     }
 
 

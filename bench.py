@@ -105,6 +105,10 @@ HEADLINE = [
     # round 2 session 6: training-data curation tier
     "curation_decontam_planted",
     "curation_pack_docs",
+    # round 2 session 7: lattice level-2 discovery (TANE/Mind benchmark analogs)
+    "discovery_fds_orders",
+    "discovery_afds_orders",
+    "discovery_ainds_keys",
 ]
 
 

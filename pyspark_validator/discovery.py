@@ -21,6 +21,23 @@ primitives compose into discovery at Spark scale:
     soft FDs, correlations) with the pairwise distinct counts shared from
     one wide aggregation and the contingency pass only on eligible pairs.
 
+Round 2 extends the bonus one level up the lattice, mirroring the reference's
+benchmark gates (src/tests/benchmark/fd_benchmark.h, ind_benchmark.h):
+
+  * mine_fds   -- minimal EXACT FDs with |LHS| <= 2 (TANE criterion + TANE
+    minimality pruning, tane.cpp lattice walk). Each LHS is ONE
+    non-distinct groupBy job (constant-within-group via min/max + null
+    counts) covering every surviving RHS at once -- no multi-distinct
+    Expand blowup, map-side combinable, thread-pooled across LHS nodes.
+  * mine_afds  -- minimal APPROXIMATE FDs with |LHS| <= 2 under a g1 (or
+    1-pdep) error budget (afd_measures.cpp:6-130 formulas, the same ones
+    checks/fd.py::afd_measures mirrors). Level-wise pruning is sound
+    because both errors are monotone non-increasing in the LHS.
+  * mine_ainds -- Mind-style approximate INDs (mind.cpp:167-207): error =
+    fraction of the dependent column's DISTINCT values missing from the
+    referenced column, kept when error <= max_error; same single-shuffle
+    inverted domain as mine_unary_inds.
+
 Column counts in profiling tables are small (tens); the row dimension is where
 Spark scales. Exact counts by default; pass approx=True for HLL sketches at
 trillion-row scale.
@@ -102,6 +119,14 @@ def mine_unary_inds(
     array_contains(attrs, B). Computed for ALL pairs from the same grouped
     frame via one explode + aggregation.
     """
+    j = _ind_pair_stats(tables)
+    inds = j.filter(F.col("together") == F.col("n_values")).select("a", "b")
+    return sorted((r.a, r.b) for r in inds.collect())
+
+
+def _ind_pair_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Spider inverted domain -> one row per ordered attr pair that shares at
+    least one value: (a, b, together=|dom(a) n dom(b)|, n_values=|dom(a)|)."""
     cols = []
     for tname, df in tables.items():
         for c in df.columns:
@@ -128,9 +153,34 @@ def mine_unary_inds(
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("n_values"))
     )
-    j = pair_counts.join(totals, on="a")
-    inds = j.filter(F.col("together") == F.col("n_values")).select("a", "b")
-    return sorted((r.a, r.b) for r in inds.collect())
+    return pair_counts.join(totals, on="a")
+
+
+def mine_ainds(
+    tables: dict[str, DataFrame], max_error: float = 0.3
+) -> list[tuple[str, str, float]]:
+    """Mind-style approximate unary INDs (mind.cpp:167-207): for each ordered
+    attr pair A, B the error is the fraction of A's DISTINCT values absent
+    from B (the reference's disqualify_row_count / lhs_cardinality over the
+    deduplicated hash sets); pairs with error <= max_error are kept.
+
+    Same one-shuffle inverted domain as :func:`mine_unary_inds` -- the pair
+    error is 1 - together/n_values, so ALL pairs are judged from one grouped
+    frame. ``max_error`` must be < 1: fully disjoint pairs never co-occur in
+    the inverted index (they are error 1 by construction and always dropped).
+    """
+    if not 0.0 <= max_error < 1.0:
+        raise ValueError("max_error must be in [0, 1)")
+    j = _ind_pair_stats(tables).select(
+        "a",
+        "b",
+        (
+            (F.col("n_values") - F.col("together"))
+            / F.col("n_values").cast("double")
+        ).alias("error"),
+    )
+    out = j.filter(F.col("error") <= F.lit(float(max_error)))
+    return sorted((r.a, r.b, float(r.error)) for r in out.collect())
 
 
 def mine_sfds(
@@ -189,3 +239,217 @@ def mine_sfds(
         "sfds": sfds,
         "correlations": correlations,
     }
+
+
+# ---------------------------------------------------------------------------
+# Level-2 lattice: minimal exact / approximate FDs (TANE one level deeper)
+# ---------------------------------------------------------------------------
+
+
+def _constant_within_groups(
+    df: DataFrame, lhs: tuple[str, ...], rhs_cands: list[str]
+) -> dict[str, bool]:
+    """For one LHS node, decide every candidate RHS in ONE groupBy job.
+
+    FD lhs -> C (TANE criterion distinct(lhs) == distinct(lhs+C), NULL a
+    value) holds iff C is constant inside every lhs-group:
+      nn == 0  (all NULL)  or  nn == cnt and min == max  (all one non-NULL).
+    A NULL/non-NULL mixture is two distinct values. All aggregates are
+    non-distinct (count/min/max), so the shuffle is map-side combinable and
+    there is no multi-distinct Expand; groupBy keys NULLs together, matching
+    the engine's null-equal-null default (builtin.h:36-40).
+    """
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    for i, c in enumerate(rhs_cands):
+        aggs += [
+            F.count(c).alias(f"__nn_{i}"),
+            F.min(c).alias(f"__mn_{i}"),
+            F.max(c).alias(f"__mx_{i}"),
+        ]
+    g = df.groupBy(*[F.col(c) for c in lhs]).agg(*aggs) if lhs else df.agg(*aggs)
+    flags = [
+        F.max(
+            (
+                ~(
+                    (F.col(f"__nn_{i}") == 0)
+                    | (
+                        (F.col(f"__nn_{i}") == F.col("__cnt"))
+                        & (F.col(f"__mn_{i}") == F.col(f"__mx_{i}"))
+                    )
+                )
+            ).cast("int")
+        ).alias(f"__v_{i}")
+        for i in range(len(rhs_cands))
+    ]
+    row = g.agg(*flags).collect()[0]
+    return {c: row[f"__v_{i}"] == 0 for i, c in enumerate(rhs_cands)}
+
+
+def mine_fds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_lhs: int = 2,
+    parallelism: int = 4,
+) -> list[tuple[tuple[str, ...], str]]:
+    """Minimal exact FDs with |LHS| <= max_lhs (<= 2), TANE semantics
+    (tane.cpp lattice levels; criterion fd_verifier.cpp:55-65).
+
+    Level 0 emits ((), C) for constant columns; level 1 emits (A,) -> C;
+    level 2 emits (A, B) -> C only when no proper LHS subset (incl. the empty
+    set) determines C -- the textbook minimality rule. TANE-style pruning:
+    constant columns never appear in an LHS (their nodes collapse to the
+    empty set), and a pair (A, B) with A -> B or B -> A is skipped outright
+    (its partition equals A's, so nothing minimal can surface there).
+
+    One single-shuffle job per surviving LHS node, submitted from
+    ``parallelism`` driver threads (Spark interleaves the independent jobs).
+    """
+    if max_lhs > 2:
+        raise ValueError("mine_fds supports max_lhs <= 2")
+    from concurrent.futures import ThreadPoolExecutor
+
+    columns = list(columns or df.columns)
+    out: list[tuple[tuple[str, ...], str]] = []
+    # level 0: constants (empty-LHS FDs)
+    const = _constant_within_groups(df, (), columns)
+    constants = {c for c, ok in const.items() if ok}
+    out += [((), c) for c in sorted(constants)]
+    nonconst = [c for c in columns if c not in constants]
+    if max_lhs < 1 or len(nonconst) < 2:
+        return sorted(out)
+
+    def run_level(nodes: list[tuple[tuple[str, ...], list[str]]]):
+        def one(node):
+            lhs, cands = node
+            return lhs, _constant_within_groups(df, lhs, cands)
+
+        if parallelism > 1 and len(nodes) > 1:
+            with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                return list(ex.map(one, nodes))
+        return [one(n) for n in nodes]
+
+    # level 1
+    l1_nodes = [((a,), [c for c in nonconst if c != a]) for a in nonconst]
+    holds1: set[tuple[str, str]] = set()
+    for lhs, res in run_level(l1_nodes):
+        for c, ok in res.items():
+            if ok:
+                holds1.add((lhs[0], c))
+                out.append((lhs, c))
+    if max_lhs < 2:
+        return sorted(out)
+
+    # level 2: prune pairs with an internal FD; RHS survives only if no
+    # single-column subset already determines it
+    l2_nodes = []
+    for a, b in combinations(nonconst, 2):
+        if (a, b) in holds1 or (b, a) in holds1:
+            continue
+        cands = [
+            c
+            for c in nonconst
+            if c not in (a, b) and (a, c) not in holds1 and (b, c) not in holds1
+        ]
+        if cands:
+            l2_nodes.append(((a, b), cands))
+    for lhs, res in run_level(l2_nodes):
+        out += [(lhs, c) for c, ok in res.items() if ok]
+    return sorted(out)
+
+
+def _g1_for_candidate(
+    df: DataFrame, lhs: tuple[str, ...], rhs: str, measure: str
+) -> float:
+    """g1 or (1 - pdep) error of lhs -> rhs (afd_measures.cpp:6-130; the same
+    closed forms checks/fd.py::afd_measures uses):
+      g1       = (sum_x cx(cx-1) - sum_xy cxy(cxy-1)) / (n^2 - n)
+      1 - pdep = 1 - (1/n) sum_xy cxy^2 / cx
+    One groupBy(lhs+rhs) shuffle; the re-aggregation by lhs runs on the
+    already-reduced counts. Empty LHS degenerates to one global group."""
+    keys = [F.col(c) for c in lhs] + [F.col(rhs)]
+    xy = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cxy"))
+    x = xy.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.sum("cxy").alias("cx"),
+        F.sum(F.col("cxy") * (F.col("cxy") - 1)).alias("yp"),
+        F.sum(F.col("cxy") * F.col("cxy")).alias("y2"),
+    )
+    row = x.agg(
+        F.sum("cx").alias("n"),
+        F.sum(F.col("cx") * (F.col("cx") - 1) - F.col("yp")).alias("conflict"),
+        F.sum(F.col("y2") / F.col("cx").cast("double")).alias("pdep_num"),
+    ).collect()[0]
+    n = float(row["n"])
+    if n <= 1:
+        return 0.0
+    if measure == "g1":
+        return float(row["conflict"]) / (n * n - n)
+    return 1.0 - float(row["pdep_num"]) / n
+
+
+def mine_afds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_error: float = 0.05,
+    measure: str = "g1",
+    max_lhs: int = 2,
+    parallelism: int = 4,
+) -> list[tuple[tuple[str, ...], str, float]]:
+    """Minimal approximate FDs with |LHS| <= 2 under an error budget, the
+    TANE-with-error lattice the reference's AFD benchmark gates exercise
+    (fd_benchmark.h:40-49). ``measure`` is 'g1' (violating row pairs / all
+    pairs) or 'pdep' (error = 1 - pdep); both are monotone non-increasing as
+    the LHS grows, so level-wise minimality pruning (skip any RHS already
+    afforded by a subset, including the empty LHS) is exact, not heuristic.
+
+    Returns sorted (lhs_tuple, rhs, error) with error <= max_error and no
+    qualifying proper subset. One groupBy job per surviving candidate,
+    thread-pooled like :func:`mine_sfds`.
+    """
+    if measure not in ("g1", "pdep"):
+        raise ValueError("measure must be 'g1' or 'pdep'")
+    if max_lhs > 2:
+        raise ValueError("mine_afds supports max_lhs <= 2")
+    from concurrent.futures import ThreadPoolExecutor
+
+    columns = list(columns or df.columns)
+
+    def run(cands: list[tuple[tuple[str, ...], str]]):
+        def one(c):
+            lhs, rhs = c
+            return lhs, rhs, _g1_for_candidate(df, lhs, rhs, measure)
+
+        if parallelism > 1 and len(cands) > 1:
+            with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                return list(ex.map(one, cands))
+        return [one(c) for c in cands]
+
+    out: list[tuple[tuple[str, ...], str, float]] = []
+    # level 0: near-constant columns under the budget
+    qual0 = set()
+    for lhs, rhs, err in run([((), c) for c in columns]):
+        if err <= max_error:
+            qual0.add(rhs)
+            out.append(((), rhs, err))
+    rest = [c for c in columns if c not in qual0]
+    if max_lhs < 1 or len(rest) < 2:
+        return sorted(out)
+    # level 1
+    qual1: set[tuple[str, str]] = set()
+    l1 = [((a,), c) for a in rest for c in rest if c != a]
+    for lhs, rhs, err in run(l1):
+        if err <= max_error:
+            qual1.add((lhs[0], rhs))
+            out.append((lhs, rhs, err))
+    if max_lhs < 2:
+        return sorted(out)
+    # level 2: RHS survives only if no single-column subset qualified
+    l2 = [
+        ((a, b), c)
+        for a, b in combinations(rest, 2)
+        for c in rest
+        if c not in (a, b) and (a, c) not in qual1 and (b, c) not in qual1
+    ]
+    for lhs, rhs, err in run(l2):
+        if err <= max_error:
+            out.append((lhs, rhs, err))
+    return sorted(out)

@@ -48,3 +48,151 @@ def test_mine_unary_inds_cross_table(spark):
             ind_check(frames[ta], [ca], frames[tb], [cb]).summary().collect()[0]
         )
         assert s.holds, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 lattice level 2: mine_fds / mine_afds / mine_ainds vs brute force
+# ---------------------------------------------------------------------------
+from itertools import combinations
+
+from pyspark_validator.discovery import mine_afds, mine_ainds, mine_fds
+
+
+def _brute_minimal_fds(rows, columns, max_lhs=2):
+    """Textbook oracle: lhs -> rhs iff every lhs-projection maps to one rhs
+    value (NULL a value); minimal iff no proper subset (incl. empty) holds."""
+    def holds(lhs, rhs):
+        seen = {}
+        for r in rows:
+            k = tuple(r[columns.index(c)] for c in lhs)
+            v = r[columns.index(rhs)]
+            if k in seen and seen[k] != v:
+                return False
+            seen[k] = v
+        return True
+
+    out = []
+    for rhs in columns:
+        subsets = [()]
+        for size in range(1, max_lhs + 1):
+            subsets += list(
+                combinations([c for c in columns if c != rhs], size)
+            )
+        for lhs in subsets:
+            if holds(lhs, rhs) and not any(
+                holds(sub, rhs)
+                for size in range(len(lhs))
+                for sub in combinations(lhs, size)
+            ):
+                out.append((tuple(lhs), rhs))
+    return sorted(out)
+
+
+def _brute_g1(rows, columns, lhs, rhs):
+    from collections import Counter
+
+    xy = Counter(
+        (tuple(r[columns.index(c)] for c in lhs), r[columns.index(rhs)])
+        for r in rows
+    )
+    x = Counter()
+    for (k, _), c in xy.items():
+        x[k] += c
+    n = len(rows)
+    conflict = sum(c * (c - 1) for c in x.values()) - sum(
+        c * (c - 1) for c in xy.values()
+    )
+    return conflict / (n * n - n)
+
+
+def test_mine_fds_matches_bruteforce(spark):
+    cols = ["k1", "k2", "c", "v", "constc"]
+    rows = [
+        (1, 1, 10, 5, "z"),
+        (1, 2, 10, 6, "z"),
+        (2, 1, 20, 7, "z"),
+        (2, 2, 20, 5, "z"),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    assert mine_fds(df, cols) == _brute_minimal_fds(rows, cols)
+
+
+def test_mine_fds_null_semantics(spark):
+    # NULL is a value: group (1) holds {None, None} -> constant; group (2)
+    # holds {None, 'x'} -> mixture breaks the FD
+    rows = [(1, None), (1, None), (2, None), (2, "x")]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    fds = mine_fds(df, ["a", "b"])
+    assert (("a",), "b") not in fds
+    rows2 = [(1, None), (1, None), (2, "x"), (2, "x")]
+    df2 = spark.createDataFrame(rows2, ["a", "b"])
+    assert (("a",), "b") in mine_fds(df2, ["a", "b"])
+
+
+def test_mine_fds_random_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    cols = ["a", "b", "c", "d"]
+    rows = [
+        tuple(rng.randrange(3) for _ in cols) for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, cols)
+    assert mine_fds(df, cols) == _brute_minimal_fds(rows, cols)
+
+
+def test_mine_afds_g1_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(3)
+    cols = ["a", "b", "c"]
+    rows = [tuple(rng.randrange(4) for _ in cols) for _ in range(60)]
+    df = spark.createDataFrame(rows, cols)
+    e = 0.25
+    mined = mine_afds(df, cols, max_error=e)
+    # brute: minimal under the same budget
+    def err(lhs, rhs):
+        return _brute_g1(rows, cols, lhs, rhs)
+
+    expect = []
+    for rhs in cols:
+        subsets = [()]
+        for size in (1, 2):
+            subsets += list(combinations([c for c in cols if c != rhs], size))
+        for lhs in subsets:
+            if err(lhs, rhs) <= e and not any(
+                err(sub, rhs) <= e
+                for size in range(len(lhs))
+                for sub in combinations(lhs, size)
+            ):
+                expect.append((tuple(lhs), rhs))
+    assert [(l, r) for l, r, _ in mined] == sorted(expect)
+    for lhs, rhs, g1 in mined:
+        assert abs(g1 - err(lhs, rhs)) < 1e-12
+
+
+def test_mine_afds_agrees_with_afd_measures(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    mined = mine_afds(
+        o, ["o_custkey", "o_orderstatus", "o_totalprice"], max_error=1e-5
+    )
+    for lhs, rhs, g1 in mined:
+        if not lhs:
+            continue
+        ref = (
+            fd_check(o, list(lhs), [rhs], num_partitions=4)
+            .afd_measures()
+            .collect()[0]
+        )
+        assert abs(ref.g1 - g1) < 1e-12
+
+
+def test_mine_ainds_error_and_threshold(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["x"])
+    b = spark.createDataFrame([(1,), (2,), (3,)], ["y"])
+    got = mine_ainds({"a": a, "b": b}, max_error=0.3)
+    # a.x has 4 distinct, 1 missing from b.y -> error 0.25 <= 0.3
+    assert ("a.x", "b.y", 0.25) in got
+    # b.y fully contained in a.x -> error 0.0
+    assert ("b.y", "a.x", 0.0) in got
+    assert mine_ainds({"a": a, "b": b}, max_error=0.2) == [("b.y", "a.x", 0.0)]
