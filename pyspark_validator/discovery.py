@@ -25,14 +25,16 @@ Round 2 extends the bonus one level up the lattice, mirroring the reference's
 benchmark gates (src/tests/benchmark/fd_benchmark.h, ind_benchmark.h):
 
   * mine_fds   -- minimal EXACT FDs with |LHS| <= 2 (TANE criterion + TANE
-    minimality pruning, tane.cpp lattice walk). Each LHS is ONE
-    non-distinct groupBy job (constant-within-group via min/max + null
-    counts) covering every surviving RHS at once -- no multi-distinct
-    Expand blowup, map-side combinable, thread-pooled across LHS nodes.
+    minimality pruning, tane.cpp lattice walk). TWO Spark jobs total: one
+    GROUPING SETS pass computes the distinct count of EVERY lattice node
+    up to pairs (shared Expand + shuffle + map-side partial agg), then the
+    pruned level-2 triples share a second pass.
   * mine_afds  -- minimal APPROXIMATE FDs with |LHS| <= 2 under a g1 (or
     1-pdep) error budget (afd_measures.cpp:6-130 formulas, the same ones
-    checks/fd.py::afd_measures mirrors). Level-wise pruning is sound
-    because both errors are monotone non-increasing in the LHS.
+    checks/fd.py::afd_measures mirrors). g1 telescopes to a difference of
+    per-set equal-pair counts, so it rides the same two grouping-sets
+    jobs; level-wise pruning is sound because both errors are monotone
+    non-increasing in the LHS.
   * mine_ainds -- Mind-style approximate INDs (mind.cpp:167-207): error =
     fraction of the dependent column's DISTINCT values missing from the
     referenced column, kept when error <= max_error; same single-shuffle
@@ -246,114 +248,121 @@ def mine_sfds(
 # ---------------------------------------------------------------------------
 
 
-def _constant_within_groups(
-    df: DataFrame, lhs: tuple[str, ...], rhs_cands: list[str]
-) -> dict[str, bool]:
-    """For one LHS node, decide every candidate RHS in ONE groupBy job.
-
-    FD lhs -> C (TANE criterion distinct(lhs) == distinct(lhs+C), NULL a
-    value) holds iff C is constant inside every lhs-group:
-      nn == 0  (all NULL)  or  nn == cnt and min == max  (all one non-NULL).
-    A NULL/non-NULL mixture is two distinct values. All aggregates are
-    non-distinct (count/min/max), so the shuffle is map-side combinable and
-    there is no multi-distinct Expand; groupBy keys NULLs together, matching
-    the engine's null-equal-null default (builtin.h:36-40).
-    """
-    aggs = [F.count(F.lit(1)).alias("__cnt")]
-    for i, c in enumerate(rhs_cands):
-        aggs += [
-            F.count(c).alias(f"__nn_{i}"),
-            F.min(c).alias(f"__mn_{i}"),
-            F.max(c).alias(f"__mx_{i}"),
-        ]
-    g = df.groupBy(*[F.col(c) for c in lhs]).agg(*aggs) if lhs else df.agg(*aggs)
-    flags = [
-        F.max(
-            (
-                ~(
-                    (F.col(f"__nn_{i}") == 0)
-                    | (
-                        (F.col(f"__nn_{i}") == F.col("__cnt"))
-                        & (F.col(f"__mn_{i}") == F.col(f"__mx_{i}"))
-                    )
-                )
-            ).cast("int")
-        ).alias(f"__v_{i}")
-        for i in range(len(rhs_cands))
-    ]
-    row = g.agg(*flags).collect()[0]
-    return {c: row[f"__v_{i}"] == 0 for i, c in enumerate(rhs_cands)}
+def _lattice_counts(
+    df: DataFrame, sets: list[tuple[str, ...]]
+) -> dict[frozenset, tuple[int, int, int]]:
+    """ONE grouping-sets pass over ``df`` computing, for every column set S:
+      D(S) = number of distinct S-projections (NULL a value),
+      P(S) = sum over S-groups of n_g * (n_g - 1)  (equal-row pairs),
+      N    = total rows.
+    GROUPING SETS is the idiomatic Spark answer to a lattice level: every set
+    shares one Expand + one shuffle + one stage barrier instead of one job per
+    set, and the map-side partial aggregation reduces each expanded copy to
+    its group counts before the exchange. grouping_id() disambiguates sets,
+    so real NULL key values (grouped as values, null-equal-null) never
+    collide with "column absent from this set". Returns {frozenset(S): (D,
+    P, N)}; pass () for the empty set (D=1, P=n(n-1))."""
+    uniq = sorted({tuple(s) for s in sets}, key=lambda t: (len(t), t))
+    all_cols = sorted({c for s in uniq for c in s})
+    # The Expand x |sets| + partial agg is the expensive stage; a small input
+    # (fewer scan partitions than cores -- e.g. one parquet file) would run it
+    # near-serially. Fan it out first; at scale the scan already has more
+    # partitions than this and the branch is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    gd = df.groupingSets(
+        [list(s) for s in uniq], *[F.col(c) for c in all_cols]
+    )
+    lvl = gd.agg(F.count(F.lit(1)).alias("__cnt"), F.grouping_id().alias("__gid"))
+    rows = (
+        lvl.groupBy("__gid")
+        .agg(
+            F.count(F.lit(1)).alias("__d"),
+            F.sum(F.col("__cnt") * (F.col("__cnt") - 1)).alias("__p"),
+            F.sum("__cnt").alias("__n"),
+        )
+        .collect()
+    )
+    width = len(all_cols)
+    gid_to_set = {}
+    for st in uniq:
+        gid = 0
+        for i, c in enumerate(all_cols):
+            if c not in st:
+                gid |= 1 << (width - 1 - i)
+        gid_to_set[gid] = frozenset(st)
+    return {
+        gid_to_set[r["__gid"]]: (int(r["__d"]), int(r["__p"]), int(r["__n"]))
+        for r in rows
+    }
 
 
 def mine_fds(
     df: DataFrame,
     columns: list[str] | None = None,
     max_lhs: int = 2,
-    parallelism: int = 4,
 ) -> list[tuple[tuple[str, ...], str]]:
     """Minimal exact FDs with |LHS| <= max_lhs (<= 2), TANE semantics
-    (tane.cpp lattice levels; criterion fd_verifier.cpp:55-65).
+    (tane.cpp lattice levels; criterion fd_verifier.cpp:55-65): lhs -> C
+    holds iff D(lhs) == D(lhs + {C}), NULL a value.
 
     Level 0 emits ((), C) for constant columns; level 1 emits (A,) -> C;
     level 2 emits (A, B) -> C only when no proper LHS subset (incl. the empty
     set) determines C -- the textbook minimality rule. TANE-style pruning:
-    constant columns never appear in an LHS (their nodes collapse to the
-    empty set), and a pair (A, B) with A -> B or B -> A is skipped outright
-    (its partition equals A's, so nothing minimal can surface there).
+    constant columns never appear in an LHS, a pair (A, B) with A -> B or
+    B -> A is skipped outright (its partition equals A's), and only the
+    triples of surviving level-2 candidates are ever counted.
 
-    One single-shuffle job per surviving LHS node, submitted from
-    ``parallelism`` driver threads (Spark interleaves the independent jobs).
+    TWO Spark jobs total regardless of column count: one grouping-sets pass
+    for the empty set + singles + pairs (levels 0 and 1), then -- after
+    driver-side pruning -- one more for the surviving triples (level 2).
     """
     if max_lhs > 2:
         raise ValueError("mine_fds supports max_lhs <= 2")
-    from concurrent.futures import ThreadPoolExecutor
-
     columns = list(columns or df.columns)
+    sets1 = [()] + [(c,) for c in columns] + list(combinations(columns, 2))
+    counts = _lattice_counts(df, sets1)
+
+    def d(st):
+        return counts[frozenset(st)][0]
+
     out: list[tuple[tuple[str, ...], str]] = []
-    # level 0: constants (empty-LHS FDs)
-    const = _constant_within_groups(df, (), columns)
-    constants = {c for c, ok in const.items() if ok}
+    constants = {c for c in columns if d((c,)) == 1}
     out += [((), c) for c in sorted(constants)]
     nonconst = [c for c in columns if c not in constants]
     if max_lhs < 1 or len(nonconst) < 2:
         return sorted(out)
-
-    def run_level(nodes: list[tuple[tuple[str, ...], list[str]]]):
-        def one(node):
-            lhs, cands = node
-            return lhs, _constant_within_groups(df, lhs, cands)
-
-        if parallelism > 1 and len(nodes) > 1:
-            with ThreadPoolExecutor(max_workers=parallelism) as ex:
-                return list(ex.map(one, nodes))
-        return [one(n) for n in nodes]
-
-    # level 1
-    l1_nodes = [((a,), [c for c in nonconst if c != a]) for a in nonconst]
-    holds1: set[tuple[str, str]] = set()
-    for lhs, res in run_level(l1_nodes):
-        for c, ok in res.items():
-            if ok:
-                holds1.add((lhs[0], c))
-                out.append((lhs, c))
+    holds1 = {
+        (a, c)
+        for a in nonconst
+        for c in nonconst
+        if c != a and d((a,)) == d(tuple(sorted((a, c))))
+    }
+    out += [((a,), c) for a, c in holds1]
     if max_lhs < 2:
         return sorted(out)
 
     # level 2: prune pairs with an internal FD; RHS survives only if no
     # single-column subset already determines it
-    l2_nodes = []
+    l2: list[tuple[tuple[str, str], str]] = []
     for a, b in combinations(nonconst, 2):
         if (a, b) in holds1 or (b, a) in holds1:
             continue
-        cands = [
-            c
+        l2 += [
+            ((a, b), c)
             for c in nonconst
             if c not in (a, b) and (a, c) not in holds1 and (b, c) not in holds1
         ]
-        if cands:
-            l2_nodes.append(((a, b), cands))
-    for lhs, res in run_level(l2_nodes):
-        out += [(lhs, c) for c, ok in res.items() if ok]
+    if l2:
+        triples = _lattice_counts(
+            df, [tuple(sorted(lhs + (c,))) for lhs, c in l2]
+        )
+        out += [
+            (lhs, c)
+            for lhs, c in l2
+            if d(lhs) == triples[frozenset(lhs + (c,))][0]
+        ]
     return sorted(out)
 
 
@@ -392,7 +401,7 @@ def mine_afds(
     max_error: float = 0.05,
     measure: str = "g1",
     max_lhs: int = 2,
-    parallelism: int = 4,
+    parallelism: int = 8,
 ) -> list[tuple[tuple[str, ...], str, float]]:
     """Minimal approximate FDs with |LHS| <= 2 under an error budget, the
     TANE-with-error lattice the reference's AFD benchmark gates exercise
@@ -401,17 +410,89 @@ def mine_afds(
     the LHS grows, so level-wise minimality pruning (skip any RHS already
     afforded by a subset, including the empty LHS) is exact, not heuristic.
 
+    For g1 the error is a pure per-set difference,
+        g1(X -> C) = (P(X) - P(X + {C})) / (n^2 - n),
+    with P(S) the equal-row-pair count of set S (afd_measures.cpp:6-130:
+    sum_x cx(cx-1) - sum_xy cxy(cxy-1) telescopes to exactly this), so the
+    WHOLE lattice costs TWO grouping-sets jobs like :func:`mine_fds` --
+    empty+singles+pairs first, surviving triples after pruning. pdep mixes
+    levels (sum cxy^2 / cx) and keeps the per-candidate thread-pooled jobs.
+
     Returns sorted (lhs_tuple, rhs, error) with error <= max_error and no
-    qualifying proper subset. One groupBy job per surviving candidate,
-    thread-pooled like :func:`mine_sfds`.
+    qualifying proper subset.
     """
     if measure not in ("g1", "pdep"):
         raise ValueError("measure must be 'g1' or 'pdep'")
     if max_lhs > 2:
         raise ValueError("mine_afds supports max_lhs <= 2")
-    from concurrent.futures import ThreadPoolExecutor
-
     columns = list(columns or df.columns)
+    if measure == "g1":
+        return _mine_afds_g1(df, columns, max_error, max_lhs)
+    return _mine_afds_jobs(df, columns, max_error, measure, max_lhs, parallelism)
+
+
+def _mine_afds_g1(
+    df: DataFrame, columns: list[str], max_error: float, max_lhs: int
+) -> list[tuple[tuple[str, ...], str, float]]:
+    sets1 = [()] + [(c,) for c in columns] + list(combinations(columns, 2))
+    counts = _lattice_counts(df, sets1)
+    _, p_empty, n = counts[frozenset()]
+    denom = float(n) * n - n
+    if denom <= 0:
+        return []
+
+    def p(st):
+        return counts[frozenset(st)][1]
+
+    out: list[tuple[tuple[str, ...], str, float]] = []
+    qual0 = set()
+    for c in columns:
+        err = (p_empty - p((c,))) / denom
+        if err <= max_error:
+            qual0.add(c)
+            out.append(((), c, err))
+    rest = [c for c in columns if c not in qual0]
+    if max_lhs < 1 or len(rest) < 2:
+        return sorted(out)
+    qual1: set[tuple[str, str]] = set()
+    for a in rest:
+        for c in rest:
+            if c == a:
+                continue
+            err = (p((a,)) - p(tuple(sorted((a, c))))) / denom
+            if err <= max_error:
+                qual1.add((a, c))
+                out.append(((a,), c, err))
+    if max_lhs < 2:
+        return sorted(out)
+    l2 = [
+        ((a, b), c)
+        for a, b in combinations(rest, 2)
+        for c in rest
+        if c not in (a, b) and (a, c) not in qual1 and (b, c) not in qual1
+    ]
+    if l2:
+        triples = _lattice_counts(
+            df, [tuple(sorted(lhs + (c,))) for lhs, c in l2]
+        )
+        for lhs, c in l2:
+            err = (p(lhs) - triples[frozenset(lhs + (c,))][1]) / denom
+            if err <= max_error:
+                out.append((lhs, c, err))
+    return sorted(out)
+
+
+def _mine_afds_jobs(
+    df: DataFrame,
+    columns: list[str],
+    max_error: float,
+    measure: str,
+    max_lhs: int,
+    parallelism: int,
+) -> list[tuple[tuple[str, ...], str, float]]:
+    """Per-candidate job path (pdep): one groupBy(lhs+rhs) shuffle each,
+    submitted from ``parallelism`` driver threads."""
+    from concurrent.futures import ThreadPoolExecutor
 
     def run(cands: list[tuple[tuple[str, ...], str]]):
         def one(c):
