@@ -3108,6 +3108,70 @@ def _afd_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_AFDS_ORDERS = _afd_discovery_oracle_sql()
 
 
+_UCC_DISCOVERY_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_extendedprice",
+    "l_shipdate",
+]
+
+
+def q_discovery_uccs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal UCCs of arity <= 2 over five lineitem columns
+    (discovery.py::mine_uccs, the HyUCC base levels): no single column is a
+    key at sf0.01, three pairs are. One grouping-sets job judges all 15
+    candidates; the oracle replays distinct-count-equals-rowcount +
+    minimality."""
+    from pyspark_validator.discovery import mine_uccs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    uccs = mine_uccs(li, _UCC_DISCOVERY_COLS, max_arity=2)
+    rows = [(",".join(u),) for u in uccs]
+    return (
+        spark.createDataFrame(rows or [("",)], ["ucc"])
+        .filter(F.col("ucc") != "")
+        .orderBy("ucc")
+    )
+
+
+def _ucc_discovery_oracle_sql() -> str:
+    from itertools import combinations as _comb
+
+    cols = _UCC_DISCOVERY_COLS
+
+    def dname(sub):
+        return "d_" + "_".join(str(cols.index(c)) for c in sub)
+
+    def dexpr(sub):
+        inner = ",".join(sub) if len(sub) > 1 else f"{sub[0]},{sub[0]}"
+        return f"count(DISTINCT ({inner})) AS {dname(sub)}"
+
+    subs = [(c,) for c in cols] + list(_comb(cols, 2))
+    cte = (
+        "WITH c AS (SELECT count(*) AS n, "
+        + ", ".join(dexpr(s) for s in subs)
+        + " FROM lineitem)"
+    )
+    rows = [
+        f"SELECT '{c}' AS ucc, {dname((c,))} = n AS m FROM c" for c in cols
+    ]
+    rows += [
+        f"SELECT '{a},{b}', {dname((a, b))} = n AND {dname((a,))} <> n "
+        f"AND {dname((b,))} <> n FROM c"
+        for a, b in _comb(cols, 2)
+    ]
+    return (
+        cte
+        + "\nSELECT ucc FROM (\n"
+        + "\nUNION ALL ".join(rows)
+        + "\n) WHERE m ORDER BY ucc"
+    )
+
+
+SQL_DISCOVERY_UCCS_LINEITEM = _ucc_discovery_oracle_sql()
+
+
 def q_discovery_ainds_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mind-style AIND discovery at max_error = 0.8 -- the reference's own
     Mind benchmark setting (ind_benchmark.h:43-50) -- over the
@@ -3243,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_fds_orders": q_discovery_fds_orders,
         "discovery_afds_orders": q_discovery_afds_orders,
         "discovery_ainds_keys": q_discovery_ainds_keys,
+        "discovery_uccs_lineitem": q_discovery_uccs_lineitem,
     }
 
 
@@ -3331,6 +3396,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_fds_orders": SQL_DISCOVERY_FDS_ORDERS,
         "discovery_afds_orders": SQL_DISCOVERY_AFDS_ORDERS,
         "discovery_ainds_keys": SQL_DISCOVERY_AINDS_KEYS,
+        "discovery_uccs_lineitem": SQL_DISCOVERY_UCCS_LINEITEM,
     }
 
 

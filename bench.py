@@ -109,6 +109,7 @@ HEADLINE = [
     "discovery_fds_orders",
     "discovery_afds_orders",
     "discovery_ainds_keys",
+    "discovery_uccs_lineitem",
 ]
 
 

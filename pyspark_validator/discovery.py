@@ -70,18 +70,27 @@ def _distinct_counts(
 def mine_unary_fds(
     df: DataFrame, columns: list[str] | None = None, approx: bool = False
 ) -> list[tuple[str, str]]:
-    """All exact unary FDs A -> B (A determines B). One wide aggregation."""
-    columns = columns or df.columns
+    """All exact unary FDs A -> B (A determines B). Exact mode shares one
+    grouping-sets job for every single+pair distinct count
+    (:func:`_lattice_counts`); approx mode keeps the one-agg HLL sketch pass
+    for trillion-row scale."""
+    columns = list(columns or df.columns)
     pairs = list(permutations(columns, 2))
-    # distinct(A,B) is symmetric: compute each unordered pair once
     unordered = list(combinations(columns, 2))
-    counts = _distinct_counts(df, columns, unordered, approx)
-    out = []
-    for a, b in pairs:
-        ab = counts.get(f"{a}__{b}", counts.get(f"{b}__{a}"))
-        if ab == counts[a]:
-            out.append((a, b))
-    return sorted(out)
+    if approx:
+        counts = _distinct_counts(df, columns, unordered, approx)
+
+        def d(*cols):
+            key = "__".join(cols)
+            return counts.get(key, counts.get("__".join(reversed(cols))))
+
+    else:
+        lat = _lattice_counts(df, [(c,) for c in columns] + unordered)
+
+        def d(*cols):
+            return lat[frozenset(cols)][0]
+
+    return sorted((a, b) for a, b in pairs if d(a, b) == d(a))
 
 
 def mine_uccs(
@@ -91,21 +100,41 @@ def mine_uccs(
     approx: bool = False,
 ) -> list[tuple[str, ...]]:
     """Minimal UCCs of arity <= max_arity: candidate sets whose distinct count
-    equals the row count, pruned by minimality (supersets of a UCC skipped)."""
-    columns = columns or df.columns
-    n = df.count()
-    unary_counts = _distinct_counts(df, columns, [], approx)
-    uccs: list[tuple[str, ...]] = [
-        (c,) for c in columns if unary_counts[c] == n
-    ]
+    equals the row count, pruned by minimality (supersets of a UCC skipped).
+    Exact mode: ONE grouping-sets job covers all singles AND pairs (the pair
+    counts for prunable pairs are wasted work, but one shared shuffle beats
+    a second full scan); approx mode keeps the HLL sketch aggs."""
+    columns = list(columns or df.columns)
+    if approx:
+        n = df.count()
+        unary_counts = _distinct_counts(df, columns, [], approx)
+        uccs: list[tuple[str, ...]] = [
+            (c,) for c in columns if unary_counts[c] == n
+        ]
+        if max_arity >= 2:
+            non_unique = [c for c in columns if (c,) not in uccs]
+            pairs = list(combinations(non_unique, 2))
+            if pairs:
+                pair_counts = _distinct_counts(df, [], pairs, approx)
+                uccs += [
+                    (a, b) for a, b in pairs if pair_counts[f"{a}__{b}"] == n
+                ]
+        return sorted(uccs)
+    sets = [(c,) for c in columns]
     if max_arity >= 2:
-        non_unique = [c for c in columns if (c,) not in uccs]
-        pairs = list(combinations(non_unique, 2))
-        if pairs:
-            pair_counts = _distinct_counts(df, [], pairs, approx)
-            uccs += [
-                (a, b) for a, b in pairs if pair_counts[f"{a}__{b}"] == n
-            ]
+        sets += list(combinations(columns, 2))
+    lat = _lattice_counts(df, sets)
+    n = next(iter(lat.values()))[2]
+    uccs = [(c,) for c in columns if lat[frozenset((c,))][0] == n]
+    if max_arity >= 2:
+        unique = {u[0] for u in uccs}
+        uccs += [
+            (a, b)
+            for a, b in combinations(columns, 2)
+            if a not in unique
+            and b not in unique
+            and lat[frozenset((a, b))][0] == n
+        ]
     return sorted(uccs)
 
 
