@@ -89,4 +89,22 @@ dyn.execute(insert=[(7, "a", 13.0, "y")])
 print("Dynamic FD after insert: holds:", dyn.fd_holds(),
       "| error clusters:", dyn.get_num_error_clusters())
 
+# --- mining facades (depth <= 2; bind_fd.cpp / bind_ucc.cpp / bind_ind.cpp)
+tane = compat.Tane(spark)
+tane.load_data(TABLE)
+tane.execute(error=0.0)
+print("TANE minimal FDs:", [str(f) for f in tane.get_fds()])
+tane.execute(error=0.3)
+print("TANE AFDs (g1 <= 0.3):", [str(f) for f in tane.get_fds()])
+
+hyucc = compat.HyUCC(spark)
+hyucc.load_data(TABLE)
+hyucc.execute()
+print("HyUCC minimal UCCs:", [str(u) for u in hyucc.get_uccs()])
+
+mind = compat.Mind(spark)
+mind.load_data({"emp": TABLE, "ref": pd.DataFrame({"dept_ref": ["a", "b", "c"]})})
+mind.execute(error=0.5)
+print("Mind AINDs:", [f"{i} (e={i.get_error():.2f})" for i in mind.get_inds()])
+
 spark.stop()

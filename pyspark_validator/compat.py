@@ -1361,3 +1361,160 @@ class DynamicFdVerifier(_Verifier):
             }
             for r in rows
         ]
+
+
+# ---------------------------------------------------------------------------
+# Mining algorithm facades (discovery tier bonus): bind_fd.cpp:75-82
+# (Tane/Pyro get_fds), bind_ucc.cpp:66-70 (HyUCC get_uccs),
+# bind_ind.cpp:139-146 (Spider/Mind get_inds). Depth is |LHS| / arity <= 2
+# (discovery.py lattice); the full-depth search is out of the validation
+# tier's scope.
+# ---------------------------------------------------------------------------
+
+
+class FD:
+    """FD result object (bind_fd.cpp:25-49 getter names)."""
+
+    def __init__(self, lhs_indices, rhs_index, columns):
+        self.lhs_indices = list(lhs_indices)
+        self.rhs_index = int(rhs_index)
+        self._columns = list(columns)
+
+    def to_name_tuple(self):
+        return ([self._columns[i] for i in self.lhs_indices],
+                self._columns[self.rhs_index])
+
+    def to_index_tuple(self):
+        return (tuple(self.lhs_indices), self.rhs_index)
+
+    def __str__(self):
+        lhs, rhs = self.to_name_tuple()
+        return f"[{', '.join(lhs)}] -> {rhs}"
+
+    def __eq__(self, other):
+        return isinstance(other, FD) and self.to_index_tuple() == other.to_index_tuple()
+
+    def __hash__(self):
+        return hash(self.to_index_tuple())
+
+
+class UCC:
+    """UCC result object (bind_ucc.cpp:55-61: ``indices`` + index string)."""
+
+    def __init__(self, indices, columns):
+        self.indices = list(indices)
+        self._columns = list(columns)
+
+    def to_short_string(self):
+        return f"[{' '.join(str(i) for i in self.indices)}]"
+
+    def __str__(self):
+        return self.to_short_string()
+
+    def __eq__(self, other):
+        return isinstance(other, UCC) and self.indices == other.indices
+
+    def __hash__(self):
+        return hash(tuple(self.indices))
+
+
+class IND:
+    """IND result object (bind_ind.cpp:110-115: get_lhs/get_rhs/get_error);
+    lhs/rhs are 'table.column' attribute names."""
+
+    def __init__(self, lhs, rhs, error=0.0):
+        self._lhs, self._rhs, self._error = lhs, rhs, float(error)
+
+    def get_lhs(self):
+        return self._lhs
+
+    def get_rhs(self):
+        return self._rhs
+
+    def get_error(self):
+        return self._error
+
+    def to_short_string(self):
+        return f"{self._lhs} -> {self._rhs}"
+
+    def __str__(self):
+        return self.to_short_string()
+
+
+class Tane(_Verifier):
+    """TANE analog (bind_fd.cpp:75-82; tane.cpp): minimal FDs with
+    |LHS| <= max_lhs (<= 2). error == 0 mines exact FDs; error > 0 mines
+    AFDs under the g1 (or 1-pdep) budget, the reference's TANE error
+    measures (enums.h / afd_measures.cpp). Empty-LHS FDs (constant columns)
+    are reported with lhs_indices == []."""
+
+    def execute(self, error: float = 0.0, error_measure: str = "g1",
+                max_lhs: int = 2) -> None:
+        from pyspark_validator.discovery import mine_afds, mine_fds
+
+        assert self._df is not None, "call load_data first"
+        cols = self._df.columns
+        if error <= 0.0:
+            mined = [(lhs, rhs, 0.0) for lhs, rhs in mine_fds(self._df, cols, max_lhs=max_lhs)]
+        else:
+            mined = mine_afds(self._df, cols, max_error=error,
+                              measure=error_measure, max_lhs=max_lhs)
+        ix = {c: i for i, c in enumerate(cols)}
+        self._fds = [FD([ix[c] for c in lhs], ix[rhs], cols) for lhs, rhs, _ in mined]
+
+    def get_fds(self) -> list:
+        return self._fds
+
+
+class Pyro(Tane):
+    """Pyro analog (bind_fd.cpp:75-82): same AFD-under-error surface at this
+    facade's depth; Pyro's sampling search strategy is an implementation
+    detail of the single-node engine."""
+
+
+class HyUCC(_Verifier):
+    """HyUCC analog (bind_ucc.cpp:66-70): minimal UCCs of arity <= 2."""
+
+    def execute(self, max_arity: int = 2) -> None:
+        from pyspark_validator.discovery import mine_uccs
+
+        assert self._df is not None, "call load_data first"
+        cols = self._df.columns
+        ix = {c: i for i, c in enumerate(cols)}
+        found = [
+            sorted(ix[c] for c in u)
+            for u in mine_uccs(self._df, cols, max_arity=max_arity)
+        ]
+        self._uccs = [
+            UCC(u, cols) for u in sorted(found, key=lambda u: (len(u), u))
+        ]
+
+    def get_uccs(self) -> list:
+        return self._uccs
+
+
+class Spider(_Verifier):
+    """Spider analog (bind_ind.cpp:139-146; spider.cpp:49-80): exact unary
+    INDs across a set of tables. ``load_data`` takes {name: table}."""
+
+    def load_data(self, tables: dict) -> None:
+        self._tables = {name: self._resolve(t) for name, t in tables.items()}
+
+    def execute(self) -> None:
+        from pyspark_validator.discovery import mine_unary_inds
+
+        self._inds = [IND(a, b, 0.0) for a, b in mine_unary_inds(self._tables)]
+
+    def get_inds(self) -> list:
+        return self._inds
+
+
+class Mind(Spider):
+    """Mind analog (mind.cpp:167-207): approximate unary INDs; ``error`` is
+    the reference's max_ind_error (fraction of the dependent column's
+    distinct values missing from the referenced column)."""
+
+    def execute(self, error: float = 0.3) -> None:
+        from pyspark_validator.discovery import mine_ainds
+
+        self._inds = [IND(a, b, e) for a, b, e in mine_ainds(self._tables, max_error=error)]

@@ -259,3 +259,64 @@ def test_dynamic_fd_verifier(spark, tmp_path):
     (h,) = v2.get_highlights()
     assert h["lhs_values"] == ["1", "5", "5", "mnop", "10"]
     assert h["num_distinct_rhs_values"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Mining facades: Tane / Pyro / HyUCC / Spider / Mind (bind_fd.cpp:75-82,
+# bind_ucc.cpp:66-70, bind_ind.cpp:139-146)
+# ---------------------------------------------------------------------------
+def test_tane_exact_and_afd(spark):
+    from pyspark_validator.compat import Tane
+
+    df = pd.DataFrame(
+        {
+            "k1": [1, 1, 2, 2],
+            "k2": [1, 2, 1, 2],
+            "c": [10, 10, 20, 20],
+            "v": [5, 6, 7, 5],
+        }
+    )
+    t = Tane(spark)
+    t.load_data(df)
+    t.execute(error=0.0)
+    fds = t.get_fds()
+    names = {str(f) for f in fds}
+    assert "[k1] -> c" in names and "[c] -> k1" in names
+    assert "[k1, k2] -> v" in names
+    # index getters (bind_fd.cpp:41-49)
+    f = next(x for x in fds if str(x) == "[k1] -> c")
+    assert f.lhs_indices == [0] and f.rhs_index == 2
+    assert f.to_name_tuple() == (["k1"], "c")
+    # AFD mode under a generous budget admits level-1 only (minimality)
+    t.execute(error=0.5)
+    afd_names = {str(f) for f in t.get_fds()}
+    assert all("[" in s for s in afd_names)
+
+
+def test_hyucc_and_spider_mind(spark):
+    from pyspark_validator.compat import HyUCC, Mind, Spider
+
+    df = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "g": ["a", "a", "b", "b"], "h": ["x", "y", "x", "y"]}
+    )
+    u = HyUCC(spark)
+    u.load_data(df)
+    u.execute()
+    uccs = u.get_uccs()
+    assert [x.indices for x in uccs] == [[0], [1, 2]]
+    assert uccs[0].to_short_string() == "[0]"
+
+    a = pd.DataFrame({"x": [1, 2, 3, 4]})
+    b = pd.DataFrame({"y": [1, 2, 3]})
+    s = Spider(spark)
+    s.load_data({"a": a, "b": b})
+    s.execute()
+    inds = s.get_inds()
+    assert [(i.get_lhs(), i.get_rhs()) for i in inds] == [("b.y", "a.x")]
+    assert inds[0].get_error() == 0.0
+
+    m = Mind(spark)
+    m.load_data({"a": a, "b": b})
+    m.execute(error=0.3)
+    got = {(i.get_lhs(), i.get_rhs(), i.get_error()) for i in m.get_inds()}
+    assert ("a.x", "b.y", 0.25) in got and ("b.y", "a.x", 0.0) in got

@@ -706,3 +706,94 @@ def test_hash_split_partitions_ids_exhaustively(spark, ids, fr):
                 exp = name
                 break
         assert got[i] == exp
+
+
+# ---------------------------------------------------------------------------
+# Lattice discovery law: mine_fds / mine_afds(g1) on random tables equal the
+# brute-force definitions (TANE criterion + subset minimality)
+# ---------------------------------------------------------------------------
+lattice_rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+def _brute_lattice(rows, cols, err_fn, budget):
+    from itertools import combinations as _comb
+
+    out = []
+    for rhs in cols:
+        subsets = [()]
+        for size in (1, 2):
+            subsets += list(_comb([c for c in cols if c != rhs], size))
+        for lhs in subsets:
+            if err_fn(lhs, rhs) <= budget and not any(
+                err_fn(sub, rhs) <= budget
+                for size in range(len(lhs))
+                for sub in _comb(lhs, size)
+            ):
+                out.append((tuple(lhs), rhs))
+    return sorted(out)
+
+
+@given(rows=lattice_rows_strategy)
+@settings(**_SETTINGS)
+def test_mine_fds_law(spark, rows):
+    from pyspark_validator.discovery import mine_fds
+
+    cols = ["p", "q", "r"]
+    df = spark.createDataFrame(rows, "p string, q string, r int")
+
+    def exact_err(lhs, rhs):
+        seen = {}
+        for r in rows:
+            k = tuple(r[cols.index(c)] for c in lhs)
+            v = r[cols.index(rhs)]
+            if k in seen and seen[k] != v:
+                return 1.0
+            seen[k] = v
+        return 0.0
+
+    assert [
+        (l, r) for l, r in mine_fds(df, cols)
+    ] == _brute_lattice(rows, cols, exact_err, 0.0)
+
+
+@given(
+    rows=lattice_rows_strategy,
+    budget=st.sampled_from([0.0, 0.05, 0.2, 0.5]),
+)
+@settings(**_SETTINGS)
+def test_mine_afds_g1_law(spark, rows, budget):
+    from collections import Counter
+
+    from pyspark_validator.discovery import mine_afds
+
+    cols = ["p", "q", "r"]
+    df = spark.createDataFrame(rows, "p string, q string, r int")
+    n = len(rows)
+
+    def g1(lhs, rhs):
+        if n <= 1:
+            return 0.0
+        xy = Counter(
+            (tuple(r[cols.index(c)] for c in lhs), r[cols.index(rhs)])
+            for r in rows
+        )
+        x = Counter()
+        for (k, _), c in xy.items():
+            x[k] += c
+        conflict = sum(c * (c - 1) for c in x.values()) - sum(
+            c * (c - 1) for c in xy.values()
+        )
+        return conflict / (n * n - n)
+
+    mined = mine_afds(df, cols, max_error=budget)
+    assert [(l, r) for l, r, _ in mined] == _brute_lattice(rows, cols, g1, budget)
+    for lhs, rhs, e in mined:
+        assert abs(e - g1(lhs, rhs)) < 1e-12
