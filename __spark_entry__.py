@@ -2949,6 +2949,37 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_curation_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (pipelines/curation.py::cap_per_group, exact mode): keep
+    the 10 md5-rank winners per source. Deterministic survivors, so the
+    oracle re-derives the identical set via the same window."""
+    from pyspark_validator.pipelines.curation import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = cap_per_group(docs, "source", cap=10, id_col="doc_id", salt="cap")
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CURATION_DOMAIN_CAP_DOCS = """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|cap'), 1, 12), doc_id
+         ) AS rk
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r WHERE rk <= 10 GROUP BY source ORDER BY source
+"""
+
+
 # --- level-2 lattice discovery (discovery.py round-2 additions) -----------
 
 _FD_DISCOVERY_COLS = [
@@ -3303,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
         "curation_pack_docs": q_curation_pack_docs,
+        "curation_domain_cap_docs": q_curation_domain_cap_docs,
         "discovery_unary_inds_keys": q_discovery_unary_inds_keys,
         "discovery_fds_orders": q_discovery_fds_orders,
         "discovery_afds_orders": q_discovery_afds_orders,
@@ -3392,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,
+        "curation_domain_cap_docs": SQL_CURATION_DOMAIN_CAP_DOCS,
         "discovery_unary_inds_keys": SQL_DISCOVERY_UNARY_INDS_KEYS,
         "discovery_fds_orders": SQL_DISCOVERY_FDS_ORDERS,
         "discovery_afds_orders": SQL_DISCOVERY_AFDS_ORDERS,

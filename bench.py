@@ -110,6 +110,7 @@ HEADLINE = [
     "discovery_afds_orders",
     "discovery_ainds_keys",
     "discovery_uccs_lineitem",
+    "curation_domain_cap_docs",
 ]
 
 

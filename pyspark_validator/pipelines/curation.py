@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "pack_sequences",
     "pack_summary",
+    "cap_per_group",
     "hex_threshold",
 ]
 
@@ -251,3 +252,49 @@ def pack_summary(packed: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    exact: bool = True,
+) -> DataFrame:
+    """Keep at most (``exact=True``) / approximately (``exact=False``) ``cap``
+    documents per group -- the per-domain cap every web corpus applies so one
+    hot domain cannot dominate the mixture. Selection is deterministic: rows
+    win by md5(id) rank, so any engine re-derives the same survivors.
+
+    Scale design: ``exact`` ranks by a WINDOW partitioned on the group -- one
+    shuffle; a pathological group (10^10 docs on one domain) serializes its
+    own partition's sort, so for trillion-row tables with mega-domains use
+    ``exact=False``: per-group counts (one tiny agg, broadcast back) turn the
+    cap into a per-row hash-fraction test ``md5_frac < cap / n_g`` -- zero
+    windows, the big side is scanned once and never shuffled. The approximate
+    mode keeps Binomial(n_g, cap/n_g) ~ cap docs (it can exceed cap by
+    O(sqrt(cap)); it is a *target*, which is how production domain caps
+    actually run at this scale).
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            _md5_prefix(F.col(id_col), salt), F.col(id_col)
+        )
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap)
+            .drop("__rk")
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = df.join(F.broadcast(counts), on=group_col)
+    # md5 prefix as a uniform fraction in [0, 1): compare against cap / n_g
+    frac = (
+        F.conv(_md5_prefix(F.col(id_col), salt), 16, 10).cast("double")
+        / float(16**_PREFIX_LEN)
+    )
+    return joined.filter(
+        (F.col("__n") <= cap) | (frac < cap / F.col("__n").cast("double"))
+    ).drop("__n")

@@ -7,6 +7,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from pyspark_validator.pipelines.curation import (
+    cap_per_group,
     decontaminate,
     hash_split,
     hex_threshold,
@@ -206,3 +207,52 @@ def test_decontaminate_broadcasts_benchmark(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cap_per_group_exact_matches_python_oracle(spark):
+    import hashlib
+
+    rows = [(i, f"d{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    got = sorted(
+        r.doc_id
+        for r in cap_per_group(
+            df, "domain", cap=5, id_col="doc_id", salt="cap"
+        ).collect()
+    )
+
+    def rank_key(i):
+        return (hashlib.md5(f"{i}|cap".encode()).hexdigest()[:12], i)
+
+    expect = []
+    for d in {"d0", "d1", "d2"}:
+        members = sorted((i for i, dom in rows if dom == d), key=rank_key)
+        expect += members[:5]
+    assert got == sorted(expect)
+    # determinism: same survivors on a re-run with shuffled input order
+    df2 = spark.createDataFrame(list(reversed(rows)), ["doc_id", "domain"])
+    got2 = sorted(
+        r.doc_id
+        for r in cap_per_group(
+            df2, "domain", cap=5, id_col="doc_id", salt="cap"
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_cap_per_group_approx_targets_cap(spark):
+    rows = [(i, "big" if i < 400 else f"s{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = cap_per_group(df, "domain", cap=50, id_col="doc_id", exact=False)
+    sizes = {r.domain: r.n for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small groups (< cap) are kept whole
+    for d, n in sizes.items():
+        if d != "big":
+            assert n == sum(1 for i, dom in rows if dom == d)
+    # the hot group lands near the target (Binomial(400, 1/8): mean 50, sd ~6.6)
+    assert 20 <= sizes["big"] <= 90
+    # approx mode is window-free and the decision is a per-row expression
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
