@@ -41,6 +41,15 @@ from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.sfd import sfd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
+from pyspark_validator.discovery import (
+    mine_afds,
+    mine_ainds,
+    mine_fds,
+    mine_sfds,
+    mine_uccs,
+    mine_unary_fds,
+    mine_unary_inds,
+)
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
@@ -73,6 +82,13 @@ __all__ = [
     "ColumnMatch",
     "md_check",
     "mfd_check",
+    "mine_afds",
+    "mine_ainds",
+    "mine_fds",
+    "mine_sfds",
+    "mine_uccs",
+    "mine_unary_fds",
+    "mine_unary_inds",
     "nar_check",
     "nd_check",
     "partition_id_expr",
