@@ -225,8 +225,9 @@ def mine_sfds(
     {soft_keys, trivial_columns, sfds, correlations} with sfds/correlations
     as (determinant, dependent) name pairs.
 
-    One wide aggregation computes every single and pairwise distinct count
-    (the per-pair 4-count agg the verifier would run is injected from it);
+    Every single and pairwise distinct count comes from ONE pass (exact:
+    the shared grouping-sets lattice job; approx: one HLL wide agg) and is
+    injected into the verifiers so the per-pair 4-count scan is skipped;
     only non-excluded pairs then pay the per-pair contingency pass, and those
     independent per-pair jobs are submitted from ``parallelism`` driver
     threads so a wide table does not serialize on per-job latency (Spark's
@@ -239,8 +240,16 @@ def mine_sfds(
     columns = list(columns or df.columns)
     min_card = params.get("min_cardinality", 0.1)
     pairs = list(combinations(columns, 2))
-    counts = _distinct_counts(df, columns, pairs, approx)
-    n = df.count()
+    if approx:
+        counts = _distinct_counts(df, columns, pairs, approx)
+        n = df.count()
+    else:
+        lat = _lattice_counts(df, [(c,) for c in columns] + pairs)
+        counts = {c: lat[frozenset((c,))][0] for c in columns}
+        counts.update(
+            {f"{a}__{b}": lat[frozenset((a, b))][0] for a, b in pairs}
+        )
+        n = next(iter(lat.values()))[2]
     soft_keys = [c for c in columns if counts[c] >= (1.0 - min_card) * n]
     trivial = [c for c in columns if counts[c] == 1]
     excluded = set(soft_keys) | set(trivial)
