@@ -44,6 +44,7 @@ from pyspark_validator.checks.ucc import ucc_check
 from pyspark_validator.discovery import (
     mine_afds,
     mine_ainds,
+    mine_binary_inds,
     mine_fds,
     mine_sfds,
     mine_uccs,
@@ -84,6 +85,7 @@ __all__ = [
     "mfd_check",
     "mine_afds",
     "mine_ainds",
+    "mine_binary_inds",
     "mine_fds",
     "mine_sfds",
     "mine_uccs",

@@ -1510,11 +1510,20 @@ class Spider(_Verifier):
 
 
 class Mind(Spider):
-    """Mind analog (mind.cpp:167-207): approximate unary INDs; ``error`` is
+    """Mind analog (mind.cpp:167-261): approximate unary INDs; ``error`` is
     the reference's max_ind_error (fraction of the dependent column's
-    distinct values missing from the referenced column)."""
+    distinct values missing from the referenced column). ``max_arity=2``
+    adds the level-2 apriori step (MineNaryINDs): exact binary INDs built
+    from the error-0 unary level, each verified by one anti-join."""
 
-    def execute(self, error: float = 0.3) -> None:
-        from pyspark_validator.discovery import mine_ainds
+    def execute(self, error: float = 0.3, max_arity: int = 1) -> None:
+        from pyspark_validator.discovery import mine_ainds, mine_binary_inds
 
-        self._inds = [IND(a, b, e) for a, b, e in mine_ainds(self._tables, max_error=error)]
+        ainds = mine_ainds(self._tables, max_error=error)
+        self._inds = [IND(a, b, e) for a, b, e in ainds]
+        if max_arity >= 2:
+            exact_unary = [(a, b) for a, b, e in ainds if e == 0.0]
+            self._inds += [
+                IND(", ".join(lhs), ", ".join(rhs), 0.0)
+                for lhs, rhs in mine_binary_inds(self._tables, unary=exact_unary)
+            ]

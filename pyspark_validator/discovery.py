@@ -39,6 +39,9 @@ benchmark gates (src/tests/benchmark/fd_benchmark.h, ind_benchmark.h):
     fraction of the dependent column's DISTINCT values missing from the
     referenced column, kept when error <= max_error; same single-shuffle
     inverted domain as mine_unary_inds.
+  * mine_binary_inds -- Mind's level-2 apriori (mind.cpp:209-261): binary
+    IND candidates exist only where both component unary INDs hold; each
+    survivor is verified exactly by one distinct-projection anti-join.
 
 Column counts in profiling tables are small (tens); the row dimension is where
 Spark scales. Exact counts by default; pass approx=True for HLL sketches at
@@ -571,4 +574,71 @@ def _mine_afds_jobs(
     for lhs, rhs, err in run(l2):
         if err <= max_error:
             out.append((lhs, rhs, err))
+    return sorted(out)
+
+
+def mine_binary_inds(
+    tables: dict[str, DataFrame],
+    unary: list[tuple[str, str]] | None = None,
+    parallelism: int = 8,
+) -> list[tuple[tuple[str, str], tuple[str, str]]]:
+    """Binary (n=2) exact INDs across ``tables``, Mind's level-2 step
+    (mind.cpp:209-261 MineNaryINDs): apriori candidates from the unary level
+    -- (A1, A2) subseteq (B1, B2) is possible only if A1 subseteq B1 AND
+    A2 subseteq B2 hold between the same table pair with distinct columns --
+    each verified exactly by one distinct-projection anti-join
+    (checks/ind.py semantics: a candidate holds iff no distinct LHS pair is
+    absent from the RHS pairs). Returns
+    [(('tbl.a1', 'tbl.a2'), ('tbl.b1', 'tbl.b2')), ...] sorted.
+
+    Candidate counts are pruned hard by the unary level (the reference's own
+    observation: real-world n-ary IND counts collapse after level 1), so the
+    per-candidate jobs are few; they are submitted from ``parallelism``
+    driver threads.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark_validator.checks.ind import ind_check
+
+    if unary is None:
+        unary = mine_unary_inds(tables)
+    uset = set(unary)
+
+    def split(attr):
+        t, c = attr.split(".", 1)
+        return t, c
+
+    # apriori: pair two unary INDs sharing the same (lhs table, rhs table)
+    cands = []
+    for (a1, b1) in unary:
+        for (a2, b2) in unary:
+            ta1, ca1 = split(a1)
+            ta2, ca2 = split(a2)
+            tb1, cb1 = split(b1)
+            tb2, cb2 = split(b2)
+            if ta1 != ta2 or tb1 != tb2:
+                continue
+            if ca1 >= ca2 or cb1 == cb2:  # ordered LHS pair, distinct RHS cols
+                continue
+            # the mirrored orientation must also be unary-valid
+            if (a2, b2) not in uset:
+                continue
+            cands.append(((ta1, ca1, ca2), (tb1, cb1, cb2)))
+
+    def verify(cand):
+        (ta, a1, a2), (tb, b1, b2) = cand
+        chk = ind_check(tables[ta], [a1, a2], tables[tb], [b1, b2])
+        holds = bool(chk.summary().collect()[0]["holds"])
+        return cand, holds
+
+    if parallelism > 1 and len(cands) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            judged = list(ex.map(verify, cands))
+    else:
+        judged = [verify(c) for c in cands]
+    out = [
+        ((f"{ta}.{a1}", f"{ta}.{a2}"), (f"{tb}.{b1}", f"{tb}.{b2}"))
+        for ((ta, a1, a2), (tb, b1, b2)), holds in judged
+        if holds
+    ]
     return sorted(out)

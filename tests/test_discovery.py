@@ -227,3 +227,26 @@ def test_mine_afds_pdep_path(spark):
         assert abs(err - pdep_err(lhs, rhs)) < 1e-9
     # at least the structure is non-trivial on 3-value random data
     assert isinstance(mined, list)
+
+
+def test_mine_binary_inds_apriori_and_verify(spark):
+    from pyspark_validator.discovery import mine_binary_inds
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["u", "v"])
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (1, "y")], ["p", "q"]
+    )
+    # unary INDs hold component-wise into c, but the PAIRS don't line up
+    c = spark.createDataFrame([(1, "y"), (2, "x"), (3, "z")], ["p2", "q2"])
+    got = mine_binary_inds({"a": a, "b": b, "c": c})
+    assert (("a.u", "a.v"), ("b.p", "b.q")) in got
+    assert not any(rhs == ("c.p2", "c.q2") for _, rhs in got)
+    # every reported binary IND verifies exactly
+    from pyspark_validator.checks.ind import ind_check
+
+    tables = {"a": a, "b": b, "c": c}
+    for (l1, l2), (r1, r2) in got:
+        ta, ca1 = l1.split("."); _, ca2 = l2.split(".")
+        tb, cb1 = r1.split("."); _, cb2 = r2.split(".")
+        s = ind_check(tables[ta], [ca1, ca2], tables[tb], [cb1, cb2]).summary().collect()[0]
+        assert s["holds"]
