@@ -2949,6 +2949,73 @@ FROM c ORDER BY doc_id
 """
 
 
+_BIND_TABLES = {
+    "nation": ("n_nationkey", "n_regionkey"),
+    "customer": ("c_custkey", "c_nationkey"),
+    "supplier": ("s_nationkey", "s_suppkey"),
+}
+
+
+def q_discovery_binary_inds_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mind level-2 binary IND mining (discovery.py::mine_binary_inds,
+    mind.cpp:209-261) over three 2-column key projections, reporting every
+    apriori candidate WITH its verdict: at sf0.01 several candidates pass
+    the unary apriori gate yet fail exact pair verification (e.g. supplier
+    (nationkey, suppkey) pairs are not customer (nationkey, custkey) pairs),
+    which is exactly the level-2 pruning the algorithm exists to do."""
+    from pyspark_validator.discovery import mine_binary_inds
+
+    tables = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").select(*cols)
+        for t, cols in _BIND_TABLES.items()
+    }
+    got = mine_binary_inds(tables, with_verdicts=True)
+    rows = [(",".join(lhs), ",".join(rhs), bool(h)) for lhs, rhs, h in got]
+    return (
+        spark.createDataFrame(rows or [("", "", False)], "lhs string, rhs string, holds boolean")
+        .filter(F.col("lhs") != "")
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _binary_ind_oracle_sql() -> str:
+    """Mirror the apriori + verification definition: a candidate exists iff
+    both component unary INDs hold (distinct non-null domain containment,
+    distinct attrs); its verdict is exact distinct-pair containment."""
+
+    def contained(ta, x, tb, y):
+        return (
+            f"NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT {x} AS v FROM {ta}) l "
+            f"WHERE l.v IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM {tb} r WHERE r.{y} = l.v))"
+        )
+
+    def pair_contained(ta, a1, a2, tb, b1, b2):
+        return (
+            f"NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT {a1} AS v1, {a2} AS v2 "
+            f"FROM {ta}) l WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {tb} r WHERE r.{b1} = l.v1 AND r.{b2} = l.v2))"
+        )
+
+    rows = []
+    for ta, (a1, a2) in _BIND_TABLES.items():
+        for tb, cols in _BIND_TABLES.items():
+            for b1, b2 in (cols, cols[::-1]):
+                if (f"{ta}.{a1}" == f"{tb}.{b1}") or (f"{ta}.{a2}" == f"{tb}.{b2}"):
+                    continue  # reflexive components never form unary INDs
+                cand = f"{contained(ta, a1, tb, b1)} AND {contained(ta, a2, tb, b2)}"
+                rows.append(
+                    f"SELECT '{ta}.{a1},{ta}.{a2}' AS lhs, "
+                    f"'{tb}.{b1},{tb}.{b2}' AS rhs, "
+                    f"{pair_contained(ta, a1, a2, tb, b1, b2)} AS holds "
+                    f"WHERE {cand}"
+                )
+    return "\nUNION ALL ".join(rows) + "\nORDER BY lhs, rhs"
+
+
+SQL_DISCOVERY_BINARY_INDS_KEYS = _binary_ind_oracle_sql()
+
+
 def q_curation_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap (pipelines/curation.py::cap_per_group, exact mode): keep
     the 10 md5-rank winners per source. Deterministic survivors, so the
@@ -3340,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_afds_orders": q_discovery_afds_orders,
         "discovery_ainds_keys": q_discovery_ainds_keys,
         "discovery_uccs_lineitem": q_discovery_uccs_lineitem,
+        "discovery_binary_inds_keys": q_discovery_binary_inds_keys,
     }
 
 
@@ -3430,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_afds_orders": SQL_DISCOVERY_AFDS_ORDERS,
         "discovery_ainds_keys": SQL_DISCOVERY_AINDS_KEYS,
         "discovery_uccs_lineitem": SQL_DISCOVERY_UCCS_LINEITEM,
+        "discovery_binary_inds_keys": SQL_DISCOVERY_BINARY_INDS_KEYS,
     }
 
 

@@ -111,6 +111,7 @@ HEADLINE = [
     "discovery_ainds_keys",
     "discovery_uccs_lineitem",
     "curation_domain_cap_docs",
+    "discovery_binary_inds_keys",
 ]
 
 

@@ -581,7 +581,8 @@ def mine_binary_inds(
     tables: dict[str, DataFrame],
     unary: list[tuple[str, str]] | None = None,
     parallelism: int = 8,
-) -> list[tuple[tuple[str, str], tuple[str, str]]]:
+    with_verdicts: bool = False,
+) -> list:
     """Binary (n=2) exact INDs across ``tables``, Mind's level-2 step
     (mind.cpp:209-261 MineNaryINDs): apriori candidates from the unary level
     -- (A1, A2) subseteq (B1, B2) is possible only if A1 subseteq B1 AND
@@ -594,7 +595,8 @@ def mine_binary_inds(
     Candidate counts are pruned hard by the unary level (the reference's own
     observation: real-world n-ary IND counts collapse after level 1), so the
     per-candidate jobs are few; they are submitted from ``parallelism``
-    driver threads.
+    driver threads. ``with_verdicts=True`` returns every apriori candidate
+    with its verdict, [(lhs, rhs, holds)], instead of only the survivors.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -636,6 +638,15 @@ def mine_binary_inds(
             judged = list(ex.map(verify, cands))
     else:
         judged = [verify(c) for c in cands]
+    if with_verdicts:
+        return sorted(
+            (
+                (f"{ta}.{a1}", f"{ta}.{a2}"),
+                (f"{tb}.{b1}", f"{tb}.{b2}"),
+                holds,
+            )
+            for ((ta, a1, a2), (tb, b1, b2)), holds in judged
+        )
     out = [
         ((f"{ta}.{a1}", f"{ta}.{a2}"), (f"{tb}.{b1}", f"{tb}.{b2}"))
         for ((ta, a1, a2), (tb, b1, b2)), holds in judged
