@@ -486,18 +486,23 @@ def _mine_afds_g1(
         return counts[frozenset(st)][1]
 
     out: list[tuple[tuple[str, ...], str, float]] = []
+    # level 0 qualifiers are excluded as RHS (minimality: the empty set is a
+    # proper subset of every LHS) but NOT as LHS components -- unlike an
+    # exactly-constant column, a merely NEAR-constant one still refines
+    # partitions, so e.g. (q,) -> r can be minimal while () -> q qualifies.
+    # (Found by the 60-example property soak.)
     qual0 = set()
     for c in columns:
         err = (p_empty - p((c,))) / denom
         if err <= max_error:
             qual0.add(c)
             out.append(((), c, err))
-    rest = [c for c in columns if c not in qual0]
-    if max_lhs < 1 or len(rest) < 2:
+    rhs_cands = [c for c in columns if c not in qual0]
+    if max_lhs < 1 or not rhs_cands or len(columns) < 2:
         return sorted(out)
     qual1: set[tuple[str, str]] = set()
-    for a in rest:
-        for c in rest:
+    for a in columns:
+        for c in rhs_cands:
             if c == a:
                 continue
             err = (p((a,)) - p(tuple(sorted((a, c))))) / denom
@@ -508,8 +513,8 @@ def _mine_afds_g1(
         return sorted(out)
     l2 = [
         ((a, b), c)
-        for a, b in combinations(rest, 2)
-        for c in rest
+        for a, b in combinations(columns, 2)
+        for c in rhs_cands
         if c not in (a, b) and (a, c) not in qual1 and (b, c) not in qual1
     ]
     if l2:
@@ -546,18 +551,20 @@ def _mine_afds_jobs(
         return [one(c) for c in cands]
 
     out: list[tuple[tuple[str, ...], str, float]] = []
-    # level 0: near-constant columns under the budget
+    # level 0: near-constant columns under the budget. Qualifiers leave the
+    # RHS pool only -- a near-constant column still refines partitions as an
+    # LHS component (see _mine_afds_g1).
     qual0 = set()
     for lhs, rhs, err in run([((), c) for c in columns]):
         if err <= max_error:
             qual0.add(rhs)
             out.append(((), rhs, err))
-    rest = [c for c in columns if c not in qual0]
-    if max_lhs < 1 or len(rest) < 2:
+    rhs_cands = [c for c in columns if c not in qual0]
+    if max_lhs < 1 or not rhs_cands or len(columns) < 2:
         return sorted(out)
     # level 1
     qual1: set[tuple[str, str]] = set()
-    l1 = [((a,), c) for a in rest for c in rest if c != a]
+    l1 = [((a,), c) for a in columns for c in rhs_cands if c != a]
     for lhs, rhs, err in run(l1):
         if err <= max_error:
             qual1.add((lhs[0], rhs))
@@ -567,8 +574,8 @@ def _mine_afds_jobs(
     # level 2: RHS survives only if no single-column subset qualified
     l2 = [
         ((a, b), c)
-        for a, b in combinations(rest, 2)
-        for c in rest
+        for a, b in combinations(columns, 2)
+        for c in rhs_cands
         if c not in (a, b) and (a, c) not in qual1 and (b, c) not in qual1
     ]
     for lhs, rhs, err in run(l2):
