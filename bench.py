@@ -225,7 +225,44 @@ def run_scale_worker(cpus: str, repeat: int) -> None:
     print(json.dumps({"cpus": int(cpus), "sec": round(best, 3), "n_docs": n_docs}))
 
 
-def run_scaling(low: int = 1, high: int = 4) -> None:
+def membw_probe(workers: int, mb: int = 512, repeats: int = 8) -> float:
+    """Aggregate memory-copy bandwidth (GB/s) with ``workers`` concurrent
+    numpy memcpy loops (numpy copies release the GIL, so threads stress the
+    host's real bandwidth). This pins the HOST's ceiling independently of
+    Spark: if plain memcpy only scales Kx from 1 to 4 workers, no
+    bandwidth-bound shuffle job can scale better on this VM that day, and a
+    sub-0.8 Spark efficiency is a host artifact, not an engine property."""
+    import threading
+
+    import numpy as np
+
+    src = [np.ones(mb * 1024 * 1024 // 8, dtype=np.int64) for _ in range(workers)]
+    dst = [np.zeros_like(s) for s in src]  # zeros: pre-faulted, no first-touch cost
+    best = 0.0
+    for _ in range(3):
+        barrier = threading.Barrier(workers + 1)
+
+        def work(i):
+            barrier.wait()
+            for _ in range(repeats):
+                np.copyto(dst[i], src[i])
+            barrier.wait()
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(workers)]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        barrier.wait()
+        elapsed = time.perf_counter() - t0
+        for t in threads:
+            t.join()
+        # copy reads + writes mb each pass
+        best = max(best, workers * repeats * 2 * mb / 1024 / elapsed)
+    return best
+
+
+def run_scaling(low: int = 1, high: int = 4, repeats: int = 3) -> None:
     """N-vs-4N evidence run. Defaults local[1] vs local[4]: this sandbox is one
     Firecracker VM whose MEMORY BANDWIDTH saturates somewhere between ~4 and
     ~16 concurrent shuffle threads depending on host-neighbor load (threads
@@ -240,7 +277,7 @@ def run_scaling(low: int = 1, high: int = 4) -> None:
         env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}
         env.setdefault("SPARK_DRIVER_MEMORY", "24g")
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), "3"],
+            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), str(repeats)],
             capture_output=True,
             text=True,
             env=env,
@@ -263,6 +300,12 @@ def run_scaling(low: int = 1, high: int = 4) -> None:
         "speedup": round(speedup, 3),
         "core_ratio": high / low,
     }
+    # pin the host's bandwidth ceiling AT MEASUREMENT TIME: the Spark job
+    # cannot out-scale a plain memcpy on a bandwidth-saturated shared host
+    bw_lo, bw_hi = membw_probe(low), membw_probe(high)
+    out["membw_gbps_1w"] = round(bw_lo, 1)
+    out[f"membw_gbps_{high}w"] = round(bw_hi, 1)
+    out["membw_scaling"] = round(bw_hi / bw_lo / (high / low), 3)
     print(json.dumps(out))
 
 
@@ -270,7 +313,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
         high = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-        run_scaling(low, high)
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        run_scaling(low, high, reps)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         run_scale_worker(sys.argv[2], int(sys.argv[3]))
     else:
