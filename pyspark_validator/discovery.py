@@ -290,7 +290,9 @@ def mine_sfds(
 
 
 def _lattice_counts(
-    df: DataFrame, sets: list[tuple[str, ...]]
+    df: DataFrame,
+    sets: list[tuple[str, ...]],
+    max_sets_per_job: int = 64,
 ) -> dict[frozenset, tuple[int, int, int]]:
     """ONE grouping-sets pass over ``df`` computing, for every column set S:
       D(S) = number of distinct S-projections (NULL a value),
@@ -302,9 +304,15 @@ def _lattice_counts(
     its group counts before the exchange. grouping_id() disambiguates sets,
     so real NULL key values (grouped as values, null-equal-null) never
     collide with "column absent from this set". Returns {frozenset(S): (D,
-    P, N)}; pass () for the empty set (D=1, P=n(n-1))."""
+    P, N)}; pass () for the empty set (D=1, P=n(n-1)).
+
+    ``max_sets_per_job`` bounds the Expand width: Expand multiplies scan rows
+    by |sets|, so a wide table's lattice (p=20 -> 211 level<=2 sets) over
+    100 TB must NOT ride one job. Batches of <= max_sets_per_job sets run as
+    separate jobs (a 64-way Expand per scan is the measured sweet spot on
+    columnar input; the jobs are independent, so a caller can also lower it
+    and submit from threads)."""
     uniq = sorted({tuple(s) for s in sets}, key=lambda t: (len(t), t))
-    all_cols = sorted({c for s in uniq for c in s})
     # The Expand x |sets| + partial agg is the expensive stage; a small input
     # (fewer scan partitions than cores -- e.g. one parquet file) would run it
     # near-serially. Fan it out first; at scale the scan already has more
@@ -312,31 +320,44 @@ def _lattice_counts(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    gd = df.groupingSets(
-        [list(s) for s in uniq], *[F.col(c) for c in all_cols]
-    )
-    lvl = gd.agg(F.count(F.lit(1)).alias("__cnt"), F.grouping_id().alias("__gid"))
-    rows = (
-        lvl.groupBy("__gid")
-        .agg(
-            F.count(F.lit(1)).alias("__d"),
-            F.sum(F.col("__cnt") * (F.col("__cnt") - 1)).alias("__p"),
-            F.sum("__cnt").alias("__n"),
+    out: dict[frozenset, tuple[int, int, int]] = {}
+    for lo in range(0, len(uniq), max_sets_per_job):
+        batch = uniq[lo : lo + max_sets_per_job]
+        all_cols = sorted({c for s in batch for c in s})
+        gd = df.groupingSets(
+            [list(s) for s in batch], *[F.col(c) for c in all_cols]
         )
-        .collect()
-    )
-    width = len(all_cols)
-    gid_to_set = {}
-    for st in uniq:
-        gid = 0
-        for i, c in enumerate(all_cols):
-            if c not in st:
-                gid |= 1 << (width - 1 - i)
-        gid_to_set[gid] = frozenset(st)
-    return {
-        gid_to_set[r["__gid"]]: (int(r["__d"]), int(r["__p"]), int(r["__n"]))
-        for r in rows
-    }
+        lvl = gd.agg(
+            F.count(F.lit(1)).alias("__cnt"), F.grouping_id().alias("__gid")
+        )
+        rows = (
+            lvl.groupBy("__gid")
+            .agg(
+                F.count(F.lit(1)).alias("__d"),
+                F.sum(F.col("__cnt") * (F.col("__cnt") - 1)).alias("__p"),
+                F.sum("__cnt").alias("__n"),
+            )
+            .collect()
+        )
+        width = len(all_cols)
+        gid_to_set = {}
+        for st in batch:
+            gid = 0
+            for i, c in enumerate(all_cols):
+                if c not in st:
+                    gid |= 1 << (width - 1 - i)
+            gid_to_set[gid] = frozenset(st)
+        out.update(
+            {
+                gid_to_set[r["__gid"]]: (
+                    int(r["__d"]),
+                    int(r["__p"]),
+                    int(r["__n"]),
+                )
+                for r in rows
+            }
+        )
+    return out
 
 
 def mine_fds(

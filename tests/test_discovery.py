@@ -250,3 +250,20 @@ def test_mine_binary_inds_apriori_and_verify(spark):
         tb, cb1 = r1.split("."); _, cb2 = r2.split(".")
         s = ind_check(tables[ta], [ca1, ca2], tables[tb], [cb1, cb2]).summary().collect()[0]
         assert s["holds"]
+
+
+def test_lattice_counts_batching_identical(spark):
+    from itertools import combinations as _comb
+
+    from pyspark_validator.discovery import _lattice_counts
+
+    df = spark.createDataFrame(
+        [(i % 3, i % 5, "v" + str(i % 2)) for i in range(30)], ["a", "b", "c"]
+    )
+    cols = ["a", "b", "c"]
+    sets = [()] + [(c,) for c in cols] + list(_comb(cols, 2)) + [tuple(cols)]
+    whole = _lattice_counts(df, sets)
+    batched = _lattice_counts(df, sets, max_sets_per_job=2)
+    assert whole == batched
+    # empty set semantics: one group of n rows
+    assert whole[frozenset()] == (1, 30 * 29, 30)
