@@ -3061,15 +3061,17 @@ _AFD_MAX_ERROR = 1e-5
 
 
 def q_discovery_fds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimal exact FDs with |LHS| <= 2 over five orders columns
-    (discovery.py::mine_fds, the TANE lattice one level past unary). At
-    sf0.01 the truth mixes levels: o_totalprice -> status/priority at level 1
-    plus pair-key FDs like (o_custkey, o_totalprice) -> o_orderdate at
-    level 2. The oracle replays the distinct-count criterion + minimality."""
+    """Minimal exact FDs with |LHS| <= 3 over five orders columns
+    (discovery.py::mine_fds, the TANE lattice walked level-wise -- one
+    batched grouping-sets job per level). At sf0.01 the truth mixes levels:
+    o_totalprice -> status/priority at level 1 plus pair-key FDs like
+    (o_custkey, o_totalprice) -> o_orderdate at level 2; level 3 candidates
+    are generated and (mostly) pruned by the level-2 survivors. The oracle
+    replays the distinct-count criterion + full subset minimality."""
     from pyspark_validator.discovery import mine_fds
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    fds = mine_fds(o, _FD_DISCOVERY_COLS)
+    fds = mine_fds(o, _FD_DISCOVERY_COLS, max_lhs=3)
     rows = [(",".join(lhs), rhs) for lhs, rhs in fds]
     return (
         spark.createDataFrame(rows or [("__none__", "")], ["lhs", "rhs"])
@@ -3078,11 +3080,11 @@ def q_discovery_fds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fd_discovery_oracle_sql() -> str:
+def _fd_discovery_oracle_sql(max_lhs: int = 3) -> str:
     """Generate the DuckDB oracle for q_discovery_fds_orders: one CTE of all
-    single/pair/triple row-value distinct counts, then every candidate with
-    the TANE criterion and subset-minimality spelled out. Row-value structs
-    ((a,b)) count NULL as a value in both engines, matching groupBy."""
+    row-value distinct counts up to size max_lhs+1, then every candidate with
+    the TANE criterion and FULL subset-minimality spelled out. Row-value
+    structs ((a,b)) count NULL as a value in both engines, matching groupBy."""
     cols = _FD_DISCOVERY_COLS
 
     def dname(sub):
@@ -3094,11 +3096,9 @@ def _fd_discovery_oracle_sql() -> str:
 
     from itertools import combinations as _comb
 
-    subs = (
-        [(c,) for c in cols]
-        + list(_comb(cols, 2))
-        + list(_comb(cols, 3))
-    )
+    subs = [
+        s for k in range(1, max_lhs + 2) for s in _comb(cols, k)
+    ]
     cte = "WITH c AS (SELECT " + ", ".join(dexpr(s) for s in subs) + " FROM orders)"
 
     def d(sub):
@@ -3112,16 +3112,19 @@ def _fd_discovery_oracle_sql() -> str:
     rows = []
     for rhs in cols:
         others = [c for c in cols if c != rhs]
-        rows.append(f"SELECT '' AS lhs, '{rhs}' AS rhs, {holds((), rhs)} AS m FROM c")
-        for a in others:
-            cond = f"{holds((a,), rhs)} AND NOT ({holds((), rhs)})"
-            rows.append(f"SELECT '{a}', '{rhs}', {cond} FROM c")
-        for a, b in _comb(others, 2):
-            cond = (
-                f"{holds((a, b), rhs)} AND NOT ({holds((a,), rhs)}) "
-                f"AND NOT ({holds((b,), rhs)}) AND NOT ({holds((), rhs)})"
-            )
-            rows.append(f"SELECT '{a},{b}', '{rhs}', {cond} FROM c")
+        for k in range(0, max_lhs + 1):
+            for lhs in _comb(others, k):
+                conds = [holds(lhs, rhs)] + [
+                    f"NOT ({holds(sub, rhs)})"
+                    for size in range(k)
+                    for sub in _comb(lhs, size)
+                ]
+                label = ",".join(lhs)
+                rows.append(
+                    f"SELECT '{label}' AS lhs, '{rhs}' AS rhs, "
+                    + " AND ".join(conds)
+                    + " AS m FROM c"
+                )
     return (
         cte
         + "\nSELECT lhs, rhs FROM (\n"

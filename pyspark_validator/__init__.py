@@ -44,8 +44,10 @@ from pyspark_validator.checks.ucc import ucc_check
 from pyspark_validator.discovery import (
     mine_afds,
     mine_ainds,
+    mine_ars,
     mine_binary_inds,
     mine_fds,
+    mine_frequent_itemsets,
     mine_sfds,
     mine_uccs,
     mine_unary_fds,
@@ -85,8 +87,10 @@ __all__ = [
     "mfd_check",
     "mine_afds",
     "mine_ainds",
+    "mine_ars",
     "mine_binary_inds",
     "mine_fds",
+    "mine_frequent_itemsets",
     "mine_sfds",
     "mine_uccs",
     "mine_unary_fds",

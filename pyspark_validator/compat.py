@@ -1443,7 +1443,8 @@ class IND:
 
 class Tane(_Verifier):
     """TANE analog (bind_fd.cpp:75-82; tane.cpp): minimal FDs with
-    |LHS| <= max_lhs (<= 2). error == 0 mines exact FDs; error > 0 mines
+    |LHS| <= max_lhs (arbitrary depth, one batched grouping-sets job per
+    lattice level). error == 0 mines exact FDs; error > 0 mines
     AFDs under the g1 (or 1-pdep) budget, the reference's TANE error
     measures (enums.h / afd_measures.cpp). Empty-LHS FDs (constant columns)
     are reported with lhs_indices == []."""
@@ -1473,7 +1474,8 @@ class Pyro(Tane):
 
 
 class HyUCC(_Verifier):
-    """HyUCC analog (bind_ucc.cpp:66-70): minimal UCCs of arity <= 2."""
+    """HyUCC analog (bind_ucc.cpp:66-70): minimal UCCs of arity <=
+    max_arity (arbitrary depth, level-wise lattice walk)."""
 
     def execute(self, max_arity: int = 2) -> None:
         from pyspark_validator.discovery import mine_uccs

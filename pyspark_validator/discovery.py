@@ -24,17 +24,18 @@ primitives compose into discovery at Spark scale:
 Round 2 extends the bonus one level up the lattice, mirroring the reference's
 benchmark gates (src/tests/benchmark/fd_benchmark.h, ind_benchmark.h):
 
-  * mine_fds   -- minimal EXACT FDs with |LHS| <= 2 (TANE criterion + TANE
-    minimality pruning, tane.cpp lattice walk). TWO Spark jobs total: one
-    GROUPING SETS pass computes the distinct count of EVERY lattice node
-    up to pairs (shared Expand + shuffle + map-side partial agg), then the
-    pruned level-2 triples share a second pass.
-  * mine_afds  -- minimal APPROXIMATE FDs with |LHS| <= 2 under a g1 (or
-    1-pdep) error budget (afd_measures.cpp:6-130 formulas, the same ones
-    checks/fd.py::afd_measures mirrors). g1 telescopes to a difference of
-    per-set equal-pair counts, so it rides the same two grouping-sets
-    jobs; level-wise pruning is sound because both errors are monotone
-    non-increasing in the LHS.
+  * mine_fds   -- minimal EXACT FDs to arbitrary |LHS| <= max_lhs (TANE
+    criterion + TANE minimality/key/internal-FD pruning, tane.cpp lattice
+    walk). ONE batched GROUPING SETS job per lattice level: the first pass
+    computes the distinct count of EVERY node up to pairs (shared Expand +
+    shuffle + map-side partial agg), each further level counts only the
+    apriori-surviving candidates not cached from the level below.
+  * mine_afds  -- minimal APPROXIMATE FDs with |LHS| <= max_lhs under a g1
+    (or 1-pdep) error budget (afd_measures.cpp:6-130 formulas, the same
+    ones checks/fd.py::afd_measures mirrors). g1 telescopes to a difference
+    of per-set equal-pair counts, so it rides the same per-level
+    grouping-sets jobs; level-wise pruning is sound because both errors are
+    monotone non-increasing in the LHS.
   * mine_ainds -- Mind-style approximate INDs (mind.cpp:167-207): error =
     fraction of the dependent column's DISTINCT values missing from the
     referenced column, kept when error <= max_error; same single-shuffle
@@ -42,6 +43,12 @@ benchmark gates (src/tests/benchmark/fd_benchmark.h, ind_benchmark.h):
   * mine_binary_inds -- Mind's level-2 apriori (mind.cpp:209-261): binary
     IND candidates exist only where both component unary INDs hold; each
     survivor is verified exactly by one distinct-projection anti-join.
+  * mine_frequent_itemsets / mine_ars -- the reference's Apriori AR miner
+    (ar/apriori/apriori.h, rule gen ar_algorithm.cpp GenerateRulesFrom):
+    level-wise frequent itemsets as batched contains-all wide aggs over ONE
+    cached per-transaction item-set frame, or Spark ML's distributed
+    FP-growth as the scale path; multi-item-consequent rules from every
+    frequent itemset with count-exact confidence thresholds.
 
 Column counts in profiling tables are small (tens); the row dimension is where
 Spark scales. Exact counts by default; pass approx=True for HLL sketches at
@@ -102,11 +109,15 @@ def mine_uccs(
     max_arity: int = 2,
     approx: bool = False,
 ) -> list[tuple[str, ...]]:
-    """Minimal UCCs of arity <= max_arity: candidate sets whose distinct count
-    equals the row count, pruned by minimality (supersets of a UCC skipped).
-    Exact mode: ONE grouping-sets job covers all singles AND pairs (the pair
-    counts for prunable pairs are wasted work, but one shared shuffle beats
-    a second full scan); approx mode keeps the HLL sketch aggs."""
+    """Minimal UCCs of arity <= max_arity (HPIValid/HyUCC result semantics:
+    distinct count == row count, supersets of a UCC pruned). Exact mode is a
+    level-wise lattice walk: ONE grouping-sets job covers all singles AND
+    pairs (the pair counts for prunable pairs are wasted work, but one shared
+    shuffle beats a second full scan); each further level is one more batched
+    grouping-sets job over only the apriori-surviving candidate sets. Width
+    grows as C(p, k) -- bounded per job by ``_lattice_counts``'s
+    max_sets_per_job batching. Approx mode keeps the HLL sketch aggs
+    (arity <= 2)."""
     columns = list(columns or df.columns)
     if approx:
         n = df.count()
@@ -128,17 +139,25 @@ def mine_uccs(
         sets += list(combinations(columns, 2))
     lat = _lattice_counts(df, sets)
     n = next(iter(lat.values()))[2]
-    uccs = [(c,) for c in columns if lat[frozenset((c,))][0] == n]
-    if max_arity >= 2:
-        unique = {u[0] for u in uccs}
-        uccs += [
-            (a, b)
-            for a, b in combinations(columns, 2)
-            if a not in unique
-            and b not in unique
-            and lat[frozenset((a, b))][0] == n
+    found: list[tuple[str, ...]] = [
+        (c,) for c in columns if lat[frozenset((c,))][0] == n
+    ]
+    minimal = [frozenset(u) for u in found]
+    for k in range(2, max_arity + 1):
+        cands = [
+            s
+            for s in combinations(columns, k)
+            if not any(m <= frozenset(s) for m in minimal)
         ]
-    return sorted(uccs)
+        if not cands:
+            break
+        need = [s for s in cands if frozenset(s) not in lat]
+        if need:
+            lat.update(_lattice_counts(df, need))
+        level = [s for s in cands if lat[frozenset(s)][0] == n]
+        found += level
+        minimal += [frozenset(s) for s in level]
+    return sorted(found)
 
 
 def mine_unary_inds(
@@ -365,66 +384,85 @@ def mine_fds(
     columns: list[str] | None = None,
     max_lhs: int = 2,
 ) -> list[tuple[tuple[str, ...], str]]:
-    """Minimal exact FDs with |LHS| <= max_lhs (<= 2), TANE semantics
-    (tane.cpp lattice levels; criterion fd_verifier.cpp:55-65): lhs -> C
-    holds iff D(lhs) == D(lhs + {C}), NULL a value.
+    """Minimal exact FDs with |LHS| <= max_lhs, TANE semantics (tane.cpp
+    lattice levels; criterion fd_verifier.cpp:55-65): lhs -> C holds iff
+    D(lhs) == D(lhs + {C}), NULL a value.
 
-    Level 0 emits ((), C) for constant columns; level 1 emits (A,) -> C;
-    level 2 emits (A, B) -> C only when no proper LHS subset (incl. the empty
-    set) determines C -- the textbook minimality rule. TANE-style pruning:
-    constant columns never appear in an LHS, a pair (A, B) with A -> B or
-    B -> A is skipped outright (its partition equals A's), and only the
-    triples of surviving level-2 candidates are ever counted.
+    Level 0 emits ((), C) for constant columns; level k emits lhs -> C only
+    when no proper LHS subset (incl. the empty set) determines C -- the
+    textbook minimality rule. TANE-style pruning: constant columns never
+    appear in an LHS, an LHS with an internal FD (some member determined by
+    the rest) is skipped outright (its partition equals the smaller set's),
+    supersets of a discovered KEY (D == n) are never expanded, and only the
+    supersets of surviving candidates are ever counted.
 
-    TWO Spark jobs total regardless of column count: one grouping-sets pass
-    for the empty set + singles + pairs (levels 0 and 1), then -- after
-    driver-side pruning -- one more for the surviving triples (level 2).
+    ONE batched grouping-sets job per lattice level regardless of column
+    count: the first pass covers the empty set + singles + pairs (levels 0
+    and 1); each further level counts only the apriori-surviving candidate
+    sets not already cached from the previous level's supersets. Candidate
+    width grows combinatorially with max_lhs (C(p, k) * (p - k) before
+    pruning); ``_lattice_counts`` bounds the per-job Expand width, so a deep
+    mine is many bounded jobs, never one unbounded one.
     """
-    if max_lhs > 2:
-        raise ValueError("mine_fds supports max_lhs <= 2")
     columns = list(columns or df.columns)
-    sets1 = [()] + [(c,) for c in columns] + list(combinations(columns, 2))
+    sets1 = [()] + [(c,) for c in columns]
+    if max_lhs >= 1 and len(columns) >= 2:
+        sets1 += list(combinations(columns, 2))
     counts = _lattice_counts(df, sets1)
+    n = counts[frozenset()][2]
 
-    def d(st):
-        return counts[frozenset(st)][0]
+    def d(st) -> int:
+        return counts[st if isinstance(st, frozenset) else frozenset(st)][0]
 
     out: list[tuple[tuple[str, ...], str]] = []
-    constants = {c for c in columns if d((c,)) == 1}
-    out += [((), c) for c in sorted(constants)]
-    nonconst = [c for c in columns if c not in constants]
-    if max_lhs < 1 or len(nonconst) < 2:
-        return sorted(out)
-    holds1 = {
-        (a, c)
-        for a in nonconst
-        for c in nonconst
-        if c != a and d((a,)) == d(tuple(sorted((a, c))))
-    }
-    out += [((a,), c) for a, c in holds1]
-    if max_lhs < 2:
-        return sorted(out)
+    # minimal determining sets found so far, per RHS (frozenset() = constant)
+    minimal_by_rhs: dict[str, list[frozenset]] = {}
 
-    # level 2: prune pairs with an internal FD; RHS survives only if no
-    # single-column subset already determines it
-    l2: list[tuple[tuple[str, str], str]] = []
-    for a, b in combinations(nonconst, 2):
-        if (a, b) in holds1 or (b, a) in holds1:
-            continue
-        l2 += [
-            ((a, b), c)
-            for c in nonconst
-            if c not in (a, b) and (a, c) not in holds1 and (b, c) not in holds1
-        ]
-    if l2:
-        triples = _lattice_counts(
-            df, [tuple(sorted(lhs + (c,))) for lhs, c in l2]
-        )
-        out += [
-            (lhs, c)
-            for lhs, c in l2
-            if d(lhs) == triples[frozenset(lhs + (c,))][0]
-        ]
+    def covered(rhs: str, lhs_set: frozenset) -> bool:
+        return any(m <= lhs_set for m in minimal_by_rhs.get(rhs, ()))
+
+    constants = {c for c in columns if d((c,)) == 1}
+    for c in sorted(constants):
+        out.append(((), c))
+        minimal_by_rhs.setdefault(c, []).append(frozenset())
+    nonconst = [c for c in columns if c not in constants]
+    keys: list[frozenset] = []
+    for k in range(1, max_lhs + 1):
+        if len(nonconst) < k + 1:
+            break
+        # apriori candidates: no proper-subset key, no internal FD, and at
+        # least one RHS not already afforded by a subset
+        cands: list[tuple[tuple[str, ...], list[str]]] = []
+        for lhs in combinations(nonconst, k):
+            ls = frozenset(lhs)
+            if any(key < ls for key in keys):
+                continue
+            if any(covered(b, ls - {b}) for b in lhs):
+                continue
+            rhss = [c for c in nonconst if c not in ls and not covered(c, ls)]
+            if rhss:
+                cands.append((lhs, rhss))
+        if not cands:
+            break
+        need = set()
+        for lhs, rhss in cands:
+            ls = frozenset(lhs)
+            if ls not in counts:
+                need.add(tuple(sorted(lhs)))
+            for c in rhss:
+                if ls | {c} not in counts:
+                    need.add(tuple(sorted(lhs + (c,))))
+        if need:
+            counts.update(_lattice_counts(df, sorted(need)))
+        for lhs, rhss in cands:
+            ls = frozenset(lhs)
+            dl = d(ls)
+            if dl == n:
+                keys.append(ls)
+            for c in rhss:
+                if dl == d(ls | {c}):
+                    out.append((lhs, c))
+                    minimal_by_rhs.setdefault(c, []).append(ls)
     return sorted(out)
 
 
@@ -465,8 +503,8 @@ def mine_afds(
     max_lhs: int = 2,
     parallelism: int = 8,
 ) -> list[tuple[tuple[str, ...], str, float]]:
-    """Minimal approximate FDs with |LHS| <= 2 under an error budget, the
-    TANE-with-error lattice the reference's AFD benchmark gates exercise
+    """Minimal approximate FDs with |LHS| <= max_lhs under an error budget,
+    the TANE-with-error lattice the reference's AFD benchmark gates exercise
     (fd_benchmark.h:40-49). ``measure`` is 'g1' (violating row pairs / all
     pairs) or 'pdep' (error = 1 - pdep); both are monotone non-increasing as
     the LHS grows, so level-wise minimality pruning (skip any RHS already
@@ -476,17 +514,17 @@ def mine_afds(
         g1(X -> C) = (P(X) - P(X + {C})) / (n^2 - n),
     with P(S) the equal-row-pair count of set S (afd_measures.cpp:6-130:
     sum_x cx(cx-1) - sum_xy cxy(cxy-1) telescopes to exactly this), so the
-    WHOLE lattice costs TWO grouping-sets jobs like :func:`mine_fds` --
-    empty+singles+pairs first, surviving triples after pruning. pdep mixes
-    levels (sum cxy^2 / cx) and keeps the per-candidate thread-pooled jobs.
+    WHOLE lattice costs ONE batched grouping-sets job per level like
+    :func:`mine_fds` -- empty+singles+pairs first, then each further level
+    counts only the minimality-surviving candidates. pdep mixes levels
+    (sum cxy^2 / cx) and keeps the per-candidate thread-pooled jobs, also
+    walked level-wise to arbitrary max_lhs.
 
     Returns sorted (lhs_tuple, rhs, error) with error <= max_error and no
     qualifying proper subset.
     """
     if measure not in ("g1", "pdep"):
         raise ValueError("measure must be 'g1' or 'pdep'")
-    if max_lhs > 2:
-        raise ValueError("mine_afds supports max_lhs <= 2")
     columns = list(columns or df.columns)
     if measure == "g1":
         return _mine_afds_g1(df, columns, max_error, max_lhs)
@@ -496,56 +534,64 @@ def mine_afds(
 def _mine_afds_g1(
     df: DataFrame, columns: list[str], max_error: float, max_lhs: int
 ) -> list[tuple[tuple[str, ...], str, float]]:
-    sets1 = [()] + [(c,) for c in columns] + list(combinations(columns, 2))
+    sets1 = [()] + [(c,) for c in columns]
+    if max_lhs >= 1 and len(columns) >= 2:
+        sets1 += list(combinations(columns, 2))
     counts = _lattice_counts(df, sets1)
     _, p_empty, n = counts[frozenset()]
     denom = float(n) * n - n
     if denom <= 0:
         return []
 
-    def p(st):
-        return counts[frozenset(st)][1]
+    def p(st) -> int:
+        return counts[st if isinstance(st, frozenset) else frozenset(st)][1]
 
     out: list[tuple[tuple[str, ...], str, float]] = []
-    # level 0 qualifiers are excluded as RHS (minimality: the empty set is a
-    # proper subset of every LHS) but NOT as LHS components -- unlike an
-    # exactly-constant column, a merely NEAR-constant one still refines
+    # minimal qualifying LHS sets per RHS (frozenset() = level-0 qualifier).
+    # Level-0 qualifiers leave the RHS pool only, NOT the LHS pool -- unlike
+    # an exactly-constant column, a merely NEAR-constant one still refines
     # partitions, so e.g. (q,) -> r can be minimal while () -> q qualifies.
     # (Found by the 60-example property soak.)
-    qual0 = set()
+    qual_by_rhs: dict[str, list[frozenset]] = {}
     for c in columns:
         err = (p_empty - p((c,))) / denom
         if err <= max_error:
-            qual0.add(c)
+            qual_by_rhs.setdefault(c, []).append(frozenset())
             out.append(((), c, err))
-    rhs_cands = [c for c in columns if c not in qual0]
-    if max_lhs < 1 or not rhs_cands or len(columns) < 2:
-        return sorted(out)
-    qual1: set[tuple[str, str]] = set()
-    for a in columns:
-        for c in rhs_cands:
-            if c == a:
-                continue
-            err = (p((a,)) - p(tuple(sorted((a, c))))) / denom
-            if err <= max_error:
-                qual1.add((a, c))
-                out.append(((a,), c, err))
-    if max_lhs < 2:
-        return sorted(out)
-    l2 = [
-        ((a, b), c)
-        for a, b in combinations(columns, 2)
-        for c in rhs_cands
-        if c not in (a, b) and (a, c) not in qual1 and (b, c) not in qual1
-    ]
-    if l2:
-        triples = _lattice_counts(
-            df, [tuple(sorted(lhs + (c,))) for lhs, c in l2]
-        )
-        for lhs, c in l2:
-            err = (p(lhs) - triples[frozenset(lhs + (c,))][1]) / denom
-            if err <= max_error:
-                out.append((lhs, c, err))
+    for k in range(1, max_lhs + 1):
+        if len(columns) < k + 1:
+            break
+        cands: list[tuple[tuple[str, ...], list[str]]] = []
+        for lhs in combinations(columns, k):
+            ls = frozenset(lhs)
+            rhss = [
+                c
+                for c in columns
+                if c not in ls
+                and not any(m <= ls for m in qual_by_rhs.get(c, ()))
+            ]
+            if rhss:
+                cands.append((lhs, rhss))
+        if not cands:
+            break
+        need = set()
+        for lhs, rhss in cands:
+            ls = frozenset(lhs)
+            if ls not in counts:
+                need.add(tuple(sorted(lhs)))
+            for c in rhss:
+                if ls | {c} not in counts:
+                    need.add(tuple(sorted(lhs + (c,))))
+        if need:
+            counts.update(_lattice_counts(df, sorted(need)))
+        for lhs, rhss in cands:
+            ls = frozenset(lhs)
+            pl = p(ls)
+            for c in rhss:
+                err = (pl - p(ls | {c})) / denom
+                if err <= max_error:
+                    out.append((lhs, c, err))
+                    qual_by_rhs.setdefault(c, []).append(ls)
     return sorted(out)
 
 
@@ -572,36 +618,28 @@ def _mine_afds_jobs(
         return [one(c) for c in cands]
 
     out: list[tuple[tuple[str, ...], str, float]] = []
-    # level 0: near-constant columns under the budget. Qualifiers leave the
-    # RHS pool only -- a near-constant column still refines partitions as an
-    # LHS component (see _mine_afds_g1).
-    qual0 = set()
-    for lhs, rhs, err in run([((), c) for c in columns]):
-        if err <= max_error:
-            qual0.add(rhs)
-            out.append(((), rhs, err))
-    rhs_cands = [c for c in columns if c not in qual0]
-    if max_lhs < 1 or not rhs_cands or len(columns) < 2:
-        return sorted(out)
-    # level 1
-    qual1: set[tuple[str, str]] = set()
-    l1 = [((a,), c) for a in columns for c in rhs_cands if c != a]
-    for lhs, rhs, err in run(l1):
-        if err <= max_error:
-            qual1.add((lhs[0], rhs))
-            out.append((lhs, rhs, err))
-    if max_lhs < 2:
-        return sorted(out)
-    # level 2: RHS survives only if no single-column subset qualified
-    l2 = [
-        ((a, b), c)
-        for a, b in combinations(columns, 2)
-        for c in rhs_cands
-        if c not in (a, b) and (a, c) not in qual1 and (b, c) not in qual1
-    ]
-    for lhs, rhs, err in run(l2):
-        if err <= max_error:
-            out.append((lhs, rhs, err))
+    # minimal qualifying LHS sets per RHS; frozenset() = level-0 qualifier
+    # (near-constant columns leave the RHS pool only -- they still refine
+    # partitions as LHS components, see _mine_afds_g1).
+    qual_by_rhs: dict[str, list[frozenset]] = {}
+    for k in range(0, max_lhs + 1):
+        if len(columns) < k + 1:
+            break
+        cands = [
+            (lhs, c)
+            for lhs in combinations(columns, k)
+            for c in columns
+            if c not in lhs
+            and not any(
+                m <= frozenset(lhs) for m in qual_by_rhs.get(c, ())
+            )
+        ]
+        if not cands:
+            break
+        for lhs, rhs, err in run(cands):
+            if err <= max_error:
+                out.append((lhs, rhs, err))
+                qual_by_rhs.setdefault(rhs, []).append(frozenset(lhs))
     return sorted(out)
 
 
@@ -681,3 +719,179 @@ def mine_binary_inds(
         if holds
     ]
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining (Apriori, ar/apriori/apriori.h) over (tid, item)
+# ---------------------------------------------------------------------------
+
+
+def _apriori_gen(prev: list[frozenset], k: int) -> list[frozenset]:
+    """Classic candidate generation: join (k-1)-itemsets sharing a sorted
+    (k-2)-prefix, prune candidates with any infrequent (k-1)-subset
+    (apriori.cpp GenerateCandidates semantics)."""
+    prev_set = set(prev)
+    sorted_prev = sorted(tuple(sorted(s)) for s in prev)
+    out = []
+    for i, a in enumerate(sorted_prev):
+        for b in sorted_prev[i + 1 :]:
+            if a[: k - 2] != b[: k - 2]:
+                break
+            cand = frozenset(a) | frozenset(b)
+            if len(cand) == k and all(
+                cand - {x} in prev_set for x in cand
+            ):
+                out.append(cand)
+    return out
+
+
+def _frequent_counts(
+    df: DataFrame,
+    tid_col: str,
+    item_col: str,
+    minsup: float,
+    max_len: int | None,
+    method: str,
+    max_candidates_per_job: int,
+) -> tuple[dict[frozenset, int], int]:
+    """Frequent itemsets as {itemset: transaction count}, plus N = #distinct
+    transactions. support(S) = count / N >= minsup (transactional model of
+    model/transaction/transactional_data.h: duplicate items within a
+    transaction collapse).
+
+    method='apriori' is the reference-shaped level-wise walk, Spark-first:
+    ONE shuffle builds the per-transaction item sets; every level is batched
+    wide aggregations over that cached frame (sum of contains-all flags per
+    candidate, <= max_candidates_per_job per job -- map-side combinable, no
+    further shuffles, the same bounded-width pattern as _lattice_counts).
+    method='fpgrowth' delegates the itemset search to Spark ML's distributed
+    FP-growth (pyspark.ml.fpm.FPGrowth) -- the scale path when the frequent
+    lattice is deep -- and reports identical counts."""
+    tx = df.groupBy(tid_col).agg(
+        F.collect_set(F.col(item_col).cast("string")).alias("__items")
+    )
+    tx = tx.persist()
+    try:
+        n = tx.count()
+        if n == 0:
+            return {}, 0
+        if method == "fpgrowth":
+            from pyspark.ml.fpm import FPGrowth
+
+            model = FPGrowth(
+                itemsCol="__items", minSupport=minsup, minConfidence=1.0
+            ).fit(tx)
+            counts = {
+                frozenset(r["items"]): int(r["freq"])
+                for r in model.freqItemsets.collect()
+                if max_len is None or len(r["items"]) <= max_len
+            }
+            return counts, n
+        if method != "apriori":
+            raise ValueError("method must be 'apriori' or 'fpgrowth'")
+        l1 = (
+            tx.select(F.explode("__items").alias("i"))
+            .groupBy("i")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        counts = {
+            frozenset([r["i"]]): int(r["cnt"])
+            for r in l1
+            if r["cnt"] / n >= minsup
+        }
+        prev = list(counts)
+        k = 2
+        while prev and (max_len is None or k <= max_len):
+            cands = _apriori_gen(prev, k)
+            if not cands:
+                break
+            level: dict[frozenset, int] = {}
+            for lo in range(0, len(cands), max_candidates_per_job):
+                batch = cands[lo : lo + max_candidates_per_job]
+                row = tx.agg(
+                    *[
+                        F.sum(
+                            (
+                                F.size(
+                                    F.array_intersect(
+                                        F.col("__items"),
+                                        F.array(
+                                            *[F.lit(x) for x in sorted(s)]
+                                        ),
+                                    )
+                                )
+                                == k
+                            ).cast("long")
+                        ).alias(f"c_{j}")
+                        for j, s in enumerate(batch)
+                    ]
+                ).collect()[0]
+                for j, s in enumerate(batch):
+                    if int(row[j]) / n >= minsup:
+                        level[s] = int(row[j])
+            counts.update(level)
+            prev = list(level)
+            k += 1
+        return counts, n
+    finally:
+        tx.unpersist()
+
+
+def mine_frequent_itemsets(
+    df: DataFrame,
+    tid_col: str = "tid",
+    item_col: str = "item",
+    minsup: float = 0.1,
+    max_len: int | None = None,
+    method: str = "apriori",
+    max_candidates_per_job: int = 256,
+) -> dict[frozenset, float]:
+    """Frequent itemsets with support >= minsup over (tid, item) rows,
+    Apriori semantics (ar/apriori/apriori.h GetFrequentList). Returns
+    {itemset: support}."""
+    counts, n = _frequent_counts(
+        df, tid_col, item_col, minsup, max_len, method, max_candidates_per_job
+    )
+    return {s: c / n for s, c in counts.items()}
+
+
+def mine_ars(
+    df: DataFrame,
+    tid_col: str = "tid",
+    item_col: str = "item",
+    minsup: float = 0.1,
+    minconf: float = 0.5,
+    max_len: int | None = None,
+    method: str = "apriori",
+    max_candidates_per_job: int = 256,
+) -> list[tuple[tuple[str, ...], tuple[str, ...], float, float]]:
+    """Association rules lhs -> rhs (both sides non-empty, multi-item
+    consequents included) from every frequent itemset, Apriori rule
+    generation (ar_algorithm.cpp GenerateRulesFrom): confidence =
+    supp(lhs u rhs) / supp(lhs) >= minconf. Confidence is computed from the
+    exact transaction COUNTS (no float-division drift in the threshold).
+    Returns sorted (lhs, rhs, support, confidence); checks/ar.py::ar_check
+    verifies any single rule with matching support/confidence definitions
+    (ar_stats_calculator.cpp:33-70)."""
+    counts, n = _frequent_counts(
+        df, tid_col, item_col, minsup, max_len, method, max_candidates_per_job
+    )
+    rules = []
+    for z, cz in counts.items():
+        if len(z) < 2:
+            continue
+        for r in range(1, len(z)):
+            for lhs in combinations(sorted(z), r):
+                a = frozenset(lhs)
+                ca = counts[a]  # every subset of a frequent set is frequent
+                if cz * 1.0 / ca >= minconf:
+                    rules.append(
+                        (
+                            tuple(sorted(a)),
+                            tuple(sorted(z - a)),
+                            cz / n,
+                            cz / ca,
+                        )
+                    )
+    return sorted(rules)

@@ -267,3 +267,128 @@ def test_lattice_counts_batching_identical(spark):
     assert whole == batched
     # empty set semantics: one group of n rows
     assert whole[frozenset()] == (1, 30 * 29, 30)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 session 8: arbitrary-depth lattice walk (max_lhs / max_arity >= 3)
+# ---------------------------------------------------------------------------
+
+
+def _brute_minimal_uccs(rows, columns, max_arity):
+    out = []
+    for k in range(1, max_arity + 1):
+        for s in combinations(columns, k):
+            if any(set(u) <= set(s) for u in out):
+                continue
+            proj = {tuple(r[columns.index(c)] for c in s) for r in rows}
+            if len(proj) == len(rows):
+                out.append(s)
+    return sorted(out)
+
+
+def test_mine_fds_depth3_matches_bruteforce(spark):
+    # planted minimal 3-FD: d = f(a, b, c) where no 2-subset determines d
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(50):
+        a, b, c = rng.randrange(3), rng.randrange(3), rng.randrange(3)
+        d = (a + 2 * b + 4 * c) % 7
+        e = rng.randrange(2)
+        rows.append((a, b, c, d, e))
+    cols = ["a", "b", "c", "d", "e"]
+    df = spark.createDataFrame(rows, cols)
+    mined = mine_fds(df, cols, max_lhs=3)
+    expect = _brute_minimal_fds(rows, cols, max_lhs=3)
+    assert mined == expect
+    # the planted dependency is found at level 3 unless a subset grabbed it
+    assert any(len(lhs) == 3 and rhs == "d" for lhs, rhs in expect)
+
+
+def test_mine_fds_depth3_random_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(23)
+    cols = ["a", "b", "c", "d", "e"]
+    rows = [tuple(rng.randrange(2) for _ in cols) for _ in range(24)]
+    df = spark.createDataFrame(rows, cols)
+    assert mine_fds(df, cols, max_lhs=3) == _brute_minimal_fds(
+        rows, cols, max_lhs=3
+    )
+
+
+def test_mine_fds_key_prune_keeps_key_fds(spark):
+    # a unary key determines everything at level 1; supersets never re-emit
+    rows = [(i, i % 2, i % 3, "z") for i in range(12)]
+    cols = ["k", "p", "q", "const"]
+    df = spark.createDataFrame(rows, cols)
+    mined = mine_fds(df, cols, max_lhs=3)
+    assert mined == _brute_minimal_fds(rows, cols, max_lhs=3)
+    assert (("k",), "p") in mined and (("k",), "q") in mined
+    assert not any(len(lhs) >= 2 and "k" in lhs for lhs, _ in mined)
+
+
+def test_mine_uccs_depth3_matches_bruteforce(spark):
+    # minimal triple key: (a, b, c) unique, no pair unique
+    import random
+
+    rng = random.Random(5)
+    seen = set()
+    rows = []
+    while len(rows) < 18:
+        t = (rng.randrange(3), rng.randrange(3), rng.randrange(3))
+        if t not in seen:
+            seen.add(t)
+            rows.append(t + (rng.randrange(2),))
+    cols = ["a", "b", "c", "x"]
+    df = spark.createDataFrame(rows, cols)
+    mined = mine_uccs(df, cols, max_arity=3)
+    assert mined == _brute_minimal_uccs(rows, cols, 3)
+    assert ("a", "b", "c") in mined
+
+
+def test_mine_afds_g1_depth3_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(17)
+    cols = ["a", "b", "c", "d"]
+    rows = [tuple(rng.randrange(3) for _ in cols) for _ in range(45)]
+    df = spark.createDataFrame(rows, cols)
+    e = 0.08
+    mined = mine_afds(df, cols, max_error=e, max_lhs=3)
+
+    def err(lhs, rhs):
+        return _brute_g1(rows, cols, lhs, rhs)
+
+    expect = []
+    for rhs in cols:
+        subsets = [()]
+        for size in (1, 2, 3):
+            subsets += list(combinations([c for c in cols if c != rhs], size))
+        for lhs in subsets:
+            if err(lhs, rhs) <= e and not any(
+                err(sub, rhs) <= e
+                for size in range(len(lhs))
+                for sub in combinations(lhs, size)
+            ):
+                expect.append((tuple(lhs), rhs))
+    assert [(l, r) for l, r, _ in mined] == sorted(expect)
+    for lhs, rhs, g1 in mined:
+        assert abs(g1 - err(lhs, rhs)) < 1e-12
+
+
+def test_mine_afds_pdep_depth3(spark):
+    # pdep path walks the same level-wise minimality at depth 3
+    import random
+
+    rng = random.Random(29)
+    cols = ["a", "b", "c", "d"]
+    rows = [tuple(rng.randrange(2) for _ in cols) for _ in range(20)]
+    df = spark.createDataFrame(rows, cols)
+    g1_mined = mine_afds(df, cols, max_error=0.0, measure="g1", max_lhs=3)
+    pd_mined = mine_afds(df, cols, max_error=0.0, measure="pdep", max_lhs=3)
+    # at error 0 both measures reduce to exact FDs
+    exact = mine_fds(df, cols, max_lhs=3)
+    assert [(l, r) for l, r, _ in g1_mined] == exact
+    assert [(l, r) for l, r, _ in pd_mined] == exact

@@ -723,13 +723,13 @@ lattice_rows_strategy = st.lists(
 )
 
 
-def _brute_lattice(rows, cols, err_fn, budget):
+def _brute_lattice(rows, cols, err_fn, budget, max_lhs=2):
     from itertools import combinations as _comb
 
     out = []
     for rhs in cols:
         subsets = [()]
-        for size in (1, 2):
+        for size in range(1, max_lhs + 1):
             subsets += list(_comb([c for c in cols if c != rhs], size))
         for lhs in subsets:
             if err_fn(lhs, rhs) <= budget and not any(
@@ -797,3 +797,76 @@ def test_mine_afds_g1_law(spark, rows, budget):
     assert [(l, r) for l, r, _ in mined] == _brute_lattice(rows, cols, g1, budget)
     for lhs, rhs, e in mined:
         assert abs(e - g1(lhs, rhs)) < 1e-12
+
+
+lattice4_rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(rows=lattice4_rows_strategy)
+@settings(**_SETTINGS)
+def test_mine_fds_depth3_law(spark, rows):
+    """Arbitrary-depth lattice walk: on 4 columns at max_lhs=3 the level-wise
+    apriori + key/internal-FD pruning must reproduce brute-force TANE
+    minimality exactly (NULL a value)."""
+    from pyspark_validator.discovery import mine_fds
+
+    cols = ["p", "q", "r", "s"]
+    df = spark.createDataFrame(rows, "p string, q string, r int, s int")
+
+    def exact_err(lhs, rhs):
+        seen = {}
+        for r in rows:
+            k = tuple(r[cols.index(c)] for c in lhs)
+            v = r[cols.index(rhs)]
+            if k in seen and seen[k] != v:
+                return 1.0
+            seen[k] = v
+        return 0.0
+
+    assert [
+        (l, r) for l, r in mine_fds(df, cols, max_lhs=3)
+    ] == _brute_lattice(rows, cols, exact_err, 0.0, max_lhs=3)
+
+
+@given(
+    rows=lattice4_rows_strategy,
+    budget=st.sampled_from([0.0, 0.05, 0.3]),
+)
+@settings(**_SETTINGS)
+def test_mine_afds_g1_depth3_law(spark, rows, budget):
+    from collections import Counter
+
+    from pyspark_validator.discovery import mine_afds
+
+    cols = ["p", "q", "r", "s"]
+    df = spark.createDataFrame(rows, "p string, q string, r int, s int")
+    n = len(rows)
+    if n < 2:
+        return
+
+    def g1(lhs, rhs):
+        xy = Counter(
+            (tuple(r[cols.index(c)] for c in lhs), r[cols.index(rhs)])
+            for r in rows
+        )
+        x = Counter()
+        for (k, _), c in xy.items():
+            x[k] += c
+        conflict = sum(c * (c - 1) for c in x.values()) - sum(
+            c * (c - 1) for c in xy.values()
+        )
+        return conflict / (n * n - n)
+
+    mined = mine_afds(df, cols, max_error=budget, max_lhs=3)
+    assert [(l, r) for l, r, _ in mined] == _brute_lattice(
+        rows, cols, g1, budget, max_lhs=3
+    )
