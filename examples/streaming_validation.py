@@ -98,4 +98,41 @@ feng.state.vacuum(keep_last=1)  # retain only the live snapshot's files
 print("fused final (uniqueness gate at 0.95):")
 feng.verdict("doc_id_uniq").orderBy("partition_id").show(4)
 
+# --- windowed drift against a frozen baseline histogram --------------------
+# freeze once (batch), monitor forever (stream): the per-window state is one
+# row of num_bins+2 counters, never raw values.
+from pyspark.sql import functions as F
+
+from pyspark_validator.checks.drift import numeric_baseline
+from pyspark_validator.streaming import streaming_numeric_drift
+
+hist_src = tempfile.mkdtemp(prefix="drift_src_")
+base_df = spark.createDataFrame([(float(i % 10),) for i in range(500)], ["score"])
+baseline = numeric_baseline(base_df, "score", num_bins=10)
+rows = [("2026-01-01 00:00:%02d" % (i % 60), float(i % 10)) for i in range(120)]
+rows += [("2026-01-01 00:01:%02d" % (i % 60), 9.0) for i in range(120)]  # collapsed
+spark.createDataFrame(rows, ["ts_s", "score"]).select(
+    F.col("ts_s").cast("timestamp").alias("ts"), "score"
+).write.parquet(os.path.join(hist_src, "p.parquet"))
+dq = (
+    streaming_numeric_drift(
+        spark.readStream.schema("ts timestamp, score double").parquet(hist_src + "/*"),
+        "score",
+        "ts",
+        baseline,
+        "1 minute",
+    )
+    .writeStream.format("memory")
+    .queryName("drift_demo")
+    .outputMode("complete")
+    .trigger(availableNow=True)
+    .start()
+)
+dq.awaitTermination(300)
+print("windowed drift vs frozen baseline (second window collapsed to 9.0):")
+spark.sql(
+    "SELECT window_start, n_c, round(psi, 3) AS psi, round(ks_stat, 3) AS ks,"
+    " drift_detected FROM drift_demo ORDER BY window_start"
+).show(truncate=False)
+
 spark.stop()

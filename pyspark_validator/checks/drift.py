@@ -196,3 +196,72 @@ def kll_ks_compare(sb, sc, ks_threshold: float = 0.1) -> dict:
         "sketch_b": sb,
         "sketch_c": sc,
     }
+
+
+def numeric_baseline(
+    df: DataFrame,
+    column: str,
+    num_bins: int = 20,
+    bin_edges: tuple[float, float] | None = None,
+) -> dict:
+    """Freeze a reference histogram for STREAMING drift monitoring: the same
+    equi-width binning as :func:`numeric_drift` (clamped sentinel bins -1 and
+    num_bins for under/overflow), collected as a plain dict so it can live in
+    a checkpoint manifest and be replayed as literals inside a streaming agg.
+    Returns {lo, hi, num_bins, bins: [-1..num_bins], counts, n}."""
+    x = F.col(column).cast("double")
+    if bin_edges is None:
+        row = df.agg(F.min(x), F.max(x)).collect()[0]
+        lo, hi = float(row[0]), float(row[1])
+    else:
+        lo, hi = bin_edges
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+        F.lit(num_bins),
+    )
+    rows = (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    got = {int(r["bucket"]): int(r["cnt"]) for r in rows}
+    bins = list(range(-1, num_bins + 1))
+    counts = [got.get(b, 0) for b in bins]
+    return {
+        "lo": lo,
+        "hi": hi,
+        "num_bins": num_bins,
+        "bins": bins,
+        "counts": counts,
+        "n": sum(counts),
+    }
+
+
+def categorical_baseline(
+    df: DataFrame, column: str, max_categories: int = 50
+) -> dict:
+    """Freeze a reference frequency table for streaming categorical drift:
+    the top ``max_categories`` values by baseline count, every other value
+    (and NULL) pooled into the OTHER bucket. Returns {values, counts,
+    other_count, n}; bucket i = values[i], bucket len(values) = OTHER."""
+    rows = (
+        df.groupBy(F.col(column).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc_nulls_last("v"))
+        .limit(max_categories + 1)
+        .collect()
+    )
+    n = df.count()
+    kept = [(r["v"], int(r["cnt"])) for r in rows if r["v"] is not None][
+        :max_categories
+    ]
+    values = [v for v, _ in kept]
+    counts = [c for _, c in kept]
+    return {
+        "values": values,
+        "counts": counts,
+        "other_count": n - sum(counts),
+        "n": n,
+    }

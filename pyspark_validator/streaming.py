@@ -27,6 +27,14 @@ see SURVEY.md section 2.8. This module lifts the incremental count-state engine
     normalized-content key; state bounded by rate x watermark horizon.
   * ``streaming_quality_gate`` -- the batch quality gate as a stateless
     streaming filter (pure per-row JVM exprs, no state, no watermark).
+  * ``streaming_numeric_drift`` / ``streaming_categorical_drift`` -- per-window
+    PSI (+ chi-square, + binned-ECDF KS for numeric) against a FROZEN baseline
+    histogram/frequency table (checks/drift.py::numeric_baseline /
+    categorical_baseline): the north star's sketched-histogram drift path on a
+    live stream. One stateful windowed agg holds the whole histogram as
+    num_bins+2 conditional sums (one state row per window, no raw values);
+    the test statistics are stateless expressions over that row and match the
+    batch checks/drift.py rollup exactly on equal data.
   * ``streaming_gap_check`` -- a CUSTOM STATEFUL operator via
     applyInPandasWithState: the per-key sequential-dependency gap check
     (checks/sd.py single-scan semantics) continued ACROSS micro-batches by
@@ -317,4 +325,168 @@ def streaming_quality_gate(
 
     return quality_score(stream, text_col=text_col).where(
         F.col("quality") >= min_quality
+    )
+
+
+def _streaming_hist_drift(
+    stream: DataFrame,
+    bucket,
+    ts_col: str,
+    base_counts: list[int],
+    window_duration: str,
+    watermark: str,
+    alpha: float,
+    psi_threshold: float,
+    ks_threshold: float | None,
+) -> DataFrame:
+    """Shared windowed-histogram drift core: ONE stateful windowed agg builds
+    the whole per-window histogram as len(base_counts) conditional sums (the
+    simhash-style wide-agg pattern -- map-side combinable, state is one row
+    per window), then PSI / chi-square / (optionally) binned-ECDF KS are pure
+    stateless expressions over that row, mirroring checks/drift.py's
+    _psi_chi2_rollup smoothing exactly (k = buckets observed in either side;
+    absent-in-both buckets contribute no PSI/chi2 term)."""
+    m = len(base_counts)
+    n_b = sum(base_counts)
+    if n_b <= 0:
+        raise ValueError("baseline histogram is empty")
+    hist = (
+        stream.select(F.col(ts_col).alias("__ts"), bucket.alias("__b"))
+        .where(F.col("__b").isNotNull())
+        .withWatermark("__ts", watermark)
+        .groupBy(F.window(F.col("__ts"), window_duration).alias("w"))
+        .agg(
+            *[
+                F.sum((F.col("__b") == F.lit(i)).cast("long")).alias(f"c_{i}")
+                for i in range(m)
+            ]
+        )
+    )
+    c = [F.coalesce(F.col(f"c_{i}"), F.lit(0)) for i in range(m)]
+    b = [F.lit(int(x)) for x in base_counts]
+    n_c = c[0]
+    for x in c[1:]:
+        n_c = n_c + x
+    seen = [(c[i] + b[i]) > 0 for i in range(m)]
+    k = F.lit(0)
+    for s in seen:
+        k = k + s.cast("int")
+    psi = F.lit(0.0)
+    chi2 = F.lit(0.0)
+    for i in range(m):
+        p_b = (b[i] + F.lit(alpha)) / (F.lit(float(n_b)) + F.lit(alpha) * k)
+        p_c = (c[i] + F.lit(alpha)) / (n_c.cast("double") + F.lit(alpha) * k)
+        psi = psi + F.when(seen[i], (p_c - p_b) * F.log(p_c / p_b)).otherwise(
+            F.lit(0.0)
+        )
+        pooled = (b[i] + c[i]) / (F.lit(float(n_b)) + n_c)
+        e_b, e_c = pooled * F.lit(float(n_b)), pooled * n_c
+        chi2 = chi2 + F.when(
+            seen[i],
+            F.pow(b[i] - e_b, F.lit(2.0)) / e_b
+            + F.pow(c[i] - e_c, F.lit(2.0)) / e_c,
+        ).otherwise(F.lit(0.0))
+    cols = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        n_c.alias("n_c"),
+        k.alias("n_buckets"),
+        psi.alias("psi"),
+        chi2.alias("chi2"),
+    ]
+    flag = psi > F.lit(psi_threshold)
+    if ks_threshold is not None:
+        cum_b, cum_c, terms = 0, F.lit(0).cast("long"), []
+        for i in range(m):
+            cum_b += int(base_counts[i])
+            cum_c = cum_c + c[i]
+            terms.append(
+                F.abs(
+                    F.lit(cum_b / n_b) - cum_c.cast("double") / n_c
+                )
+            )
+        ks = F.greatest(*terms) if len(terms) > 1 else terms[0]
+        cols.append(ks.alias("ks_stat"))
+        flag = flag | (ks > F.lit(ks_threshold))
+    return hist.select(*cols, flag.alias("drift_detected"))
+
+
+def streaming_numeric_drift(
+    stream: DataFrame,
+    column: str,
+    ts_col: str,
+    baseline: dict,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-window numeric drift against a FROZEN baseline histogram
+    (checks/drift.py::numeric_baseline): the north star's sketched-histogram
+    drift path lifted onto Structured Streaming. Binning is byte-identical to
+    the batch numeric_drift (equi-width over [lo, hi], sentinel bins for
+    under/overflow, NULLs dropped), so a window whose data equals the batch
+    'current' slice reports the same psi/chi2/ks_stat as the batch check.
+
+    State per window is ONE row of num_bins+2 counters -- no raw values are
+    retained, late rows inside ``watermark`` still land in their window, and
+    the emitted row per closed window carries psi + chi2 + binned-ECDF KS +
+    drift_detected. Output modes: append (after watermark) / update /
+    complete all work; the agg is a plain windowed groupBy."""
+    lo, hi, nb = baseline["lo"], baseline["hi"], baseline["num_bins"]
+    width = (hi - lo) / nb if hi > lo else 1.0
+    x = F.col(column).cast("double")
+    bucket0 = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+        F.lit(nb),
+    )
+    # shift [-1 .. nb] -> [0 .. nb+1] to index the count list
+    bucket = F.when(x.isNotNull(), bucket0 + F.lit(1))
+    return _streaming_hist_drift(
+        stream,
+        bucket,
+        ts_col,
+        [int(v) for v in baseline["counts"]],
+        window_duration,
+        watermark,
+        alpha,
+        psi_threshold,
+        ks_threshold,
+    )
+
+
+def streaming_categorical_drift(
+    stream: DataFrame,
+    column: str,
+    ts_col: str,
+    baseline: dict,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-window categorical drift against a FROZEN frequency table
+    (checks/drift.py::categorical_baseline): values outside the baseline's
+    top-k vocabulary (and NULL) pool into the OTHER bucket, so the streaming
+    state stays bounded regardless of live cardinality -- the fixed-vocab
+    variant of the batch categorical_drift. PSI + chi-square per window; no
+    KS (categories are unordered)."""
+    values = baseline["values"]
+    lookup = F.create_map(
+        *[e for i, v in enumerate(values) for e in (F.lit(v), F.lit(i))]
+    )
+    bucket = F.coalesce(
+        lookup[F.col(column).cast("string")], F.lit(len(values))
+    )
+    return _streaming_hist_drift(
+        stream,
+        bucket,
+        ts_col,
+        [int(v) for v in baseline["counts"]] + [int(baseline["other_count"])],
+        window_duration,
+        watermark,
+        alpha,
+        psi_threshold,
+        None,
     )

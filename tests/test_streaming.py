@@ -300,3 +300,102 @@ def test_streaming_quality_gate_stateless(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r.doc_id for r in spark.table("qgate").collect()] == [1]
+
+
+def test_streaming_numeric_drift_matches_batch(spark, tmp_path):
+    from pyspark_validator.checks.drift import numeric_baseline, numeric_drift
+    from pyspark_validator.streaming import streaming_numeric_drift
+
+    # baseline: uniform-ish; window 0 mirrors it, window 1 is shifted hard
+    base_rows = [(float(i % 10),) for i in range(200)]
+    baseline_df = spark.createDataFrame(base_rows, ["v"])
+    baseline = numeric_baseline(baseline_df, "v", num_bins=10)
+    assert baseline["n"] == 200 and len(baseline["counts"]) == 12
+
+    w0 = [("2026-01-01 00:00:%02d" % (i % 50), float(i % 10)) for i in range(100)]
+    w1 = [("2026-01-01 00:01:%02d" % (i % 50), 9.0 + (i % 3)) for i in range(100)]
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    spark.createDataFrame(w0 + w1, ["ts_s", "v"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    ).write.mode("overwrite").parquet(str(src / "p.parquet"))
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(str(src) + "/*")
+    out = streaming_numeric_drift(
+        stream, "v", "ts", baseline, "1 minute", "2 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].strftime("%M"): r
+        for r in spark.sql("SELECT * FROM drift_win").collect()
+    }
+    assert set(got) == {"00", "01"}
+    assert not got["00"]["drift_detected"]
+    assert got["01"]["drift_detected"]
+    assert got["01"]["psi"] > got["00"]["psi"]
+
+    # per-window statistics match the BATCH numeric_drift on the same slice
+    for mins, rows in (("00", w0), ("01", w1)):
+        cur = spark.createDataFrame(rows, ["ts_s", "v"]).select("v")
+        b = numeric_drift(
+            baseline_df,
+            cur,
+            "v",
+            num_bins=10,
+            bin_edges=(baseline["lo"], baseline["hi"]),
+        ).collect()[0]
+        s = got[mins]
+        assert abs(s["psi"] - b["psi"]) < 1e-9
+        assert abs(s["chi2"] - b["chi2"]) < 1e-9
+        assert abs(s["ks_stat"] - b["ks_stat"]) < 1e-9
+        assert s["n_buckets"] == b["n_buckets"]
+
+
+def test_streaming_categorical_drift_other_bucket(spark, tmp_path):
+    from pyspark_validator.checks.drift import categorical_baseline
+    from pyspark_validator.streaming import streaming_categorical_drift
+
+    base_rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    baseline = categorical_baseline(spark.createDataFrame(base_rows, ["v"]), "v")
+    assert baseline["values"] == ["a", "b", "c"] and baseline["other_count"] == 0
+
+    # window 0 matches the baseline mix; window 1 is all novel vocabulary ->
+    # everything pools into OTHER and PSI explodes
+    rows0 = [
+        (
+            "2026-01-01 00:00:%02d" % (i % 50),
+            "a" if i % 10 < 5 else ("b" if i % 10 < 8 else "c"),
+        )
+        for i in range(100)
+    ]
+    rows1 = [("2026-01-01 00:01:%02d" % (i % 50), "zzz%d" % (i % 4)) for i in range(100)]
+    src = tmp_path / "cat_src"
+    src.mkdir()
+    spark.createDataFrame(rows0 + rows1, ["ts_s", "v"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    ).write.mode("overwrite").parquet(str(src / "p.parquet"))
+
+    stream = spark.readStream.schema("ts timestamp, v string").parquet(str(src) + "/*")
+    out = streaming_categorical_drift(stream, "v", "ts", baseline, "1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cat_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].strftime("%M"): r
+        for r in spark.sql("SELECT * FROM cat_win").collect()
+    }
+    assert not got["00"]["drift_detected"]
+    assert got["01"]["drift_detected"]
+    assert got["01"]["n_c"] == 100
