@@ -3016,6 +3016,105 @@ def _binary_ind_oracle_sql() -> str:
 SQL_DISCOVERY_BINARY_INDS_KEYS = _binary_ind_oracle_sql()
 
 
+_AR_ITEMS = ["click", "error", "purchase", "signup", "view"]
+_AR_MINSUP = 0.12
+_AR_MINCONF = 0.35
+
+
+def q_discovery_ars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori association-rule discovery (discovery.py::mine_ars,
+    ar_algorithm.cpp GenerateRulesFrom + ar_stats_calculator.cpp:33-70
+    support/confidence definitions) over per-(user, day) sessions of event
+    types: at sf0.01 the 4k transactions span sizes 1..5, so both the minsup
+    gate and the minconf gate do real pruning (unlike per-user transactions,
+    where every user has all five types). The oracle enumerates all 31
+    itemset counts as filtered aggregates over per-transaction bool flags
+    and replays rule generation with the same exact-count thresholds."""
+    from pyspark_validator.discovery import mine_ars
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tx = ev.select(
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ).alias("tid"),
+        F.col("event_type").alias("item"),
+    )
+    rules = mine_ars(
+        tx, tid_col="tid", item_col="item", minsup=_AR_MINSUP, minconf=_AR_MINCONF
+    )
+    rows = [
+        (",".join(l), ",".join(r), round(s, 9), round(c, 9)) for l, r, s, c in rules
+    ]
+    return (
+        spark.createDataFrame(
+            rows or [("", "", 0.0, 0.0)],
+            "lhs string, rhs string, support double, confidence double",
+        )
+        .filter(F.col("lhs") != "")
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _ar_discovery_oracle_sql() -> str:
+    """Mirror mine_ars: one CTE of per-transaction item flags (a transaction
+    = one (user, day) group; duplicate items collapse exactly like
+    collect_set), one CTE of all 31 itemset transaction counts, then every
+    (lhs, rhs) partition of every itemset with supp(Z)/n >= minsup and
+    supp(Z)/supp(lhs) >= minconf spelled out from the same integer counts."""
+    from itertools import combinations as _comb
+
+    items = _AR_ITEMS
+
+    def cname(sub):
+        return "c_" + "_".join(str(items.index(i)) for i in sub)
+
+    flags = ", ".join(
+        f"bool_or(event_type = '{i}') AS b_{k}" for k, i in enumerate(items)
+    )
+    tx = (
+        "tx AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+        + flags
+        + " FROM events GROUP BY 1, 2)"
+    )
+    subs = [s for k in range(1, len(items) + 1) for s in _comb(items, k)]
+    cexprs = ", ".join(
+        "count(*) FILTER (WHERE "
+        + " AND ".join(f"b_{items.index(i)}" for i in sub)
+        + f") AS {cname(sub)}"
+        for sub in subs
+    )
+    c = f"c AS (SELECT count(*) AS n, {cexprs} FROM tx)"
+    rows = []
+    for z in subs:
+        if len(z) < 2:
+            continue
+        for r in range(1, len(z)):
+            for lhs in _comb(z, r):
+                rhs = tuple(i for i in z if i not in lhs)
+                cond = (
+                    f"CAST({cname(z)} AS DOUBLE) / n >= {_AR_MINSUP} AND "
+                    f"CAST({cname(z)} AS DOUBLE) / {cname(lhs)} >= {_AR_MINCONF}"
+                )
+                rows.append(
+                    f"SELECT '{','.join(lhs)}' AS lhs, '{','.join(rhs)}' AS rhs, "
+                    f"round(CAST({cname(z)} AS DOUBLE) / n, 9) AS support, "
+                    f"round(CAST({cname(z)} AS DOUBLE) / {cname(lhs)}, 9) AS confidence "
+                    f"FROM c WHERE {cond}"
+                )
+    return (
+        "WITH "
+        + tx
+        + ",\n"
+        + c
+        + "\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY lhs, rhs"
+    )
+
+
+SQL_DISCOVERY_ARS_EVENTS = _ar_discovery_oracle_sql()
+
+
 def q_curation_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap (pipelines/curation.py::cap_per_group, exact mode): keep
     the 10 md5-rank winners per source. Deterministic survivors, so the
@@ -3411,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_ainds_keys": q_discovery_ainds_keys,
         "discovery_uccs_lineitem": q_discovery_uccs_lineitem,
         "discovery_binary_inds_keys": q_discovery_binary_inds_keys,
+        "discovery_ars_events": q_discovery_ars_events,
     }
 
 
@@ -3502,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_ainds_keys": SQL_DISCOVERY_AINDS_KEYS,
         "discovery_uccs_lineitem": SQL_DISCOVERY_UCCS_LINEITEM,
         "discovery_binary_inds_keys": SQL_DISCOVERY_BINARY_INDS_KEYS,
+        "discovery_ars_events": SQL_DISCOVERY_ARS_EVENTS,
     }
 
 
