@@ -112,6 +112,8 @@ HEADLINE = [
     "discovery_uccs_lineitem",
     "curation_domain_cap_docs",
     "discovery_binary_inds_keys",
+    # round 2 session 8: rule mining over (user, day) event sessions
+    "discovery_ars_events",
 ]
 
 
