@@ -3115,6 +3115,218 @@ def _ar_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_ARS_EVENTS = _ar_discovery_oracle_sql()
 
 
+# --- CFD discovery (cfd_discovery.py::mine_cfds, FDFirst semantics) --------
+
+_CFD_COLS = ["status", "prio", "klass"]
+_CFD_MINSUP = 1200
+_CFD_MINCONF = 0.9
+_CFD_MAXLHS = 2
+
+
+def q_discovery_cfds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDFirst CFD discovery (cfd_discovery.py::mine_cfds; reference
+    cfd/fd_first_algorithm.cpp) over orders with a planted near-FD: klass =
+    hot for urgent/high priorities except a deterministic o_orderkey%97
+    noise stripe, else cold. The truth exercises every rule kind: variable
+    rules ((prio) => klass at ~0.9956), mixed patterns ((status=F, prio) =>
+    klass), constant rules ((prio=1-URGENT) => klass=hot at ~0.99), EXACT
+    constant rules ((prio=3-MEDIUM) => klass=cold) whose specializations the
+    Precedes pruning must remove, and const-partition skips ((status,
+    prio=3-MEDIUM) => klass carries a single RHS value and must vanish). The
+    oracle replays the whole closed form in DuckDB: pattern lattice via
+    per-(S,rhs,C) aggregates, local skips, freeness, and the exact-rule
+    NOT EXISTS precedence join."""
+    from pyspark_validator.cfd_discovery import mine_cfds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderkey") % 97 != 0),
+            "hot",
+        )
+        .otherwise("cold")
+        .alias("klass"),
+    )
+    rules = mine_cfds(
+        t, min_supp=_CFD_MINSUP, min_conf=_CFD_MINCONF, max_lhs=_CFD_MAXLHS
+    )
+    rows = [
+        (
+            ",".join(a for a, v in r.lhs if v is None),
+            ",".join(f"{a}={v}" for a, v in r.lhs if v is not None),
+            r.rhs_attr,
+            r.rhs_const or "",
+            r.support,
+            round(r.confidence, 9),
+        )
+        for r in rules
+    ]
+    return (
+        spark.createDataFrame(
+            rows or [("__none__", "", "", "", 0, 0.0)],
+            "wild string, consts string, rhs_attr string, rhs_val string, "
+            "support long, confidence double",
+        )
+        .filter(F.col("rhs_attr") != "")
+        .orderBy("wild", "consts", "rhs_attr", "rhs_val")
+    )
+
+
+def _cfd_discovery_oracle_sql() -> str:
+    """Mirror mine_cfds' order-independent closed form in DuckDB: a finest
+    group-by CTE, one lhs-cluster CTE per (attr set S, rhs), one aggregate
+    per pattern shape (S, rhs, C subset of lhs), local skips (variable rules
+    need two RHS values; FD rules need a free lhs), then the exact-rule
+    Precedes pruning as a NOT EXISTS self-join over role/value columns."""
+    from itertools import combinations as _comb
+
+    cols = _CFD_COLS
+    p = len(cols)
+    base = (
+        "SELECT o_orderstatus AS status, o_orderpriority AS prio, "
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "AND o_orderkey % 97 <> 0 THEN 'hot' ELSE 'cold' END AS klass "
+        "FROM orders"
+    )
+    ctes = [f"t AS ({base})"]
+    ctes.append(
+        "g AS (SELECT "
+        + ", ".join(cols)
+        + ", count(*) AS n FROM t GROUP BY "
+        + ", ".join(cols)
+        + ")"
+    )
+
+    def dname(sub):
+        return "d_" + "_".join(str(cols.index(c)) for c in sub)
+
+    d_subs = [
+        s for k in range(1, _CFD_MAXLHS + 1) for s in _comb(cols, k)
+    ]
+    ctes.append(
+        "d AS (SELECT "
+        + ", ".join(
+            f"count(DISTINCT ({','.join(s) if len(s) > 1 else s[0] + ',' + s[0]}))"
+            f" AS {dname(s)}"
+            for s in d_subs
+        )
+        + " FROM t)"
+    )
+
+    sets_s = [
+        s for k in range(2, _CFD_MAXLHS + 2) for s in _comb(cols, k)
+    ]
+    for si, s in enumerate(sets_s):
+        if len(s) == p:
+            ctes.append(f"gs_{si} AS (SELECT * FROM g)")
+        else:
+            ctes.append(
+                f"gs_{si} AS (SELECT "
+                + ", ".join(s)
+                + ", sum(n) AS n FROM g GROUP BY "
+                + ", ".join(s)
+                + ")"
+            )
+
+    pairs = []  # (lid, S, rhs, lhs)
+    for si, s in enumerate(sets_s):
+        for rhs in s:
+            lhs = tuple(c for c in s if c != rhs)
+            lid = f"l_{si}_{cols.index(rhs)}"
+            pairs.append((lid, s, rhs, lhs))
+            lcols = ", ".join(lhs)
+            ctes.append(
+                f"{lid} AS (SELECT {lcols}, sum(n) AS sz, max(n) AS best, "
+                f"max(CASE WHEN n = mx THEN {rhs} END) AS bv, "
+                f"min({rhs}) AS vmn, max({rhs}) AS vmx "
+                f"FROM (SELECT *, max(n) OVER (PARTITION BY {lcols}) AS mx "
+                f"FROM gs_{si}) z GROUP BY {lcols})"
+            )
+
+    conf = "(1.0 - CAST(supp - sat AS DOUBLE) / supp)"
+    cand_sel = []
+    for lid, s, rhs, lhs in pairs:
+        for k in range(0, len(lhs) + 1):
+            for csub in _comb(lhs, k):
+                roles = [
+                    "c" if c in csub else ("v" if c in lhs else "-")
+                    for c in cols
+                ]
+                wild = ",".join(c for c in lhs if c not in csub)
+                if csub:
+                    consts = " || ',' || ".join(
+                        f"'{c}=' || {c}" for c in cols if c in csub
+                    )
+                else:
+                    consts = "''"
+                is_const_rule = len(csub) == len(lhs)
+                rhs_val = "bv" if is_const_rule else "''"
+                inner = (
+                    "SELECT "
+                    + (", ".join(csub) + ", " if csub else "")
+                    + "sum(sz) AS supp, sum(best) AS sat, min(vmn) AS vmn, "
+                    f"max(vmx) AS vmx, max(bv) AS bv FROM {lid}"
+                    + (" GROUP BY " + ", ".join(csub) if csub else "")
+                )
+                conds = [
+                    f"supp >= {_CFD_MINSUP}",
+                    f"{conf} >= {_CFD_MINCONF}",
+                ]
+                if not is_const_rule:
+                    conds.append("vmn <> vmx")
+                if not csub and len(lhs) >= 2:
+                    # FD rule: lhs must be a generator (free)
+                    conds += [
+                        f"d.{dname(lhs)} <> d.{dname(sub)}"
+                        for size in range(1, len(lhs))
+                        for sub in _comb(lhs, size)
+                    ]
+                vals = ", ".join(
+                    (f"q.{c}" if roles[i] == "c" else "CAST(NULL AS VARCHAR)")
+                    + f" AS v_{i}"
+                    for i, c in enumerate(cols)
+                )
+                role_lits = ", ".join(
+                    f"'{r}' AS r_{i}" for i, r in enumerate(roles)
+                )
+                cand_sel.append(
+                    f"SELECT '{wild}' AS wild, {consts} AS consts, "
+                    f"'{rhs}' AS rhs_attr, {rhs_val} AS rhs_val, "
+                    f"{len(lhs)} AS nit, {role_lits}, {vals}, supp, sat "
+                    f"FROM ({inner}) q, d WHERE " + " AND ".join(conds)
+                )
+    ctes.append("cand AS (\n" + "\nUNION ALL ".join(cand_sel) + "\n)")
+
+    per_attr_precede = " AND ".join(
+        f"(e.r_{i} = '-' OR (e.r_{i} = 'v' AND c.r_{i} <> '-') "
+        f"OR (e.r_{i} = 'c' AND c.r_{i} = 'c' AND e.v_{i} = c.v_{i}))"
+        for i in range(p)
+    )
+    identical = " AND ".join(
+        f"e.r_{i} = c.r_{i} AND e.v_{i} IS NOT DISTINCT FROM c.v_{i}"
+        for i in range(p)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT wild, consts, rhs_attr, rhs_val, "
+        "CAST(supp AS BIGINT) AS support, "
+        f"round({conf}, 9) AS confidence "
+        "FROM cand c WHERE NOT EXISTS ("
+        "SELECT 1 FROM cand e WHERE e.sat = e.supp "
+        "AND e.rhs_attr = c.rhs_attr AND e.rhs_val = c.rhs_val "
+        "AND e.nit <= c.nit "
+        f"AND NOT ({identical}) AND {per_attr_precede})\n"
+        "ORDER BY wild, consts, rhs_attr, rhs_val"
+    )
+
+
+SQL_DISCOVERY_CFDS_ORDERS = _cfd_discovery_oracle_sql()
+
+
 def q_curation_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap (pipelines/curation.py::cap_per_group, exact mode): keep
     the 10 md5-rank winners per source. Deterministic survivors, so the
@@ -3511,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_uccs_lineitem": q_discovery_uccs_lineitem,
         "discovery_binary_inds_keys": q_discovery_binary_inds_keys,
         "discovery_ars_events": q_discovery_ars_events,
+        "discovery_cfds_orders": q_discovery_cfds_orders,
     }
 
 
@@ -3603,6 +3816,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_uccs_lineitem": SQL_DISCOVERY_UCCS_LINEITEM,
         "discovery_binary_inds_keys": SQL_DISCOVERY_BINARY_INDS_KEYS,
         "discovery_ars_events": SQL_DISCOVERY_ARS_EVENTS,
+        "discovery_cfds_orders": SQL_DISCOVERY_CFDS_ORDERS,
     }
 
 

@@ -114,6 +114,8 @@ HEADLINE = [
     "discovery_binary_inds_keys",
     # round 2 session 8: rule mining over (user, day) event sessions
     "discovery_ars_events",
+    # round 2 session 9: FDFirst CFD discovery over a planted near-FD
+    "discovery_cfds_orders",
 ]
 
 

@@ -41,6 +41,7 @@ from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.sfd import sfd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
+from pyspark_validator.cfd_discovery import CFDRule, mine_cfds
 from pyspark_validator.discovery import (
     mine_afds,
     mine_ainds,
@@ -85,8 +86,10 @@ __all__ = [
     "ColumnMatch",
     "md_check",
     "mfd_check",
+    "CFDRule",
     "mine_afds",
     "mine_ainds",
+    "mine_cfds",
     "mine_ars",
     "mine_binary_inds",
     "mine_fds",

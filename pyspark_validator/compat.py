@@ -1529,3 +1529,27 @@ class Mind(Spider):
                 IND(", ".join(lhs), ", ".join(rhs), 0.0)
                 for lhs, rhs in mine_binary_inds(self._tables, unary=exact_unary)
             ]
+
+
+class FDFirst(_Verifier):
+    """FDFirstAlgorithm analog (cfd/fd_first_algorithm.cpp; options
+    cfd_minimum_support / cfd_minimum_confidence / cfd_maximum_lhs): mines
+    conditional FDs over attribute/constant patterns. ``get_cfds`` returns
+    the reference's display strings ("(a, b=x) => c[=v]",
+    cfd_output_util.cpp:36-50); ``get_rules`` the structured CFDRule list."""
+
+    def execute(
+        self, minsup: int = 1, minconf: float = 1.0, max_lhs: int = 2
+    ) -> None:
+        from pyspark_validator.cfd_discovery import mine_cfds
+
+        assert self._df is not None, "call load_data first"
+        self._cfds = mine_cfds(
+            self._df, min_supp=minsup, min_conf=minconf, max_lhs=max_lhs
+        )
+
+    def get_rules(self) -> list:
+        return self._cfds
+
+    def get_cfds(self) -> list[str]:
+        return [r.to_string() for r in self._cfds]
