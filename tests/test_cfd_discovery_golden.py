@@ -177,3 +177,145 @@ def test_fdfirst_facade(spark):
     got = {_canon(r) for r in algo.get_rules()}
     assert got == {_parse(s) for s in TENNIS_EXPECTED}
     assert "(outlook, windy=false) => play" in algo.get_cfds()
+
+
+# --- property-based cross-validation vs a brute-force python oracle --------
+
+from collections import Counter
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _brute_cfds(rows, cols, min_supp, min_conf, max_lhs):
+    """Direct enumeration of the FDFirst closed form (module docstring of
+    cfd_discovery.py) with the engine's deterministic tie-break."""
+    recs = []
+    D = {}
+    for k in range(1, max_lhs + 1):
+        for T in combinations(cols, k):
+            D[frozenset(T)] = len(
+                {tuple(r[cols.index(c)] for c in T) for r in rows}
+            )
+
+    def free(lhs):
+        if len(lhs) == 1:
+            return True
+        return all(
+            D[frozenset(s)] != D[frozenset(lhs)]
+            for k in range(1, len(lhs))
+            for s in combinations(lhs, k)
+        )
+
+    for size in range(2, max_lhs + 2):
+        for S in combinations(cols, size):
+            for rhs in S:
+                lhs = tuple(c for c in S if c != rhs)
+                groups = {}
+                for r in rows:
+                    key = tuple(r[cols.index(c)] for c in lhs)
+                    groups.setdefault(key, []).append(r[cols.index(rhs)])
+                gstats = []
+                for key, ys in groups.items():
+                    cnt = Counter(ys)
+                    best = max(cnt.values())
+                    bv = max(v for v, c in cnt.items() if c == best)
+                    gstats.append(
+                        (dict(zip(lhs, key)), len(ys), best, bv, min(ys), max(ys))
+                    )
+                for cs in range(0, len(lhs) + 1):
+                    for C in combinations(lhs, cs):
+                        pats = {}
+                        for kv, sz, best, bv, mn, mx in gstats:
+                            ck = tuple(kv[c] for c in C)
+                            e = pats.setdefault(ck, [0, 0, None, None, None, -1])
+                            e[0] += sz
+                            e[1] += best
+                            e[2] = mn if e[2] is None else min(e[2], mn)
+                            e[3] = mx if e[3] is None else max(e[3], mx)
+                            if best > e[5] or (best == e[5] and bv > e[4]):
+                                e[4], e[5] = bv, best
+                        for ck, (supp, sat, mn, mx, bv, _b) in pats.items():
+                            conf = 1.0 - float(supp - sat) / float(supp)
+                            if supp < min_supp or conf < min_conf:
+                                continue
+                            cd = dict(zip(C, ck))
+                            if cs == len(lhs):
+                                recs.append((lhs, cd, rhs, bv, supp, conf))
+                            else:
+                                if mn == mx:
+                                    continue
+                                if cs == 0 and not free(lhs):
+                                    continue
+                                recs.append((lhs, cd, rhs, None, supp, conf))
+    exact = [r for r in recs if r[5] >= 1.0]
+
+    def precedes(al, ac, bl, bc):
+        if frozenset(al) == frozenset(bl) and ac == bc:
+            return False
+        if len(al) > len(bl):
+            return False
+        for attr in al:
+            if attr in ac:
+                if bc.get(attr) != ac[attr]:
+                    return False
+            elif attr not in bl:
+                return False
+        return True
+
+    out = set()
+    for lhs, C, rhs, rv, supp, conf in recs:
+        pruned = any(
+            precedes(el, ec, lhs, C)
+            for el, ec, er, erv, _es, _ecf in exact
+            if er == rhs
+            and (rv is None) == (erv is None)
+            and (rv is None or erv == rv)
+        )
+        if not pruned:
+            items = frozenset(
+                f"{a}={C[a]}" if a in C else a for a in lhs
+            )
+            out.add(
+                (items, rhs if rv is None else f"{rhs}={rv}", supp, round(conf, 9))
+            )
+    return out
+
+
+cfd_rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["x", "y"]),
+        st.sampled_from(["p", "q", "r"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    rows=cfd_rows_strategy,
+    min_supp=st.sampled_from([1, 2, 4]),
+    min_conf=st.sampled_from([0.7, 1.0]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mine_cfds_matches_brute_oracle(spark, rows, min_supp, min_conf):
+    cols = ["u", "v", "w"]
+    df = spark.createDataFrame(rows, cols)
+    got = {
+        (
+            frozenset(a if c is None else f"{a}={c}" for a, c in r.lhs),
+            r.rhs_attr if r.rhs_const is None else f"{r.rhs_attr}={r.rhs_const}",
+            r.support,
+            round(r.confidence, 9),
+        )
+        for r in mine_cfds(
+            df, min_supp=min_supp, min_conf=min_conf, max_lhs=2
+        )
+    }
+    assert got == _brute_cfds(rows, cols, min_supp, min_conf, max_lhs=2)
