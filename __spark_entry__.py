@@ -3640,6 +3640,121 @@ ORDER BY dependent, referenced
 """
 
 
+# --- FASTOD set-based OD discovery (od_discovery.py) ----------------------
+
+_OD_DISCOVERY_COLS = ["l_shipdate", "ship_month", "l_quantity", "days_left"]
+
+
+def q_discovery_ods_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTOD set-based canonical OD discovery (od_discovery.mine_set_ods,
+    reference od/fastod/fastod.cpp Discover) truncated at level 2, over a
+    lineitem projection with planted order structure: ship_month is monotone
+    with l_shipdate (asc~asc compatibilities both ways), days_left =
+    1998-12-31 - l_shipdate is anti-monotone (desc~asc compatibilities with
+    both date forms), and l_quantity breaks every candidate it touches. The
+    level<=2 slice emits constants, unary FDs and empty-context order
+    compatibilities -- each one closed-form SQL-checkable, so the oracle
+    replays every candidate verdict including the negatives."""
+    from pyspark_validator.od_discovery import mine_set_ods
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sd = F.to_date(F.col("l_shipdate"))
+    df = li.select(
+        sd.alias("l_shipdate"),
+        F.trunc(sd, "month").alias("ship_month"),
+        "l_quantity",
+        F.datediff(F.lit("1998-12-31").cast("date"), sd).alias("days_left"),
+    )
+    res = mine_set_ods(df, _OD_DISCOVERY_COLS, max_level=2)
+    rows = [(s,) for s in res.to_strings()]
+    return (
+        spark.createDataFrame(rows or [("__none__",)], ["od"])
+        .filter(F.col("od") != "__none__")
+        .orderBy("od")
+    )
+
+
+def _od_discovery_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_ods_lineitem: the exact
+    level<=2 FASTOD slice spelled out per candidate. Level-1 simple ODs are
+    constant checks; level-2 simple ODs are unary FDs (distinct-count
+    criterion) guarded by both columns being non-constant (the walk's CC
+    pruning empties every context containing a constant column); level-2
+    order compatibilities check Swap-freeness closed-form -- group by the
+    left column, a swap exists iff some left-value's min(right) undercuts
+    the running max(right) over strictly smaller (asc) / larger (desc) left
+    values. No other pruning can fire at level <= 2."""
+    cols = _OD_DISCOVERY_COLS
+    p = len(cols)
+    from itertools import combinations as _comb
+
+    def d(*idx):
+        return "d_" + "_".join(str(i) for i in sorted(idx))
+
+    singles = ", ".join(
+        f"count(DISTINCT {c}) AS {d(i)}" for i, c in enumerate(cols)
+    )
+    pairs = ", ".join(
+        f"count(DISTINCT ({cols[i]},{cols[j]})) AS {d(i, j)}"
+        for i, j in _comb(range(p), 2)
+    )
+    cte = (
+        "WITH t AS (SELECT CAST(l_shipdate AS DATE) AS l_shipdate, "
+        "date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month, "
+        "l_quantity, "
+        "date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-12-31') "
+        "AS days_left FROM lineitem),\n"
+        f"c AS (SELECT {singles}, {pairs} FROM t)"
+    )
+
+    def swap_viol(a: int, b: int, desc: bool) -> str:
+        order = f"{cols[a]} DESC" if desc else cols[a]
+        return (
+            f"(SELECT coalesce(bool_or(pmx > mn), FALSE) FROM "
+            f"(SELECT min({cols[b]}) AS mn, "
+            f"max(max({cols[b]})) OVER (ORDER BY {order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx "
+            f"FROM t GROUP BY {cols[a]}))"
+        )
+
+    rows = []
+    for a, c in enumerate(cols):
+        rows.append(
+            f"SELECT '{{}} : [] -> {c}' AS od, (SELECT {d(a)} = 1 FROM c) AS m"
+        )
+    for x in range(p):
+        for a in range(p):
+            if a == x:
+                continue
+            rows.append(
+                f"SELECT '{{{cols[x]}}} : [] -> {cols[a]}', "
+                f"(SELECT {d(x)} > 1 AND {d(a)} > 1 AND {d(x, a)} = {d(x)} "
+                f"FROM c)"
+            )
+    for a in range(p):
+        for b in range(p):
+            if a == b:
+                continue
+            guard = f"(SELECT {d(a)} > 1 AND {d(b)} > 1 FROM c)"
+            rows.append(
+                f"SELECT '{{}} : {cols[a]}<= ~ {cols[b]}<=', "
+                f"{guard} AND NOT {swap_viol(a, b, False)}"
+            )
+            rows.append(
+                f"SELECT '{{}} : {cols[a]}>= ~ {cols[b]}<=', "
+                f"{guard} AND NOT {swap_viol(a, b, True)}"
+            )
+    return (
+        cte
+        + "\nSELECT od FROM (\n"
+        + "\nUNION ALL ".join(rows)
+        + "\n) WHERE m ORDER BY od"
+    )
+
+
+SQL_DISCOVERY_ODS_LINEITEM = _od_discovery_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -3724,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_binary_inds_keys": q_discovery_binary_inds_keys,
         "discovery_ars_events": q_discovery_ars_events,
         "discovery_cfds_orders": q_discovery_cfds_orders,
+        "discovery_ods_lineitem": q_discovery_ods_lineitem,
     }
 
 
@@ -3817,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_binary_inds_keys": SQL_DISCOVERY_BINARY_INDS_KEYS,
         "discovery_ars_events": SQL_DISCOVERY_ARS_EVENTS,
         "discovery_cfds_orders": SQL_DISCOVERY_CFDS_ORDERS,
+        "discovery_ods_lineitem": SQL_DISCOVERY_ODS_LINEITEM,
     }
 
 

@@ -116,6 +116,8 @@ HEADLINE = [
     "discovery_ars_events",
     # round 2 session 9: FDFirst CFD discovery over a planted near-FD
     "discovery_cfds_orders",
+    # round 2 session 10: FASTOD set-based OD discovery (level <= 2 slice)
+    "discovery_ods_lineitem",
 ]
 
 

@@ -107,4 +107,11 @@ mind.load_data({"emp": TABLE, "ref": pd.DataFrame({"dept_ref": ["a", "b", "c"]})
 mind.execute(error=0.5)
 print("Mind AINDs:", [f"{i} (e={i.get_error():.2f})" for i in mind.get_inds()])
 
+fastod = compat.Fastod(spark)
+fastod.load_data(TABLE)
+fastod.execute()
+print("Fastod simple ODs:", fastod.get_simple_ods())
+print("Fastod asc ODs:", fastod.get_asc_ods())
+print("Fastod desc ODs:", fastod.get_desc_ods())
+
 spark.stop()

@@ -55,6 +55,7 @@ from pyspark_validator.discovery import (
     mine_unary_inds,
 )
 from pyspark_validator.io import read_reference_csv
+from pyspark_validator.od_discovery import FastodResult, mine_set_ods
 from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
@@ -94,6 +95,8 @@ __all__ = [
     "mine_binary_inds",
     "mine_fds",
     "mine_frequent_itemsets",
+    "mine_set_ods",
+    "FastodResult",
     "mine_sfds",
     "mine_uccs",
     "mine_unary_fds",

@@ -1553,3 +1553,36 @@ class FDFirst(_Verifier):
 
     def get_cfds(self) -> list[str]:
         return [r.to_string() for r in self._cfds]
+
+
+class Fastod(_Verifier):
+    """Fastod analog (bind_od.cpp:126-130; od/fastod/fastod.h:191-197):
+    set-based canonical OD discovery. Getters return the reference's display
+    strings with 1-based column indices (canonical_od.cpp:34-69,
+    attribute_set.cpp:7-23): ``{1,2} : 3<= ~ 4<=`` (asc),
+    ``{1,2} : 3>= ~ 4<=`` (desc), ``{1} : [] -> 2<=`` (simple)."""
+
+    def execute(self, error: float = 0.0, max_level: int | None = None) -> None:
+        from pyspark_validator.od_discovery import mine_set_ods
+
+        assert self._df is not None, "call load_data first"
+        self._res = mine_set_ods(self._df, error=error, max_level=max_level)
+
+    @staticmethod
+    def _ctx(ctx) -> str:
+        return "{" + ",".join(str(i + 1) for i in sorted(ctx)) + "}"
+
+    def get_asc_ods(self) -> list[str]:
+        return sorted(
+            f"{self._ctx(c)} : {a + 1}<= ~ {b + 1}<=" for c, a, b in self._res.asc
+        )
+
+    def get_desc_ods(self) -> list[str]:
+        return sorted(
+            f"{self._ctx(c)} : {a + 1}>= ~ {b + 1}<=" for c, a, b in self._res.desc
+        )
+
+    def get_simple_ods(self) -> list[str]:
+        return sorted(
+            f"{self._ctx(c)} : [] -> {r + 1}<=" for c, r in self._res.simple
+        )

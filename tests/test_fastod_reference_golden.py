@@ -104,6 +104,37 @@ def test_property_law_spark_equals_brute_force(spark, seed, error):
     assert sorted(map(repr, res.desc)) == sorted(map(repr, desc))
 
 
+def test_fastod_compat_facade(spark):
+    """compat.Fastod mirrors bind_od.cpp:126-130: get_asc_ods/get_desc_ods/
+    get_simple_ods return the reference display strings (1-based indices,
+    canonical_od.cpp:34-69) for the brute-force-oracle OD sets."""
+    from pyspark_validator import compat
+
+    rows = load_reference_csv(FIXTURES + "od_norm_data/small_3x3.csv")
+    p = len(rows[0])
+    algo = compat.Fastod(spark)
+    algo.load_data(
+        spark.createDataFrame(
+            [tuple(r) for r in rows], [f"v{i}" for i in range(p)]
+        )
+    )
+    algo.execute()
+    simple, asc, desc = brute_force_fastod(rows, p)
+
+    def ctx(c):
+        return "{" + ",".join(str(i + 1) for i in sorted(c)) + "}"
+
+    assert algo.get_simple_ods() == sorted(
+        f"{ctx(c)} : [] -> {r + 1}<=" for c, r in simple
+    )
+    assert algo.get_asc_ods() == sorted(
+        f"{ctx(c)} : {a + 1}<= ~ {b + 1}<=" for c, a, b in asc
+    )
+    assert algo.get_desc_ods() == sorted(
+        f"{ctx(c)} : {a + 1}>= ~ {b + 1}<=" for c, a, b in desc
+    )
+
+
 def test_max_level_truncates(spark):
     """max_level=2 yields exactly the level<=2 slice: constants, unary-FD
     OFDs, and empty-context order compatibilities."""
