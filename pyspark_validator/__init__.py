@@ -56,6 +56,7 @@ from pyspark_validator.discovery import (
 )
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.od_discovery import FastodResult, mine_set_ods
+from pyspark_validator.pfd_discovery import mine_pfds
 from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
@@ -96,6 +97,7 @@ __all__ = [
     "mine_fds",
     "mine_frequent_itemsets",
     "mine_set_ods",
+    "mine_pfds",
     "FastodResult",
     "mine_sfds",
     "mine_uccs",

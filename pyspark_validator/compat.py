@@ -1473,6 +1473,28 @@ class Pyro(Tane):
     detail of the single-node engine."""
 
 
+class PFDTane(_Verifier):
+    """PFDTane analog (bind_fd.cpp:84-90; pfdtane.cpp): minimal
+    probabilistic FDs under the per-tuple / per-value error measure
+    (PfdErrorMeasure, enums.h:8). ``error`` doubles as the UCC key-pruning
+    budget, matching the reference's single shared error option
+    (tane_common.cpp:130)."""
+
+    def execute(self, error: float = 0.01, error_measure: str = "per_tuple",
+                max_lhs: int | None = None) -> None:
+        from pyspark_validator.pfd_discovery import mine_pfds
+
+        assert self._df is not None, "call load_data first"
+        cols = self._df.columns
+        mined = mine_pfds(self._df, cols, max_error=error,
+                          error_measure=error_measure, max_lhs=max_lhs)
+        ix = {c: i for i, c in enumerate(cols)}
+        self._fds = [FD([ix[c] for c in lhs], ix[rhs], cols) for lhs, rhs in mined]
+
+    def get_fds(self) -> list:
+        return self._fds
+
+
 class HyUCC(_Verifier):
     """HyUCC analog (bind_ucc.cpp:66-70): minimal UCCs of arity <=
     max_arity (arbitrary depth, level-wise lattice walk)."""
