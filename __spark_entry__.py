@@ -3755,6 +3755,95 @@ def _od_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_ODS_LINEITEM = _od_discovery_oracle_sql()
 
 
+# --- PFDTane probabilistic-FD discovery (pfd_discovery.py) ----------------
+
+_PFD_DISCOVERY_COLS = ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"]
+_PFD_DISCOVERY_ERROR = 0.5
+
+
+def q_discovery_pfds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PFDTane per-tuple probabilistic-FD discovery (pfd_discovery.mine_pfds,
+    reference fd/tane/pfdtane.cpp) truncated at |LHS| <= 2 over four orders
+    columns at max_error 0.5 -- discriminating at sf0.01: one unary FD
+    (o_orderdate -> o_orderstatus, err 0.472), five minimal pairs including
+    a near-threshold one ((o_orderstatus,o_custkey) -> o_orderpriority,
+    err 0.499), and both non-minimality prunes (pairs containing o_orderdate
+    for RHS o_orderstatus) and threshold rejections (every RHS o_orderdate
+    candidate). The per-tuple measure is monotone under LHS refinement, so
+    the walk's candidate propagation equals subset minimality and the oracle
+    can spell the lattice out closed-form (cross-checked against the exact
+    pandas walk replica, scripts/pfdtane_oracle.py, on this very config)."""
+    from pyspark_validator.pfd_discovery import mine_pfds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pfds = mine_pfds(
+        o,
+        _PFD_DISCOVERY_COLS,
+        max_error=_PFD_DISCOVERY_ERROR,
+        error_measure="per_tuple",
+        max_lhs=2,
+    )
+    rows = [(",".join(lhs), rhs) for lhs, rhs in pfds]
+    return (
+        spark.createDataFrame(rows or [("__none__", "")], ["lhs", "rhs"])
+        .filter(F.col("rhs") != "")
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _pfd_discovery_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_pfds_orders: one CTE per
+    candidate computing the per-tuple PFD error 1 - sum(per-X-group max RHS
+    count)/n (pfdtane.cpp:45-62; singleton groups contribute their max of 1,
+    so the stripped-partition special case folds away), then threshold +
+    subset minimality over every subset including the zero-ary one."""
+    from itertools import combinations as _comb
+
+    cols = _PFD_DISCOVERY_COLS
+    e = repr(_PFD_DISCOVERY_ERROR)
+    nn = "(SELECT count(*) FROM orders)"
+
+    def gname(lhs, rhs):
+        ix = "_".join(str(cols.index(c)) for c in lhs)
+        return f"pe_{ix}__{cols.index(rhs)}"
+
+    cands, ctes, rows = [], [], []
+    for rhs in cols:
+        others = [c for c in cols if c != rhs]
+        cands.append(((), rhs))
+        cands += [((a,), rhs) for a in others]
+        cands += [((a, b), rhs) for a, b in _comb(others, 2)]
+    for lhs, rhs in cands:
+        keys = ", ".join(lhs + (rhs,))
+        xy = f"SELECT {keys}, count(*) AS cxy FROM orders GROUP BY {keys}"
+        if lhs:
+            inner = f"SELECT max(cxy) AS mx FROM ({xy}) GROUP BY {', '.join(lhs)}"
+            err = f"1.0 - CAST(sum(mx) AS DOUBLE) / {nn}"
+        else:
+            inner = f"SELECT max(cxy) AS mx FROM ({xy})"
+            err = f"1.0 - CAST(max(mx) AS DOUBLE) / {nn}"
+        ctes.append(f"{gname(lhs, rhs)} AS (SELECT {err} AS err FROM ({inner}))")
+
+    def q(lhs, rhs):
+        return f"(SELECT err FROM {gname(lhs, rhs)}) <= {e}"
+
+    for lhs, rhs in cands:
+        minimal = [
+            f"NOT ({q(sub, rhs)})" for k in range(len(lhs)) for sub in _comb(lhs, k)
+        ]
+        cond = " AND ".join([q(lhs, rhs)] + minimal)
+        rows.append(
+            f"SELECT '{','.join(lhs)}' AS lhs, '{rhs}' AS rhs WHERE {cond}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
+        + "\nORDER BY lhs, rhs"
+    )
+
+
+SQL_DISCOVERY_PFDS_ORDERS = _pfd_discovery_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -3840,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_ars_events": q_discovery_ars_events,
         "discovery_cfds_orders": q_discovery_cfds_orders,
         "discovery_ods_lineitem": q_discovery_ods_lineitem,
+        "discovery_pfds_orders": q_discovery_pfds_orders,
     }
 
 
@@ -3934,6 +4024,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_ars_events": SQL_DISCOVERY_ARS_EVENTS,
         "discovery_cfds_orders": SQL_DISCOVERY_CFDS_ORDERS,
         "discovery_ods_lineitem": SQL_DISCOVERY_ODS_LINEITEM,
+        "discovery_pfds_orders": SQL_DISCOVERY_PFDS_ORDERS,
     }
 
 
