@@ -1473,6 +1473,55 @@ class Pyro(Tane):
     detail of the single-node engine."""
 
 
+class HyFD(Tane):
+    """HyFD analog (bind_fd.cpp:78-82): exact minimal FDs. HyFD's
+    sampling+induction hybrid search is a single-node strategy over the same
+    result set the lattice walk defines; call with error=0.0."""
+
+
+class DFD(Tane):
+    """DFD analog (bind_fd.cpp:78-82): random-walk lattice traversal,
+    identical minimal-FD output."""
+
+
+class FDep(Tane):
+    """FDep analog (bind_fd.cpp:78-82): negative-cover inversion,
+    identical minimal-FD output."""
+
+
+class FastFDs(Tane):
+    """FastFDs analog (bind_fd.cpp:78-82): difference-set covers,
+    identical minimal-FD output."""
+
+
+class Depminer(Tane):
+    """Depminer analog (bind_fd.cpp:78-82): agree-set based,
+    identical minimal-FD output."""
+
+
+class FdMine(Tane):
+    """FdMine analog (bind_fd.cpp:78-82). NOTE: the reference's FdMine is
+    known to emit non-minimal dependencies via equivalence pruning; this
+    facade returns the canonical minimal set (the other ten miners' output),
+    which is FdMine's documented intent."""
+
+
+class FUN(Tane):
+    """FUN analog (bind_fd.cpp:78-82): free-set counting,
+    identical minimal-FD output."""
+
+
+class Aid(Tane):
+    """AidFD analog (bind_fd.cpp:78-82): the reference's Aid is an
+    approximate (incomplete-by-design) miner; this facade returns the exact
+    minimal set, a sound superset of any Aid run."""
+
+
+class EulerFD(Tane):
+    """EulerFD analog (bind_fd.cpp:78-82): randomized Euler-cycle negative
+    cover; exact minimal-FD output."""
+
+
 class PFDTane(_Verifier):
     """PFDTane analog (bind_fd.cpp:84-90; pfdtane.cpp): minimal
     probabilistic FDs under the per-tuple / per-value error measure
@@ -1515,6 +1564,16 @@ class HyUCC(_Verifier):
 
     def get_uccs(self) -> list:
         return self._uccs
+
+
+class HPIValid(HyUCC):
+    """HPIValid analog (bind_ucc.cpp:67-70): hitting-set enumeration over
+    partition intersections; identical minimal-UCC output."""
+
+
+class PyroUCC(HyUCC):
+    """PyroUCC analog (bind_ucc.cpp:67-70): Pyro's search specialised to
+    UCCs; identical minimal-UCC output."""
 
 
 class Spider(_Verifier):

@@ -320,3 +320,43 @@ def test_hyucc_and_spider_mind(spark):
     m.execute(error=0.3)
     got = {(i.get_lhs(), i.get_rhs(), i.get_error()) for i in m.get_inds()}
     assert ("a.x", "b.y", 0.25) in got and ("b.y", "a.x", 0.0) in got
+
+
+def test_miner_alias_facades(spark):
+    """The remaining pybind miner names (bind_fd.cpp:78-82, bind_ucc.cpp:67)
+    are facades over the same canonical minimal sets: every FD miner equals
+    Tane's output, every UCC miner equals HyUCC's."""
+    from pyspark_validator import compat
+
+    df = pd.DataFrame(
+        {
+            "k1": [1, 1, 2, 2],
+            "k2": [1, 2, 1, 2],
+            "c": [10, 10, 20, 20],
+            "v": [5, 6, 7, 5],
+        }
+    )
+    t = compat.Tane(spark)
+    t.load_data(df)
+    t.execute(error=0.0)
+    want = {str(f) for f in t.get_fds()}
+    for name in ("HyFD", "DFD", "FDep", "FastFDs", "Depminer", "FdMine",
+                 "FUN", "Aid", "EulerFD", "PFDTane"):
+        cls = getattr(compat, name)
+        assert issubclass(cls, compat._Verifier)
+        if name == "PFDTane":
+            continue  # PFD measure surface covered by its golden suite
+        a = cls(spark)
+        a.load_data(df)
+        a.execute(error=0.0)
+        assert {str(f) for f in a.get_fds()} == want, name
+
+    u = compat.HyUCC(spark)
+    u.load_data(df)
+    u.execute()
+    want_u = [x.indices for x in u.get_uccs()]
+    for name in ("HPIValid", "PyroUCC"):
+        a = getattr(compat, name)(spark)
+        a.load_data(df)
+        a.execute()
+        assert [x.indices for x in a.get_uccs()] == want_u, name
