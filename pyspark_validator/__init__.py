@@ -57,6 +57,7 @@ from pyspark_validator.discovery import (
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.od_discovery import FastodResult, mine_set_ods
 from pyspark_validator.pfd_discovery import mine_pfds
+from pyspark_validator.dd_discovery import DDResult, mine_dds
 from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
@@ -98,6 +99,8 @@ __all__ = [
     "mine_frequent_itemsets",
     "mine_set_ods",
     "mine_pfds",
+    "mine_dds",
+    "DDResult",
     "FastodResult",
     "mine_sfds",
     "mine_uccs",

@@ -1566,6 +1566,26 @@ class HyUCC(_Verifier):
         return self._uccs
 
 
+class Split(_Verifier):
+    """Split analog (bind_split.cpp:74; dd/split/split.cpp): differential
+    dependency discovery. ``execute`` takes an optional difference table
+    (same column count, '[a;b]' string cells) mirroring the reference's
+    difference_table option; get_dds() returns DDResult objects whose
+    left/right are (column, lower, upper) constraint lists."""
+
+    def execute(self, difference_table=None, num_dfs_per_column: int = 5) -> None:
+        from pyspark_validator.dd_discovery import mine_dds
+
+        assert self._df is not None, "call load_data first"
+        dt = self._resolve(difference_table) if difference_table is not None else None
+        self._dds = mine_dds(
+            self._df, difference_table=dt, num_dfs_per_column=num_dfs_per_column
+        )
+
+    def get_dds(self) -> list:
+        return self._dds
+
+
 class HPIValid(HyUCC):
     """HPIValid analog (bind_ucc.cpp:67-70): hitting-set enumeration over
     partition intersections; identical minimal-UCC output."""
