@@ -3844,6 +3844,110 @@ def _pfd_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_PFDS_ORDERS = _pfd_discovery_oracle_sql()
 
 
+# --- Split DD discovery (dd_discovery.py) ----------------------------------
+
+
+def q_discovery_dds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split DD discovery (dd_discovery.mine_dds, reference
+    dd/split/split.cpp kIeHybrid) over a planted 2-column integer frame:
+    xv = l_linenumber, yv = 5*xv + (l_partkey mod 5), so |dy| tracks 5|dx|
+    with jitter and both default ladders [0, 4..0] are live. With exactly
+    two columns the transitivity fixpoint can never fire (a removable DD
+    would need lhs and rhs on the same column, which the search spaces
+    exclude) and the redundancy fixpoint reduces to the per-direction
+    Pareto frontier of (broadest lhs level, tightest rhs level) -- the
+    oracle spells that frontier out closed-form from the pair distances
+    (validated against the miner, which itself carries the reference's
+    seven test_split.cpp goldens)."""
+    from pyspark_validator.dd_discovery import mine_dds
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    frame = li.select(
+        F.col("l_linenumber").cast("int").alias("xv"),
+        (F.col("l_linenumber") * 5 + F.pmod(F.col("l_partkey"), F.lit(5)))
+        .cast("int")
+        .alias("yv"),
+    )
+    dds = mine_dds(frame, ["xv", "yv"])
+    rows = [
+        (
+            d.left[0][0], float(d.left[0][1]), float(d.left[0][2]),
+            d.right[0][0], float(d.right[0][1]), float(d.right[0][2]),
+        )
+        for d in dds
+    ]
+    cols = ["lhs_col", "lhs_lb", "lhs_ub", "rhs_col", "rhs_lb", "rhs_ub"]
+    return (
+        spark.createDataFrame(rows or [("", 0.0, 0.0, "", 0.0, 0.0)], cols)
+        .filter(F.col("lhs_col") != "")
+        .orderBy(*cols)
+    )
+
+
+def _dd_discovery_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_dds_lineitem: per column
+    the default-ladder bounds ([min_dif, k], k = 4..0 with min <= k < max,
+    min_dif = 0 when a value repeats else the smallest adjacent gap,
+    split.cpp:361-385,666-674), then per direction the Pareto frontier:
+    for each lhs level c the tightest rhs level d >= max(|d_rhs|) over
+    distinct-combo pairs with |d_lhs| <= c, keeping (c, d) only when no
+    broader lhs level achieves the same d."""
+    combos = (
+        "SELECT DISTINCT CAST(l_linenumber AS INT) AS xv, "
+        "CAST(l_linenumber * 5 + (l_partkey % 5) AS INT) AS yv FROM lineitem"
+    )
+
+    def mindif(v):
+        return (
+            f"(SELECT CASE WHEN (SELECT count(*) FROM t2) > "
+            f"(SELECT count(DISTINCT {v}) FROM t2) THEN 0.0 ELSE "
+            f"(SELECT min(g) FROM (SELECT {v} - lag({v}) OVER (ORDER BY {v}) AS g "
+            f"FROM (SELECT DISTINCT {v} FROM combos)) WHERE g IS NOT NULL) END)"
+        )
+
+    def ladder(v, name):
+        return (
+            f"{name} AS (SELECT k FROM (SELECT UNNEST([4,3,2,1,0]) AS k) "
+            f"WHERE k >= (SELECT mn FROM mm_{v}) AND k < (SELECT mx FROM mm_{v}))"
+        )
+
+    def direction(lhs, rhs):
+        # tightest rhs level per lhs level, then the Pareto filter
+        return (
+            f"SELECT '{lhs}' AS lhs_col, CAST((SELECT mn FROM mm_{lhs}) AS DOUBLE)"
+            f" AS lhs_lb, CAST(c AS DOUBLE) AS lhs_ub, '{rhs}' AS rhs_col, "
+            f"CAST((SELECT mn FROM mm_{rhs}) AS DOUBLE) AS rhs_lb, "
+            f"CAST(d AS DOUBLE) AS rhs_ub FROM ("
+            f"SELECT c, (SELECT min(k) FROM lad_{rhs} WHERE k >= "
+            f"(SELECT max(abs(a.{rhs} - b.{rhs})) FROM combos a, combos b "
+            f"WHERE abs(a.{lhs} - b.{lhs}) <= c)) AS d "
+            f"FROM (SELECT k AS c FROM lad_{lhs})) f1 "
+            f"WHERE d IS NOT NULL AND NOT EXISTS ("
+            f"SELECT 1 FROM (SELECT c2.k AS c, (SELECT min(k) FROM lad_{rhs} "
+            f"WHERE k >= (SELECT max(abs(a.{rhs} - b.{rhs})) FROM combos a, "
+            f"combos b WHERE abs(a.{lhs} - b.{lhs}) <= c2.k)) AS d "
+            f"FROM lad_{lhs} c2) f2 WHERE f2.c > f1.c AND f2.d = f1.d)"
+        )
+
+    return (
+        f"WITH combos AS ({combos}),\n"
+        f"t2 AS (SELECT * FROM (SELECT xv, yv FROM (SELECT CAST(l_linenumber "
+        f"AS INT) AS xv, CAST(l_linenumber * 5 + (l_partkey % 5) AS INT) AS yv "
+        f"FROM lineitem))),\n"
+        f"mm_xv AS (SELECT {mindif('xv')} AS mn, "
+        f"CAST(max(xv) - min(xv) AS DOUBLE) AS mx FROM combos),\n"
+        f"mm_yv AS (SELECT {mindif('yv')} AS mn, "
+        f"CAST(max(yv) - min(yv) AS DOUBLE) AS mx FROM combos),\n"
+        f"{ladder('xv', 'lad_xv')},\n"
+        f"{ladder('yv', 'lad_yv')}\n"
+        f"{direction('xv', 'yv')}\nUNION ALL\n{direction('yv', 'xv')}\n"
+        f"ORDER BY lhs_col, lhs_lb, lhs_ub, rhs_col, rhs_lb, rhs_ub"
+    )
+
+
+SQL_DISCOVERY_DDS_LINEITEM = _dd_discovery_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -3930,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_cfds_orders": q_discovery_cfds_orders,
         "discovery_ods_lineitem": q_discovery_ods_lineitem,
         "discovery_pfds_orders": q_discovery_pfds_orders,
+        "discovery_dds_lineitem": q_discovery_dds_lineitem,
     }
 
 
@@ -4025,6 +4130,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_cfds_orders": SQL_DISCOVERY_CFDS_ORDERS,
         "discovery_ods_lineitem": SQL_DISCOVERY_ODS_LINEITEM,
         "discovery_pfds_orders": SQL_DISCOVERY_PFDS_ORDERS,
+        "discovery_dds_lineitem": SQL_DISCOVERY_DDS_LINEITEM,
     }
 
 
