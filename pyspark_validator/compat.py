@@ -1566,6 +1566,34 @@ class HyUCC(_Verifier):
         return self._uccs
 
 
+class DES(_Verifier):
+    """DES analog (bind_nar.cpp:270; nar/des/des.cpp): differential-
+    evolution NAR mining with the reference's seeded mt19937 trajectory.
+    get_nars() returns NarRule objects (fitness/support/confidence plus
+    ante/cons maps), fitness-descending."""
+
+    def execute(self, minsup: float = 0.0, minconf: float = 0.0,
+                population_size: int = 100, max_fitness_evaluations: int = 100,
+                crossover_probability: float = 0.9, differential_scale: float = 0.5,
+                seed: int = 2) -> None:
+        from pyspark_validator.nar_discovery import mine_nars
+
+        assert self._df is not None, "call load_data first"
+        self._nars = mine_nars(
+            self._df,
+            minsup=minsup,
+            minconf=minconf,
+            population_size=population_size,
+            max_fitness_evaluations=max_fitness_evaluations,
+            crossover_probability=crossover_probability,
+            differential_scale=differential_scale,
+            seed=seed,
+        )
+
+    def get_nars(self) -> list:
+        return self._nars
+
+
 class Split(_Verifier):
     """Split analog (bind_split.cpp:74; dd/split/split.cpp): differential
     dependency discovery. ``execute`` takes an optional difference table
