@@ -59,6 +59,7 @@ from pyspark_validator.od_discovery import FastodResult, mine_set_ods
 from pyspark_validator.pfd_discovery import mine_pfds
 from pyspark_validator.dd_discovery import DDResult, mine_dds
 from pyspark_validator.nar_discovery import NarRule, mine_nars
+from pyspark_validator.dc_discovery import DCResult, mine_dcs
 from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
@@ -102,6 +103,8 @@ __all__ = [
     "mine_pfds",
     "mine_dds",
     "mine_nars",
+    "mine_dcs",
+    "DCResult",
     "NarRule",
     "DDResult",
     "FastodResult",

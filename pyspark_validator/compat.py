@@ -1566,6 +1566,30 @@ class HyUCC(_Verifier):
         return self._uccs
 
 
+class FastADC(_Verifier):
+    """FastADC analog (bind_fastadc.cpp; dc/FastADC/fastadc.cpp):
+    approximate denial-constraint discovery. get_dcs() returns DCResult
+    objects whose str() is the reference's ¬{ p1 ∧ ... } form."""
+
+    def execute(self, evidence_threshold: float = 0.01,
+                allow_cross_columns: bool = True,
+                minimum_shared_value: float = 0.3,
+                comparable_threshold: float = 0.1) -> None:
+        from pyspark_validator.dc_discovery import mine_dcs
+
+        assert self._df is not None, "call load_data first"
+        self._dcs = mine_dcs(
+            self._df,
+            evidence_threshold=evidence_threshold,
+            allow_cross_columns=allow_cross_columns,
+            minimum_shared_value=minimum_shared_value,
+            comparable_threshold=comparable_threshold,
+        )
+
+    def get_dcs(self) -> list:
+        return self._dcs
+
+
 class DES(_Verifier):
     """DES analog (bind_nar.cpp:270; nar/des/des.cpp): differential-
     evolution NAR mining with the reference's seeded mt19937 trajectory.
