@@ -118,6 +118,9 @@ HEADLINE = [
     "discovery_cfds_orders",
     # round 2 session 10: FASTOD set-based OD discovery (level <= 2 slice)
     "discovery_ods_lineitem",
+    # round 2 session 11: PFDTane probabilistic-FD + Split DD discovery
+    "discovery_pfds_orders",
+    "discovery_dds_lineitem",
 ]
 
 
