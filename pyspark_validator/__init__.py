@@ -60,6 +60,7 @@ from pyspark_validator.pfd_discovery import mine_pfds
 from pyspark_validator.dd_discovery import DDResult, mine_dds
 from pyspark_validator.nar_discovery import NarRule, mine_nars
 from pyspark_validator.dc_discovery import DCResult, mine_dcs
+from pyspark_validator.md_discovery import ColumnMatch, MDRule, mine_mds
 from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
@@ -104,6 +105,9 @@ __all__ = [
     "mine_dds",
     "mine_nars",
     "mine_dcs",
+    "mine_mds",
+    "MDRule",
+    "ColumnMatch",
     "DCResult",
     "NarRule",
     "DDResult",

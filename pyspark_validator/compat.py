@@ -1566,6 +1566,30 @@ class HyUCC(_Verifier):
         return self._uccs
 
 
+class HyMD(_Verifier):
+    """HyMD analog (bind_md.cpp:292; md/hymd/hymd.cpp): matching-dependency
+    discovery. Defaults mirror the reference (Levenshtein(i,i,0.7) per
+    column, single-table min_support = n+1); get_mds() returns MDRule
+    objects in MdLess order."""
+
+    def execute(self, column_matches=None, min_support: int | None = None,
+                prune_nondisjoint: bool = True,
+                max_cardinality: int | None = None) -> None:
+        from pyspark_validator.md_discovery import mine_mds
+
+        assert self._df is not None, "call load_data first"
+        self._mds = mine_mds(
+            self._df,
+            column_matches=column_matches,
+            min_support=min_support,
+            prune_nondisjoint=prune_nondisjoint,
+            max_cardinality=max_cardinality,
+        )
+
+    def get_mds(self) -> list:
+        return self._mds
+
+
 class FastADC(_Verifier):
     """FastADC analog (bind_fastadc.cpp; dc/FastADC/fastadc.cpp):
     approximate denial-constraint discovery. get_dcs() returns DCResult
