@@ -114,4 +114,30 @@ print("Fastod simple ODs:", fastod.get_simple_ods())
 print("Fastod asc ODs:", fastod.get_asc_ods())
 print("Fastod desc ODs:", fastod.get_desc_ods())
 
+pfdtane = compat.PFDTane(spark)
+pfdtane.load_data(TABLE)
+pfdtane.execute(error=0.3, error_measure="per_tuple")
+print("PFDTane PFDs (per-tuple <= 0.3):", [str(f) for f in pfdtane.get_fds()])
+
+split = compat.Split(spark)
+split.load_data(TABLE[["salary", "grade"]].assign(rank=[1, 2, 2, 3, 3, 4]))
+split.execute()
+print("Split DDs:", [str(d) for d in split.get_dds()][:4])
+
+adc = compat.FastADC(spark)
+adc.load_data(TABLE)
+adc.execute(evidence_threshold=0.05)
+print("FastADC DCs:", len(adc.get_dcs()), "| first:",
+      str(adc.get_dcs()[0]) if adc.get_dcs() else "-")
+
+des = compat.DES(spark)
+des.load_data(TABLE[["dept", "salary", "grade"]])
+des.execute(population_size=10, max_fitness_evaluations=15)
+print("DES NARs:", [f"{r} (fit={r.fitness:.3f})" for r in des.get_nars()][:2])
+
+hymd = compat.HyMD(spark)
+hymd.load_data(TABLE[["dept", "grade"]].astype(str))
+hymd.execute()
+print("HyMD MDs:", [str(m) for m in hymd.get_mds()][:3])
+
 spark.stop()
