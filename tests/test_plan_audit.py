@@ -267,3 +267,29 @@ def test_lattice_counts_single_expand_single_wide_shuffle(spark, tables):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     schema = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "o_custkey" in schema and "o_totalprice" not in schema
+
+
+def test_discovery_evidence_join_broadcast_and_pruned(tables):
+    """The dd/dc/md discovery evidence pass: the self cross-join runs on
+    the AGGREGATED combo frame (bounded by max_combos), Spark builds it as
+    a BroadcastNestedLoopJoin -- never a CartesianProduct of raw rows --
+    and the parquet scan is pruned to exactly the mined columns."""
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"]
+    frame = li.select(
+        F.col("l_linenumber").cast("int").alias("xv"),
+        (F.col("l_linenumber") * 5 + F.pmod(F.col("l_partkey"), F.lit(5)))
+        .cast("int")
+        .alias("yv"),
+    )
+    combos = frame.na.drop().groupBy("xv", "yv").count()
+    a, b = combos.alias("a"), combos.alias("b")
+    pair = a.join(b, None, "cross").select(
+        F.abs(F.col("a.xv") - F.col("b.xv")).alias("d0"),
+        F.abs(F.col("a.yv") - F.col("b.yv")).alias("d1"),
+    )
+    plan = _plan(pair.groupBy("d0", "d1").count())
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1
+    assert _count(plan, "CartesianProduct") == 0
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
