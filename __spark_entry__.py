@@ -3948,6 +3948,101 @@ def _dd_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_DDS_LINEITEM = _dd_discovery_oracle_sql()
 
 
+# --- HyMD MD discovery (md_discovery.py) ------------------------------------
+
+_MD_DISCOVERY_MINSUP = 1_000_000
+
+
+def q_discovery_mds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyMD MD discovery (md_discovery.mine_mds, reference md/hymd) with
+    equality column matches over four planted orders buckets: xb =
+    custkey%100, yb = custkey%10 (xb -> yb), wb = 2*xb+1 (bijective with
+    xb), vb = custkey%500 (determines xb and yb but its equality-match
+    support sum(c^2) ~ 450k falls below min_support = 1M -- the reference's
+    support prune, demonstrated). Equality similarities make every natural
+    boundary {0,1}, so the boundary lattice is the subset lattice and the
+    mined cover is exactly: S -> m where the FD holds on the buckets,
+    support(S) >= minsup, and no immediate subset of S already determines
+    m -- spellable closed-form (the miner itself carries the reference's
+    animals_beverages goldens for the general Levenshtein lattice)."""
+    from pyspark_validator.md_discovery import ColumnMatch, mine_mds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ck = F.col("o_custkey")
+    frame = o.select(
+        F.pmod(ck, F.lit(100)).alias("xb"),
+        F.pmod(ck, F.lit(10)).alias("yb"),
+        (F.pmod(ck, F.lit(100)) * 2 + 1).alias("wb"),
+        F.pmod(ck, F.lit(500)).alias("vb"),
+    )
+    cms = [ColumnMatch(c, c, "equality") for c in ["xb", "yb", "wb", "vb"]]
+    mds = mine_mds(frame, cms, min_support=_MD_DISCOVERY_MINSUP)
+    names = ["xb", "yb", "wb", "vb"]
+    rows = [
+        (
+            ",".join(n for n, b in zip(names, r.lhs_bounds) if b != 0.0),
+            names[r.rhs_index],
+            float(r.rhs_bound),
+        )
+        for r in mds
+    ]
+    return (
+        spark.createDataFrame(rows or [("", "", 0.0)], ["lhs", "rhs", "bound"])
+        .filter(F.col("rhs") != "")
+        .select("lhs", "rhs", F.col("bound").cast("double").alias("bound"))
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _md_discovery_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_mds_orders: per candidate
+    (S, m) the equality-match MD criterion -- FD holds on the bucket frame
+    (max per-group distinct-m = 1), ordered-pair support sum(c^2) (n^2 for
+    the empty LHS) >= minsup, and minimality against immediate subsets."""
+    from itertools import combinations as _comb
+
+    names = ["xb", "yb", "wb", "vb"]
+    minsup = _MD_DISCOVERY_MINSUP
+    base = (
+        "SELECT o_custkey % 100 AS xb, o_custkey % 10 AS yb, "
+        "(o_custkey % 100) * 2 + 1 AS wb, o_custkey % 500 AS vb FROM orders"
+    )
+
+    def holds(S, m):
+        if S:
+            return (
+                f"((SELECT max(d) FROM (SELECT count(DISTINCT {m}) AS d "
+                f"FROM t GROUP BY {', '.join(S)})) = 1)"
+            )
+        return f"((SELECT count(DISTINCT {m}) FROM t) = 1)"
+
+    def sup(S):
+        if S:
+            return (
+                f"((SELECT CAST(sum(c*c) AS BIGINT) FROM (SELECT count(*) AS c "
+                f"FROM t GROUP BY {', '.join(S)})) >= {minsup})"
+            )
+        return f"((SELECT CAST(count(*) AS BIGINT)*count(*) FROM t) >= {minsup})"
+
+    rows = []
+    for m in names:
+        others = [c for c in names if c != m]
+        for k in range(0, len(others) + 1):
+            for S in _comb(others, k):
+                minimal = [f"NOT {holds(list(T), m)}" for T in _comb(S, k - 1)] if k else []
+                cond = " AND ".join([holds(list(S), m), sup(list(S))] + minimal)
+                rows.append(
+                    f"SELECT '{','.join(S)}' AS lhs, '{m}' AS rhs, "
+                    f"CAST(1.0 AS DOUBLE) AS bound WHERE {cond}"
+                )
+    return (
+        f"WITH t AS ({base})\n" + "\nUNION ALL ".join(rows) + "\nORDER BY lhs, rhs"
+    )
+
+
+SQL_DISCOVERY_MDS_ORDERS = _md_discovery_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -4035,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_ods_lineitem": q_discovery_ods_lineitem,
         "discovery_pfds_orders": q_discovery_pfds_orders,
         "discovery_dds_lineitem": q_discovery_dds_lineitem,
+        "discovery_mds_orders": q_discovery_mds_orders,
     }
 
 
@@ -4131,6 +4227,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_ods_lineitem": SQL_DISCOVERY_ODS_LINEITEM,
         "discovery_pfds_orders": SQL_DISCOVERY_PFDS_ORDERS,
         "discovery_dds_lineitem": SQL_DISCOVERY_DDS_LINEITEM,
+        "discovery_mds_orders": SQL_DISCOVERY_MDS_ORDERS,
     }
 
 

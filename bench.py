@@ -121,6 +121,7 @@ HEADLINE = [
     # round 2 session 11: PFDTane probabilistic-FD + Split DD discovery
     "discovery_pfds_orders",
     "discovery_dds_lineitem",
+    "discovery_mds_orders",
 ]
 
 
