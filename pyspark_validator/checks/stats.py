@@ -51,6 +51,12 @@ def _numeric_struct(c: str, exact_quantiles: bool, approx_distinct: bool) -> Col
     distinct = (
         F.approx_count_distinct(x) if approx_distinct else F.countDistinct(x)
     )
+    # try_divide: a constant column has m2 == 0 (skew/kurt are 0/0) and a
+    # single-value column has n-1 == 0 (std) -- under Spark 4 ANSI a plain
+    # `/` THROWS there; the undefined moments come back NULL instead
+    # (the reference's C++ doubles yield NaN at the same sites).
+    skew = F.try_divide(m3, F.pow(m2, F.lit(1.5)))
+    kurt = F.try_divide(m4, m2 * m2)
     return F.struct(
         F.lit(c).alias("column"),
         n.alias("count"),
@@ -60,9 +66,9 @@ def _numeric_struct(c: str, exact_quantiles: bool, approx_distinct: bool) -> Col
         F.max(x).alias("max"),
         s1.alias("sum"),
         avg.alias("avg"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std"),
-        (m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
-        (m4 / (m2 * m2)).alias("kurtosis"),
+        F.sqrt(F.try_divide(s2 - s1 * s1 / n, n - F.lit(1))).alias("std"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
         q[0].alias("q25"),
         q[1].alias("median"),
         q[2].alias("q75"),
@@ -76,8 +82,8 @@ def _numeric_struct(c: str, exact_quantiles: bool, approx_distinct: bool) -> Col
             n.cast("double")
             / F.lit(6.0)
             * (
-                F.pow(m3 / F.pow(m2, F.lit(1.5)), F.lit(2.0))
-                + F.pow(m4 / (m2 * m2) - F.lit(3.0), F.lit(2.0)) / F.lit(4.0)
+                F.pow(skew, F.lit(2.0))
+                + F.pow(kurt - F.lit(3.0), F.lit(2.0)) / F.lit(4.0)
             )
         ).alias("jarque_bera"),
     )
@@ -310,8 +316,19 @@ def deviation_stats(
     structs = []
     for i, c in enumerate(columns):
         x = F.col(c).cast("double")
-        avg_c = F.lit(float(centers_row[c]["avg"]))
-        med_c = F.lit(float(centers_row[c]["median"]))
+        avg_v, med_v = centers_row[c]["avg"], centers_row[c]["median"]
+        if avg_v is None or med_v is None:
+            # all-null column: centers undefined, deviations are null
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(None).cast("double").alias("mean_ad"),
+                    F.lit(None).cast("double").alias("median_ad"),
+                ).alias(f"__s{i}")
+            )
+            continue
+        avg_c = F.lit(float(avg_v))
+        med_c = F.lit(float(med_v))
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),

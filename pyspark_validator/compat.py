@@ -191,7 +191,18 @@ class DataStats(_Verifier):
     a name or positional index.
     """
 
+    def load_data(self, table) -> None:
+        """Pandas inputs get a positional ``__row_index`` column so the
+        row-order getters (get_monotonicity / show_sample / get_quantile)
+        keep the reference's file-order semantics (DataStats iterates rows
+        in CSV order, data_stats.cpp:1312-1340)."""
+        if isinstance(table, pd.DataFrame):
+            table = table.reset_index(drop=True).reset_index(names="__row_index")
+        super().load_data(table)
+
     def execute(self, exact_quantiles: bool = True) -> None:
+        from pyspark.sql import functions as F
+
         from pyspark_validator.checks.stats import (
             deviation_stats,
             entropy_and_gini,
@@ -200,14 +211,38 @@ class DataStats(_Verifier):
         )
 
         assert self._df is not None, "call load_data first"
-        num, strs = [], []
+        num, strs, bools = [], [], []
         for f in self._df.schema.fields:
+            if f.name == "__row_index":
+                continue
             t = f.dataType.simpleString()
             if t in ("int", "bigint", "smallint", "tinyint", "double", "float") or t.startswith("decimal"):
                 num.append(f.name)
             elif t == "string":
                 strs.append(f.name)
-        self._num_cols, self._str_cols = num, strs
+            elif t == "boolean":
+                bools.append(f.name)
+        self._num_cols, self._str_cols, self._bool_cols = num, strs, bools
+        self._data_cols = [c for c in self._df.columns if c != "__row_index"]
+        self._nrows = self._df.count()
+        # bool columns: CountBool skips null/empty (data_stats.cpp:348-365);
+        # one tiny agg covers every bool column in the same scan.
+        self._bool = {}
+        if bools:
+            row = self._df.agg(
+                *[
+                    F.sum(F.col(c).cast("long")).alias(f"__t_{c}")
+                    for c in bools
+                ],
+                *[
+                    F.sum((~F.col(c)).cast("long")).alias(f"__f_{c}")
+                    for c in bools
+                ],
+            ).collect()[0]
+            self._bool = {
+                c: {"true": row[f"__t_{c}"] or 0, "false": row[f"__f_{c}"] or 0}
+                for c in bools
+            }
         self._num = (
             {
                 r["column"]: r.asDict()
@@ -238,7 +273,8 @@ class DataStats(_Verifier):
 
     # -- helpers ------------------------------------------------------------
     def _name(self, col) -> str:
-        return self._df.columns[col] if isinstance(col, int) else col
+        cols = getattr(self, "_data_cols", None) or self._df.columns
+        return cols[col] if isinstance(col, int) else col
 
     def _n(self, col, key):
         return self._num[self._name(col)][key]
@@ -454,6 +490,132 @@ class DataStats(_Verifier):
             .collect()
         )
         return [r["w"] for r in rows]
+
+    # -- exact pybind aliases (bind_statistics.cpp names that differ from the
+    #    descriptive ones above) --------------------------------------------
+    def get_num_nulls(self, col):
+        return self.get_number_of_nulls(col)
+
+    def get_leading_whitespace_count(self, col):
+        return self._s(col, "n_leading_ws")
+
+    def get_trailing_whitespace_count(self, col):
+        return self._s(col, "n_trailing_ws")
+
+    def get_special_chars_count(self, col):
+        return self._s(col, "n_special_rows")
+
+    # -- table-level getters --------------------------------------------------
+    def get_number_of_columns(self) -> int:
+        return len(self._data_cols)
+
+    def get_null_columns(self) -> list[str]:
+        """Columns whose every row is NULL (GetNullColumns,
+        data_stats.cpp:1202-1208). Names, not indices, like the sibling
+        get_columns_with_null."""
+        out = []
+        for name, d in {**self._num, **self._str}.items():
+            if d["n_nulls"] == self._nrows:
+                out.append(name)
+        for name in getattr(self, "_bool_cols", []):
+            b = self._bool[name]
+            if b["true"] + b["false"] == 0 and self._nrows > 0:
+                out.append(name)
+        return out
+
+    def is_categorical(self, col, quantity: int = 50) -> bool:
+        """Distinct(index) <= quantity (data_stats.cpp:235-237)."""
+        return self.get_number_of_distinct(col) <= quantity
+
+    # -- bool getters ---------------------------------------------------------
+    def get_true_count(self, col) -> int:
+        return int(self._bool[self._name(col)]["true"])
+
+    def get_false_count(self, col) -> int:
+        return int(self._bool[self._name(col)]["false"])
+
+    # -- numeric extras ---------------------------------------------------------
+    def get_zero_percent(self, col) -> float:
+        """zeros / (NumberOfValues - NumNulls), replicating the reference
+        formula literally (data_stats.cpp:326-344; NumberOfValues itself
+        already excludes nulls+empties, data_stats.cpp:171-174 -- so nulls
+        are subtracted twice there; parity over plausibility)."""
+        name = self._name(col)
+        d = self._num[name]
+        total = d["count"] - d["n_nulls"]
+        return float(d["n_zeros"]) / total
+
+    def get_quantile(self, part: float, col):
+        """Element at sorted 0-based position floor(n_values * part) of the
+        non-null data (data_stats.cpp:254-262) -- the reference's nearest-rank
+        pick, NOT an interpolated percentile. One orderBy+offset job; exact."""
+        from pyspark.sql import functions as F
+
+        name = self._name(col)
+        sel = self._df.select(name).where(F.col(name).isNotNull())
+        n = (
+            self._num[name]["count"]
+            if name in self._num
+            else sel.count()
+        )
+        k = int(n * part)
+        if k >= n:
+            k = n - 1
+        row = sel.orderBy(name).offset(k).limit(1).collect()
+        return row[0][0] if row else None
+
+    def get_monotonicity(self, col, order_by: str | None = None) -> str:
+        """'equal' / 'ascending' / 'descending' / 'none' over the rows in
+        file order, nulls skipped (GetMonotonicity, data_stats.cpp:1312-1346).
+        Needs a pandas input (positional __row_index) or an explicit
+        order_by column -- Spark frames have no inherent row order."""
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.checks.stats import monotonicity
+
+        order = order_by or (
+            "__row_index" if "__row_index" in self._df.columns else None
+        )
+        if order is None:
+            raise RuntimeError(
+                "monotonicity needs an order_by column (or a pandas input, "
+                "which gets a positional __row_index)"
+            )
+        name = self._name(col)
+        r = monotonicity(
+            self._df.where(F.col(name).isNotNull()), name, order
+        ).collect()[0]
+        if r.monotonic_asc and r.monotonic_desc:
+            return "equal"
+        if r.monotonic_asc:
+            return "ascending"
+        if r.monotonic_desc:
+            return "descending"
+        return "none"
+
+    def show_sample(
+        self, start_row: int, end_row: int, start_col: int, end_col: int
+    ) -> list[list[str]]:
+        """1-based inclusive row/col window as strings (ShowSample,
+        data_stats.cpp:221-234). Row order = __row_index for pandas inputs;
+        Spark inputs fall back to the frame's scan order (documented caveat:
+        only deterministic for single-file / sorted sources)."""
+        cols = self._data_cols[start_col - 1 : end_col]
+        if "__row_index" in self._df.columns:
+            from pyspark.sql import functions as F
+
+            rows = (
+                self._df.where(
+                    (F.col("__row_index") >= start_row - 1)
+                    & (F.col("__row_index") <= end_row - 1)
+                )
+                .orderBy("__row_index")
+                .select(cols)
+                .collect()
+            )
+        else:
+            rows = self._df.select(cols).limit(end_row).collect()[start_row - 1 :]
+        return [["" if v is None else str(v) for v in r] for r in rows]
 
     def get_all_statistics_as_string(self) -> str:
         import json

@@ -360,3 +360,56 @@ def test_miner_alias_facades(spark):
         a.load_data(df)
         a.execute()
         assert [x.indices for x in a.get_uccs()] == want_u, name
+
+
+def test_data_stats_pybind_name_completion(spark):
+    """The last 13 bind_statistics.cpp names: get_num_nulls,
+    get_{leading,trailing}_whitespace_count, get_special_chars_count,
+    get_number_of_columns, get_null_columns, get_zero_percent,
+    get_true_count/get_false_count, is_categorical, get_quantile,
+    get_monotonicity, show_sample -- reference semantics hand-checked
+    (data_stats.cpp:221-373,1202-1346)."""
+    from pyspark_validator.compat import DataStats
+
+    pdf = pd.DataFrame(
+        {
+            "a": [3, 1, 2, 0, None, 0],
+            "s": ["  x", "hello!", None, "z ", "", "abc"],
+            "b": [True, False, True, None, True, False],
+            "mono": [1, 2, 3, 4, 5, 6],
+            "allnull": pd.array([None] * 6, dtype="float64"),
+        }
+    )
+    ds = DataStats(spark)
+    ds.load_data(pdf)
+    ds.execute()
+
+    assert ds.get_number_of_columns() == 5
+    assert ds.get_null_columns() == ["allnull"]
+    assert ds.get_num_nulls("a") == 1
+    assert ds.get_leading_whitespace_count("s") == 1
+    assert ds.get_trailing_whitespace_count("s") == 1
+    # 'hello!' is the only row containing the kSpecialChars set
+    assert ds.get_special_chars_count("s") == 1
+    # zeros=2, NumberOfValues(5 non-null) - nulls(1) = 4 (reference's literal
+    # double-subtract formula, data_stats.cpp:332-336)
+    assert ds.get_zero_percent("a") == pytest.approx(0.5)
+    assert ds.get_true_count("b") == 3
+    assert ds.get_false_count("b") == 2
+    assert ds.is_categorical("a", 50) and not ds.is_categorical("a", 2)
+    # sorted non-null a = [0,0,1,2,3]; k = floor(5*0.5) = 2 -> 1
+    assert ds.get_quantile(0.5, "a") == pytest.approx(1.0)
+    assert ds.get_quantile(0.0, "a") == pytest.approx(0.0)
+    assert ds.get_quantile(1.0, "a") == pytest.approx(3.0)  # clamp to last
+    assert ds.get_monotonicity("mono") == "ascending"
+    assert ds.get_monotonicity("a") == "none"
+    # constant + descending via fresh columns
+    ds2 = DataStats(spark)
+    ds2.load_data(pd.DataFrame({"c": [7, 7, None, 7], "d": [3, 2, 1, 0]}))
+    ds2.execute()
+    assert ds2.get_monotonicity("c") == "equal"
+    assert ds2.get_monotonicity("d") == "descending"
+    # 1-based inclusive window, stringified, file order
+    assert ds.show_sample(2, 3, 1, 2) == [["1.0", "hello!"], ["2.0", ""]]
+    # positional indices address DATA columns (not the attached __row_index)
+    assert ds.get_num_nulls(1) == 1
