@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,6 +150,10 @@ def _string_struct(c: str, approx_distinct: bool) -> Column:
         F.max(words).alias("max_words"),
         F.min(s).alias("min_value"),
         F.max(s).alias("max_value"),
+        # skip-empty variants: the reference's GetMin/GetMax run after
+        # DeleteNullAndEmpties (data_stats.cpp:239-252), so "" never wins
+        F.min(F.when(nonempty, s)).alias("min_value_ne"),
+        F.max(F.when(nonempty, s)).alias("max_value_ne"),
         F.sum((s != F.lower(s)).cast("long")).alias("n_with_uppercase"),
         F.sum(s.rlike(r"^\s|\s$").cast("long")).alias("n_untrimmed"),
         F.sum(s.rlike(r"[^\x00-\x7F]").cast("long")).alias("n_non_ascii"),
@@ -400,17 +404,45 @@ def monotonicity(
     df: DataFrame, value_col: str, order_col: str, num_partitions: int = 64
 ) -> DataFrame:
     """Is value_col sorted asc/desc when ordered by order_col
-    (data_stats.h:179-180)? Delegates to the SD check's distributed
-    adjacent-gap machinery (checks/sd.py): range-partitioned per-partition lag
-    windows + a P-row boundary rollup -- no single-reducer global window."""
-    from pyspark_validator.checks.sd import SDCheck
-
-    gaps = SDCheck(
-        df, order_col=order_col, value_col=value_col, num_partitions=num_partitions
-    )._gaps
-    return gaps.agg(
-        F.coalesce(F.min("delta") >= 0, F.lit(True)).alias("monotonic_asc"),
-        F.coalesce(F.max("delta") <= 0, F.lit(True)).alias("monotonic_desc"),
+    (data_stats.h:179-180)? Works for ANY orderable type (string, date,
+    numeric) -- adjacent pairs are compared with </> instead of numeric
+    deltas, so no double cast. Same distributed shape as SDCheck._gaps:
+    range-partition on the order column, per-partition lag windows for inner
+    pairs, and a P-row (first,last) rollup stitches partition boundaries --
+    no single-reducer global window."""
+    d = (
+        df.select(
+            F.col(order_col).alias("__o"), F.col(value_col).alias("__v")
+        )
+        .filter(F.col("__o").isNotNull() & F.col("__v").isNotNull())
+        .repartitionByRange(num_partitions, F.col("__o"))
+        .sortWithinPartitions("__o")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy("__o")
+    inner = d.select(
+        F.lag("__v").over(w).alias("l"), F.col("__v").alias("r")
+    ).filter(F.col("l").isNotNull())
+    edges = d.groupBy("__pid").agg(
+        F.min_by("__v", "__o").alias("first_v"),
+        F.max_by("__v", "__o").alias("last_v"),
+    )
+    # P rows total; pmod(__pid, 1) is a non-foldable constant-0 partition key
+    # (lit(0) would be pruned, resurfacing the WindowExec warning)
+    wp = Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1))).orderBy("__pid")
+    seq = edges.withColumn("__rank", F.row_number().over(wp))
+    a, b = seq.alias("a"), seq.alias("b")
+    boundary = a.join(
+        b, F.col("b.__rank") == F.col("a.__rank") + 1, "inner"
+    ).select(F.col("a.last_v").alias("l"), F.col("b.first_v").alias("r"))
+    pairs = inner.unionByName(boundary)
+    return pairs.agg(
+        F.coalesce(F.bool_and(F.col("r") >= F.col("l")), F.lit(True)).alias(
+            "monotonic_asc"
+        ),
+        F.coalesce(F.bool_and(F.col("r") <= F.col("l")), F.lit(True)).alias(
+            "monotonic_desc"
+        ),
     )
 
 

@@ -199,13 +199,29 @@ class DataStats(_Verifier):
         if isinstance(table, pd.DataFrame):
             table = table.reset_index(drop=True).reset_index(names="__row_index")
         super().load_data(table)
+        # an all-None pandas column arrives as Spark VOID; cast to string so
+        # it is profiled (the reference types it kNull and still answers
+        # GetNumNulls / GetNullColumns over it, data_stats.cpp:1196-1208)
+        from pyspark.sql import functions as F
+
+        void_cols = [
+            f.name
+            for f in self._df.schema.fields
+            if f.dataType.simpleString() == "void"
+        ]
+        if void_cols:
+            self._df = self._df.select(
+                *[
+                    F.col(c).cast("string").alias(c) if c in void_cols else F.col(c)
+                    for c in self._df.columns
+                ]
+            )
 
     def execute(self, exact_quantiles: bool = True) -> None:
         from pyspark.sql import functions as F
 
         from pyspark_validator.checks.stats import (
             deviation_stats,
-            entropy_and_gini,
             numeric_profile,
             string_profile,
         )
@@ -266,10 +282,10 @@ class DataStats(_Verifier):
             if strs
             else {}
         )
-        self._eg = {
-            c: entropy_and_gini(self._df, c).collect()[0].asDict()
-            for c in (num + strs)
-        }
+        # entropy/gini are lazy (per-column job on first getter call) --
+        # the reference's DataStats semantics are string-only with null/empty
+        # skipped and log2 (data_stats.cpp:1370-1426), computed on demand
+        self._eg = {}
 
     # -- helpers ------------------------------------------------------------
     def _name(self, col) -> str:
@@ -281,10 +297,18 @@ class DataStats(_Verifier):
 
     # -- numeric getters (bind_statistics.cpp names) ------------------------
     def get_min(self, col):
-        return self._n(col, "min")
+        """Works on strings too, skipping empties (the reference's
+        DeleteNullAndEmpties precedes every ordered stat)."""
+        name = self._name(col)
+        if name in self._num:
+            return self._num[name]["min"]
+        return self._str[name]["min_value_ne"]
 
     def get_max(self, col):
-        return self._n(col, "max")
+        name = self._name(col)
+        if name in self._num:
+            return self._num[name]["max"]
+        return self._str[name]["max_value_ne"]
 
     def get_sum(self, col):
         return self._n(col, "sum")
@@ -296,22 +320,42 @@ class DataStats(_Verifier):
         return self._n(col, "std")
 
     def get_skewness(self, col):
-        return self._n(col, "skewness")
+        """The reference's hybrid estimator: population 3rd central moment
+        over the CORRECTED (sample) std cubed (data_stats.cpp:139-156) =
+        engine population ratio x ((n-1)/n)^1.5."""
+        n, sk = self._n(col, "count"), self._n(col, "skewness")
+        if sk is None or n < 2:
+            return None
+        return float(sk) * ((n - 1) / n) ** 1.5
 
     def get_kurtosis(self, col):
-        return self._n(col, "kurtosis")
+        """Reference: population m4 / sample std^4, minus 3
+        (data_stats.cpp:158-169) = engine ratio x ((n-1)/n)^2 - 3."""
+        n, ku = self._n(col, "count"), self._n(col, "kurtosis")
+        if ku is None or n < 2:
+            return None
+        return float(ku) * ((n - 1) / n) ** 2 - 3.0
 
     def get_median(self, col):
         return self._n(col, "median")
 
     def get_quantile_25(self, col):
-        return self._n(col, "q25")
+        """Nearest-rank pick like GetQuantile (data_stats.cpp:254-262), NOT
+        the engine profile's interpolated percentile."""
+        return self.get_quantile(0.25, col)
 
     def get_quantile_75(self, col):
-        return self._n(col, "q75")
+        return self.get_quantile(0.75, col)
 
     def get_interquartile_range(self, col):
-        return self._n(col, "iqr")
+        """Q75 - Q25 with the reference's nearest-rank quantiles; numeric
+        columns only (strings return None like the empty Statistic)."""
+        if self._name(col) not in self._num:
+            return None
+        q75, q25 = self.get_quantile(0.75, col), self.get_quantile(0.25, col)
+        if q75 is None or q25 is None:
+            return None
+        return float(q75) - float(q25)
 
     def get_geometric_mean(self, col):
         return self._n(col, "geometric_mean")
@@ -320,7 +364,16 @@ class DataStats(_Verifier):
         return self._n(col, "sum_squares")
 
     def get_jarque_bera_statistic(self, col):
-        return self._n(col, "jarque_bera")
+        """n/6 * (S^2 + (K-3)^2/4) with the reference's OWN S and K -- whose
+        K is already excess (-3), so the formula subtracts 3 twice; literal
+        parity with data_stats.cpp:1348-1368 over plausibility."""
+        n = self._n(col, "count")
+        if n < 2:
+            return None
+        s, k = self.get_skewness(col), self.get_kurtosis(col)
+        if s is None or k is None:
+            return None
+        return n / 6.0 * (s * s + (k - 3.0) ** 2 / 4.0)
 
     def get_coefficient_of_variation(self, col):
         return self._n(col, "std") / self._n(col, "avg")
@@ -337,17 +390,47 @@ class DataStats(_Verifier):
     def get_number_of_negatives(self, col):
         return self._n(col, "n_negatives")
 
+    def _eg_row(self, col):
+        """DataStats::GetEntropy/GetGiniCoefficient semantics: STRING columns
+        only, null/empty skipped, entropy in bits (log2) -- distinct from the
+        engine's natural-log PLI entropy (checks/stats.py::entropy_and_gini),
+        which backs the oracled contract queries. data_stats.cpp:1370-1426."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from pyspark_validator.checks.stats import entropy_and_gini
+
+        name = self._name(col)
+        if name not in self._str:
+            return None
+        if name not in self._eg:
+            filtered = self._df.where(
+                F.col(name).isNotNull() & (F.length(name) > 0)
+            )
+            d = entropy_and_gini(filtered, name).collect()[0].asDict()
+            if d["entropy"] is not None:
+                d["entropy"] = d["entropy"] / math.log(2.0)
+            self._eg[name] = d
+        return self._eg[name]
+
     def get_entropy(self, col):
-        return self._eg[self._name(col)]["entropy"]
+        row = self._eg_row(col)
+        return None if row is None else row["entropy"]
 
     def get_gini_coefficient(self, col):
-        return self._eg[self._name(col)]["gini"]
+        row = self._eg_row(col)
+        return None if row is None else row["gini"]
 
     # -- counts / distinct ---------------------------------------------------
     def get_number_of_values(self, col):
+        """rows - nulls - empties (NumberOfValues, data_stats.cpp:171-174);
+        for string columns empties are distinct from NULL and excluded."""
         name = self._name(col)
-        src = self._num if name in self._num else self._str
-        return src[name]["count"]
+        if name in self._num:
+            return self._num[name]["count"]
+        d = self._str[name]
+        return d["count"] - d["n_empties"]
 
     def get_number_of_nulls(self, col):
         name = self._name(col)
@@ -355,9 +438,14 @@ class DataStats(_Verifier):
         return src[name]["n_nulls"]
 
     def get_number_of_distinct(self, col):
+        """Distinct over DeleteNullAndEmpties data (data_stats.cpp:176-219):
+        for strings the empty value "" is excluded (it is one distinct value,
+        so subtract its presence indicator from the engine count)."""
         name = self._name(col)
-        src = self._num if name in self._num else self._str
-        return src[name]["n_distinct"]
+        if name in self._num:
+            return self._num[name]["n_distinct"]
+        d = self._str[name]
+        return d["n_distinct"] - (1 if d["n_empties"] > 0 else 0)
 
     def get_columns_with_null(self):
         out = []
@@ -367,9 +455,16 @@ class DataStats(_Verifier):
         return out
 
     def get_columns_with_all_unique_values(self):
+        """Distinct(i) == num_rows (data_stats.cpp:1219-1226): any null or
+        empty disqualifies (they are deleted before the distinct count, so
+        the counts can never reach num_rows)."""
         out = []
         for name, d in {**self._num, **self._str}.items():
-            if d["n_distinct"] == d["count"] and d["n_nulls"] == 0:
+            if (
+                d["n_distinct"] == d["count"]
+                and d["n_nulls"] == 0
+                and d.get("n_empties", 0) == 0
+            ):
                 out.append(name)
         return out
 
@@ -552,12 +647,18 @@ class DataStats(_Verifier):
         from pyspark.sql import functions as F
 
         name = self._name(col)
-        sel = self._df.select(name).where(F.col(name).isNotNull())
-        n = (
-            self._num[name]["count"]
-            if name in self._num
-            else sel.count()
-        )
+        cond = F.col(name).isNotNull()
+        if name in self._str:
+            cond = cond & (F.length(name) > 0)  # DeleteNullAndEmpties
+        sel = self._df.select(name).where(cond)
+        if name in self._num:
+            n = self._num[name]["count"]
+        elif name in self._str:
+            n = self._str[name]["count"] - self._str[name]["n_empties"]
+        else:
+            n = sel.count()
+        if n == 0:
+            return None
         k = int(n * part)
         if k >= n:
             k = n - 1
@@ -582,9 +683,11 @@ class DataStats(_Verifier):
                 "which gets a positional __row_index)"
             )
         name = self._name(col)
-        r = monotonicity(
-            self._df.where(F.col(name).isNotNull()), name, order
-        ).collect()[0]
+        cond = F.col(name).isNotNull()
+        if name in self._str:
+            # the reference skips IsNullOrEmpty rows (data_stats.cpp:1322)
+            cond = cond & (F.length(name) > 0)
+        r = monotonicity(self._df.where(cond), name, order).collect()[0]
         if r.monotonic_asc and r.monotonic_desc:
             return "equal"
         if r.monotonic_asc:
