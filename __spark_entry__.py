@@ -4043,6 +4043,66 @@ def _md_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_MDS_ORDERS = _md_discovery_oracle_sql()
 
 
+def q_discovery_list_ods_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER list-based OD discovery (order_discovery.mine_list_ods,
+    reference od/order/order.cpp) over a 3-column planted frame from orders:
+    a literal constant column k (short-circuited valid -> every attribute,
+    order.cpp:38-50), odate = o_orderdate, and omonth = its month truncation.
+    With exactly two non-constant attributes the whole lattice is level-2
+    decidable, so the oracle replays every candidate verdict closed-form:
+    lhs -> rhs is valid iff no crossing pair exists (swap) AND no rhs value
+    spans two lhs values (merge) -- the CheckForSwap walk's two failure
+    modes (dependency_checker.cpp:25-66)."""
+    from pyspark_validator.order_discovery import mine_list_ods
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    od = F.to_date(F.col("o_orderdate"))
+    df = o.select(
+        F.lit(0).alias("k"),
+        od.alias("odate"),
+        F.trunc(od, "month").alias("omonth"),
+    )
+    res = mine_list_ods(df, ["k", "odate", "omonth"])
+    rows = [(s,) for s in res.to_strings()]
+    return (
+        spark.createDataFrame(rows or [("__none__",)], ["od"])
+        .filter(F.col("od") != "__none__")
+        .orderBy("od")
+    )
+
+
+#: the same verdicts in DuckDB: the constant's rules are unconditional, the
+#: two non-constant candidates check swap-freeness (no crossing pair over the
+#: distinct combos) and merge-freeness (no rhs value with two lhs values).
+SQL_DISCOVERY_LIST_ODS_ORDERS = """
+WITH t AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS odate,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS omonth
+  FROM orders
+),
+verdicts AS (
+  SELECT
+    NOT EXISTS (SELECT 1 FROM t t1, t t2
+                WHERE t1.odate < t2.odate AND t1.omonth > t2.omonth)
+    AND NOT EXISTS (SELECT 1 FROM t GROUP BY omonth
+                    HAVING COUNT(DISTINCT odate) > 1) AS date_to_month,
+    NOT EXISTS (SELECT 1 FROM t t1, t t2
+                WHERE t1.omonth < t2.omonth AND t1.odate > t2.odate)
+    AND NOT EXISTS (SELECT 1 FROM t GROUP BY odate
+                    HAVING COUNT(DISTINCT omonth) > 1) AS month_to_date
+)
+SELECT od FROM (
+  SELECT 'k -> odate' AS od
+  UNION ALL
+  SELECT 'k -> omonth'
+  UNION ALL
+  SELECT 'odate -> omonth' FROM verdicts WHERE date_to_month
+  UNION ALL
+  SELECT 'omonth -> odate' FROM verdicts WHERE month_to_date
+) ORDER BY od
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -4131,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_pfds_orders": q_discovery_pfds_orders,
         "discovery_dds_lineitem": q_discovery_dds_lineitem,
         "discovery_mds_orders": q_discovery_mds_orders,
+        "discovery_list_ods_orders": q_discovery_list_ods_orders,
     }
 
 
@@ -4228,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_pfds_orders": SQL_DISCOVERY_PFDS_ORDERS,
         "discovery_dds_lineitem": SQL_DISCOVERY_DDS_LINEITEM,
         "discovery_mds_orders": SQL_DISCOVERY_MDS_ORDERS,
+        "discovery_list_ods_orders": SQL_DISCOVERY_LIST_ODS_ORDERS,
     }
 
 

@@ -56,6 +56,7 @@ from pyspark_validator.discovery import (
 )
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.od_discovery import FastodResult, mine_set_ods
+from pyspark_validator.order_discovery import OrderResult, mine_list_ods
 from pyspark_validator.pfd_discovery import mine_pfds
 from pyspark_validator.dd_discovery import DDResult, mine_dds
 from pyspark_validator.nar_discovery import NarRule, mine_nars
@@ -101,6 +102,8 @@ __all__ = [
     "mine_fds",
     "mine_frequent_itemsets",
     "mine_set_ods",
+    "mine_list_ods",
+    "OrderResult",
     "mine_pfds",
     "mine_dds",
     "mine_nars",

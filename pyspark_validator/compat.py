@@ -2028,3 +2028,37 @@ class Fastod(_Verifier):
         return sorted(
             f"{self._ctx(c)} : [] -> {r + 1}<=" for c, r in self._res.simple
         )
+
+
+class ListOD:
+    """od.ListOD analog (bind_od.cpp:109-124): 0-based lhs/rhs index lists."""
+
+    def __init__(self, lhs: list[int], rhs: list[int]):
+        self.lhs = lhs
+        self.rhs = rhs
+
+    def __repr__(self) -> str:
+        return f"ListOD({self.lhs}, {self.rhs})"
+
+    def __eq__(self, other) -> bool:
+        return (self.lhs, self.rhs) == (other.lhs, other.rhs)
+
+    def __hash__(self) -> int:
+        return hash((tuple(self.lhs), tuple(self.rhs)))
+
+
+class Order(_Verifier):
+    """Order analog (bind_od.cpp:131-141; od/order/order.h:49-51): list-based
+    lexicographic OD discovery. ``get_list_ods()`` flattens GetValidODs into
+    ListOD objects exactly like the binding."""
+
+    def execute(self, max_combos: int = 100_000) -> None:
+        from pyspark_validator.order_discovery import mine_list_ods
+
+        assert self._df is not None, "call load_data first"
+        self._res = mine_list_ods(self._df, max_combos=max_combos)
+
+    def get_list_ods(self) -> list[ListOD]:
+        return [
+            ListOD(list(lhs), list(rhs)) for lhs, rhs in self._res.list_ods()
+        ]

@@ -413,3 +413,18 @@ def test_data_stats_pybind_name_completion(spark):
     assert ds.show_sample(2, 3, 1, 2) == [["1.0", "hello!"], ["2.0", ""]]
     # positional indices address DATA columns (not the attached __row_index)
     assert ds.get_num_nulls(1) == 1
+
+
+def test_order_facade(spark):
+    """compat.Order analog of bind_od.cpp:131-141: get_list_ods flattens
+    GetValidODs into ListOD objects; the b->a direction is valid (a refines
+    b order-compatibly) while a->b is a merge."""
+    from pyspark_validator.compat import ListOD, Order
+
+    pdf = pd.DataFrame({"a": [1, 1, 2, 3], "b": [10, 11, 20, 30]})
+    algo = Order(spark)
+    algo.load_data(pdf)
+    algo.execute()
+    ods = algo.get_list_ods()
+    assert ListOD([0], [1]) in ods
+    assert ListOD([1], [0]) not in ods
