@@ -53,6 +53,7 @@ from pyspark_validator.discovery import (
     mine_uccs,
     mine_unary_fds,
     mine_unary_inds,
+    mine_unary_inds_exact,
 )
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.od_discovery import FastodResult, mine_set_ods
@@ -119,6 +120,7 @@ __all__ = [
     "mine_uccs",
     "mine_unary_fds",
     "mine_unary_inds",
+    "mine_unary_inds_exact",
     "nar_check",
     "nd_check",
     "partition_id_expr",

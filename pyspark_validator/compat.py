@@ -1939,15 +1939,29 @@ class PyroUCC(HyUCC):
 
 class Spider(_Verifier):
     """Spider analog (bind_ind.cpp:139-146; spider.cpp:49-80): exact unary
-    INDs across a set of tables. ``load_data`` takes {name: table}."""
+    INDs across a set of tables. ``load_data`` takes {name: table}.
+
+    ``is_null_equal_null`` selects the reference's null semantics (pinned by
+    its consistent-hash suite, see discovery.mine_unary_inds_exact): False =
+    null-free LHS required, True = null is one value. None keeps the engine's
+    historical SQL view (nulls ignored, '' a value)."""
 
     def load_data(self, tables: dict) -> None:
         self._tables = {name: self._resolve(t) for name, t in tables.items()}
 
-    def execute(self) -> None:
-        from pyspark_validator.discovery import mine_unary_inds
+    def execute(self, is_null_equal_null: bool | None = None) -> None:
+        from pyspark_validator.discovery import (
+            mine_unary_inds,
+            mine_unary_inds_exact,
+        )
 
-        self._inds = [IND(a, b, 0.0) for a, b in mine_unary_inds(self._tables)]
+        if is_null_equal_null is None:
+            pairs = mine_unary_inds(self._tables)
+        else:
+            pairs = mine_unary_inds_exact(
+                self._tables, is_null_equal_null=is_null_equal_null
+            )
+        self._inds = [IND(a, b, 0.0) for a, b in pairs]
 
     def get_inds(self) -> list:
         return self._inds

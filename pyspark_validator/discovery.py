@@ -177,19 +177,39 @@ def mine_unary_inds(
     return sorted((r.a, r.b) for r in inds.collect())
 
 
-def _ind_pair_stats(tables: dict[str, DataFrame]) -> DataFrame:
+def _ind_pair_stats(
+    tables: dict[str, DataFrame],
+    empty_is_null: bool = False,
+    null_marker: str | None = None,
+) -> DataFrame:
     """Spider inverted domain -> one row per ordered attr pair that shares at
-    least one value: (a, b, together=|dom(a) n dom(b)|, n_values=|dom(a)|)."""
+    least one value: (a, b, together=|dom(a) n dom(b)|, n_values=|dom(a)|).
+
+    Defaults keep the historical semantics (SQL NULL dropped, '' a value).
+    ``empty_is_null`` folds empty strings into null (the reference's
+    IsNullOrEmpty view); ``null_marker`` keeps null as ONE domain value under
+    that marker instead of dropping it (is_null_equal_null=true)."""
     cols = []
     for tname, df in tables.items():
         for c in df.columns:
             cols.append((tname, c, df))
     tagged = None
     for tname, c, df in cols:
-        part = df.select(
-            F.col(c).cast("string").alias("value"),
-            F.lit(f"{tname}.{c}").alias("attr"),
-        ).where(F.col(c).isNotNull()).distinct()
+        v = F.col(c)
+        isnull = v.isNull()
+        if empty_is_null:
+            isnull = isnull | (v.cast("string") == "")
+        if null_marker is None:
+            value = v.cast("string")
+            sel = df.select(
+                value.alias("value"), F.lit(f"{tname}.{c}").alias("attr")
+            ).where(~isnull)
+        else:
+            value = F.when(isnull, F.lit(null_marker)).otherwise(v.cast("string"))
+            sel = df.select(
+                value.alias("value"), F.lit(f"{tname}.{c}").alias("attr")
+            )
+        part = sel.distinct()
         tagged = part if tagged is None else tagged.unionByName(part)
     domains = tagged.groupBy("value").agg(F.collect_set("attr").alias("attrs"))
     # for each attr present in a value-group, the group's attr set constrains
@@ -207,6 +227,62 @@ def _ind_pair_stats(tables: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_values"))
     )
     return pair_counts.join(totals, on="a")
+
+
+def mine_unary_inds_exact(
+    tables: dict[str, DataFrame], is_null_equal_null: bool = False
+) -> list[tuple[str, str]]:
+    """Exact unary INDs with the reference's null semantics, pinned by its
+    consistent-hash suite (test_ind_algorithms.cpp:78-106 over
+    INDTestNulls.csv):
+
+    * a column that is entirely null/empty never participates on either side
+      (its type is kNull/kEmpty -- undefined);
+    * ``is_null_equal_null=False`` (the reference default): the LHS must be
+      null-free; inclusion is over the non-null distinct values ('' counts
+      as null -- IsNullOrEmpty);
+    * ``is_null_equal_null=True``: null is ONE value that must also appear
+      in the RHS.
+
+    Same one-shuffle inverted-domain plan as :func:`mine_unary_inds`, plus
+    one tiny per-table aggregation for the null census.
+    """
+    marker = "\x00null\x00"
+    participating: set[str] = set()
+    null_free: set[str] = set()
+    for tname, df in tables.items():
+        if not df.columns:
+            continue
+        aggs = []
+        for c in df.columns:
+            v = F.col(c)
+            isnull = v.isNull() | (v.cast("string") == "")
+            aggs.append(
+                F.struct(
+                    F.sum(isnull.cast("long")).alias("nn"),
+                    F.count(F.lit(1)).alias("n"),
+                ).alias(c)
+            )
+        row = df.agg(*aggs).collect()[0]
+        for c in df.columns:
+            nn, n = row[c]["nn"] or 0, row[c]["n"]
+            attr = f"{tname}.{c}"
+            if n > 0 and nn < n:
+                participating.add(attr)
+            if nn == 0 and n > 0:
+                null_free.add(attr)
+    j = _ind_pair_stats(
+        tables,
+        empty_is_null=True,
+        null_marker=marker if is_null_equal_null else None,
+    )
+    inds = j.filter(F.col("together") == F.col("n_values")).select("a", "b")
+    lhs_ok = participating if is_null_equal_null else null_free
+    return sorted(
+        (r.a, r.b)
+        for r in inds.collect()
+        if r.a in lhs_ok and r.b in participating
+    )
 
 
 def mine_ainds(

@@ -104,7 +104,12 @@ def cast_inferred(df: DataFrame, types: dict[str, str] | None = None) -> DataFra
     }
     for c, t in types.items():
         if t in spark_type:
-            df = df.withColumn(c, F.col(c).cast(spark_type[t]))
+            # try_cast: the inferred type is the majority over NON-empty
+            # values, so residual '' cells must become NULL instead of
+            # throwing under Spark 4 ANSI
+            df = df.withColumn(
+                c, F.expr(f"try_cast(`{c}` AS {spark_type[t]})")
+            )
     return df
 
 
