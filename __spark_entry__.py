@@ -4103,6 +4103,98 @@ SELECT od FROM (
 """
 
 
+def q_discovery_cinds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cinderella CIND discovery (cind_discovery.mine_cinds, reference
+    cind/condition_miners/cinderella.cpp) over two projected tables:
+    o(o_custkey, o_orderpriority) and c(c_custkey, c_mktsegment). Exactly two
+    AINDs qualify at error<=0.5 (o.custkey -> c.custkey is the exact FK;
+    c.custkey -> o.custkey errs by the customers without orders; every other
+    pair has disjoint domains), and each has ONE conditional attribute, so
+    the Apriori walk is level-1 only and every condition's validity /
+    completeness is a closed-form grouped aggregate the oracle replays."""
+    from pyspark_validator.cind_discovery import mine_cinds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    res = mine_cinds(
+        {"o": o, "c": c},
+        max_error=0.5,
+        min_validity=0.2,
+        min_completeness=0.1,
+        condition_type="row",
+    )
+    rows = [
+        (
+            f"{r.lhs[0]}.{r.lhs[1]}",
+            f"{r.rhs[0]}.{r.rhs[1]}",
+            round(r.error, 9),
+            cond.values[0],
+            round(cond.validity, 9),
+            round(cond.completeness, 9),
+        )
+        for r in res
+        for cond in r.conditions
+    ]
+    return (
+        spark.createDataFrame(
+            rows or [("__none__", "", 0.0, "", 0.0, 0.0)],
+            ["lhs", "rhs", "error", "cond", "validity", "completeness"],
+        )
+        .filter(F.col("lhs") != "__none__")
+        .orderBy("lhs", "cond")
+    )
+
+
+SQL_DISCOVERY_CINDS_ORDERS = """
+WITH od AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+cd AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+err_oc AS (SELECT 1.0 - (SELECT COUNT(*) FROM od WHERE k IN (SELECT k FROM cd)) * 1.0
+                        / (SELECT COUNT(*) FROM od) AS e),
+err_co AS (SELECT 1.0 - (SELECT COUNT(*) FROM cd WHERE k IN (SELECT k FROM od)) * 1.0
+                        / (SELECT COUNT(*) FROM cd) AS e),
+o_inc AS (SELECT o_orderpriority,
+                 CAST(o_custkey AS VARCHAR) IN (SELECT k FROM cd) AS inc
+          FROM orders),
+c_inc AS (SELECT c_mktsegment,
+                 CAST(c_custkey AS VARCHAR) IN (SELECT k FROM od) AS inc
+          FROM customer),
+cond1 AS (
+  SELECT 'o.o_custkey' AS lhs, 'c.c_custkey' AS rhs,
+         ROUND((SELECT e FROM err_oc), 9) AS error,
+         o_orderpriority AS cond,
+         ROUND(SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS validity,
+         ROUND(SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0
+               / (SELECT COUNT(*) FROM o_inc WHERE inc), 9) AS completeness
+  FROM o_inc GROUP BY o_orderpriority
+  HAVING (SELECT e FROM err_oc) <= 0.5
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.2
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0
+         / (SELECT COUNT(*) FROM o_inc WHERE inc) >= 0.1
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) > 0
+),
+cond2 AS (
+  SELECT 'c.c_custkey' AS lhs, 'o.o_custkey' AS rhs,
+         ROUND((SELECT e FROM err_co), 9) AS error,
+         c_mktsegment AS cond,
+         ROUND(SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS validity,
+         ROUND(SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0
+               / (SELECT COUNT(*) FROM c_inc WHERE inc), 9) AS completeness
+  FROM c_inc GROUP BY c_mktsegment
+  HAVING (SELECT e FROM err_co) <= 0.5
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.2
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) * 1.0
+         / (SELECT COUNT(*) FROM c_inc WHERE inc) >= 0.1
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) > 0
+)
+SELECT * FROM (SELECT * FROM cond1 UNION ALL SELECT * FROM cond2)
+ORDER BY lhs, cond
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -4192,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_dds_lineitem": q_discovery_dds_lineitem,
         "discovery_mds_orders": q_discovery_mds_orders,
         "discovery_list_ods_orders": q_discovery_list_ods_orders,
+        "discovery_cinds_orders": q_discovery_cinds_orders,
     }
 
 
@@ -4290,6 +4383,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_dds_lineitem": SQL_DISCOVERY_DDS_LINEITEM,
         "discovery_mds_orders": SQL_DISCOVERY_MDS_ORDERS,
         "discovery_list_ods_orders": SQL_DISCOVERY_LIST_ODS_ORDERS,
+        "discovery_cinds_orders": SQL_DISCOVERY_CINDS_ORDERS,
     }
 
 

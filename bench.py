@@ -122,6 +122,8 @@ HEADLINE = [
     "discovery_pfds_orders",
     "discovery_dds_lineitem",
     "discovery_mds_orders",
+    "discovery_list_ods_orders",
+    "discovery_cinds_orders",
 ]
 
 

@@ -42,6 +42,7 @@ from pyspark_validator.checks.sfd import sfd_check
 from pyspark_validator.checks.stats import column_profile
 from pyspark_validator.checks.ucc import ucc_check
 from pyspark_validator.cfd_discovery import CFDRule, mine_cfds
+from pyspark_validator.cind_discovery import CindCondition, CindResult, mine_cinds
 from pyspark_validator.discovery import (
     mine_afds,
     mine_ainds,
@@ -98,6 +99,9 @@ __all__ = [
     "mine_afds",
     "mine_ainds",
     "mine_cfds",
+    "mine_cinds",
+    "CindResult",
+    "CindCondition",
     "mine_ars",
     "mine_binary_inds",
     "mine_fds",

@@ -2076,3 +2076,78 @@ class Order(_Verifier):
         return [
             ListOD(list(lhs), list(rhs)) for lhs, rhs in self._res.list_ods()
         ]
+
+
+class CindCondition:
+    """cind.Condition analog (bind_cind.cpp:38-63): data() is the
+    per-conditional-attribute value vector with '-' for free positions."""
+
+    def __init__(self, inner):
+        self._c = inner
+
+    def data(self) -> list[str]:
+        return list(self._c.values)
+
+    def validity(self) -> float:
+        return float(self._c.validity)
+
+    def completeness(self) -> float:
+        return float(self._c.completeness)
+
+    def __str__(self) -> str:
+        vals = "".join(f'"{v}", ' for v in self._c.values)
+        return f"({vals}validity = {self._c.validity:g}, completeness = {self._c.completeness:g})"
+
+
+class CindCIND:
+    """cind.CIND analog (bind_cind.cpp:65-80)."""
+
+    def __init__(self, inner):
+        self._r = inner
+
+    def conditions_number(self) -> int:
+        return self._r.conditions_number()
+
+    def get_conditions(self) -> list[CindCondition]:
+        return [CindCondition(c) for c in self._r.conditions]
+
+    def get_condition_attributes(self) -> list[str]:
+        return list(self._r.conditional_attributes)
+
+    def get_ind_string(self) -> str:
+        return (
+            f"({self._r.lhs[0]}.{self._r.lhs[1]}) -> "
+            f"({self._r.rhs[0]}.{self._r.rhs[1]})"
+        )
+
+
+class CindAlgorithm(_Verifier):
+    """cind.CindAlgorithm analog (bind_cind.cpp:83; cind_algorithm.h:15-50):
+    Spider AINDs + Cinderella/PliCind condition mining. ``load_data`` takes
+    {name: table} in the reference's CSVConfigs order (it determines the
+    attribute ids and so the result order)."""
+
+    def load_data(self, tables: dict) -> None:
+        self._tables = {name: self._resolve(t) for name, t in tables.items()}
+
+    def execute(
+        self,
+        error: float = 0.5,
+        validity: float = 0.0,
+        completeness: float = 0.0,
+        condition_type: str = "group",
+        algo_type: str = "pli_cind",
+    ) -> None:
+        from pyspark_validator.cind_discovery import mine_cinds
+
+        self._cinds = mine_cinds(
+            self._tables,
+            max_error=error,
+            min_validity=validity,
+            min_completeness=completeness,
+            condition_type=condition_type,
+            algo=algo_type,
+        )
+
+    def get_cinds(self) -> list[CindCIND]:
+        return [CindCIND(r) for r in self._cinds]
