@@ -314,3 +314,23 @@ class SFDCheck:
 def sfd_check(df: DataFrame, col_a: str, col_b: str, **kwargs) -> SFDCheck:
     """Validate a CORDS soft-FD / correlation over one column pair."""
     return SFDCheck(df, col_a, col_b, **kwargs)
+
+
+def calculate_sample_size(
+    lhs_cardinality: int,
+    rhs_cardinality: int,
+    max_false_positive_probability: float,
+    delta: float,
+) -> int:
+    """Sample::CalculateSampleSize (sample.cpp:39-50) verbatim -- the CORDS
+    paper's chi^2 sample bound. The engine's SFD check runs full-data (one
+    distributed agg beats sampling on a cluster), but the bound is part of
+    the reference API surface and its pinned values (test_sfd.cpp:107-114)
+    document the sampling regime a per-pair scan would use."""
+    v = (lhs_cardinality - 1) * (rhs_cardinality - 1)
+    d = min(lhs_cardinality, rhs_cardinality)
+    log = math.log(max_false_positive_probability * math.sqrt(2 * math.pi))
+    numerator = (-16 * v * log) ** 0.5 - 8 * log
+    denominator = delta * (d - 1)
+    v2 = v**0.071
+    return int((numerator / denominator) * (v2 / 1.69))

@@ -145,3 +145,16 @@ class TestMineSfds:
         )
         row = out["sfd_span"].collect()[0]
         assert row.holds and row.sfd_holds  # span_key determines span_seq
+
+
+def test_calculate_sample_size_reference_golden():
+    """The six pinned values from test_sfd.cpp:107-114 (TestCordsUtils
+    SampleSize), bit-for-bit."""
+    from pyspark_validator.checks.sfd import calculate_sample_size
+
+    assert calculate_sample_size(465, 4, 1e-06, 0.05) == 4215
+    assert calculate_sample_size(472, 7, 1e-06, 0.05) == 3005
+    assert calculate_sample_size(4198, 2632, 0.1, 0.1) == 111
+    assert calculate_sample_size(765987, 292784, 0.149804, 0.14367) == 168
+    assert calculate_sample_size(640568, 365981, 0.173673, 0.284799) == 64
+    assert calculate_sample_size(319, 4, 0.0181818, 0.16) == 485
