@@ -184,6 +184,19 @@ def _tokens(col: Column) -> Column:
     )
 
 
+def jaccard_sim(la: Column, ra: Column) -> Column:
+    """Whitespace-token set Jaccard (jaccard.h:13-28 StringJaccardIndex):
+    both empty -> 1, one empty -> 0, else |∩| / |∪| -- pure JVM exprs."""
+    ta, tb = _tokens(la), _tokens(ra)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return (
+        F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
+        .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
+        .otherwise(inter / union.cast("double"))
+    )
+
+
 class MDCheck:
     """Distributed MDVerifier (md_verifier.h:19-46)."""
 
@@ -272,14 +285,7 @@ class MDCheck:
                 (maxlen - F.levenshtein(la, ra)) / maxlen.cast("double")
             )
         if cm.fn == "jaccard":
-            ta, tb = _tokens(la), _tokens(ra)
-            inter = F.size(F.array_intersect(ta, tb))
-            union = F.size(ta) + F.size(tb) - inter
-            return (
-                F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
-                .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
-                .otherwise(inter / union.cast("double"))
-            )
+            return jaccard_sim(la, ra)
         if cm.fn == "lcs":
             return _pair_kernel(_lcs_sim)(la, ra)
         if cm.fn == "monge_elkan":

@@ -148,6 +148,26 @@ class DomainPACCheck:
 
     _DIST_THRESHOLD = 1e-12  # PACVerifier::kDistThreshold
 
+    def highlights(self, eps_1: float, eps_2: float | None = None) -> DataFrame:
+        """GetHighlights (domain_pac_verifier.cpp:158-182): the original rows
+        whose distance lies in (eps_1, eps_2], in-domain rows (distance below
+        the float threshold) excluded. ``eps_2`` defaults to the refined
+        epsilon, like the reference's ``pac_->GetEpsilon()`` fallback."""
+        if eps_2 is None:
+            eps_2 = self.refine()["epsilon"]
+        if eps_2 <= eps_1:
+            return self.df.withColumn("__d", self.distance).filter(F.lit(False))
+        d = F.col("__d")
+        return (
+            self.df.withColumn("__d", self.distance)
+            .filter(
+                d.isNotNull()
+                & (d >= self._DIST_THRESHOLD)
+                & (d > eps_1)
+                & (d <= eps_2)
+            )
+        )
+
     def _cdf(self, max_distinct: int) -> tuple[list[float], list[int]]:
         """Sorted distinct distances with cumulative counts -- ONE groupBy.
         The reference sorts all n distances; every step of its walk reads

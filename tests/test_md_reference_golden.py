@@ -237,3 +237,60 @@ def test_md_swg_requires_cross_join_guard(spark):
         .collect()[0]
     )
     assert r.holds and r.n_matching_pairs == 1
+
+
+def test_hymd_metric_goldens_lcs_monge_elkan():
+    """Every LCS and Monge-Elkan expectation from test_hymd_metrics.cpp
+    (the reference's dedicated similarity-metric suite), at its 1e-3
+    tolerance. Lcs there returns the RAW common-subsequence length."""
+    from pyspark_validator.checks.md import _lcs_len, _monge_elkan_sim
+
+    assert _lcs_len("", "") == 0
+    assert _lcs_len("hello", "") == 0
+    assert _lcs_len("", "world") == 0
+    assert _lcs_len("kitten", "sitting") == 4
+    assert _lcs_len("abcdef", "xyabdxe") == 4
+    assert _lcs_len("abcdef", "xyz") == 0
+    assert _lcs_len("aaa", "aaa") == 3
+
+    cases = [
+        ("", "", 1.0),
+        ("abc", "", 0.0),
+        ("", "abc", 0.0),
+        ("abc def xyz", "def xyz abc", 1.0),
+        ("hello word", "world helo", 7.0 / 8.0),
+        ("abc", "xyz", 0.0),
+        ("abc def", "abc", 0.5**0.5),
+        ("abc", "abc def", 0.5**0.5),
+        ("abc", "abc abc", 1.0),
+        ("word1 word2", "Word2 Word1", 4.0 / 5.0),
+    ]
+    for a, b, exp in cases:
+        assert abs(_monge_elkan_sim(a, b) - exp) < 1e-3, (a, b)
+
+
+def test_hymd_metric_goldens_jaccard(spark):
+    """The StringJaccardIndex expectations from test_hymd_metrics.cpp,
+    evaluated through the ENGINE's JVM expression (checks/md.py
+    jaccard_sim -- the same expression every MD check compiles)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.checks.md import jaccard_sim
+
+    cases = [
+        ("", "", 1.0),
+        ("hello", "", 0.0),
+        ("", "world", 0.0),
+        ("abc cde", "abc", 0.5),
+        ("abc cde", "abc def", 1.0 / 3.0),
+        ("word1", "word2", 0.0),
+        ("word", "word", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, exp) for a, b, exp in cases], ["a", "b", "exp"]
+    )
+    rows = df.select(
+        jaccard_sim(F.col("a"), F.col("b")).alias("sim"), "exp"
+    ).collect()
+    for r in rows:
+        assert abs(r["sim"] - r["exp"]) < 1e-3

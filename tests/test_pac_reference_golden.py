@@ -102,3 +102,41 @@ def test_leveled_ball_on_testdc1(dc1):
     res = _check(dc1, dist, min_delta=0.7)
     assert res["epsilon"] == pytest.approx(0.803, abs=TOL)
     assert res["delta"] == pytest.approx(0.8, abs=TOL)
+
+
+@pytest.mark.parametrize(
+    "eps1,eps2,expected",
+    [
+        (0.1, 1.1, ["3", "7"]),
+        (1.1, 2.1, ["2", "2", "2", "8"]),
+        (2.1, 3.1, ["1", "1", "1", "1", "9"]),
+    ],
+)
+def test_highlights_parallelepiped_test1(spark, eps1, eps2, expected):
+    # TestDomainPACHighlight #1: kTest1 col0, Parallelepiped [4, 6] --
+    # rows with distance in (eps1, eps2], unordered multiset equality
+    df = read_reference_csv(spark, f"{REF}/Test1.csv")
+    col = df.columns[0]
+    chk = DomainPACCheck(
+        df=df, distance=chebyshev_box_distance([col], [4], [6]), exact=True
+    )
+    got = sorted(r[col] for r in chk.highlights(eps1, eps2).collect())
+    assert got == sorted(expected)
+
+
+@pytest.mark.parametrize(
+    "eps1,eps2,expected",
+    [
+        (0.1, 1.1, ["22", "22"]),
+        (1.1, 2.1, ["11", "11", "11", "11"]),
+        (2.1, 5.1, ["10"]),
+        (5.1, 25.1, ["33", "34", "44"]),
+    ],
+)
+def test_highlights_ball_simple_typos(typos, eps1, eps2, expected):
+    # TestDomainPACHighlight #2: SimpleTypos col2, Ball(17, 4)
+    chk = DomainPACCheck(
+        df=typos, distance=ball_distance(["TwoTypos"], [17.0], 4.0), exact=True
+    )
+    got = sorted(r["TwoTypos"] for r in chk.highlights(eps1, eps2).collect())
+    assert got == sorted(expected)
