@@ -140,4 +140,15 @@ hymd.load_data(TABLE[["dept", "grade"]].astype(str))
 hymd.execute()
 print("HyMD MDs:", [str(m) for m in hymd.get_mds()][:3])
 
+order = compat.Order(spark)
+order.load_data(TABLE[["dept", "id"]])
+order.execute()
+print("Order list-ODs:", order.get_list_ods())
+
+cind = compat.CindAlgorithm(spark)
+cind.load_data({"t1": TABLE[["dept", "grade"]], "t2": TABLE[["grade", "dept"]]})
+cind.execute(error=0.5, validity=0.5, completeness=0.3, condition_type="row")
+first = cind.get_cinds()[0]
+print("CIND:", first.get_ind_string(), "| conditions:", first.conditions_number())
+
 spark.stop()

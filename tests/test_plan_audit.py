@@ -293,3 +293,53 @@ def test_discovery_evidence_join_broadcast_and_pruned(tables):
     assert _count(plan, "BroadcastNestedLoopJoin") == 1
     assert _count(plan, "CartesianProduct") == 0
     assert "l_comment" not in plan and "l_extendedprice" not in plan
+
+
+def test_order_discovery_single_pruned_shuffle(spark, tables):
+    """mine_list_ods's only distributed pass: the combo groupBy is ONE
+    exchange with map-side partial aggregation, and column pruning reaches
+    the parquet scan (order_discovery.py step 1)."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    o = tables["orders"]
+    cols = ["o_custkey", "o_orderpriority"]
+    proj = o.select(*cols)
+    cond = None
+    for c in cols:
+        cnd = F.col(c).isNotNull()
+        cond = cnd if cond is None else cond & cnd
+    grouped = proj.filter(cond).groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+    plan = _plan(grouped)
+    assert _count(plan, "Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "o_comment" not in plan and "o_totalprice" not in plan
+
+
+def test_cind_included_flag_is_broadcast(spark, tables):
+    """mine_cinds' per-AIND evidence pass: the included flag joins the
+    aggregated combo frame against the referenced column's distinct values
+    with a BROADCAST hash join -- the dependent table is never shuffled for
+    the join side (cind_discovery.py mine_cinds)."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    o, c = tables["orders"], tables["customer"]
+    combos = (
+        o.select(
+            F.coalesce(F.col("o_custkey").cast("string"), F.lit("")).alias("__lhs"),
+            F.col("o_orderpriority").alias("__c0"),
+        )
+        .groupBy("__lhs", "__c0")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    rhs = (
+        c.select(F.coalesce(F.col("c_custkey").cast("string"), F.lit("")).alias("__lhs"))
+        .distinct()
+        .withColumn("__inc", F.lit(True))
+    )
+    joined = combos.join(F.broadcast(rhs), on="__lhs", how="left")
+    plan = _plan(joined)
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "c_comment" not in plan and "c_acctbal" not in plan
