@@ -48,6 +48,7 @@ from pyspark_validator.discovery import (
     mine_ainds,
     mine_ars,
     mine_binary_inds,
+    mine_nary_inds,
     mine_fds,
     mine_frequent_itemsets,
     mine_sfds,
@@ -104,6 +105,7 @@ __all__ = [
     "CindCondition",
     "mine_ars",
     "mine_binary_inds",
+    "mine_nary_inds",
     "mine_fds",
     "mine_frequent_itemsets",
     "mine_set_ods",

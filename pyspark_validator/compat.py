@@ -1975,15 +1975,34 @@ class Mind(Spider):
     from the error-0 unary level, each verified by one anti-join."""
 
     def execute(self, error: float = 0.3, max_arity: int = 1) -> None:
-        from pyspark_validator.discovery import mine_ainds, mine_binary_inds
+        from pyspark_validator.discovery import (
+            mine_ainds,
+            mine_binary_inds,
+            mine_nary_inds,
+        )
 
         ainds = mine_ainds(self._tables, max_error=error)
         self._inds = [IND(a, b, e) for a, b, e in ainds]
-        if max_arity >= 2:
+        if max_arity == 2:
             exact_unary = [(a, b) for a, b, e in ainds if e == 0.0]
             self._inds += [
                 IND(", ".join(lhs), ", ".join(rhs), 0.0)
                 for lhs, rhs in mine_binary_inds(self._tables, unary=exact_unary)
+            ]
+        elif max_arity >= 3:
+            # full GenNext lattice (mind.cpp:69-144), exact levels only
+            exact_unary = [(a, b) for a, b, e in ainds if e == 0.0]
+            nary = mine_nary_inds(
+                self._tables, max_arity=max_arity, unary=exact_unary
+            )
+            self._inds += [
+                IND(
+                    ", ".join(f"{t}.{c}" for c in lcols),
+                    ", ".join(f"{rt}.{c}" for c in rcols),
+                    0.0,
+                )
+                for (t, lcols), (rt, rcols) in nary
+                if len(lcols) >= 2
             ]
 
 

@@ -719,6 +719,95 @@ def _mine_afds_jobs(
     return sorted(out)
 
 
+def mine_nary_inds(
+    tables: dict[str, DataFrame],
+    max_arity: int = 3,
+    unary: list[tuple[str, str]] | None = None,
+    parallelism: int = 8,
+) -> list[tuple[tuple, tuple]]:
+    """Exact n-ary INDs, Mind's full GenNext lattice (mind.cpp:69-144,
+    "Unary and n-ary inclusion dependency discovery" Algorithm 3): two
+    level-k INDs p, q join when both sides share their (k-1)-prefix
+    (IND::StartsWith), p's last LHS column index precedes q's and the last
+    RHS columns differ; the joined candidate is rejected when its sides
+    share a column on the same table (HaveIndicesIntersection,
+    column_combination.cpp:20-33) or, at arity >= 3, when any drop-one
+    projection is absent from the previous level (CanPruneCandidate).
+    Survivors verify exactly -- one distinct-projection anti-join each
+    (checks/ind.py), submitted from ``parallelism`` driver threads.
+
+    Returns [((table, (cols...)), (table, (cols...)))] over ALL arities up
+    to ``max_arity``, sorted. Column order inside a side is by column
+    index, like the reference's ColumnCombination.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark_validator.checks.ind import ind_check
+
+    col_idx = {
+        (t, c): i for t, df in tables.items() for i, c in enumerate(df.columns)
+    }
+    if unary is None:
+        unary = mine_unary_inds(tables)
+
+    def split(attr):
+        t, c = attr.split(".", 1)
+        return t, c
+
+    level = sorted(
+        ((split(a)[0], (split(a)[1],)), (split(b)[0], (split(b)[1],)))
+        for a, b in unary
+    )
+    results = list(level)
+    arity = 1
+    while level and arity < max_arity:
+        prev_set = set(level)
+        cands = []
+        for p in level:
+            (plt, plc), (prt, prc) = p
+            for q in level:
+                (qlt, qlc), (qrt, qrc) = q
+                if plt != qlt or prt != qrt:
+                    continue
+                if plc[:-1] != qlc[:-1] or prc[:-1] != qrc[:-1]:
+                    continue
+                if not (
+                    col_idx[(plt, plc[-1])] < col_idx[(qlt, qlc[-1])]
+                    and prc[-1] != qrc[-1]
+                ):
+                    continue
+                cand = ((plt, plc + (qlc[-1],)), (prt, prc + (qrc[-1],)))
+                if plt == prt and set(cand[0][1]) & set(cand[1][1]):
+                    continue
+                if arity + 1 >= 3:
+                    k = arity + 1
+                    if any(
+                        (
+                            (plt, cand[0][1][:i] + cand[0][1][i + 1 :]),
+                            (prt, cand[1][1][:i] + cand[1][1][i + 1 :]),
+                        )
+                        not in prev_set
+                        for i in range(k)
+                    ):
+                        continue
+                cands.append(cand)
+
+        def verify(cand):
+            (ta, lcols), (tb, rcols) = cand
+            chk = ind_check(tables[ta], list(lcols), tables[tb], list(rcols))
+            return cand, bool(chk.summary().collect()[0]["holds"])
+
+        if parallelism > 1 and len(cands) > 1:
+            with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                judged = list(ex.map(verify, cands))
+        else:
+            judged = [verify(c) for c in cands]
+        level = sorted(c for c, holds in judged if holds)
+        results.extend(level)
+        arity += 1
+    return sorted(results)
+
+
 def mine_binary_inds(
     tables: dict[str, DataFrame],
     unary: list[tuple[str, str]] | None = None,
