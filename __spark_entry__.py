@@ -4195,6 +4195,99 @@ ORDER BY lhs, cond
 """
 
 
+#: the three aligned columns of the n-ary IND contract query
+_NARY_COLS = ["o_custkey", "o_orderdate", "o_orderpriority"]
+
+
+def q_discovery_nary_inds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mind full-lattice n-ary IND discovery (discovery.mine_nary_inds,
+    reference mind.cpp:69-144 GenNext) over two tables: o = orders projected
+    to (custkey, orderdate, orderpriority) and f = the same projection of
+    URGENT orders only. f's columns are row-subsets of o's (every f->o
+    direction holds up to arity 3), the o->f directions are genuinely
+    data-dependent, and the three domains are pairwise disjoint so only
+    position-aligned candidates ever form. The oracle replays the whole
+    lattice closed-form: unary verdicts as double-NOT-EXISTS containments,
+    each higher candidate gated on its drop-one projections plus its own
+    NOT EXISTS tuple containment."""
+    from pyspark_validator.discovery import mine_nary_inds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*_NARY_COLS)
+    f = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    res = mine_nary_inds({"o": o, "f": f}, max_arity=3)
+    rows = [
+        (
+            ",".join(f"{lt}.{c}" for c in lcols)
+            + " -> "
+            + ",".join(f"{rt}.{c}" for c in rcols),
+        )
+        for (lt, lcols), (rt, rcols) in res
+    ]
+    return (
+        spark.createDataFrame(rows or [("__none__",)], ["ind"])
+        .filter(F.col("ind") != "__none__")
+        .orderBy("ind")
+    )
+
+
+def _nary_ind_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_nary_inds_orders: every
+    GenNext candidate between the aligned column tuples of o and f, spelled
+    as NOT EXISTS containments gated on the drop-one projections."""
+    cols = _NARY_COLS
+    from itertools import combinations as _comb
+
+    def contain(dep: str, ref: str, idxs: tuple[int, ...]) -> str:
+        sel = ", ".join(cols[i] for i in idxs)
+        on = " AND ".join(f"d.{cols[i]} = r.{cols[i]}" for i in idxs)
+        return (
+            f"NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT {sel} FROM {dep}) d "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {ref} r WHERE {on}))"
+        )
+
+    def flag(dep, ref, idxs):
+        return f"h_{dep}_{ref}_" + "".join(str(i) for i in idxs)
+
+    flags, emits = [], []
+    for dep, ref in (("f", "o"), ("o", "f")):
+        for arity in (1, 2, 3):
+            for idxs in _comb(range(len(cols)), arity):
+                gates = [contain(dep, ref, idxs)]
+                if arity >= 2:
+                    # GenNext: every drop-one projection must hold
+                    gates += [
+                        f"(SELECT v FROM {flag(dep, ref, sub)})"
+                        for sub in _comb(idxs, arity - 1)
+                    ]
+                flags.append(
+                    f"{flag(dep, ref, idxs)} AS (SELECT "
+                    + " AND ".join(gates)
+                    + " AS v)"
+                )
+                name = (
+                    ",".join(f"{dep}.{cols[i]}" for i in idxs)
+                    + " -> "
+                    + ",".join(f"{ref}.{cols[i]}" for i in idxs)
+                )
+                emits.append(
+                    f"SELECT '{name}' AS ind FROM {flag(dep, ref, idxs)} WHERE v"
+                )
+    return (
+        "WITH o AS (SELECT "
+        + ", ".join(cols)
+        + " FROM orders),\nf AS (SELECT "
+        + ", ".join(cols)
+        + " FROM orders WHERE o_orderpriority = '1-URGENT'),\n"
+        + ",\n".join(flags)
+        + "\nSELECT ind FROM (\n"
+        + "\nUNION ALL\n".join(emits)
+        + "\n) ORDER BY ind"
+    )
+
+
+SQL_DISCOVERY_NARY_INDS_ORDERS = _nary_ind_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -4285,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_mds_orders": q_discovery_mds_orders,
         "discovery_list_ods_orders": q_discovery_list_ods_orders,
         "discovery_cinds_orders": q_discovery_cinds_orders,
+        "discovery_nary_inds_orders": q_discovery_nary_inds_orders,
     }
 
 
@@ -4384,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_mds_orders": SQL_DISCOVERY_MDS_ORDERS,
         "discovery_list_ods_orders": SQL_DISCOVERY_LIST_ODS_ORDERS,
         "discovery_cinds_orders": SQL_DISCOVERY_CINDS_ORDERS,
+        "discovery_nary_inds_orders": SQL_DISCOVERY_NARY_INDS_ORDERS,
     }
 
 

@@ -124,6 +124,7 @@ HEADLINE = [
     "discovery_mds_orders",
     "discovery_list_ods_orders",
     "discovery_cinds_orders",
+    "discovery_nary_inds_orders",
 ]
 
 
