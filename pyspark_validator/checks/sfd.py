@@ -334,3 +334,229 @@ def calculate_sample_size(
     denominator = delta * (d - 1)
     v2 = v**0.071
     return int((numerator / denominator) * (v2 / 1.69))
+
+
+# ---------------------------------------------------------------------------
+# reference-exact sampled CORDS (cords.cpp ExecuteInternal) -- the
+# fixed_sample mode its own test suite pins (test_sfd.cpp CordsAlgorithmTest)
+
+_M64 = (1 << 64) - 1
+
+
+def _shift_mix(v: int) -> int:
+    return v ^ (v >> 47)
+
+
+def std_string_hash(s: str) -> int:
+    """libstdc++ std::hash<std::string> (_Hash_bytes, hash_bytes.cc): the
+    Murmur-derived 64-bit hash with seed 0xc70f6907 -- CORDS buckets
+    non-skewed categories with it (contingency_table.cpp:19-25), so exact
+    parity needs the exact hash. Verified against a compiled g++ probe."""
+    data = s.encode()
+    m = 0xC6A4A7935BD1E995
+    ln = len(data)
+    h = (0xC70F6907 ^ (ln * m)) & _M64
+    la = ln & ~0x7
+    for off in range(0, la, 8):
+        chunk = int.from_bytes(data[off : off + 8], "little")
+        d = (_shift_mix((chunk * m) & _M64) * m) & _M64
+        h = ((h ^ d) * m) & _M64
+    if ln & 0x7:
+        tail = int.from_bytes(data[la:], "little")
+        h = ((h ^ tail) * m) & _M64
+    h = (_shift_mix(h) * m) & _M64
+    return _shift_mix(h)
+
+
+def _reference_string(col: str, kind: str):
+    """The reference's GetDataAsString form per inferred type: ints plain,
+    doubles std::to_string (6 fixed decimals), dates ISO, strings raw."""
+    c = F.col(col)
+    if kind == "int":
+        return F.col(col).cast("bigint").cast("string")
+    if kind == "double":
+        # std::to_string(double) = %f with 6 fixed decimals, no grouping
+        return F.format_string("%.6f", c.cast("double"))
+    return c.cast("string")
+
+
+def cords_profile(
+    df: DataFrame,
+    order_col: str | None = None,
+    columns: list[str] | None = None,
+    is_null_equal_null: bool = True,
+    only_sfd: bool = False,
+    fixed_sample: bool = True,
+    min_cardinality: float = 0.04,
+    max_diff_vals_proportion: float = 0.4,
+    min_sfd_strength_measure: float = 0.3,
+    min_skew_threshold: float = 0.3,
+    min_structural_zeroes_amount: float = 1e-1,
+    max_false_positive_probability: float = 1e-6,
+    delta: float = 0.05,
+    max_amount_of_categories: int = 70,
+) -> dict:
+    """CORDS over the CalculateSampleSize sample, replaying cords.cpp
+    ExecuteInternal verbatim (the engine-native full-data mode stays in
+    SFDCheck/mine_sfds): FrequencyHandler top-k frequency maps over the FULL
+    data (one bounded per-column aggregation each), soft-key/trivial
+    exclusion, per-pair fixed sample = the first min(S, n) rows in
+    ``order_col`` order with cyclic wrap weights (sample.cpp:27 ``i % rows``),
+    DetectSFD on sample cardinalities, skew handling with the top-k filter,
+    and the chi-squared / structural-zeroes contingency verdict with
+    std::hash bucketing for non-skewed columns.
+
+    Spark splits the work by what scales: everything touching all n rows
+    (frequency maps, cardinalities, the canonical string projection) is a
+    distributed aggregation; everything bounded by the CORDS sample bound
+    (the whole point of the paper's sampling) collects once per pair-batch.
+    Defaults mirror the reference's kTestConfigDefault.
+    """
+    import pandas as _pd  # noqa: F401  (kept local: only driver-side frames)
+
+    from pyspark_validator.io import infer_reference_types
+
+    cols = list(columns or df.columns)
+    if order_col is not None and order_col in cols:
+        cols.remove(order_col)
+    str_df = df.select(
+        *( [F.col(order_col)] if order_col is not None else [] ),
+        *[
+            _reference_string(c, k).alias(c)
+            for c, k in infer_reference_types(df.select(cols)).items()
+        ],
+    )
+    n = str_df.count()
+
+    # FrequencyHandler (frequency_handler.cpp:15-51): per column cardinality,
+    # the top-k (freq desc, value desc) ordinal map, and its frequency sum
+    cardinality: dict[str, int] = {}
+    freq_map: dict[str, dict[str, int]] = {}
+    freq_sum: dict[str, int] = {}
+    for c in cols:
+        grouped = str_df.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cardinality[c] = grouped.count()
+        top = grouped.orderBy(F.desc("cnt"), F.desc("v")).limit(
+            max_amount_of_categories
+        ).collect()
+        freq_map[c] = {r["v"]: i for i, r in enumerate(top)}
+        freq_sum[c] = sum(r["cnt"] for r in top)
+
+    soft_keys, trivial = [], []
+    eligible = []
+    for c in cols:
+        if cardinality[c] >= (1 - min_cardinality) * n:
+            soft_keys.append(c)
+        elif cardinality[c] == 1:
+            trivial.append(c)
+        else:
+            eligible.append(c)
+
+    # the fixed sample is a prefix in ``order_col`` order; collect the prefix
+    # long enough for the largest pair once (bounded by the sample bound)
+    max_s = 0
+    pair_meta = []
+    for i1 in range(len(cols) - 1):
+        for i2 in range(i1 + 1, len(cols)):
+            c1, c2 = cols[i1], cols[i2]
+            if c1 not in eligible or c2 not in eligible:
+                continue
+            ci, ck = (
+                (c2, c1) if cardinality[c2] > cardinality[c1] else (c1, c2)
+            )
+            s = calculate_sample_size(
+                cardinality[ci],
+                cardinality[ck],
+                max_false_positive_probability,
+                delta,
+            )
+            pair_meta.append((ci, ck, s))
+            max_s = max(max_s, min(s, n))
+    if pair_meta:
+        prefix_df = str_df
+        if order_col is not None:
+            prefix_df = prefix_df.orderBy(order_col)
+        prefix = prefix_df.limit(max_s).collect()
+    else:
+        prefix = []
+
+    is_skewed = {c: False for c in cols}
+    sfds, correlations = [], []
+    for ci, ck, s in pair_meta:
+        take = min(s, n)
+        rows = [(r[ci], r[ck]) for r in prefix[:take]]
+        if s > n:
+            base, extra = s // n, s % n
+            weights = [base + (1 if r < extra else 0) for r in range(take)]
+        else:
+            weights = [1] * take
+        # DetectSFD (cords.cpp:94-98) on SAMPLE cardinalities, S incl. wraps
+        lhs_card = len({a for a, _ in rows})
+        concat_card = len(set(rows))
+        if concat_card <= max_diff_vals_proportion * s and lhs_card >= (
+            1 - min_sfd_strength_measure
+        ) * concat_card:
+            sfds.append((ci, ck))
+            continue
+        if only_sfd:
+            continue
+        # SkewHandling (cords.cpp:100-114): per column skew flag + domain,
+        # skewed columns filter the sample to their top-k values
+        domains = {}
+        for c in (ci, ck):
+            if freq_sum[c] >= (1 - min_skew_threshold) * n:
+                is_skewed[c] = True
+                domains[c] = len(freq_map[c])
+            else:
+                domains[c] = min(cardinality[c], max_amount_of_categories)
+        kept = [
+            (a, b, w)
+            for (a, b), w in zip(rows, weights)
+            if (not is_skewed[ci] or a in freq_map[ci])
+            and (not is_skewed[ck] or b in freq_map[ck])
+        ]
+        di, dk = domains[ci], domains[ck]
+
+        def bucket(c, v, dom):
+            if is_skewed[c]:
+                return freq_map[c][v]
+            return std_string_hash(v) % dom
+
+        n_ij: dict[tuple[int, int], float] = {}
+        n_i = [0.0] * di
+        n_j = [0.0] * dk
+        total = 0.0
+        for a, b, w in kept:
+            bi, bj = bucket(ci, a, di), bucket(ck, b, dk)
+            n_ij[(bi, bj)] = n_ij.get((bi, bj), 0.0) + w
+            n_i[bi] += w
+            n_j[bj] += w
+            total += w
+        # TooMuchStructuralZeroes (contingency_table.cpp:72-80)
+        zeros = di * dk - sum(1 for v in n_ij.values() if v != 0)
+        if zeros > min_structural_zeroes_amount * di * dk:
+            correlations.append((ci, ck))
+            continue
+        # ChiSquaredTest (contingency_table.cpp:45-70): chi2 is 0 whenever
+        # some marginal in the full grid is empty
+        chi2 = 0.0
+        if all(n_i[i] for i in range(di)) and all(n_j[j] for j in range(dk)):
+            for i in range(di):
+                for j in range(dk):
+                    expected = n_i[i] * n_j[j] / total
+                    actual = n_ij.get((i, j), 0.0)
+                    chi2 += (actual - expected) ** 2 / expected
+        threshold = chi2_ppf(
+            1 - max_false_positive_probability, (di - 1) * (dk - 1)
+        )
+        if chi2 > threshold:
+            correlations.append((ci, ck))
+
+    return {
+        "soft_keys": soft_keys,
+        "trivial_columns": trivial,
+        "sfds": sfds,
+        "correlations": correlations,
+    }
