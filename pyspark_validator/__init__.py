@@ -60,7 +60,7 @@ from pyspark_validator.discovery import (
 from pyspark_validator.io import read_reference_csv
 from pyspark_validator.od_discovery import FastodResult, mine_set_ods
 from pyspark_validator.order_discovery import OrderResult, mine_list_ods
-from pyspark_validator.pfd_discovery import mine_pfds
+from pyspark_validator.pfd_discovery import mine_afds_tane, mine_pfds
 from pyspark_validator.dd_discovery import DDResult, mine_dds
 from pyspark_validator.nar_discovery import NarRule, mine_nars
 from pyspark_validator.dc_discovery import DCResult, mine_dcs
@@ -98,6 +98,7 @@ __all__ = [
     "mfd_check",
     "CFDRule",
     "mine_afds",
+    "mine_afds_tane",
     "mine_ainds",
     "mine_cfds",
     "mine_cinds",

@@ -1709,24 +1709,29 @@ class IND:
 class Tane(_Verifier):
     """TANE analog (bind_fd.cpp:75-82; tane.cpp): minimal FDs with
     |LHS| <= max_lhs (arbitrary depth, one batched grouping-sets job per
-    lattice level). error == 0 mines exact FDs; error > 0 mines
-    AFDs under the g1 (or 1-pdep) budget, the reference's TANE error
-    measures (enums.h / afd_measures.cpp). Empty-LHS FDs (constant columns)
+    lattice level). error == 0 mines exact FDs; error > 0 replays the
+    reference's own approximate walk under afd_error_measure in
+    {'g1', 'pdep', 'tau', 'mu_plus', 'rho'} (tane.cpp:13-50, hash-golden
+    vs test_tane_afd_measures.cpp). Empty-LHS FDs (constant columns)
     are reported with lhs_indices == []."""
 
     def execute(self, error: float = 0.0, error_measure: str = "g1",
                 max_lhs: int = 2) -> None:
-        from pyspark_validator.discovery import mine_afds, mine_fds
+        from pyspark_validator.discovery import mine_fds
+        from pyspark_validator.pfd_discovery import mine_afds_tane
 
         assert self._df is not None, "call load_data first"
         cols = self._df.columns
         if error <= 0.0:
-            mined = [(lhs, rhs, 0.0) for lhs, rhs in mine_fds(self._df, cols, max_lhs=max_lhs)]
+            mined = mine_fds(self._df, cols, max_lhs=max_lhs)
         else:
-            mined = mine_afds(self._df, cols, max_error=error,
-                              measure=error_measure, max_lhs=max_lhs)
+            # the reference's own walk, incl. afd_error_measure
+            # (tane.cpp:13-50; hash goldens test_tane_afd_measures.cpp)
+            mined = mine_afds_tane(self._df, cols, max_error=error,
+                                   error_measure=error_measure,
+                                   max_lhs=max_lhs)
         ix = {c: i for i, c in enumerate(cols)}
-        self._fds = [FD([ix[c] for c in lhs], ix[rhs], cols) for lhs, rhs, _ in mined]
+        self._fds = [FD([ix[c] for c in lhs], ix[rhs], cols) for lhs, rhs in mined]
 
     def get_fds(self) -> list:
         return self._fds

@@ -133,6 +133,90 @@ def _fd_errors(
     return out
 
 
+#: TANE AFD-measure modes (fd/tane/enums.h AfdErrorMeasure + the classic g1
+#: default): error = 1 - measure for pdep/tau/mu_plus/rho (tane.cpp:26-50).
+_AFD_MEASURES = ("g1", "pdep", "tau", "mu_plus", "rho")
+
+
+def _afd_errors(
+    lvl: DataFrame, cands: list, sid_of: dict, measure: str, n_rows: int,
+    pdep_self: dict,
+) -> dict:
+    """Batched TANE AFD-measure errors for every (vertex, rhs) candidate of
+    a level (Tane::CalculateFdError, tane.cpp:26-50): error = 1 - measure
+    with the measures of afd_metric_calculator.cpp:89-180 (pdep/tau/mu+)
+    and afd_measures.cpp:105-125 (rho), all over PLIs WITH singletons, so
+    every value combination counts as a group; 'g1' is the classic TANE
+    error (afd_measures.cpp:11-16).  One job per level: regroup the
+    vertex's XA combos by the X-projection, fold per-candidate aggregates.
+
+    The exact-FD fast paths stay bitwise exact in binary64 (cx^2/cx sums to
+    n, (1-ps)/(1-ps) divides to 1.0), so the walk's error==0 candidate
+    restriction fires exactly as the reference's."""
+    if not cands:
+        return {}
+    entries = []
+    for cid, (ctx, a) in enumerate(cands):
+        x_cols = [F.col(f"e{i}") for i in sorted(ctx - {a})]
+        entries.append(
+            F.when(
+                F.col("__sid") == sid_of[ctx],
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*x_cols).alias("xkey"),
+                    F.col("__cnt").alias("cnt"),
+                ),
+            )
+        )
+    ex = _explode_candidates(lvl, entries)
+    per = ex.groupBy("cid", "xkey").agg(
+        F.sum("cnt").alias("cx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+        F.sum(F.col("cnt") * (F.col("cnt") - F.lit(1))).alias("pxa"),
+        F.count(F.lit(1)).alias("ncombo"),
+    )
+    rows = (
+        per.groupBy("cid")
+        .agg(
+            F.sum(F.col("ssq") / F.col("cx")).alias("pdep_num"),
+            F.count(F.lit(1)).alias("kx"),
+            F.sum("ncombo").alias("dom_xa"),
+            F.sum(F.col("cx") * (F.col("cx") - F.lit(1))).alias("px"),
+            F.sum("pxa").alias("pxa"),
+        )
+        .collect()
+    )
+    n = n_rows
+    out = {}
+    for r in rows:
+        _, a = cands[r["cid"]]
+        kx, dom_xa = int(r["kx"]), int(r["dom_xa"])
+        if measure == "g1":
+            err = (int(r["px"]) - int(r["pxa"])) / (n * (n - 1))
+        elif measure == "rho":
+            # CalculateRhoMeasure: dom(X)/dom(XA), doms include singletons.
+            err = 1.0 - kx / dom_xa
+        else:
+            pdep = float(r["pdep_num"]) / n
+            if measure == "pdep":
+                err = 1.0 - pdep
+            else:
+                ps = pdep_self[a]
+                if measure == "tau":
+                    m = 1.0 if ps == 1.0 else (pdep - ps) / (1.0 - ps)
+                else:  # mu_plus: CalculateMuPlus guards, in order
+                    if ps == 1.0 or kx == n:
+                        m = 1.0
+                    else:
+                        mu = 1.0 - (1.0 - pdep) / (1.0 - ps) * (n - 1) / (
+                            n - kx
+                        )
+                        m = max(mu, 0.0)
+                err = 1.0 - m
+        out[cands[r["cid"]]] = err
+    return out
+
+
 def _generate_next_level(level: dict, p: int) -> dict:
     """LatticeLevel::GenerateNextLevel (lattice_level.cpp:25-114): children
     of prefix-sharing vertex pairs, RHS candidates intersected across ALL
@@ -199,9 +283,16 @@ def mine_pfds(
     zero-ary FDs carry an empty lhs tuple. ``error_measure`` is
     'per_tuple' or 'per_value' (PfdErrorMeasure, enums.h:8); ``max_error``
     doubles as the UCC budget for key pruning, exactly as the reference
-    shares its single error option (tane_common.cpp:130)."""
-    if error_measure not in ("per_tuple", "per_value"):
+    shares its single error option (tane_common.cpp:130).
+
+    ``error_measure`` also accepts the TANE AFD measures 'g1', 'pdep',
+    'tau', 'mu_plus', 'rho' (fd/tane/enums.h via tane.cpp:26-50) -- the
+    same lattice walk with error = 1 - measure deciding X -> A and a
+    zero-ary error of 1 for the non-g1 measures (tane.cpp:20-24); use the
+    :func:`mine_afds_tane` alias for that reading."""
+    if error_measure not in ("per_tuple", "per_value") + _AFD_MEASURES:
         raise ValueError(f"unknown error_measure {error_measure!r}")
+    pfd_mode = error_measure in ("per_tuple", "per_value")
     columns = list(columns or df.columns)
     p = len(columns)
     if p >= 64:
@@ -227,13 +318,24 @@ def mine_pfds(
         stats = _level_stats(lvl, contexts, sid_of)
     finally:
         lvl.unpersist()
+    #: pdep_self per column from the level-1 group stats: sum(cnt^2) =
+    #: sum(cnt*(cnt-1)) + n (afd_metric_calculator.cpp:89-101).
+    pdep_self = {
+        a: (stats[frozenset({a})][0] + n) / (n * n) for a in range(p)
+    }
     level: dict[frozenset, _Vertex] = {}
     zeroary_rhs: set = set()
     for a in range(p):
         v = _Vertex(frozenset({a}))
         v.rhs = set(range(p))
         v.key_candidate = True
-        e0 = 1.0 - stats[v.cols][1] / n
+        if pfd_mode:
+            e0 = 1.0 - stats[v.cols][1] / n
+        elif error_measure == "g1":
+            # CalculateZeroAryG1 (afd_measures.cpp:6-9)
+            e0 = 1.0 - stats[v.cols][0] / pair_denom
+        else:
+            e0 = 1.0  # Tane::CalculateZeroAryFdError, tane.cpp:20-24
         if e0 <= error:
             zeroary_rhs.add(a)
             fds.append((frozenset(), a))
@@ -277,7 +379,13 @@ def mine_pfds(
                     (a,) = v.cols - lhs
                     if a in snapshots[v.cols]:
                         cands.append((v.cols, a))
-            errors = _fd_errors(lvl, cands, sid_of, error_measure, n)
+            errors = (
+                _fd_errors(lvl, cands, sid_of, error_measure, n)
+                if pfd_mode
+                else _afd_errors(
+                    lvl, cands, sid_of, error_measure, n, pdep_self
+                )
+            )
             need_ucc = arity < max_arity and any(
                 v.key_candidate for v in level.values()
             )
@@ -333,3 +441,24 @@ def mine_pfds(
         (tuple(columns[i] for i in sorted(lhs)), columns[r])
         for lhs, r in ordered
     ]
+
+
+def mine_afds_tane(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_error: float = 0.05,
+    error_measure: str = "pdep",
+    max_lhs: int | None = None,
+    max_sets_per_job: int = 64,
+) -> list[tuple[tuple[str, ...], str]]:
+    """TANE approximate-FD mining under an AFD error measure (the
+    reference's ``Tane`` algorithm with afd_error_measure, tane.cpp:13-50;
+    goldens test_tane_afd_measures.cpp AfdMeasuresTaneMiningSuite): the
+    TaneCommon lattice walk registering X -> A whenever
+    1 - measure(X -> A) <= max_error, measure in {'g1', 'pdep', 'tau',
+    'mu_plus', 'rho'}.  Same contract as :func:`mine_pfds`."""
+    if error_measure not in _AFD_MEASURES:
+        raise ValueError(f"unknown error_measure {error_measure!r}")
+    return mine_pfds(
+        df, columns, max_error, error_measure, max_lhs, max_sets_per_job
+    )

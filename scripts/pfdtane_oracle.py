@@ -89,6 +89,60 @@ def zero_ary_pfd_error(rows, rhs: int) -> float:
     return 1.0 - mx / n
 
 
+def pdep_self(rows, rhs: int) -> float:
+    """AFDMetricCalculator::CalculatePdepSelf (PLIs with singletons)."""
+    n = len(rows)
+    c = Counter(r[rhs] for r in rows)
+    return sum(v * v for v in c.values()) / (n * n)
+
+
+def afd_error(rows, lhs, rhs: int, measure: str) -> float:
+    """Tane::CalculateFdError: 1 - measure for pdep/tau/mu_plus/rho
+    (afd_metric_calculator.cpp:89-180, afd_measures.cpp:105-125), classic
+    g1 otherwise -- all groups count, singletons included."""
+    n = len(rows)
+    groups = list(_groups(rows, lhs))
+    kx = len(groups)
+    rhs_counters = [Counter(r[rhs] for r in g) for g in groups]
+    if measure == "g1":
+        nep_x = sum(len(g) * (len(g) - 1) for g in groups)
+        nep_xa = sum(
+            v * (v - 1) for c in rhs_counters for v in c.values()
+        )
+        return (nep_x - nep_xa) / (n * (n - 1))
+    if measure == "rho":
+        dom_xa = sum(len(c) for c in rhs_counters)
+        return 1.0 - kx / dom_xa
+    pdep = (
+        sum(
+            sum(v * v for v in c.values()) / len(g)
+            for g, c in zip(groups, rhs_counters)
+        )
+        / n
+    )
+    if measure == "pdep":
+        return 1.0 - pdep
+    ps = pdep_self(rows, rhs)
+    if measure == "tau":
+        return 0.0 if ps == 1.0 else 1.0 - (pdep - ps) / (1.0 - ps)
+    if ps == 1.0 or kx == n:  # mu_plus guards, CalculateMuPlus order
+        return 0.0
+    mu = 1.0 - (1.0 - pdep) / (1.0 - ps) * (n - 1) / (n - kx)
+    return 1.0 - max(mu, 0.0)
+
+
+def zero_ary_afd_error(rows, rhs: int, measure: str) -> float:
+    """Tane::CalculateZeroAryFdError (tane.cpp:20-24): g1's zero-ary error,
+    constant 1 for the AFD measures."""
+    if measure != "g1":
+        return 1.0
+    n = len(rows)
+    nep = sum(
+        v * (v - 1) for v in Counter(r[rhs] for r in rows).values()
+    )
+    return 1.0 - nep / (n * (n - 1))
+
+
 def ucc_error(rows, cols) -> float:
     n = len(rows)
     pairs = sum(
@@ -299,6 +353,26 @@ def brute_force_pfdtane(
         error,
         lambda lhs, a: pfd_error(rows, lhs, a, measure),
         lambda a: zero_ary_pfd_error(rows, a),
+        lambda cols: ucc_error(rows, cols),
+        max_lhs=max_lhs,
+    )
+
+
+def brute_force_tane_afd(
+    rows: list[list[str]],
+    error: float,
+    measure: str = "pdep",
+    max_lhs: int | None = None,
+) -> list[tuple[frozenset, int]]:
+    """Tane::ExecuteInternal replica with an AFD error measure
+    (test_tane_afd_measures.cpp AfdMeasuresTaneMiningSuite)."""
+    p = len(rows[0])
+    return tane_walk(
+        p,
+        len(rows),
+        error,
+        lambda lhs, a: afd_error(rows, lhs, a, measure),
+        lambda a: zero_ary_afd_error(rows, a, measure),
         lambda cols: ucc_error(rows, cols),
         max_lhs=max_lhs,
     )
