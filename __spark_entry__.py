@@ -3844,6 +3844,98 @@ def _pfd_discovery_oracle_sql() -> str:
 SQL_DISCOVERY_PFDS_ORDERS = _pfd_discovery_oracle_sql()
 
 
+# --- TANE AFD-measure mining (pfd_discovery.mine_afds_tane) ----------------
+
+_AFD_TANE_ERROR = 0.62
+
+
+def q_discovery_afds_tane_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TANE approximate-FD mining under the pdep measure
+    (pfd_discovery.mine_afds_tane, reference fd/tane/tane.cpp:13-50 with
+    afd_error_measure=kPdep; hash goldens test_tane_afd_measures.cpp) over
+    the same four orders columns at |LHS| <= 2, error 0.62 -- discriminating
+    at sf0.01: two unary AFDs (o_orderdate/o_custkey -> o_orderstatus, errs
+    0.561/0.599), six minimal pairs, and real minimality prunes (all three
+    binary o_orderstatus candidates contain a registered unary subset).
+    pdep refines monotonically under LHS growth, so the walk's candidate
+    propagation equals subset minimality and the oracle spells the lattice
+    closed-form; walk == minimality cross-checked against the exact python
+    replica (scripts/pfdtane_oracle.brute_force_tane_afd) on this very
+    config at sf0.001 and sf0.01.  Zero-ary candidates are absent by
+    construction: the non-g1 zero-ary error is a constant 1 (tane.cpp:20-24).
+    """
+    from pyspark_validator.pfd_discovery import mine_afds_tane
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    afds = mine_afds_tane(
+        o,
+        _PFD_DISCOVERY_COLS,
+        max_error=_AFD_TANE_ERROR,
+        error_measure="pdep",
+        max_lhs=2,
+    )
+    rows = [(",".join(lhs), rhs) for lhs, rhs in afds]
+    return (
+        spark.createDataFrame(rows or [("__none__", "")], ["lhs", "rhs"])
+        .filter(F.col("rhs") != "")
+        .orderBy("lhs", "rhs")
+    )
+
+
+def _afd_tane_oracle_sql() -> str:
+    """Generate the DuckDB oracle for q_discovery_afds_tane_orders: one CTE
+    per candidate computing the pdep error 1 - sum_X((sum_XA cnt^2)/cx)/n
+    (afd_metric_calculator.cpp:103-142 over PLIs with singletons -- every
+    value combination is a group, so no stripped-partition special case),
+    then threshold + subset minimality over the non-empty proper subsets
+    (the zero-ary error is constant 1, so it can never qualify)."""
+    from itertools import combinations as _comb
+
+    cols = _PFD_DISCOVERY_COLS
+    e = repr(_AFD_TANE_ERROR)
+    nn = "(SELECT count(*) FROM orders)"
+
+    def gname(lhs, rhs):
+        ix = "_".join(str(cols.index(c)) for c in lhs)
+        return f"ape_{ix}__{cols.index(rhs)}"
+
+    cands, ctes, rows = [], [], []
+    for rhs in cols:
+        others = [c for c in cols if c != rhs]
+        cands += [((a,), rhs) for a in others]
+        cands += [((a, b), rhs) for a, b in _comb(others, 2)]
+    for lhs, rhs in cands:
+        keys = ", ".join(lhs + (rhs,))
+        xy = f"SELECT {keys}, count(*) AS cxy FROM orders GROUP BY {keys}"
+        grp = (
+            f"SELECT sum(CAST(cxy AS DOUBLE) * cxy) / sum(cxy) AS g "
+            f"FROM ({xy}) GROUP BY {', '.join(lhs)}"
+        )
+        err = f"1.0 - sum(g) / {nn}"
+        ctes.append(f"{gname(lhs, rhs)} AS (SELECT {err} AS err FROM ({grp}))")
+
+    def q(lhs, rhs):
+        return f"(SELECT err FROM {gname(lhs, rhs)}) <= {e}"
+
+    for lhs, rhs in cands:
+        minimal = [
+            f"NOT ({q(sub, rhs)})"
+            for k in range(1, len(lhs))
+            for sub in _comb(lhs, k)
+        ]
+        cond = " AND ".join([q(lhs, rhs)] + minimal)
+        rows.append(
+            f"SELECT '{','.join(lhs)}' AS lhs, '{rhs}' AS rhs WHERE {cond}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
+        + "\nORDER BY lhs, rhs"
+    )
+
+
+SQL_DISCOVERY_AFDS_TANE_ORDERS = _afd_tane_oracle_sql()
+
+
 # --- Split DD discovery (dd_discovery.py) ----------------------------------
 
 
@@ -4374,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_cfds_orders": q_discovery_cfds_orders,
         "discovery_ods_lineitem": q_discovery_ods_lineitem,
         "discovery_pfds_orders": q_discovery_pfds_orders,
+        "discovery_afds_tane_orders": q_discovery_afds_tane_orders,
         "discovery_dds_lineitem": q_discovery_dds_lineitem,
         "discovery_mds_orders": q_discovery_mds_orders,
         "discovery_list_ods_orders": q_discovery_list_ods_orders,
@@ -4474,6 +4567,7 @@ def oracle_sql() -> dict[str, str]:
         "discovery_cfds_orders": SQL_DISCOVERY_CFDS_ORDERS,
         "discovery_ods_lineitem": SQL_DISCOVERY_ODS_LINEITEM,
         "discovery_pfds_orders": SQL_DISCOVERY_PFDS_ORDERS,
+        "discovery_afds_tane_orders": SQL_DISCOVERY_AFDS_TANE_ORDERS,
         "discovery_dds_lineitem": SQL_DISCOVERY_DDS_LINEITEM,
         "discovery_mds_orders": SQL_DISCOVERY_MDS_ORDERS,
         "discovery_list_ods_orders": SQL_DISCOVERY_LIST_ODS_ORDERS,

@@ -125,6 +125,8 @@ HEADLINE = [
     "discovery_list_ods_orders",
     "discovery_cinds_orders",
     "discovery_nary_inds_orders",
+    # round 2 session 13: TANE AFD-measure mining (pdep walk)
+    "discovery_afds_tane_orders",
 ]
 
 
