@@ -96,6 +96,8 @@ tane.execute(error=0.0)
 print("TANE minimal FDs:", [str(f) for f in tane.get_fds()])
 tane.execute(error=0.3)
 print("TANE AFDs (g1 <= 0.3):", [str(f) for f in tane.get_fds()])
+tane.execute(error=0.3, error_measure="pdep")
+print("TANE AFDs (1-pdep <= 0.3):", [str(f) for f in tane.get_fds()])
 
 hyucc = compat.HyUCC(spark)
 hyucc.load_data(TABLE)

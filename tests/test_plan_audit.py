@@ -343,3 +343,39 @@ def test_cind_included_flag_is_broadcast(spark, tables):
     assert _count(plan, "BroadcastHashJoin") == 1
     assert _count(plan, "SortMergeJoin") == 0
     assert "c_comment" not in plan and "c_acctbal" not in plan
+
+
+def test_mine_afds_tane_job_count_row_independent(spark):
+    """pfd_discovery's TANE walk (PFD and AFD-measure modes share it) rides
+    a CONSTANT number of Spark jobs per lattice level -- the per-candidate
+    error kernel is one batched exploded-struct job, never a job per
+    candidate or per row.  Pin that by running the same 3-column mining
+    problem at 60 and 600 rows under distinct job groups: the job counts
+    must be identical (row count may only change task counts, not jobs)."""
+    import pandas as pd
+
+    from pyspark_validator.pfd_discovery import mine_afds_tane
+
+    sc = spark.sparkContext
+
+    def jobs(n):
+        pdf = pd.DataFrame(
+            {
+                "a": [str(i % 3) for i in range(n)],
+                "b": [str(i % 4) for i in range(n)],
+                "c": [str((i // 2) % 5) for i in range(n)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        grp = f"afd_audit_{n}"
+        sc.setJobGroup(grp, "audit")
+        try:
+            mine_afds_tane(
+                df, ["a", "b", "c"], max_error=0.3,
+                error_measure="pdep", max_lhs=2,
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(grp))
+
+    assert jobs(60) == jobs(600)
