@@ -88,18 +88,23 @@ def test_tau_validation_values_anchor_the_replica():
 
 
 @pytest.mark.parametrize(
-    "seed,error,measure",
+    "seed,error,measure,n,p,card",
     [
-        (11, 0.2, "pdep"),
-        (12, 0.35, "tau"),
-        (13, 0.3, "mu_plus"),
-        (14, 0.25, "rho"),
-        (15, 0.1, "g1"),
+        (11, 0.2, "pdep", 60, 4, 3),
+        (12, 0.35, "tau", 60, 4, 3),
+        (13, 0.3, "mu_plus", 60, 4, 3),
+        (14, 0.25, "rho", 60, 4, 3),
+        (15, 0.1, "g1", 60, 4, 3),
+        # full-depth walks (max_lhs=None, arities up to 4 register: the
+        # candidate-propagation and key-prune paths fire deep in the lattice)
+        (23, 0.45, "pdep", 40, 5, 2),
+        (22, 0.6, "tau", 40, 5, 2),
     ],
 )
-def test_property_law_spark_equals_replica(spark, seed, error, measure):
+def test_property_law_spark_equals_replica(
+    spark, seed, error, measure, n, p, card
+):
     rng = random.Random(seed)
-    n, p, card = 60, 4, 3
     rows = [[str(rng.randrange(card)) for _ in range(p)] for _ in range(n)]
     cols = [f"v{i}" for i in range(p)]
     df = spark.createDataFrame([tuple(r) for r in rows], cols)
