@@ -1716,11 +1716,14 @@ class Tane(_Verifier):
     are reported with lhs_indices == []."""
 
     def execute(self, error: float = 0.0, error_measure: str = "g1",
-                max_lhs: int = 2) -> None:
+                max_lhs: int = 2,
+                afd_error_measure: str | None = None) -> None:
         from pyspark_validator.discovery import mine_fds
         from pyspark_validator.pfd_discovery import mine_afds_tane
 
         assert self._df is not None, "call load_data first"
+        if afd_error_measure is not None:  # the pybind option name
+            error_measure = afd_error_measure
         cols = self._df.columns
         if error <= 0.0:
             mined = mine_fds(self._df, cols, max_lhs=max_lhs)
