@@ -1942,7 +1942,26 @@ class HPIValid(HyUCC):
 
 class PyroUCC(HyUCC):
     """PyroUCC analog (bind_ucc.cpp:67-70): Pyro's search specialised to
-    UCCs; identical minimal-UCC output."""
+    UCCs; identical minimal-UCC output at error 0, minimal AUCCs under the
+    pair-violation error sum c*(c-1)/(n*(n-1)) otherwise (the reference's
+    mining_aucc.py surface; snapshot goldens
+    tests/test_aucc_mining_golden.py)."""
+
+    def execute(self, max_arity: int = 2, error: float = 0.0) -> None:
+        from pyspark_validator.discovery import mine_uccs
+
+        assert self._df is not None, "call load_data first"
+        cols = self._df.columns
+        ix = {c: i for i, c in enumerate(cols)}
+        found = [
+            sorted(ix[c] for c in u)
+            for u in mine_uccs(
+                self._df, cols, max_arity=max_arity, max_error=error
+            )
+        ]
+        self._uccs = [
+            UCC(u, cols) for u in sorted(found, key=lambda u: (len(u), u))
+        ]
 
 
 class Spider(_Verifier):

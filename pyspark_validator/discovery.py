@@ -108,6 +108,7 @@ def mine_uccs(
     columns: list[str] | None = None,
     max_arity: int = 2,
     approx: bool = False,
+    max_error: float = 0.0,
 ) -> list[tuple[str, ...]]:
     """Minimal UCCs of arity <= max_arity (HPIValid/HyUCC result semantics:
     distinct count == row count, supersets of a UCC pruned). Exact mode is a
@@ -117,8 +118,18 @@ def mine_uccs(
     grouping-sets job over only the apriori-surviving candidate sets. Width
     grows as C(p, k) -- bounded per job by ``_lattice_counts``'s
     max_sets_per_job batching. Approx mode keeps the HLL sketch aggs
-    (arity <= 2)."""
+    (arity <= 2).
+
+    ``max_error`` > 0 mines approximate UCCs (PyroUCC semantics,
+    examples/basic/mining_aucc.py): register the minimal sets whose AUCC
+    error sum c*(c-1) / (n*(n-1)) is <= max_error -- the same pair counts
+    the exact walk's shared grouping-sets job already returns, and the
+    error is anti-monotone under column addition, so the walk's apriori
+    pruning carries over unchanged (incompatible with ``approx``, whose
+    HLL sketches estimate distincts, not violation pairs)."""
     columns = list(columns or df.columns)
+    if approx and max_error > 0.0:
+        raise ValueError("AUCC mining needs exact pair counts; approx=False")
     if approx:
         n = df.count()
         unary_counts = _distinct_counts(df, columns, [], approx)
@@ -139,9 +150,14 @@ def mine_uccs(
         sets += list(combinations(columns, 2))
     lat = _lattice_counts(df, sets)
     n = next(iter(lat.values()))[2]
-    found: list[tuple[str, ...]] = [
-        (c,) for c in columns if lat[frozenset((c,))][0] == n
-    ]
+    denom = n * (n - 1) if n > 1 else 1
+
+    def holds(s) -> bool:
+        if max_error <= 0.0:
+            return lat[frozenset(s)][0] == n
+        return lat[frozenset(s)][1] / denom <= max_error
+
+    found: list[tuple[str, ...]] = [(c,) for c in columns if holds((c,))]
     minimal = [frozenset(u) for u in found]
     for k in range(2, max_arity + 1):
         cands = [
@@ -154,7 +170,7 @@ def mine_uccs(
         need = [s for s in cands if frozenset(s) not in lat]
         if need:
             lat.update(_lattice_counts(df, need))
-        level = [s for s in cands if lat[frozenset(s)][0] == n]
+        level = [s for s in cands if holds(s)]
         found += level
         minimal += [frozenset(s) for s in level]
     return sorted(found)
