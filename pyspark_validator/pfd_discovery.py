@@ -201,18 +201,22 @@ def _afd_errors(
             if measure == "pdep":
                 err = 1.0 - pdep
             else:
+                # 1 - tau and 1 - mu+ in their algebraically-reduced forms
+                # (1-pdep)/(1-ps)[*(n-1)/(n-kx)]: fewer double roundings, so
+                # knife-edge thresholds land where the reference's
+                # long-double accumulation does (e.g. the exact-3/10 tau of
+                # inventory_afd.csv ProductName -> Price).
                 ps = pdep_self[a]
                 if measure == "tau":
-                    m = 1.0 if ps == 1.0 else (pdep - ps) / (1.0 - ps)
+                    err = 0.0 if ps == 1.0 else (1.0 - pdep) / (1.0 - ps)
                 else:  # mu_plus: CalculateMuPlus guards, in order
                     if ps == 1.0 or kx == n:
-                        m = 1.0
+                        err = 0.0
                     else:
-                        mu = 1.0 - (1.0 - pdep) / (1.0 - ps) * (n - 1) / (
-                            n - kx
+                        err = min(
+                            (1.0 - pdep) / (1.0 - ps) * (n - 1) / (n - kx),
+                            1.0,
                         )
-                        m = max(mu, 0.0)
-                err = 1.0 - m
         out[cands[r["cid"]]] = err
     return out
 

@@ -122,13 +122,14 @@ def afd_error(rows, lhs, rhs: int, measure: str) -> float:
     )
     if measure == "pdep":
         return 1.0 - pdep
+    # errors in reduced form (1-pdep)/(1-ps)[*(n-1)/(n-kx)] -- fewer double
+    # roundings, matching the reference's long-double path on knife edges
     ps = pdep_self(rows, rhs)
     if measure == "tau":
-        return 0.0 if ps == 1.0 else 1.0 - (pdep - ps) / (1.0 - ps)
+        return 0.0 if ps == 1.0 else (1.0 - pdep) / (1.0 - ps)
     if ps == 1.0 or kx == n:  # mu_plus guards, CalculateMuPlus order
         return 0.0
-    mu = 1.0 - (1.0 - pdep) / (1.0 - ps) * (n - 1) / (n - kx)
-    return 1.0 - max(mu, 0.0)
+    return min((1.0 - pdep) / (1.0 - ps) * (n - 1) / (n - kx), 1.0)
 
 
 def zero_ary_afd_error(rows, rhs: int, measure: str) -> float:
