@@ -384,3 +384,88 @@ def ac_check(
     return ACCheck(
         df, lhs, rhs, binop, weight, bumps_limit, num_partitions, sample_fraction, seed
     )
+
+
+def _bhunt_sample_size(
+    k_bumps: int, fuzziness: float, p_fuzz: float, n_rows: int
+) -> int:
+    """ACAlgorithm::CalculateSampleSize (ac_algorithm.cpp:96-127): the
+    BHUNT formula (7) sizing via Abramowitz & Stegun 26.2.23 / 26.4.17,
+    truncated to size_t and capped at the table size."""
+    import math
+
+    if fuzziness == 0:
+        return n_rows
+    c0, c1, c2 = 2.515517, 0.802853, 0.010328
+    d1, d2, d3 = 1.432788, 0.189269, 0.001308
+    t = math.sqrt(math.log(1.0 / (1.0 - p_fuzz) ** 2.0))
+    xp = t - (c0 + c1 * t + c2 * t * t) / (1 + d1 * t + d2 * t * t + d3 * t**3)
+    fd = 2.0 * (k_bumps + 1)
+    tmp1 = 2.0 / (9.0 * fd)
+    xp2 = fd * (1.0 - tmp1 + xp * math.sqrt(tmp1)) ** 3.0
+    size = int((xp2 * (2.0 - fuzziness)) / (4.0 * fuzziness) + k_bumps / 2.0)
+    return min(size, n_rows)
+
+
+def ac_reference_ranges(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+    binop: str = "+",
+    weight: float = 0.1,
+    bumps_limit: int = 0,
+    fuzziness: float = 0.2,
+    p_fuzz: float = 0.85,
+    iterations_limit: int = 10,
+    ac_seed: int = 0,
+    order_col: str = "id",
+    num_partitions: int = 64,
+) -> list[tuple[float, float]]:
+    """Reference-exact seeded BHUNT sampling (ACAlgorithm::Sampling,
+    ac_algorithm.cpp:129-196): each iteration reseeds std::mt19937(ac_seed)
+    and Bernoulli-samples every row at p = sample_size/n (two 32-bit draws
+    per row, libstdc++ generate_canonical<double,53>), grows k_bumps from
+    the discovered range count, and stops when the sample stops growing;
+    RestrictRangesAmount applies bumps_limit once at the end.  Snapshot
+    goldens tests/test_ac_example_snapshot_golden.py.
+
+    ``order_col`` must hold the 0-based file row order the reference's
+    draw sequence walks.  The default ACCheck sampling (value-hash,
+    engine-reproducible across partitionings) remains the scale path;
+    this mode exists for bit-parity with reference runs and replays the
+    driver-side loop with one bounded subset aggregation per iteration."""
+    from pyspark_validator.nar_discovery import RefRNG
+
+    n_rows = df.count()
+    spark = df.sparkSession
+
+    def iteration(probability: float) -> list[tuple[float, float]]:
+        rng = RefRNG(ac_seed)
+        accepted = [i for i in range(n_rows) if rng.next() < probability]
+        if not accepted:
+            return []
+        ids = F.broadcast(
+            spark.createDataFrame([(i,) for i in accepted], f"{order_col} long")
+        )
+        sub = df.join(ids, order_col, "left_semi")
+        chk = ACCheck(
+            sub, lhs, rhs, binop, weight, 0, num_partitions, None, 0
+        )
+        try:
+            return chk.ranges_list()
+        finally:
+            chk._valid.unpersist()
+
+    k_bumps, new_k, i = 1, 1, 0
+    ranges: list[tuple[float, float]] = []
+    sample_size = _bhunt_sample_size(k_bumps, fuzziness, p_fuzz, n_rows)
+    while i < iterations_limit and (
+        not ranges
+        or sample_size < _bhunt_sample_size(new_k, fuzziness, p_fuzz, n_rows)
+    ):
+        k_bumps = new_k
+        sample_size = _bhunt_sample_size(k_bumps, fuzziness, p_fuzz, n_rows)
+        ranges = iteration(sample_size / n_rows)
+        new_k = len(ranges) if ranges else k_bumps + 1
+        i += 1
+    return _merge_to_limit(ranges, bumps_limit)
