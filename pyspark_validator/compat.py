@@ -2017,20 +2017,37 @@ class Mind(Spider):
                 for lhs, rhs in mine_binary_inds(self._tables, unary=exact_unary)
             ]
         elif max_arity >= 3:
-            # full GenNext lattice (mind.cpp:69-144), exact levels only
-            exact_unary = [(a, b) for a, b, e in ainds if e == 0.0]
-            nary = mine_nary_inds(
-                self._tables, max_arity=max_arity, unary=exact_unary
-            )
-            self._inds += [
-                IND(
-                    ", ".join(f"{t}.{c}" for c in lcols),
-                    ", ".join(f"{rt}.{c}" for c in rcols),
-                    0.0,
+            # full GenNext lattice (mind.cpp:69-144); with error > 0 the
+            # lattice grows from approximate parents too and candidates
+            # pass on the g3' distinct fraction (Mind::TestCandidate)
+            if error > 0.0:
+                nary = mine_nary_inds(
+                    self._tables, max_arity=max_arity, max_error=error
                 )
-                for (t, lcols), (rt, rcols) in nary
-                if len(lcols) >= 2
-            ]
+                self._inds += [
+                    IND(
+                        ", ".join(f"{t}.{c}" for c in lcols),
+                        ", ".join(f"{rt}.{c}" for c in rcols),
+                        e,
+                    )
+                    for (t, lcols), (rt, rcols), e in nary
+                    if len(lcols) >= 2
+                ]
+            else:
+                nary = mine_nary_inds(
+                    self._tables,
+                    max_arity=max_arity,
+                    unary=[(a, b) for a, b, e in ainds if e == 0.0],
+                )
+                self._inds += [
+                    IND(
+                        ", ".join(f"{t}.{c}" for c in lcols),
+                        ", ".join(f"{rt}.{c}" for c in rcols),
+                        0.0,
+                    )
+                    for (t, lcols), (rt, rcols) in nary
+                    if len(lcols) >= 2
+                ]
 
 
 class FDFirst(_Verifier):

@@ -740,7 +740,8 @@ def mine_nary_inds(
     max_arity: int = 3,
     unary: list[tuple[str, str]] | None = None,
     parallelism: int = 8,
-) -> list[tuple[tuple, tuple]]:
+    max_error: float = 0.0,
+) -> list:
     """Exact n-ary INDs, Mind's full GenNext lattice (mind.cpp:69-144,
     "Unary and n-ary inclusion dependency discovery" Algorithm 3): two
     level-k INDs p, q join when both sides share their (k-1)-prefix
@@ -755,6 +756,15 @@ def mine_nary_inds(
     Returns [((table, (cols...)), (table, (cols...)))] over ALL arities up
     to ``max_arity``, sorted. Column order inside a side is by column
     index, like the reference's ColumnCombination.
+
+    ``max_error`` > 0 switches to Mind's approximate mode
+    (Mind::TestCandidate, mind.cpp:167-207): a candidate is kept when the
+    fraction of its distinct LHS projections absent from the RHS is
+    <= max_error (the same g3' the unary level uses), the lattice grows
+    from ALL kept candidates (approximate parents included), and the
+    return value carries the error: [((table, cols), (table, cols),
+    error), ...].  The default unary seed switches to
+    :func:`mine_ainds` accordingly.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -763,8 +773,18 @@ def mine_nary_inds(
     col_idx = {
         (t, c): i for t, df in tables.items() for i, c in enumerate(df.columns)
     }
+    approx = max_error > 0.0
+    errors: dict = {}
     if unary is None:
-        unary = mine_unary_inds(tables)
+        if approx:
+            mined = mine_ainds(tables, max_error=max_error)
+            unary = [(a, b) for a, b, _ in mined]
+            unary_errs = {(a, b): e for a, b, e in mined}
+        else:
+            unary = mine_unary_inds(tables)
+            unary_errs = {}
+    else:
+        unary_errs = {}
 
     def split(attr):
         t, c = attr.split(".", 1)
@@ -774,6 +794,10 @@ def mine_nary_inds(
         ((split(a)[0], (split(a)[1],)), (split(b)[0], (split(b)[1],)))
         for a, b in unary
     )
+    for (a, b), e in unary_errs.items():
+        lt, lc = split(a)
+        rt, rc = split(b)
+        errors[((lt, (lc,)), (rt, (rc,)))] = e
     results = list(level)
     arity = 1
     while level and arity < max_arity:
@@ -811,16 +835,25 @@ def mine_nary_inds(
         def verify(cand):
             (ta, lcols), (tb, rcols) = cand
             chk = ind_check(tables[ta], list(lcols), tables[tb], list(rcols))
-            return cand, bool(chk.summary().collect()[0]["holds"])
+            row = chk.summary().collect()[0]
+            if approx:
+                err = float(row["error"] or 0.0)
+                return cand, err <= max_error, err
+            return cand, bool(row["holds"]), 0.0
 
         if parallelism > 1 and len(cands) > 1:
             with ThreadPoolExecutor(max_workers=parallelism) as ex:
                 judged = list(ex.map(verify, cands))
         else:
             judged = [verify(c) for c in cands]
-        level = sorted(c for c, holds in judged if holds)
+        level = sorted(c for c, ok, _ in judged if ok)
+        for c, ok, e in judged:
+            if ok:
+                errors[c] = e
         results.extend(level)
         arity += 1
+    if approx:
+        return sorted((l, r, errors.get((l, r), 0.0)) for l, r in results)
     return sorted(results)
 
 
