@@ -35,6 +35,9 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,9 +54,20 @@ class ColumnMatch:
     right_column: str
     kind: str = "levenshtein"
     min_sim: float = 0.7
+    #: kind='custom': a python similarity callable (the pybind Custom match,
+    #: bind_md.cpp:265-290, defaults min_sim=0.7) evaluated as an
+    #: Arrow-batched pandas UDF over the deduplicated value combos -- the
+    #: python cost is bounded by distinct pair patterns, not n^2 rows.
+    #: ``symmetrical`` / ``equality_is_max`` are single-node evaluation
+    #: shortcuts in the reference and do not change results.
+    func: Callable | None = None
+    measure_name: str | None = None
 
     def name(self) -> str:
-        return f"{self.kind}({self.left_column}, {self.right_column})"
+        label = self.measure_name or (
+            "custom_measure" if self.kind == "custom" else self.kind
+        )
+        return f"{label}({self.left_column}, {self.right_column})"
 
 
 @dataclass
@@ -93,6 +107,25 @@ def _sim_expr(cm: ColumnMatch, a: Column, b: Column, span: float | None) -> Colu
             s = F.greatest(
                 F.lit(0.0), F.lit(1.0) - F.abs(a.cast("double") - b.cast("double")) / F.lit(span)
             )
+    elif cm.kind == "custom":
+        if cm.func is None:
+            raise ValueError("custom column match needs func")
+        fn = cm.func
+
+        @F.pandas_udf("double")
+        def _custom_sim(l: pd.Series, r: pd.Series) -> pd.Series:
+            out = [float(fn(x, y)) for x, y in zip(l, r)]
+            for v in out:
+                if not 0.0 <= v <= 1.0:
+                    # the reference's custom-measure validation
+                    # (value_processing_worker.h SimilarityValidation)
+                    raise ValueError(
+                        "Similarity must be in the [0.0, 1.0] range, "
+                        f"but is {v:f}"
+                    )
+            return pd.Series(out, dtype="float64")
+
+        s = _custom_sim(a, b)
     else:
         raise ValueError(f"unknown column match kind {cm.kind!r}")
     return F.when(s >= F.lit(cm.min_sim), s).otherwise(F.lit(0.0))
