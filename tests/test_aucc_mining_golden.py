@@ -80,3 +80,55 @@ def test_pyro_ucc_facade_error_surface(spark):
     assert names == {"[0]", "[1 2]", "[1 3]", "[2 3]"}
     p.execute(error=0.0)
     assert "[0]" not in {str(u) for u in p.get_uccs()}
+
+
+# --- comparison_ucc_and_aucc_1/2 snapshots ---------------------------------
+# (examples/test_examples/snapshots: UCC/AUCC mining over the ucc_aucc_*
+# fixtures, incl. arity-3 AUCCs and empty-cell NULL grouping)
+
+UCC_AUCC_1 = "/root/reference/examples/datasets/ucc_datasets/ucc_aucc_1.csv"
+UCC_AUCC_1C = "/root/reference/examples/datasets/ucc_datasets/ucc_aucc_1_correct.csv"
+UCC_AUCC_2 = "/root/reference/examples/datasets/ucc_datasets/ucc_aucc_2.csv"
+UCC_AUCC_2C = "/root/reference/examples/datasets/ucc_datasets/ucc_aucc_2_correct.csv"
+
+
+def test_comparison_1_snapshot(spark):
+    from pyspark_validator.checks.ucc import ucc_check
+    from pyspark_validator.discovery import mine_uccs
+
+    df = _load(spark, UCC_AUCC_1)
+    assert mine_uccs(df, max_arity=4) == [
+        ("Grade",), ("Salary",), ("Work_experience",)
+    ]
+    # "AUCC holds with threshold = 0.048": the Name pair-violation share is
+    # 2/42 (the two Harrys)
+    row = ucc_check(df, ["Name"]).summary().collect()[0]
+    assert not row["holds"]
+    assert abs(row["aucc_error"] - 2 / 42) < 1e-12
+    fixed = _load(spark, UCC_AUCC_1C)
+    assert mine_uccs(fixed, max_arity=4) == [
+        ("Grade",), ("Name",), ("Salary",), ("Work_experience",)
+    ]
+
+
+def test_comparison_2_snapshot(spark):
+    from pyspark_validator.discovery import mine_uccs
+
+    df = _load(spark, UCC_AUCC_2)
+    assert mine_uccs(df, max_arity=3) == [
+        ("First_name", "Grade", "Salary"), ("Work_experience",)
+    ]
+    assert mine_uccs(df, max_arity=3, max_error=0.013) == [
+        ("First_name", "Grade"),
+        ("First_name", "Last_name"),
+        ("First_name", "Salary"),
+        ("Last_name", "Grade", "Salary"),
+        ("Work_experience",),
+    ]
+    fixed = _load(spark, UCC_AUCC_2C)
+    assert mine_uccs(fixed, max_arity=3) == [
+        ("First_name", "Grade", "Salary"),
+        ("First_name", "Last_name"),
+        ("Last_name", "Grade", "Salary"),
+        ("Work_experience",),
+    ]
