@@ -104,6 +104,11 @@ hyucc.load_data(TABLE)
 hyucc.execute()
 print("HyUCC minimal UCCs:", [str(u) for u in hyucc.get_uccs()])
 
+pyro_ucc = compat.PyroUCC(spark)
+pyro_ucc.load_data(TABLE)
+pyro_ucc.execute(error=0.2)
+print("PyroUCC minimal AUCCs (<= 0.2):", [str(u) for u in pyro_ucc.get_uccs()])
+
 mind = compat.Mind(spark)
 mind.load_data({"emp": TABLE, "ref": pd.DataFrame({"dept_ref": ["a", "b", "c"]})})
 mind.execute(error=0.5)
