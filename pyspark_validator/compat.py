@@ -1994,6 +1994,54 @@ class Spider(_Verifier):
         return self._inds
 
 
+class Faida(Spider):
+    """Faida analog (bind_ind.cpp:139-146; faida/inclusion_testing/
+    hll_data.h:28-37): APPROXIMATE IND discovery from per-column HLL
+    sketches -- dep subseteq ref iff every dep register <= the ref
+    register.  One sketch-building scan per table covers all its columns
+    (sketches.hll_column_sketches); the quadratic inclusion tests run on
+    the collected 2^p-byte register files, never on data.  Like the
+    reference, false positives are possible at sketch accuracy (raise
+    ``p``); proven non-inclusions are exact.  ``max_arity=2`` adds Mind's
+    apriori binary candidates, each verified by one combined-tuple sketch
+    pair."""
+
+    def execute(self, max_arity: int = 1, p: int = 12) -> None:
+        from pyspark_validator.sketches import hll_column_sketches, hll_sketch
+
+        sketches = {}
+        for t, df in self._tables.items():
+            for c, h in hll_column_sketches(df, p=p).items():
+                sketches[(t, c)] = h
+        unary = sorted(
+            (a, b)
+            for a in sketches
+            for b in sketches
+            if a != b and sketches[b].register_contains(sketches[a])
+        )
+        self._inds = [
+            IND(f"{t}.{c}", f"{rt}.{rc}", 0.0) for (t, c), (rt, rc) in unary
+        ]
+        if max_arity >= 2:
+            seen = set(unary)
+            for (t1, c1), (rt1, rc1) in unary:
+                for (t2, c2), (rt2, rc2) in unary:
+                    if (
+                        t1 != t2 or rt1 != rt2 or c1 >= c2 or rc1 == rc2
+                        or ((t1, c2), (rt1, rc2)) not in seen
+                    ):
+                        continue
+                    if t1 == rt1 and {c1, c2} & {rc1, rc2}:
+                        continue
+                    dep = hll_sketch(self._tables[t1], [c1, c2], p=p)
+                    ref = hll_sketch(self._tables[rt1], [rc1, rc2], p=p)
+                    if ref.register_contains(dep):
+                        self._inds.append(
+                            IND(f"{t1}.{c1}, {t1}.{c2}",
+                                f"{rt1}.{rc1}, {rt1}.{rc2}", 0.0)
+                        )
+
+
 class Mind(Spider):
     """Mind analog (mind.cpp:167-261): approximate unary INDs; ``error`` is
     the reference's max_ind_error (fraction of the dependent column's

@@ -124,6 +124,46 @@ def hll_sketch(df: DataFrame, columns: list[str], p: int = 12) -> HLL:
     return out
 
 
+def hll_column_sketches(
+    df: DataFrame, columns: list[str] | None = None, p: int = 12
+) -> dict[str, HLL]:
+    """Per-column HLLs from ONE scan (the FAIDA sketch-build pass,
+    faida/hll_data.h: every column's register file fills from the same
+    table read).  NULL cells are excluded -- SQL IND semantics; Spark's
+    xxhash64(NULL) would otherwise alias all nulls to one shared value.
+    Returns {column: HLL}; partials are (#batches x #columns) tiny rows."""
+    columns = list(columns or df.columns)
+    hashed = df.select(
+        *[
+            F.when(F.col(c).isNotNull(), F.xxhash64(c)).alias(f"h{i}")
+            for i, c in enumerate(columns)
+        ]
+    )
+    k = len(columns)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        regs = [np.zeros(1 << p, dtype=np.uint8) for _ in range(k)]
+        seen = False
+        for b in batches:
+            if len(b):
+                seen = True
+                for i in range(k):
+                    vals = b[f"h{i}"].dropna().to_numpy(dtype=np.int64)
+                    if len(vals):
+                        _hll_update(regs[i], vals.view(np.uint64), p)
+        if seen:
+            yield pd.DataFrame(
+                {"i": list(range(k)), "regs": [r.tobytes() for r in regs]}
+            )
+
+    rows = hashed.mapInPandas(partials, "i int, regs binary").collect()
+    out = {c: HLL.empty(p) for c in columns}
+    for r in rows:
+        c = columns[r["i"]]
+        out[c] = out[c].merge(HLL.from_bytes(r.regs, p))
+    return out
+
+
 def hll_inclusion(
     lhs_df: DataFrame, lhs_cols: list[str], rhs_df: DataFrame, rhs_cols: list[str], p: int = 14
 ) -> dict:

@@ -174,3 +174,54 @@ def test_sketch_profile_plan_one_scan_two_exchanges(spark, tmp_path):
     )
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
+
+
+def test_hll_column_sketches_one_pass_matches_per_column(spark):
+    """hll_column_sketches: per-column registers from ONE scan equal the
+    per-column hll_sketch ones (same hashes, same registers), and NULL
+    cells are excluded rather than aliased to xxhash64(NULL)."""
+    import pandas as pd
+
+    from pyspark_validator.sketches import hll_column_sketches, hll_sketch
+
+    pdf = pd.DataFrame(
+        {
+            "a": ["x", "y", "z", None, "x"],
+            "b": [1, 2, 2, 3, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    multi = hll_column_sketches(df, p=10)
+    assert multi["a"].registers.tobytes() == hll_sketch(
+        df.filter(df.a.isNotNull()), ["a"], p=10
+    ).registers.tobytes()
+    assert multi["b"].registers.tobytes() == hll_sketch(
+        df.filter(df.b.isNotNull()), ["b"], p=10
+    ).registers.tobytes()
+
+
+def test_faida_facade_matches_exact_on_ind_fixtures(spark):
+    """compat.Faida (faida/hll_data.h register inclusion): on the shipped
+    ind_datasets fixtures the sketch verdicts equal the exact miners --
+    the same expectation the reference's test_faida.cpp encodes at its
+    test accuracy -- including both Mind binary INDs at arity 2."""
+    import pandas as pd
+
+    from pyspark_validator import compat
+    from pyspark_validator.discovery import mine_unary_inds
+
+    P = "/root/reference/examples/datasets/ind_datasets"
+    tables = {
+        n: spark.createDataFrame(pd.read_csv(f"{P}/{n}.csv"))
+        for n in ("orders", "customers", "products")
+    }
+    f = compat.Faida(spark)
+    f._tables = tables
+    f.execute(max_arity=2)
+    got = sorted(str(i) for i in f.get_inds())
+    exact = sorted(f"{a} -> {b}" for a, b in mine_unary_inds(tables))
+    assert [s for s in got if "," not in s] == exact
+    assert [s for s in got if "," in s] == [
+        "orders.id, orders.product -> products.id, products.name",
+        "products.id, products.name -> orders.id, orders.product",
+    ]
