@@ -2002,11 +2002,13 @@ class Faida(Spider):
     (sketches.hll_column_sketches); the quadratic inclusion tests run on
     the collected 2^p-byte register files, never on data.  Like the
     reference, false positives are possible at sketch accuracy (raise
-    ``p``); proven non-inclusions are exact.  ``max_arity=2`` adds Mind's
-    apriori binary candidates, each verified by one combined-tuple sketch
-    pair."""
+    ``p``); proven non-inclusions are exact.  ``max_arity`` >= 2 runs
+    Mind's full GenNext lattice with each candidate verified by one
+    combined-tuple sketch pair (the FAIDA n-ary path; goldens
+    test_faida.cpp EqualityTest via tests/test_nary_ind_reference_golden)."""
 
-    def execute(self, max_arity: int = 1, p: int = 12) -> None:
+    def execute(self, max_arity: int = 3, p: int = 12) -> None:
+        from pyspark_validator.discovery import mine_nary_inds
         from pyspark_validator.sketches import hll_column_sketches, hll_sketch
 
         sketches = {}
@@ -2014,32 +2016,31 @@ class Faida(Spider):
             for c, h in hll_column_sketches(df, p=p).items():
                 sketches[(t, c)] = h
         unary = sorted(
-            (a, b)
-            for a in sketches
-            for b in sketches
-            if a != b and sketches[b].register_contains(sketches[a])
+            (f"{t}.{c}", f"{rt}.{rc}")
+            for (t, c) in sketches
+            for (rt, rc) in sketches
+            if (t, c) != (rt, rc)
+            and sketches[(rt, rc)].register_contains(sketches[(t, c)])
+        )
+
+        def sketch_verify(cand):
+            (ta, lcols), (tb, rcols) = cand
+            dep = hll_sketch(self._tables[ta], list(lcols), p=p)
+            ref = hll_sketch(self._tables[tb], list(rcols), p=p)
+            return ref.register_contains(dep)
+
+        res = mine_nary_inds(
+            self._tables, max_arity=max_arity, unary=unary,
+            verify_fn=sketch_verify,
         )
         self._inds = [
-            IND(f"{t}.{c}", f"{rt}.{rc}", 0.0) for (t, c), (rt, rc) in unary
+            IND(
+                ", ".join(f"{t}.{c}" for c in lcols),
+                ", ".join(f"{rt}.{c}" for c in rcols),
+                0.0,
+            )
+            for (t, lcols), (rt, rcols) in res
         ]
-        if max_arity >= 2:
-            seen = set(unary)
-            for (t1, c1), (rt1, rc1) in unary:
-                for (t2, c2), (rt2, rc2) in unary:
-                    if (
-                        t1 != t2 or rt1 != rt2 or c1 >= c2 or rc1 == rc2
-                        or ((t1, c2), (rt1, rc2)) not in seen
-                    ):
-                        continue
-                    if t1 == rt1 and {c1, c2} & {rc1, rc2}:
-                        continue
-                    dep = hll_sketch(self._tables[t1], [c1, c2], p=p)
-                    ref = hll_sketch(self._tables[rt1], [rc1, rc2], p=p)
-                    if ref.register_contains(dep):
-                        self._inds.append(
-                            IND(f"{t1}.{c1}, {t1}.{c2}",
-                                f"{rt1}.{rc1}, {rt1}.{rc2}", 0.0)
-                        )
 
 
 class Mind(Spider):

@@ -741,6 +741,7 @@ def mine_nary_inds(
     unary: list[tuple[str, str]] | None = None,
     parallelism: int = 8,
     max_error: float = 0.0,
+    verify_fn=None,
 ) -> list:
     """Exact n-ary INDs, Mind's full GenNext lattice (mind.cpp:69-144,
     "Unary and n-ary inclusion dependency discovery" Algorithm 3): two
@@ -765,6 +766,11 @@ def mine_nary_inds(
     return value carries the error: [((table, cols), (table, cols),
     error), ...].  The default unary seed switches to
     :func:`mine_ainds` accordingly.
+
+    ``verify_fn`` swaps the exact anti-join for a custom candidate test
+    (FAIDA's sketch register inclusion, compat.Faida): a callable
+    ``((table, lcols), (table, rcols)) -> bool``; the lattice mechanics
+    are unchanged.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -833,6 +839,8 @@ def mine_nary_inds(
                 cands.append(cand)
 
         def verify(cand):
+            if verify_fn is not None:
+                return cand, bool(verify_fn(cand)), 0.0
             (ta, lcols), (tb, rcols) = cand
             chk = ind_check(tables[ta], list(lcols), tables[tb], list(rcols))
             row = chk.summary().collect()[0]

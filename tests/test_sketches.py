@@ -225,3 +225,44 @@ def test_faida_facade_matches_exact_on_ind_fixtures(spark):
         "orders.id, orders.product -> products.id, products.name",
         "products.id, products.name -> orders.id, orders.product",
     ]
+
+
+import pytest as _pytest
+
+_FAIDA_EXPECTED = {
+    "TestWide2.csv": [((2,), (0,)), ((3,), (1,)), ((2, 3), (0, 1))],
+    "Planets.csv": [
+        ((0,), (1,)), ((1,), (0,)), ((2,), (3,)), ((3,), (2,)),
+        ((1, 3), (0, 2)), ((0, 2), (1, 3)), ((0, 3), (1, 2)),
+        ((1, 2), (0, 3)),
+    ],
+    "Test-3ary-inds.csv": [
+        ((2,), (5,)), ((3,), (0,)), ((4,), (1,)), ((5,), (2,)),
+        ((3, 4), (0, 1)), ((4, 5), (1, 2)), ((3, 5), (0, 2)),
+        ((3, 4, 5), (0, 1, 2)),
+    ],
+}
+
+
+@_pytest.mark.parametrize("name", sorted(_FAIDA_EXPECTED))
+def test_faida_nary_equality_golden(spark, name):
+    """test_faida.cpp EqualityTest: FAIDA's sketch verdicts must coincide
+    with the exact kINDEqualityTestConfigs sets on the shipped fixtures --
+    here through the SKETCH path end to end (register-inclusion unary seed
+    + GenNext lattice with combined-tuple sketch verification)."""
+    from pyspark_validator import compat
+
+    df = spark.read.csv(
+        f"/root/reference/test_input_data/ind_data/{name}",
+        header=False, inferSchema=False,
+    )
+    idx = {c: i for i, c in enumerate(df.columns)}
+    f = compat.Faida(spark)
+    f._tables = {"t": df}
+    f.execute(max_arity=3)
+
+    def side(s):
+        return tuple(idx[c.split(".", 1)[1]] for c in s.split(", "))
+
+    got = sorted((side(i.get_lhs()), side(i.get_rhs())) for i in f.get_inds())
+    assert got == sorted(_FAIDA_EXPECTED[name])
