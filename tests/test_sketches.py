@@ -266,3 +266,28 @@ def test_faida_nary_equality_golden(spark, name):
 
     got = sorted((side(i.get_lhs()), side(i.get_rhs())) for i in f.get_inds())
     assert got == sorted(_FAIDA_EXPECTED[name])
+
+
+def test_faida_two_tables_golden(spark):
+    """test_faida.cpp TestTwoTables: 47 INDs over the two_tables fixtures
+    at arity <= 4, including the reciprocal 4-ary pair first[0,1,2,3] <->
+    second[0,1,3,4]."""
+    from pyspark_validator import compat
+
+    P = "/root/reference/test_input_data/ind_data/two_tables"
+    f = compat.Faida(spark)
+    f._tables = {
+        "first": spark.read.csv(f"{P}/first.csv", header=False),
+        "second": spark.read.csv(f"{P}/second.csv", header=False),
+    }
+    f.execute(max_arity=4)
+    names = {str(i) for i in f.get_inds()}
+    assert len(names) == 47
+    assert (
+        "first._c0, first._c1, first._c2, first._c3 -> "
+        "second._c0, second._c1, second._c3, second._c4" in names
+    )
+    assert (
+        "second._c0, second._c1, second._c3, second._c4 -> "
+        "first._c0, first._c1, first._c2, first._c3" in names
+    )
