@@ -13,6 +13,14 @@ probes 3 buckets: k-1, k, k+1 -- the standard distributed band-join trick;
 at 10^12 rows this turns O(n^2) into O(n * density)). Remaining constraints are
 post-join filters (JVM whole-stage codegen). Pairs are deduped by requiring
 (bucket ordering, rid ordering) so each unordered pair appears exactly once.
+
+Column types follow the reference's metric table (dd.h:19-39 via the
+verifier): numeric and date columns use the absolute difference (dates in
+days), string columns the Levenshtein distance.  Blocking picks the best
+LHS constraint: an exact [0, 0] range of ANY type hash-buckets on the value
+itself (pure equi-join, no neighbor probes); otherwise the first numeric
+range bands as above; a string range bands on string LENGTH with width hi
+(levenshtein >= |len(a) - len(b)|, so the band is complete).
 """
 
 from __future__ import annotations
@@ -49,19 +57,68 @@ class DDCheck:
                 raise ValueError(f"bad range for {col}: [{lo}, {hi}] (need 0<=lo<=hi)")
 
     @cached_property
+    def _kinds(self) -> dict[str, str]:
+        """column -> 'num' (abs diff; dates as days) | 'str' (levenshtein)."""
+        from pyspark.sql import types as T
+
+        kinds = {}
+        by_name = {f.name: f.dataType for f in self.df.schema.fields}
+        for c in dict.fromkeys(list(self.lhs) + list(self.rhs)):
+            t = by_name.get(c)
+            kinds[c] = "str" if isinstance(t, T.StringType) else "num"
+        return kinds
+
+    @cached_property
+    def _blocking(self) -> tuple[str, str]:
+        """(column, mode): mode 'eq' = hash-equality bucket (a [0,0] LHS of
+        any type), 'band' = numeric band, 'len' = string-length band."""
+        for c, (lo, hi) in self.lhs.items():
+            if lo == 0 and hi == 0:
+                return c, "eq"
+        for c, rng in self.lhs.items():
+            if self._kinds[c] == "num":
+                return c, "band"
+        return next(iter(self.lhs)), "len"
+
+    def _dist(self, c: str, a: Column, b: Column) -> Column:
+        if self._kinds[c] == "str":
+            return F.levenshtein(a, b).cast("double")
+        return F.abs(a - b)
+
+    @cached_property
     def _base(self) -> DataFrame:
-        """Projected rows with their band bucket (band on the first LHS range)."""
-        band_col, (_, band_hi) = next(iter(self.lhs.items()))
-        width = float(band_hi) if band_hi > 0 else 1.0
+        """Projected rows with their blocking bucket."""
+        band_col, mode = self._blocking
         cols = list(dict.fromkeys(list(self.lhs) + list(self.rhs)))
         rid = (
             F.col(self.row_ref)
             if self.row_ref
             else F.monotonically_increasing_id()
         )
-        base = self.df.select(
-            rid.alias("__rid"), *[F.col(c).cast("double").alias(c) for c in cols]
-        ).withColumn("__bucket", F.floor(F.col(band_col) / F.lit(width)))
+
+        def proj(c):
+            from pyspark.sql import types as T
+
+            t = self.df.schema[c].dataType
+            if self._kinds[c] == "str":
+                return F.col(c)
+            if isinstance(t, T.DateType):
+                return F.datediff(F.col(c), F.lit("1970-01-01").cast("date")).cast("double").alias(c)
+            if isinstance(t, T.TimestampType):
+                return (F.unix_timestamp(F.col(c)) / F.lit(86400.0)).alias(c)
+            return F.col(c).cast("double").alias(c)
+
+        if mode == "eq":
+            bucket = F.xxhash64(F.col(band_col))
+        elif mode == "band":
+            width = float(self.lhs[band_col][1]) or 1.0
+            bucket = F.floor(F.col(band_col) / F.lit(width))
+        else:  # len: levenshtein band on string length
+            width = float(self.lhs[band_col][1]) or 1.0
+            bucket = F.floor(F.length(F.col(band_col)) / F.lit(width))
+        base = self.df.select(rid.alias("__rid"), *[proj(c) for c in cols]).withColumn(
+            "__bucket", bucket
+        )
         if self.row_ref is None:
             # monotonically_increasing_id is only stable if the two join branches
             # see one materialization -- pin it.
@@ -84,22 +141,25 @@ class DDCheck:
         base = self._base.join(
             F.broadcast(self._oversized.select("__bucket")), on="__bucket", how="left_anti"
         )
-        # left side probes its own bucket and both neighbors
-        probe = base.withColumn(
-            "__probe", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-        ).withColumn("__bucket", F.col("__bucket") + F.col("__probe"))
+        # left side probes its own bucket and, for banded modes, neighbors
+        if self._blocking[1] == "eq":
+            probe = base
+        else:
+            probe = base.withColumn(
+                "__probe", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+            ).withColumn("__bucket", F.col("__bucket") + F.col("__probe"))
         a, b = probe.alias("a"), base.alias("b")
         cond: Column = (F.col("a.__bucket") == F.col("b.__bucket")) & (
             F.col("a.__rid") < F.col("b.__rid")
         )
         for c, (lo, hi) in self.lhs.items():
-            d = F.abs(F.col(f"a.{c}") - F.col(f"b.{c}"))
+            d = self._dist(c, F.col(f"a.{c}"), F.col(f"b.{c}"))
             cond = cond & (d >= F.lit(float(lo))) & (d <= F.lit(float(hi)))
         out = a.join(b, cond, "inner").select(
             F.col("a.__rid").alias("rid_a"),
             F.col("b.__rid").alias("rid_b"),
             *[
-                F.abs(F.col(f"a.{c}") - F.col(f"b.{c}")).alias(f"__d_{c}")
+                self._dist(c, F.col(f"a.{c}"), F.col(f"b.{c}")).alias(f"__d_{c}")
                 for c in self.rhs
             ],
         )

@@ -22,7 +22,7 @@ rows_strategy = st.lists(
 )
 
 _SETTINGS = dict(
-    max_examples=40,
+    max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
