@@ -379,3 +379,27 @@ def test_mine_afds_tane_job_count_row_independent(spark):
         return len(sc.statusTracker().getJobIdsForGroup(grp))
 
     assert jobs(60) == jobs(600)
+
+
+def test_dd_equality_blocking_skips_probe_explode(spark, tables):
+    """A [0,0] LHS range blocks by hash equality: the pair join must be a
+    plain equi-join on the value bucket -- no Generate (neighbor-probe
+    explode) in the plan, unlike the banded numeric mode."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.checks.dd import dd_check
+
+    df = tables["orders"].select(
+        "o_orderstatus", "o_totalprice", F.col("o_orderkey").alias("__row")
+    )
+    eq = dd_check(
+        df, {"o_orderstatus": (0.0, 0.0)}, {"o_totalprice": (0.0, 10.0)},
+        row_ref="__row",
+    )
+    p = _plan(eq._pairs)
+    assert "Generate" not in p
+    band = dd_check(
+        df, {"o_totalprice": (0.0, 10.0)}, {"o_totalprice": (0.0, 10.0)},
+        row_ref="__row",
+    )
+    assert _count(_plan(band._pairs), "Generate") == 1
