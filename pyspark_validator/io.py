@@ -46,6 +46,197 @@ def read_reference_csv(
     return df
 
 
+def parse_reference_line(line: str, sep: str = ",") -> list[str]:
+    """Exact replica of the reference's CSV field parse (csv_parser.cpp
+    ParseString, :121-166).
+
+    The reference pre-escapes every ``\\`` and ``"`` so that
+    boost::escaped_list_separator preserves them verbatim, which collapses to:
+    a raw backslash is a LITERAL (no escape semantics on input), every ``"``
+    is emitted AND toggles the in-quotes state, and ``sep`` splits only
+    outside quotes.  A second pass then drops quote chars from each token,
+    except a doubled ``""`` strictly inside a quote-enclosed token, which
+    collapses to one ``"`` (csv_parser.cpp:146-160).  Goldens:
+    test_csv_parser.cpp TestGetNextRow (incl. the kTestParse escape torture
+    rows).  The caller right-trims the line first (CSVParser::GetNext)."""
+    if line == "":
+        return []
+    tokens: list[str] = []
+    cur: list[str] = []
+    in_quotes = False
+    for ch in line:
+        if ch == sep and not in_quotes:
+            tokens.append("".join(cur))
+            cur = []
+        elif ch == '"':
+            cur.append(ch)
+            in_quotes = not in_quotes
+        else:
+            cur.append(ch)
+    tokens.append("".join(cur))
+
+    out: list[str] = []
+    for tok in tokens:
+        n = len(tok)
+        enclosed = n >= 2 and tok[0] == '"' and tok[-1] == '"'
+        buf: list[str] = []
+        i = 0
+        while i < n:
+            c = tok[i]
+            if c == '"':
+                if enclosed and 0 < i < n - 2 and tok[i + 1] == '"':
+                    buf.append(c)
+                    i += 1
+            else:
+                buf.append(c)
+            i += 1
+        out.append("".join(buf))
+    return out
+
+
+def read_reference_csv_exact(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    null_literal: bool = True,
+    max_bytes: int = 1 << 26,
+) -> DataFrame:
+    """Byte-exact reference ingestion: parse with `parse_reference_line` and
+    apply the NULL-literal convention.
+
+    This is the parity path for the reference's own CSV fixtures (its parser
+    has non-standard quote semantics Spark's univocity reader can't be
+    configured into -- see parse_reference_line).  Fixtures are small by
+    construction, so the parse is driver-side behind a `max_bytes` guard; the
+    scale path for ordinary CSVs stays `read_reference_csv` (distributed
+    spark.read.csv, identical output on standard quoting).  Line framing
+    mirrors CSVParser: getline on '\\n', right-trim each line
+    (csv_parser.cpp:14-17), a trailing final newline yields no extra row
+    (GetNextIfHas :100-110), and a single-column empty parse is one empty
+    field (GetNextRow :171-173)."""
+    import os
+
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"{path} is {size} bytes > max_bytes={max_bytes}; use "
+            "read_reference_csv (distributed) for large files"
+        )
+    with open(path, "r", newline="") as f:
+        text = f.read()
+    lines = text.split("\n")
+    if text.endswith("\n"):
+        lines.pop()
+    rows = [parse_reference_line(ln.rstrip(), sep) for ln in lines]
+    if not rows:
+        rows = [[]]
+    if header:
+        names = rows[0] if rows[0] else [""]
+        data = rows[1:]
+    else:
+        names = [str(i) for i in range(len(rows[0]) or 1)]
+        data = rows
+    ncols = len(names)
+    fixed: list[list[str | None]] = []
+    for idx, r in enumerate(data):
+        if ncols == 1 and not r:
+            r = [""]
+        if len(r) != ncols:
+            raise ValueError(
+                f"{path}: row {idx} has {len(r)} fields, expected {ncols}"
+            )
+        if null_literal:
+            fixed.append([None if v == "NULL" else v for v in r])
+        else:
+            fixed.append(list(r))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(n, StringType(), True) for n in names])
+    return spark.createDataFrame(fixed, schema=schema)
+
+
+#: typed_column_data.h:183-213 value-type checkers, translated to Java regex
+#: (boost (?i)...(?-i) spelled (?i:...)).  Checker order is Date, Int,
+#: BigInt, Double, Bool (kTypeIdToChecker); first match types the value.
+_REF_DATE_RE = (
+    r"^(\d{4})([-./]?)(1[0-2]|0[1-9]|[1-9])\2(3[0-1]|0[1-9]|[1-9]|[1-2][0-9])$"
+)
+_REF_DOUBLE_RE = (
+    r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+    r"|^[+-]?(?i:inf|nan)$"
+    r"|^[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)([pP][+-]?\d+)?$"
+)
+_REF_BOOL_RE = r"^\s*(?i:true|false|0|1)\s*$"
+
+#: typed_column_data.h:249-256 kTypeIdToBitset as ints, bit i =
+#: kAllCandidateTypes[i] = [date, int, bigint, double, bool, string].
+_BITS = {"date": 1, "int": 30, "bigint": 28, "double": 24, "bool": 16, "string": 32}
+_BIT_ORDER = ["date", "int", "bigint", "double", "bool", "string"]
+
+
+def deduce_column_types(df: DataFrame) -> dict[str, str]:
+    """Exact TypedColumnData column-type deduction
+    (typed_column_data.cpp:24-90) in ONE wide aggregation.
+
+    Each non-null, non-empty value gets the bitset of column types it is
+    compatible with (an undelimited date could also be an int,
+    typed_column_data.cpp:58-60); the column's candidate set is the bit-AND
+    over all values, the winner the first set bit in [date, int, bigint,
+    double, bool, string]; an emptied set is Mixed, a valueless column
+    Undefined.  Date validity mirrors boost::gregorian: real calendar day and
+    year >= 1400 (greg_year min).  Goldens: test_typed_column_data.cpp's ten
+    fixture layouts.  Returns {column: 'date'|'int'|'bigint'|'double'|'bool'|
+    'string'|'mixed'|'undefined'}."""
+    aggs = []
+    for c in df.columns:
+        s = F.col(c)
+        counted = s.isNotNull() & (s != "")
+        y = F.regexp_extract(s, _REF_DATE_RE, 1)
+        delim = F.regexp_extract(s, _REF_DATE_RE, 2)
+        mo = F.regexp_extract(s, _REF_DATE_RE, 3)
+        dy = F.regexp_extract(s, _REF_DATE_RE, 4)
+        date_ok = (
+            (y != "")
+            & (y.cast("int") >= 1400)
+            & F.concat(
+                y, F.lit("-"), F.lpad(mo, 2, "0"), F.lit("-"), F.lpad(dy, 2, "0")
+            )
+            .try_cast("date")
+            .isNotNull()
+        )
+        bits = (
+            F.when(date_ok & (delim == ""), F.lit(_BITS["date"] | _BITS["int"]))
+            .when(date_ok, F.lit(_BITS["date"]))
+            .when(s.rlike(_INT_RE), F.lit(_BITS["int"]))
+            .when(s.rlike(_BIGINT_RE), F.lit(_BITS["bigint"]))
+            .when(s.rlike(_REF_DOUBLE_RE), F.lit(_BITS["double"]))
+            .when(s.rlike(_REF_BOOL_RE), F.lit(_BITS["bool"]))
+            .otherwise(F.lit(_BITS["string"]))
+        )
+        aggs.append(
+            F.struct(
+                F.sum(counted.cast("long")).alias("n"),
+                F.bit_and(F.when(counted, bits).otherwise(F.lit(63))).alias("b"),
+            ).alias(c)
+        )
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, str] = {}
+    for c in df.columns:
+        st = row[c]
+        if not st["n"]:
+            out[c] = "undefined"
+            continue
+        b = st["b"]
+        for i, name in enumerate(_BIT_ORDER):
+            if b & (1 << i):
+                out[c] = name
+                break
+        else:
+            out[c] = "mixed"
+    return out
+
+
 def infer_reference_types(df: DataFrame) -> dict[str, str]:
     """Most specific type per column over all non-null, non-empty values.
 
