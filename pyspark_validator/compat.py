@@ -1200,12 +1200,15 @@ class CfdVerifier(_Verifier):
 
 
 class CindVerifier(_Verifier):
-    """CINDVerifier analog (cind_verifier.h:60-83). Open-world semantics:
-    real_validity = 1 - AIND g3' error over the conditioned LHS rows (distinct
-    value = basket level, like the reference's per-condition-value baskets);
-    real_completeness = conditioned-rows / all-LHS-rows (the reference's
-    included_support / included_baskets_total over per-basket itemsets is a
-    transaction encoding of the same two ratios)."""
+    """CINDVerifier analog (cind_verifier.h:60-99, cind_verifier.cpp
+    ExecuteInternal). Baskets = distinct LHS inclusion keys;
+    real_validity = included_support / supporting_baskets (-1 when nothing
+    supports the condition), real_completeness = included_support /
+    included_baskets_total (0 when nothing is included). The condition is
+    either a Column/SQL predicate (``lhs_condition``) or the reference's
+    ``cind_condition_values`` list aligned with the conditional attributes
+    (every LHS column outside the inclusion key, in column order; '_'/'-'
+    are wildcards)."""
 
     def load_data(self, table, rhs_table=None) -> None:
         self._df = self._resolve(table).persist()
@@ -1220,24 +1223,51 @@ class CindVerifier(_Verifier):
         rhs_indices,
         lhs_condition=None,
         rhs_condition=None,
+        condition_values=None,
+        condition_type: str = "group",
         min_validity: float = 1.0,
         min_completeness: float = 1.0,
         cap: int = 100,
     ) -> None:
+        from pyspark.sql import functions as F
+
         from pyspark_validator.checks.cind import cind_check
 
+        lhs_cols = self._cols(lhs_indices)
         rhs_cols = (
             [self._rhs_df.columns[i] for i in rhs_indices]
             if all(isinstance(i, int) for i in rhs_indices)
             else list(rhs_indices)
         )
+        if condition_values is not None:
+            same_table = self._rhs_df is self._df
+            excluded = set(lhs_cols) | (set(rhs_cols) if same_table else set())
+            conditional = [c for c in self._df.columns if c not in excluded]
+            if len(condition_values) != len(conditional):
+                raise ValueError(
+                    "cind_condition_values size must equal number of "
+                    "conditional attributes"
+                )
+            preds = [
+                F.col(c).cast("string") == str(v)
+                for c, v in zip(conditional, condition_values)
+                if str(v) not in ("_", "-")
+            ]
+            if preds:
+                cond = preds[0]
+                for p in preds[1:]:
+                    cond = cond & p
+                lhs_condition = (
+                    cond if lhs_condition is None else cond & lhs_condition
+                )
         check = cind_check(
             self._df,
-            self._cols(lhs_indices),
+            lhs_cols,
             self._rhs_df,
             rhs_cols,
             lhs_condition=lhs_condition,
             rhs_condition=rhs_condition,
+            condition_type=condition_type,
             violation_cap=cap,
         )
         self._summary = check.summary().collect()[0]
@@ -1250,11 +1280,19 @@ class CindVerifier(_Verifier):
         self._min_completeness = float(min_completeness)
 
     def get_real_validity(self) -> float:
-        return 1.0 - float(self._summary.error)
+        return float(self._summary.validity)
 
     def get_real_completeness(self) -> float:
-        total = int(self._summary.total_lhs_rows)
-        return (int(self._summary.support) / total) if total else 0.0
+        return float(self._summary.completeness)
+
+    def get_supporting_baskets(self) -> int:
+        return int(self._summary.supporting_baskets)
+
+    def get_included_supporting_baskets(self) -> int:
+        return int(self._summary.included_support)
+
+    def get_included_baskets_total(self) -> int:
+        return int(self._summary.included_baskets_total)
 
     def holds(self) -> bool:
         return (
@@ -1269,6 +1307,7 @@ class CindVerifier(_Verifier):
         return int(self._summary.n_violating_rows)
 
     def get_violating_clusters(self) -> list[tuple]:
+        """[(lhs values..., occurrences, basket_rows)] per violating basket."""
         return self._violations
 
 

@@ -119,10 +119,14 @@ def test_cind_verifier(spark):
     v.load_data(lhs, rhs)
     v.execute(["k"], ["k"], lhs_condition="cond = 'O'", min_validity=0.5,
               min_completeness=0.5)
-    # conditioned distinct lhs: {1, 2}; 2 not included -> g3' validity 1/2
-    # (basket-level, like the reference's per-condition-value baskets)
+    # supporting baskets {1, 2}; included baskets {1} -> validity 1/2,
+    # completeness = included_support / included_baskets_total = 1/1
+    # (cind_verifier.cpp ExecuteInternal group mode)
     assert v.get_real_validity() == pytest.approx(1 / 2)
-    assert v.get_real_completeness() == pytest.approx(3 / 4)
+    assert v.get_real_completeness() == pytest.approx(1.0)
+    assert v.get_supporting_baskets() == 2
+    assert v.get_included_supporting_baskets() == 1
+    assert v.get_included_baskets_total() == 1
     assert v.holds()  # 0.5 >= 0.5 and 0.75 >= 0.5
     assert v.get_violating_rows_count() == 1
     assert v.get_violating_clusters_count() == 1
