@@ -281,3 +281,52 @@ def test_mining_md_carrier_merger_matches_snapshot(spark):
     # min_support = round(n * 1.5) = 18: only the strongest MD survives
     got18 = pairs(mine_mds(df, cms, min_support=18))
     assert got18 == {((0, 0, jac, jac, 0, 0, 0), 6, nd(32))}
+
+
+# ------------------------------------------------------- mining_set_od_2 --
+
+
+def test_mining_set_od_positions_matches_snapshot(spark):
+    df = _csv_df(spark, "position_distribution.csv")
+    res = mine_set_ods(df, df.columns)
+    # attribute symbols: year=0, position=1, percent=2 (0-based)
+    assert res.desc == []
+    assert {(frozenset(c), a, b) for c, a, b in res.asc} == {
+        (frozenset(), 2, 1),
+        (frozenset(), 1, 2),
+    }
+    assert {(frozenset(c), a) for c, a in res.simple} == {
+        (frozenset({2}), 1),
+        (frozenset({0, 1}), 2),
+    }
+
+
+# ------------------------------------------------------------ mining_cfd --
+
+
+def test_mining_cfd_tennis_first_five_match_snapshot(spark):
+    """The snapshot's first five displayed CFDs (minsup 8, minconf 0.7,
+    max_lhs 3) with their published support / confidence digits. Column
+    symbols: 0 Outlook, 1 Temperature, 2 Humidity, 3 Windy, 4 Play."""
+    from pyspark_validator.cfd_discovery import mine_cfds
+
+    df = _csv_df(spark, "play_tennis.csv")
+    rules = mine_cfds(df, min_supp=8, min_conf=0.7, max_lhs=3)
+    got = {
+        (
+            tuple(sorted(r.lhs)),
+            r.rhs_attr,
+            r.rhs_const,
+            r.support,
+            round(r.confidence, 4),
+        )
+        for r in rules
+    }
+    assert ((("Windy", "FALSE"),), "Play", "TRUE", 8, 0.75) in got
+    assert ((("Humidity", None),), "Play", None, 14, 0.7143) in got
+    assert ((("Play", None),), "Humidity", None, 14, 0.7143) in got
+    assert (
+        (("Humidity", None), ("Windy", None)), "Play", None, 14, 0.7143,
+    ) in got
+    five = (("Humidity", None), ("Windy", "FALSE"))
+    assert any(t[0] == five and t[3] == 8 for t in got)
