@@ -1754,17 +1754,38 @@ def q_cind_orders_customer_open(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_lhs",
         "support",
         "total_lhs_rows",
+        F.round("validity", 9).alias("validity"),
+        F.round("completeness", 9).alias("completeness"),
+        "supporting_baskets",
+        "included_support",
+        "included_baskets_total",
     )
 
 
 SQL_CIND_ORDERS_CUSTOMER_OPEN = """
-WITH l AS (SELECT o_custkey AS k, count(*) AS occ FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
-m AS (SELECT * FROM l WHERE k NOT IN (SELECT c_custkey FROM customer))
-SELECT (SELECT count(*) FROM m) = 0 AS holds,
-       (SELECT count(*) FROM m) AS n_violating_clusters,
-       (SELECT count(*) FROM l) AS n_distinct_lhs,
-       CAST((SELECT sum(occ) FROM l) AS BIGINT) AS support,
-       (SELECT count(*) FROM orders) AS total_lhs_rows
+WITH b AS (
+  SELECT o_custkey AS k, count(*) AS n,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS m,
+         max(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS inc
+  FROM orders GROUP BY 1),
+agg AS (
+  SELECT sum(CASE WHEN m > 0 AND inc = 0 THEN 1 ELSE 0 END) AS viol,
+         sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS supporting,
+         sum(CASE WHEN m > 0 AND inc = 1 THEN 1 ELSE 0 END) AS inc_support,
+         sum(inc) AS inc_total,
+         sum(m) AS support, sum(n) AS total
+  FROM b)
+SELECT viol = 0 AS holds,
+       CAST(viol AS BIGINT) AS n_violating_clusters,
+       CAST(supporting AS BIGINT) AS n_distinct_lhs,
+       CAST(support AS BIGINT) AS support,
+       CAST(total AS BIGINT) AS total_lhs_rows,
+       round(CASE WHEN supporting > 0 THEN CAST(inc_support AS DOUBLE) / supporting ELSE -1.0 END, 9) AS validity,
+       round(CASE WHEN inc_total > 0 THEN CAST(inc_support AS DOUBLE) / inc_total ELSE 0.0 END, 9) AS completeness,
+       CAST(supporting AS BIGINT) AS supporting_baskets,
+       CAST(inc_support AS BIGINT) AS included_support,
+       CAST(inc_total AS BIGINT) AS included_baskets_total
+FROM agg
 """
 
 
