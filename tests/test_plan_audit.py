@@ -403,3 +403,27 @@ def test_dd_equality_blocking_skips_probe_explode(spark, tables):
         row_ref="__row",
     )
     assert _count(_plan(band._pairs), "Generate") == 1
+
+
+def test_cind_verifier_summary_plan(spark, tables):
+    """cind_check's basket pass (checks/cind.py): ONE groupBy over the LHS
+    inclusion key (map-side partials), the distinct RHS keys joined with a
+    BROADCAST hash join (never shuffling the basket frame for the join), one
+    final single-row agg, and both parquet scans column-pruned to exactly the
+    referenced columns."""
+    from pyspark_validator.checks.cind import cind_check
+
+    spark.catalog.clearCache()
+    s = cind_check(
+        tables["orders"], ["o_custkey"], tables["customer"], ["c_custkey"],
+        lhs_condition="o_orderstatus = 'O'",
+    ).summary()
+    plan = _plan(s)
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "Scan parquet") == 2
+    # pruning reached both scans: no unrelated columns anywhere in the plan
+    assert "o_totalprice" not in plan and "c_name" not in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>" in plan
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
