@@ -158,4 +158,14 @@ cind.execute(error=0.5, validity=0.5, completeness=0.3, condition_type="row")
 first = cind.get_cinds()[0]
 print("CIND:", first.get_ind_string(), "| conditions:", first.conditions_number())
 
+# CINDVerifier: reference basket semantics + the pybind condition_values list
+cv = compat.CindVerifier(spark)
+cv.load_data(TABLE[["id", "dept", "grade"]], TABLE[["grade"]])
+cv.execute([2], [0], condition_values=["_", "a"], min_validity=0.9,
+           min_completeness=0.0)
+print("CindVerifier:", f"validity={cv.get_real_validity():.3f}",
+      f"completeness={cv.get_real_completeness():.3f}",
+      f"baskets={cv.get_supporting_baskets()}/{cv.get_included_baskets_total()}",
+      "| holds:", cv.holds())
+
 spark.stop()
