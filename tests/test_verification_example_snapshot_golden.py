@@ -235,3 +235,39 @@ def test_dynamic_fd_dnd_walkthrough_matches_snapshot(spark, tmp_path):
     assert v.fd_holds() is False
     assert v.get_num_error_clusters() == 1
     assert clusters() == {("Dragon", True): (2, 2)}
+
+
+def test_dynamic_afd_dnd_walkthrough_matches_snapshot(spark, tmp_path):
+    """dynamic_verifying_afd: same DnD FD, AFD error tracked through one
+    mixed insert/delete/update batch — published errors 0.19047619047619047
+    (= 4/21) before and 0.2857142857142857 (= 2/7) after, with the single
+    surviving (Elf, False) cluster of 5 rows / 2 distinct strengths."""
+    from pyspark_validator.compat import DynamicFdVerifier
+
+    dnd = _csv("DnD.csv")
+    v = DynamicFdVerifier(spark, state_path=str(tmp_path / "state"))
+    v.load_data(dnd, lhs_indices=[0, 2], rhs_indices=[1])
+    v.execute()
+
+    assert v.get_error() == pytest.approx(4 / 21, abs=1e-15)
+    assert v.get_error() < 0.5 and not v.get_error() < 0.1
+    assert v.get_num_error_clusters() == 3
+
+    # insert 2x(Elf,2,False) + (Dragon,200,True); delete rows 2,4,6; update
+    # rows 0,1,3,5 -> three (Elf,3,False) and one (Dragon,200,True)
+    v.execute(
+        insert=[("Elf", 2, False), ("Elf", 2, False), ("Dragon", 200, True)],
+        delete=[("Elf", 6, True), ("Elf", 1, True), ("Dwarf", 6, False)],
+        update=(
+            [("Ogre", 9, False), ("Ogre", 6, False), ("Elf", 6, True),
+             ("Dwarf", 9, False)],
+            [("Elf", 3, False), ("Elf", 3, False), ("Dragon", 200, True),
+             ("Elf", 3, False)],
+        ),
+    )
+    assert v.get_error() == pytest.approx(2 / 7, abs=1e-15)
+    assert v.get_error() < 0.5 and not v.get_error() < 0.1
+    assert v.get_num_error_clusters() == 1
+    (hl,) = v.get_highlights()
+    assert tuple(hl["lhs_values"]) == ("Elf", False)
+    assert hl["cluster_size"] == 5 and hl["num_distinct_rhs_values"] == 2
