@@ -448,16 +448,19 @@ class DataStats(_Verifier):
         return d["n_distinct"] - (1 if d["n_empties"] > 0 else 0)
 
     def get_columns_with_null(self):
+        """Column INDICES with nulls, like the pybind getter
+        (bind_statistics.cpp GetColumnsWithNull prints [i, ...])."""
         out = []
         for name, d in {**self._num, **self._str}.items():
             if d["n_nulls"] > 0:
-                out.append(name)
-        return out
+                out.append(self._data_cols.index(name))
+        return sorted(out)
 
     def get_columns_with_all_unique_values(self):
-        """Distinct(i) == num_rows (data_stats.cpp:1219-1226): any null or
-        empty disqualifies (they are deleted before the distinct count, so
-        the counts can never reach num_rows)."""
+        """Column INDICES where Distinct(i) == num_rows
+        (data_stats.cpp:1219-1226): any null or empty disqualifies (they are
+        deleted before the distinct count, so the counts can never reach
+        num_rows)."""
         out = []
         for name, d in {**self._num, **self._str}.items():
             if (
@@ -465,8 +468,8 @@ class DataStats(_Verifier):
                 and d["n_nulls"] == 0
                 and d.get("n_empties", 0) == 0
             ):
-                out.append(name)
-        return out
+                out.append(self._data_cols.index(name))
+        return sorted(out)
 
     # -- string getters -------------------------------------------------------
     def get_min_number_of_chars(self, col):

@@ -72,7 +72,7 @@ def test_data_stats_facade(spark):
         ds.get_quantile_75("l_quantity") - ds.get_quantile_25("l_quantity")
     )
     assert ds.get_mean_ad("l_quantity") > 0
-    assert "l_quantity" not in ds.get_columns_with_null()
+    assert ds._data_cols.index("l_quantity") not in ds.get_columns_with_null()
     assert ds.get_min_number_of_chars("l_returnflag") == 1
     assert len(ds.get_all_statistics_as_string()) > 100
 

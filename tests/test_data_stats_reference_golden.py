@@ -103,8 +103,8 @@ def test_null_and_unique_columns(spark, tds):
     # TestGetNumberOfNulls / NumberOfValues / TestGetColumnsWithUniqueValues
     assert tds.get_num_nulls("c0") == 5
     assert tds.get_number_of_values("c0") == 0
-    uniq = sorted(int(n[1:]) for n in tds.get_columns_with_all_unique_values())
-    assert uniq == [8, 9, 10, 11]
+    # pybind getter returns column indices (c0..c11 -> 0..11)
+    assert tds.get_columns_with_all_unique_values() == [8, 9, 10, 11]
 
     # TestGetNullColumns on SimpleTypes (all columns as strings suffices:
     # only the all-NULL-literal column qualifies)
@@ -118,10 +118,7 @@ def test_null_and_unique_columns(spark, tds):
     dm = DataStats(spark)
     dm.load_data(_load_ref_csv("TestMetric.csv", header=True))
     dm.execute()
-    mnames = dm._data_cols
-    assert sorted(mnames.index(n) for n in dm.get_columns_with_null()) == list(
-        range(6, 16)
-    )
+    assert dm.get_columns_with_null() == list(range(6, 16))
 
 
 def test_numeric_center_and_deviation(tds):
