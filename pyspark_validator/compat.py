@@ -81,6 +81,11 @@ class UccVerifier(_Verifier):
     def get_clusters_violating_ucc(self) -> list[list]:
         return [list(r.sample_rows) for r in self._violations]
 
+    def validate_ucc(self, ucc) -> None:
+        """bind_ucc_verification.cpp:28-37: accept a mined UCC result object
+        and re-run the verifier on its column indices."""
+        self.execute(list(ucc.indices))
+
 
 class FdVerifier(_Verifier):
     """FDVerifier analog (bind_fd_verification.cpp getters)."""
@@ -169,6 +174,13 @@ class IndVerifier(_Verifier):
 
     def ind_holds(self) -> bool:
         return bool(self._summary.holds)
+
+    def validate_ind(self, ind) -> None:
+        """bind_ind_verification.cpp:23-30: accept a mined IND result object
+        ('table.column' sides) and re-run the verifier on its columns."""
+        lhs = [p.strip().rpartition(".")[2] for p in ind.get_lhs().split(",")]
+        rhs = [p.strip().rpartition(".")[2] for p in ind.get_rhs().split(",")]
+        self.execute(lhs, rhs)
 
     def get_error(self) -> float:
         return float(self._summary.error)
@@ -756,6 +768,7 @@ class MdVerifier(_Verifier):
         elif left_id is not None:
             kw["right_id"] = left_id
         check = md_check(self._df, lhs, rhs, right=self._right, **kw)
+        self._input_rhs_boundary = float(check.rhs.boundary)
         self._summary = check.summary().collect()[0]
         self._highlights = [r.asDict() for r in check.highlights().limit(cap).collect()]
         self._suggestion = {
@@ -767,14 +780,30 @@ class MdVerifier(_Verifier):
     def get_result(self) -> bool:
         return bool(self._summary.holds)
 
+    def md_holds(self) -> bool:
+        """bind_md_verification.cpp:57 alias of GetResult."""
+        return self.get_result()
+
     def get_true_rhs_decision_boundary(self) -> float:
         return float(self._summary.true_rhs_boundary)
 
     def get_md_suggestion(self) -> dict:
         return self._suggestion
 
+    def get_input_md(self) -> dict:
+        """bind_md_verification.cpp:59: the MD as specified (input
+        boundaries, not the suggested true ones)."""
+        return {
+            "lhs": list(self._suggestion["lhs"]),
+            "rhs": (self._suggestion["rhs"][0], self._input_rhs_boundary),
+        }
+
     def get_highlights(self) -> list[dict]:
         return self._highlights
+
+    def get_highlights_copy(self) -> list[dict]:
+        """bind_md_verification.cpp:55: an owned copy of the highlights."""
+        return [dict(h) for h in self._highlights]
 
 
 class SdVerifier(_Verifier):
@@ -1314,6 +1343,43 @@ class CindVerifier(_Verifier):
         return self._violations
 
 
+class DomainPAC(dict):
+    """DomainPAC result object (domain_pac.h:27-81, bind_pac.cpp:48-56): a
+    dict {'epsilon','delta','column_names','domain_name'} carrying the
+    reference getters and display strings."""
+
+    def get_epsilon(self) -> float:
+        return float(self["epsilon"])
+
+    def get_delta(self) -> float:
+        return float(self["delta"])
+
+    def get_column_names(self) -> list[str]:
+        return list(self["column_names"])
+
+    def get_domain_name(self) -> str:
+        return self["domain_name"]
+
+    def _stem(self, arg: str) -> str:
+        # StringStem (domain_pac.h:27-31); C++ default ostream float format
+        # is %g-like 6 significant digits
+        return (
+            f"Pr({arg} ∈ {self['domain_name']}±{self['epsilon']:g})"
+            f" ≥ {self['delta']:g}"
+        )
+
+    def to_short_string(self) -> str:
+        cols = "[" + " ".join(self["column_names"]) + "]"
+        return self._stem(cols)
+
+    def to_long_string(self) -> str:
+        cols = "[" + " ".join(self["column_names"]) + "]"
+        return f"Domain PAC {self._stem('x')} on columns {cols}"
+
+    def __str__(self) -> str:
+        return self.to_long_string()
+
+
 class PacVerifier(_Verifier):
     """DomainPACVerifier analog (domain_pac_verifier.h:70-79: get_pac,
     get_highlights(eps_1, eps_2)). The domain is an interval, a value set, a
@@ -1350,13 +1416,26 @@ class PacVerifier(_Verifier):
         else:
             raise TypeError(f"unsupported domain spec: {type(domain)}")
         self._col_name = name
+        if isinstance(domain, Column):
+            self._domain_name = "D"
+        elif isinstance(domain, tuple):
+            self._domain_name = f"[{domain[0]:g}, {domain[1]:g}]"
+        else:
+            self._domain_name = (
+                "{" + ", ".join(str(v) for v in sorted(domain)) + "}"
+            )
         self._check = domain_pac_check(self._df, dist, exact=exact)
         self._dist = dist
         self._pac = self._check.elbow(min_delta=min_delta, steps=steps)
 
-    def get_pac(self) -> dict:
-        """DomainPAC analog: {'epsilon','delta','column_names'}."""
-        return {**self._pac, "column_names": [self._col_name]}
+    def get_pac(self) -> "DomainPAC":
+        """DomainPAC analog: a dict with the reference result-object surface
+        (get_epsilon/get_delta/to_short_string/to_long_string,
+        bind_pac.cpp:48-56)."""
+        return DomainPAC(
+            {**self._pac, "column_names": [self._col_name],
+             "domain_name": self._domain_name}
+        )
 
     def get_highlights(self, eps_1: float = 0.0, eps_2: float = -1.0, cap: int = 100) -> list:
         from pyspark.sql import functions as F
@@ -1694,9 +1773,19 @@ class FD:
     def to_index_tuple(self):
         return (tuple(self.lhs_indices), self.rhs_index)
 
-    def __str__(self):
+    def to_long_string(self):
+        """FD::ToLongString (fd.cpp:32-38): Vertical::ToString -> rhs name,
+        names space-separated inside the brackets."""
         lhs, rhs = self.to_name_tuple()
-        return f"[{', '.join(lhs)}] -> {rhs}"
+        return f"[{' '.join(lhs)}] -> {rhs}"
+
+    def to_short_string(self):
+        """FD::ToShortString (fd.cpp:21-30): "[ 0 1 ] -> 2"."""
+        inner = "".join(f"{i} " for i in self.lhs_indices)
+        return f"[ {inner}] -> {self.rhs_index}"
+
+    def __str__(self):
+        return self.to_long_string()  # bind_fd.cpp:36 __str__ = ToLongString
 
     def __eq__(self, other):
         return isinstance(other, FD) and self.to_index_tuple() == other.to_index_tuple()
@@ -1715,8 +1804,12 @@ class UCC:
     def to_short_string(self):
         return f"[{' '.join(str(i) for i in self.indices)}]"
 
+    def to_long_string(self):
+        """UCC::ToString == Vertical::ToString: names space-separated."""
+        return f"[{' '.join(self._columns[i] for i in self.indices)}]"
+
     def __str__(self):
-        return self.to_short_string()
+        return self.to_short_string()  # bind_ucc.cpp:56 __str__ = indices
 
     def __eq__(self, other):
         return isinstance(other, UCC) and self.indices == other.indices
@@ -1727,7 +1820,7 @@ class UCC:
 
 class IND:
     """IND result object (bind_ind.cpp:110-115: get_lhs/get_rhs/get_error);
-    lhs/rhs are 'table.column' attribute names."""
+    lhs/rhs are 'table.column' attribute names (', '-joined when n-ary)."""
 
     def __init__(self, lhs, rhs, error=0.0):
         self._lhs, self._rhs, self._error = lhs, rhs, float(error)
@@ -1743,6 +1836,25 @@ class IND:
 
     def to_short_string(self):
         return f"{self._lhs} -> {self._rhs}"
+
+    @staticmethod
+    def _side_long(side: str) -> str:
+        parts = [p.strip() for p in side.split(",")]
+        tables, cols = [], []
+        for p in parts:
+            t, _, c = p.rpartition(".")
+            tables.append(t)
+            cols.append(c)
+        return f"({tables[0]}, [{', '.join(cols)}])"
+
+    def to_long_string(self):
+        """IND::ToLongString (ind.cpp:34-55): "(table, [col, ...]) ->
+        (table, [col, ...])" plus the error-threshold suffix when
+        approximate."""
+        s = f"{self._side_long(self._lhs)} -> {self._side_long(self._rhs)}"
+        if self._error != 0.0:
+            s += f" with error threshold = {self._error:g}"
+        return s
 
     def __str__(self):
         return self.to_short_string()
@@ -2305,3 +2417,159 @@ class CindAlgorithm(_Verifier):
 
     def get_cinds(self) -> list[CindCIND]:
         return [CindCIND(r) for r in self._cinds]
+
+
+class ARStrings:
+    """ARStrings result object (ar/ar.h:52-104): named antecedent/consequent
+    with confidence/support and the reference's display string (std::to_string
+    prints 6 fixed decimals)."""
+
+    def __init__(self, left, right, confidence, support):
+        self.left = list(left)
+        self.right = list(right)
+        self.confidence = float(confidence)
+        self.support = float(support)
+
+    def __str__(self):
+        return (
+            f"conf: {self.confidence:.6f}\tsup: {self.support:.6f}"
+            f"\t{{{', '.join(self.left)}}} -> {{{', '.join(self.right)}}}"
+        )
+
+
+class ArIDs:
+    """ArIDs result object (ar/ar.h:30-50): item ids into the item universe."""
+
+    def __init__(self, left, right, confidence, support):
+        self.left = list(left)
+        self.right = list(right)
+        self.confidence = float(confidence)
+        self.support = float(support)
+
+
+class Apriori(_Verifier):
+    """ar.algorithms.Apriori analog (bind_ar.cpp:76-82: get_ars, get_ar_ids,
+    get_itemnames). ``load_data`` accepts the reference's two transactional
+    shapes: ``input_format='singular'`` (tid column + item column) or
+    ``'tabular'`` (each row lists one transaction's items). The item universe
+    is first-occurrence ordered like TransactionalData::GetItemUniverse."""
+
+    def load_data(
+        self,
+        table,
+        input_format: str = "singular",
+        tid_column_index: int = 0,
+        item_column_index: int = 1,
+    ) -> None:
+        import pandas as pd
+
+        if input_format not in ("singular", "tabular"):
+            raise ValueError("input_format must be 'singular' or 'tabular'")
+        if not isinstance(table, pd.DataFrame):
+            table = self._resolve(table).toPandas()
+        tx: list[tuple] = []
+        universe: list[str] = []
+        seen: set[str] = set()
+        if input_format == "singular":
+            for _, row in table.iterrows():
+                tid, item = row.iloc[tid_column_index], row.iloc[item_column_index]
+                if pd.isna(item):
+                    continue
+                item = str(item)
+                tx.append((str(tid), item))
+                if item not in seen:
+                    seen.add(item)
+                    universe.append(item)
+        else:
+            for rid, row in table.iterrows():
+                for v in row:
+                    if pd.isna(v) or str(v).strip() == "":
+                        continue
+                    item = str(v)
+                    tx.append((str(rid), item))
+                    if item not in seen:
+                        seen.add(item)
+                        universe.append(item)
+        self._universe = universe
+        spark = self._spark or SparkSession.active()
+        self._df = spark.createDataFrame(tx, ["tid", "item"])
+
+    def execute(self, minsup: float = 0.0, minconf: float = 0.0) -> None:
+        from pyspark_validator.discovery import mine_ars
+
+        # minsup 0 (the reference default) = every co-occurring itemset; the
+        # distributed miner needs a positive frequency floor, and any itemset
+        # that appears at all has support >= 1/n_transactions
+        n_tx = self._df.select("tid").distinct().count()
+        floor = max(float(minsup), 1.0 / max(n_tx, 1) / 2)
+        self._rules = mine_ars(self._df, minsup=floor, minconf=float(minconf))
+
+    def get_itemnames(self) -> list[str]:
+        return list(self._universe)
+
+    def get_ars(self) -> list[ARStrings]:
+        return [ARStrings(l, r, c, s) for l, r, s, c in self._rules]
+
+    def get_ar_ids(self) -> list[ArIDs]:
+        ix = {name: i for i, name in enumerate(self._universe)}
+        return [
+            ArIDs([ix[x] for x in l], [ix[x] for x in r], c, s)
+            for l, r, s, c in self._rules
+        ]
+
+
+class Correlation:
+    """Correlation result object (fd/sfd/correlation.h): named column pair
+    with the pybind's CamelCase getters (bind_sfd.cpp:48-54)."""
+
+    def __init__(self, lhs_name, rhs_name, lhs_index, rhs_index):
+        self._ln, self._rn = lhs_name, rhs_name
+        self._li, self._ri = int(lhs_index), int(rhs_index)
+
+    def GetLhsIndex(self):  # noqa: N802 - pybind name
+        return self._li
+
+    def GetRhsIndex(self):  # noqa: N802
+        return self._ri
+
+    def GetLhsName(self):  # noqa: N802
+        return self._ln
+
+    def GetRhsName(self):  # noqa: N802
+        return self._rn
+
+    def to_string(self):
+        return f"{self._ln} ~ {self._rn}"
+
+    def __str__(self):
+        return self.to_string()
+
+
+class Cords(_Verifier):
+    """fd.algorithms.Cords analog (bind_sfd.cpp:78-80; cords.cpp
+    ExecuteInternal:185-210): SFD pairs register as FDs (get_fds), pairs
+    passing the chi-square check but NOT the SFD rule register as
+    Correlations (get_correlations); ``only_sfd=True`` skips the correlation
+    check entirely, so get_correlations comes back empty."""
+
+    def execute(self, only_sfd: bool = False, **params) -> None:
+        from pyspark_validator.discovery import mine_sfds
+
+        self._res = mine_sfds(self._df, **params)
+        self._only_sfd = bool(only_sfd)
+
+    def get_correlations(self) -> list[Correlation]:
+        if self._only_sfd:
+            return []
+        cols = list(self._df.columns)
+        return [
+            Correlation(a, b, cols.index(a), cols.index(b))
+            for a, b in self._res["correlations"]
+        ]
+
+    def get_fds(self) -> list[FD]:
+        cols = list(self._df.columns)
+        return [
+            FD([cols.index(a)], cols.index(b), cols)
+            for a, b in self._res["sfds"]
+        ]

@@ -286,7 +286,7 @@ def test_tane_exact_and_afd(spark):
     fds = t.get_fds()
     names = {str(f) for f in fds}
     assert "[k1] -> c" in names and "[c] -> k1" in names
-    assert "[k1, k2] -> v" in names
+    assert "[k1 k2] -> v" in names  # FD::ToLongString: space-separated names
     # index getters (bind_fd.cpp:41-49)
     f = next(x for x in fds if str(x) == "[k1] -> c")
     assert f.lhs_indices == [0] and f.rhs_index == 2
