@@ -1001,6 +1001,39 @@ FROM norm GROUP BY t HAVING count(*) > 1
 """
 
 
+def q_dedup_snm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood-method blocking (pipelines/dedup.py::
+    snm_dedup_candidates; reference expert dedupe scenario,
+    examples/expert/dedupe.py sorted-window comparison): candidate pairs
+    within a window of 4 under ORDER BY (source||US||lang, doc_id). The
+    oracle replays the exact rank/window algebra with ROW_NUMBER."""
+    from pyspark_validator.pipelines.dedup import snm_dedup_candidates
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snm_dedup_candidates(
+        d, ["source", "lang"], window=4, id_col="doc_id", partitions=16
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+    )
+
+
+SQL_DEDUP_SNM_DOCS = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY source || chr(31) || lang, doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(a.rnk AS BIGINT) AS rank_a,
+       CAST(b.rnk AS BIGINT) AS rank_b
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+"""
+
+
 def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_exact keep-one policy: the surviving doc_ids (min id per
     normalized content)."""
@@ -4430,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "dedup_exact_planted": q_dedup_exact_planted,
+        "dedup_snm_docs": q_dedup_snm_docs,
         "dedup_keep_one": q_dedup_keep_one,
         "cc_clusters_planted": q_cc_clusters_planted,
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
@@ -4525,6 +4559,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
+        "dedup_snm_docs": SQL_DEDUP_SNM_DOCS,
         "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
         "cc_clusters_planted": SQL_CC_CLUSTERS_PLANTED,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,

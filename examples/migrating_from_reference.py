@@ -168,4 +168,16 @@ print("CindVerifier:", f"validity={cv.get_real_validity():.3f}",
       f"baskets={cv.get_supporting_baskets()}/{cv.get_included_baskets_total()}",
       "| holds:", cv.holds())
 
+ap = compat.Apriori(spark)
+ap.load_data(TABLE[["id", "dept"]].astype(str), input_format="singular")
+ap.execute(minconf=0.5)
+print("Apriori ARs:", [str(a) for a in ap.get_ars()][:2],
+      "| items:", ap.get_itemnames())
+
+cords = compat.Cords(spark)
+cords.load_data(TABLE[["dept", "grade", "salary"]])
+cords.execute()
+print("Cords SFDs:", [str(f) for f in cords.get_fds()],
+      "| correlations:", [str(c) for c in cords.get_correlations()])
+
 spark.stop()

@@ -463,3 +463,103 @@ def dedup_clusters(
         )
         .drop("__cc_id", "component")
     )
+
+
+def _global_ranks(df: DataFrame, key: Column, id_col: str, partitions: int) -> DataFrame:
+    """Dense global position for every row under ``ORDER BY key, id`` without
+    a single-partition window: range-partition on the sort key, rank locally
+    (per-partition window, bounded memory), then add per-partition offsets
+    computed from a P-row count frame via a driver prefix sum. Two narrow
+    passes; the classic distributed zipWithIndex in DataFrame form.
+
+    Output: [id, __key, __rank] with __rank in [0, n)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), key.alias("__key")
+    ).repartitionByRange(partitions, F.col("__key"), F.col("id"))
+    keyed = keyed.withColumn("__pid", F.spark_partition_id())
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(F.col("__key"), F.col("id"))
+    )
+    ranked = keyed.withColumn("__lr", local)
+    counts = sorted(
+        ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["__pid"],
+    )  # <= `partitions` rows on the driver
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["c"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], ["__pid", "__off"]
+    )
+    return (
+        ranked.join(F.broadcast(off), on="__pid")
+        .select("id", "__key", (F.col("__lr") - 1 + F.col("__off")).alias("__rank"))
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: Column | str,
+    window: int = 4,
+    id_col: str = "doc_id",
+    partitions: int = 64,
+) -> DataFrame:
+    """Sorted-neighborhood-method candidate pairs (the reference's expert
+    dedupe scenario, examples/expert/dedupe.py:20-120: sort by the chosen
+    key, compare each row only to its ``window - 1`` successors).
+
+    Spark design for 10^12 rows: global ranks via :func:`_global_ranks`
+    (range partition + per-partition window + broadcast offsets -- no
+    single-partition sort), then the band-join trick: bucket = rank / window,
+    a row meets all rank-distance < window partners by joining buckets b and
+    b+1 only -- 2 join keys per row instead of window-1 exploded copies, one
+    shuffle join on a dense integer key, no skew (buckets have exactly
+    ``window`` rows).
+
+    Output: [id_a, id_b, rank_a, rank_b] with rank_a < rank_b,
+    rank_b - rank_a < window."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    key = F.col(key) if isinstance(key, str) else key
+    # checkpoint the n-row rank frame (id + 2 ints): the rank assignment
+    # already burned a driver prefix-sum collect, and pinning it here keeps
+    # the lazy pair join from ever re-running the ranking lineage (whose
+    # partition ids must stay consistent with the collected offsets)
+    ranked = _global_ranks(df, key, id_col, partitions).select(
+        "id", "__rank", F.floor(F.col("__rank") / window).alias("__b")
+    ).localCheckpoint(eager=True)
+    left = ranked.select(
+        F.col("id").alias("id_a"), F.col("__rank").alias("rank_a"), "__b"
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("__rank").alias("rank_b"),
+        F.explode(F.array(F.col("__b"), F.col("__b") - 1)).alias("__b"),
+    )
+    return (
+        left.join(right, on="__b")
+        .filter(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") < window)
+        )
+        .select("id_a", "id_b", "rank_a", "rank_b")
+    )
+
+
+def snm_dedup_candidates(
+    df: DataFrame,
+    lhs_cols: list[str],
+    window: int = 4,
+    id_col: str = "doc_id",
+    partitions: int = 64,
+) -> DataFrame:
+    """The expert dedupe scenario's blocking step: the sort key is the
+    concatenation of the chosen (mined-AFD LHS) attributes, and candidates
+    are all pairs within the sliding window. Downstream exact comparison /
+    merge is the caller's policy, as in the reference's interactive loop."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in lhs_cols])
+    return sorted_neighborhood_pairs(
+        df, key, window=window, id_col=id_col, partitions=partitions
+    )
