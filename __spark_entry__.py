@@ -1128,6 +1128,19 @@ WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.9
 """
 
 
+def q_prefix_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (pipelines/dedup.py::
+    prefix_jaccard_pairs, SSJoin/PPJoin family): indexes only each doc's
+    (1-t)|d|+1 rarest shingles for candidate generation, verifies exactly.
+    Output is identical to the exhaustive inverted-index join, so the oracle
+    is the same exact-Jaccard SQL as ngram_jaccard_planted."""
+    from pyspark_validator.pipelines.dedup import prefix_jaccard_pairs
+
+    d = _documents_planted(spark, sf_dir)
+    p = prefix_jaccard_pairs(d, text_col="text", id_col="doc_id", k=3, threshold=0.9)
+    return p.select("id_a", "id_b", _r(F.col("jaccard"), 9).alias("jaccard"))
+
+
 def q_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact-Jaccard verification. With
     verify=True the output is the true jaccard >= 0.9 pair set restricted to
@@ -4467,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one": q_dedup_keep_one,
         "cc_clusters_planted": q_cc_clusters_planted,
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
+        "prefix_jaccard_planted": q_prefix_jaccard_planted,
         "minhash_lsh_planted": q_minhash_lsh_planted,
         "simhash_planted": q_simhash_planted,
         "similarity_brute_topk": q_similarity_brute_topk,
@@ -4563,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
         "cc_clusters_planted": SQL_CC_CLUSTERS_PLANTED,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
+        "prefix_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
         # verify=True restricts LSH candidates to true jaccard >= 0.9, and
         # banding recall over the planted dups is total -> the exhaustive
         # n-gram Jaccard SQL is an exact oracle for the LSH pipeline too.

@@ -127,6 +127,10 @@ HEADLINE = [
     "discovery_nary_inds_orders",
     # round 2 session 13: TANE AFD-measure mining (pdep walk)
     "discovery_afds_tane_orders",
+    # round 2 session 16: sorted-neighborhood dedup blocking + prefix-filtered
+    # exact Jaccard join (PPJoin-family candidate pruning)
+    "dedup_snm_docs",
+    "prefix_jaccard_planted",
 ]
 
 

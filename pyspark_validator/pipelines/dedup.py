@@ -563,3 +563,96 @@ def snm_dedup_candidates(
     return sorted_neighborhood_pairs(
         df, key, window=window, id_col=id_col, partitions=partitions
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard similarity join with prefix filtering (SSJoin/PPJoin
+    family, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): same output as
+    :func:`ngram_jaccard_pairs` with no ``max_df`` pruning, but the candidate
+    generator indexes only each document's *prefix* -- its
+    ``|d| - ceil(t*|d|) + 1`` globally-rarest shingles -- instead of all of
+    them. Two sets with jaccard >= t must share at least one prefix token
+    under any global token order, so no pair is missed; ordering rarest-first
+    makes the indexed lists short AND cold (the hot-shingle skew that
+    ngram_jaccard_pairs has to drop via ``max_df`` never enters the index,
+    because a high-df shingle sorts to the suffix).
+
+    Scale design (10^12 docs): at t=0.9 the prefix is ~10% of each document's
+    shingles, so the self-join input shrinks 10x and the candidate-pair volume
+    ~100x versus the full inverted index; the length filter
+    ``t*|a| <= |b| <= |a|/t`` prunes join output before the verify stage; the
+    exact verification join touches candidate pairs only. All JVM exprs, three
+    shuffles (df-rank join, prefix self-join, verify join).
+
+    Output: [id_a, id_b, jaccard] with id_a < id_b, jaccard >= threshold.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .withColumn("sh", F.xxhash64("shingle"))
+        .drop("shingle")
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    df_freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    # canonical order: rarest first, hash as the tie-break (any total order
+    # works; df asc keeps indexed lists short). One shuffle join on sh.
+    ranked = sh.join(df_freq, on="sh").join(sizes, on="id")
+    # prefix length p = n - ceil(t*n) + 1
+    p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("df_cnt"), F.col("sh"))
+    )
+    prefix = (
+        ranked.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= p)
+        .select("id", "sh", "n")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: jaccard >= t forces t*|a| <= |b| <= |a|/t
+            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: count common shingles per pair
+    ta = sh.select(F.col("id").alias("id_a"), "sh")
+    tb = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        cand.join(ta, on="id_a")
+        .join(tb, on=["id_b", "sh"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,79 @@
+"""Prefix-filtered exact Jaccard join (SSJoin/PPJoin family).
+
+Correctness contract: identical output to the full inverted-index exact join
+(ngram_jaccard_pairs without max_df pruning) — prefix filtering is a
+candidate-pruning technique, never a semantics change."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_validator.pipelines.dedup import (
+    ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
+)
+
+
+def _random_docs(n=40, vocab=30, length=25, seed=7):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for i in range(n):
+        base = [rng.choice(words) for _ in range(length)]
+        docs.append((i, " ".join(base)))
+        if i % 5 == 0:  # plant a near-duplicate: one word swapped
+            mutated = list(base)
+            mutated[rng.randrange(length)] = rng.choice(words)
+            docs.append((i + 10000, " ".join(mutated)))
+    return docs
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_prefix_join_equals_full_inverted_index(spark, threshold):
+    df = spark.createDataFrame(_random_docs(), ["doc_id", "text"])
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df, k=3, threshold=threshold, max_df=2**31 - 1
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_pairs(df, k=3, threshold=threshold).collect()
+    }
+    assert pref == full
+    assert len(pref) > 0  # the planted near-dups make this non-vacuous
+
+
+def test_prefix_join_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    rows = prefix_jaccard_pairs(df, k=3, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_prefix_join_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_jaccard_pairs(df, threshold=0.0)
+
+
+def test_prefix_index_is_smaller_than_full(spark):
+    # the structural claim behind the scale argument: at t=0.9 the prefix
+    # table holds ~(1-t) of the shingle rows; check it directly on the
+    # intermediate (re-derive prefix length from the operator's formula)
+    docs = spark.createDataFrame(_random_docs(n=20), ["doc_id", "text"])
+    from pyspark_validator.pipelines.dedup import _shingles
+
+    sizes = docs.select(
+        F.size(_shingles(F.col("text"), 3)).alias("n")
+    ).collect()
+    import math
+
+    t = 0.9
+    full = sum(r["n"] for r in sizes)
+    prefix = sum(r["n"] - math.ceil(t * r["n"]) + 1 for r in sizes)
+    assert prefix < 0.25 * full
