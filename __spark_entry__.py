@@ -2962,6 +2962,89 @@ def q_curation_decontam_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination (pipelines/curation.py::
+    decontaminate_fuzzy over dedup.py::prefix_jaccard_join): benchmark = docs
+    with doc_id % 37 == 0; training docs with doc_id % 41 == 5 get their text
+    REPLACED by benchmark doc 0's text plus one extra word — a near-copy that
+    exact 8-gram matching under-counts but shingle Jaccard >= 0.8 flags. The
+    oracle replays the planted corpus and the full cross-corpus exact Jaccard
+    in SQL (prefix filtering is lossless, so outputs are identical)."""
+    from pyspark_validator.pipelines.curation import decontaminate_fuzzy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    b0 = bench.where(F.col("doc_id") == 0).select(F.col("text").alias("btext"))
+    train = (
+        d.where(F.col("doc_id") % 37 != 0)
+        .select("doc_id", "text")
+        .crossJoin(F.broadcast(b0))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 41 == 5,
+                F.concat(F.col("btext"), F.lit(" zz")),
+            ).otherwise(F.col("text")),
+        )
+        .drop("btext")
+    )
+    out = decontaminate_fuzzy(train, bench, k=3, threshold=0.8)
+    return (
+        out.where("contaminated")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_benchmark_matches").cast("bigint").alias("n_benchmark_matches"),
+            _r(F.col("max_benchmark_jaccard"), 9).alias("max_benchmark_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CURATION_DECONTAM_FUZZY = r"""
+WITH b0 AS (SELECT text AS btext FROM documents WHERE doc_id = 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+train AS (SELECT doc_id,
+                 CASE WHEN doc_id % 41 = 5
+                      THEN (SELECT btext FROM b0) || ' zz'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 37 <> 0),
+tw AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM train),
+bw AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM bench),
+tsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(array_length(w) - 3, 0) + 1),
+           i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM tw
+),
+bsh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(array_length(w) - 3, 0) + 1),
+           i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM bw
+),
+tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+common AS (
+  SELECT t.doc_id AS id_l, b.doc_id AS id_r, count(*) AS c
+  FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_l, c * 1.0 / (tsz.n + bsz.n - c) AS j
+  FROM common
+  JOIN tsz ON tsz.doc_id = id_l
+  JOIN bsz ON bsz.doc_id = id_r
+  WHERE c * 1.0 / (tsz.n + bsz.n - c) >= 0.8
+)
+SELECT CAST(id_l AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_benchmark_matches,
+       round(max(j), 9) AS max_benchmark_jaccard
+FROM pairs GROUP BY id_l ORDER BY doc_id
+"""
+
+
 SQL_CURATION_DECONTAM_PLANTED = r"""
 WITH b0 AS (SELECT text AS btext FROM documents WHERE doc_id = 0),
 bench AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
@@ -4523,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_hash_split_docs": q_curation_hash_split_docs,
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
+        "curation_decontam_fuzzy": q_curation_decontam_fuzzy,
         "curation_pack_docs": q_curation_pack_docs,
         "curation_domain_cap_docs": q_curation_domain_cap_docs,
         "discovery_unary_inds_keys": q_discovery_unary_inds_keys,
@@ -4626,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_hash_split_docs": SQL_CURATION_HASH_SPLIT_DOCS,
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
+        "curation_decontam_fuzzy": SQL_CURATION_DECONTAM_FUZZY,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,
         "curation_domain_cap_docs": SQL_CURATION_DOMAIN_CAP_DOCS,
         "discovery_unary_inds_keys": SQL_DISCOVERY_UNARY_INDS_KEYS,

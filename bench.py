@@ -131,6 +131,7 @@ HEADLINE = [
     # exact Jaccard join (PPJoin-family candidate pruning)
     "dedup_snm_docs",
     "prefix_jaccard_planted",
+    "curation_decontam_fuzzy",
 ]
 
 

@@ -196,6 +196,50 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate decontamination: flag training docs whose shingle
+    Jaccard against ANY benchmark doc is >= ``threshold``. Catches the
+    contamination that :func:`decontaminate`'s exact n-gram membership misses
+    — benchmark items that entered the corpus with small edits (whitespace,
+    typo, paraphrase of a few words) share few exact 8-grams but keep a high
+    set Jaccard.
+
+    Built on :func:`pyspark_validator.pipelines.dedup.prefix_jaccard_join`
+    (prefix-filtered exact similarity join), so the train side is never
+    joined shingle-by-shingle against the benchmark — only rarest-prefix
+    matches become candidates. Adds ``n_benchmark_matches``,
+    ``max_benchmark_jaccard`` and ``contaminated``.
+    """
+    from pyspark_validator.pipelines.dedup import prefix_jaccard_join
+
+    hits = (
+        prefix_jaccard_join(
+            train, benchmark, text_col=text_col, id_col=id_col, k=k,
+            threshold=threshold,
+        )
+        .groupBy(F.col("id_l").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_benchmark_matches"),
+            F.max("jaccard").alias("max_benchmark_jaccard"),
+        )
+    )
+    return (
+        train.join(hits, id_col, "left")
+        .withColumn(
+            "n_benchmark_matches",
+            F.coalesce(F.col("n_benchmark_matches"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("contaminated", F.col("n_benchmark_matches") > 0)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -656,3 +656,93 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def prefix_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus EXACT Jaccard similarity join (R x S form of
+    :func:`prefix_jaccard_pairs`): every (left, right) doc pair with shingle
+    Jaccard >= threshold. The prefix theorem is per-side — J >= t forces
+    ``|A ∩ B| >= t·|A|`` and ``>= t·|B|``, so the ``|d| - ceil(t·|d|) + 1``
+    rarest-first prefixes under one SHARED global token order (document
+    frequency over the union) must intersect for any qualifying pair.
+
+    Scale design: the union df ranking is one groupBy; candidate generation
+    joins the two ~(1-t)-sized prefix tables on an 8-byte key; exact verify
+    touches candidates only. No broadcast assumption on either side — both
+    corpora may be huge (the fuzzy-decontamination case is a 100 TB train
+    side vs a small benchmark side, where the shuffle join degenerates to a
+    broadcast automatically under AQE).
+
+    Output: [id_l, id_r, jaccard], jaccard >= threshold.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    par = left.sparkSession.sparkContext.defaultParallelism
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return (
+            df.repartition(par)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+            )
+            .withColumn("sh", F.xxhash64("shingle"))
+            .drop("shingle")
+        )
+
+    shl, shr = _sh(left).persist(), _sh(right).persist()
+    df_freq = (
+        shl.select("sh").unionAll(shr.select("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+    )
+
+    def _prefix(sh: DataFrame) -> DataFrame:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        ranked = sh.join(df_freq, on="sh").join(sizes, on="id")
+        p = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        rn = F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df_cnt"), F.col("sh"))
+        )
+        return ranked.withColumn("__rn", rn).filter(F.col("__rn") <= p).select(
+            "id", "sh", "n"
+        )
+
+    pl = _prefix(shl).alias("l")
+    pr = _prefix(shr).alias("r")
+    cand = (
+        pl.join(
+            pr,
+            on=(F.col("l.sh") == F.col("r.sh"))
+            & (F.col("r.n") * F.lit(threshold) <= F.col("l.n"))
+            & (F.col("l.n") * F.lit(threshold) <= F.col("r.n")),
+        )
+        .select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            F.col("l.n").alias("n_l"),
+            F.col("r.n").alias("n_r"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(shl.select(F.col("id").alias("id_l"), "sh"), on="id_l")
+        .join(shr.select(F.col("id").alias("id_r"), "sh"), on=["id_r", "sh"])
+        .groupBy("id_l", "id_r", "n_l", "n_r")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_l") + F.col("n_r") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )

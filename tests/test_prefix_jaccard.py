@@ -77,3 +77,49 @@ def test_prefix_index_is_smaller_than_full(spark):
     full = sum(r["n"] for r in sizes)
     prefix = sum(r["n"] - math.ceil(t * r["n"]) + 1 for r in sizes)
     assert prefix < 0.25 * full
+
+
+def test_prefix_cross_join_matches_brute_force(spark):
+    from pyspark_validator.pipelines.dedup import _shingles, prefix_jaccard_join
+
+    left = spark.createDataFrame(_random_docs(n=25, seed=3), ["doc_id", "text"])
+    right = spark.createDataFrame(_random_docs(n=25, seed=9), ["doc_id", "text"])
+    got = {
+        (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_join(left, right, k=3, threshold=0.5).collect()
+    }
+
+    def sets(df):
+        return {
+            r["doc_id"]: set(r["s"])
+            for r in df.select("doc_id", _shingles(F.col("text"), 3).alias("s")).collect()
+        }
+
+    ls, rs = sets(left), sets(right)
+    want = set()
+    for li, a in ls.items():
+        for ri, b in rs.items():
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                want.add((li, ri, round(j, 9)))
+    assert got == want
+
+
+def test_decontaminate_fuzzy_planted(spark):
+    from pyspark_validator.pipelines.curation import decontaminate_fuzzy
+
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    bench = spark.createDataFrame([(900, bench_text)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, bench_text + " zz"),            # near-copy -> flagged
+            (2, "completely unrelated words about spark shuffles and joins"),
+            (3, bench_text),                    # exact copy -> flagged, j=1.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in decontaminate_fuzzy(train, bench, threshold=0.8).collect()}
+    assert out[1]["contaminated"] and out[3]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_benchmark_matches"] == 0
+    assert out[3]["max_benchmark_jaccard"] == 1.0
+    assert 0.8 <= out[1]["max_benchmark_jaccard"] < 1.0
