@@ -615,10 +615,14 @@ def prefix_jaccard_pairs(
     rn = F.row_number().over(
         Window.partitionBy("id").orderBy(F.col("df_cnt"), F.col("sh"))
     )
+    # persist: BOTH sides of the self-join read this frame -- without it the
+    # df-rank join + per-doc window re-runs twice (visible as two Window
+    # subtrees in the physical plan)
     prefix = (
         ranked.withColumn("__rn", rn)
         .filter(F.col("__rn") <= p)
         .select("id", "sh", "n")
+        .persist()
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -698,10 +702,13 @@ def prefix_jaccard_join(
         )
 
     shl, shr = _sh(left).persist(), _sh(right).persist()
+    # persist: both _prefix calls join against this ranking -- one union-agg
+    # pass instead of two
     df_freq = (
         shl.select("sh").unionAll(shr.select("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .persist()
     )
 
     def _prefix(sh: DataFrame) -> DataFrame:
