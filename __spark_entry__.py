@@ -1090,6 +1090,47 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS cluster_id FROM norm
 """
 
 
+def q_cc_keep_best_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-best dedup (pipelines/dedup.py::cluster_keep_best):
+    the same transitive chain pairs as cc_clusters_planted, but the survivor
+    of each cluster is the argmax of a quality score (here the deterministic
+    pmod(doc_id, 7)) with smallest-id tie-break — the keep policy a curation
+    pipeline wants (retain the best copy, not an arbitrary one). Oracle:
+    ROW_NUMBER over the normalized-content group ordered by score desc, id asc."""
+    from pyspark.sql import Window
+
+    from pyspark_validator.pipelines.dedup import cluster_keep_best
+
+    d = _documents_planted(spark, sf_dir)
+    norm = d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
+    )
+    w = Window.partitionBy("t").orderBy("doc_id")
+    pairs = (
+        norm.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    out = cluster_keep_best(d, pairs, F.pmod(F.col("doc_id"), F.lit(7)), id_col="doc_id")
+    return out.select("doc_id")
+
+
+SQL_CC_KEEP_BEST_PLANTED = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents_planted
+),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY (doc_id % 7) DESC, doc_id ASC) AS rk
+  FROM norm
+)
+SELECT doc_id FROM r WHERE rk = 1
+"""
+
+
 def q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.pipelines.dedup import ngram_jaccard_pairs
 
@@ -3066,6 +3107,33 @@ ORDER BY doc_id
 """
 
 
+def q_curation_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (pipelines/curation.py::
+    semantic_decontaminate): benchmark = 2x-scaled copies of every 25th
+    training embedding — same direction, so cosine is exactly 1.0 and the
+    sign-LSH buckets are identical (recall 1 on the planted set). No other
+    training vector reaches 0.95 cosine against those directions in the test
+    data (the embedding_cosine_dups invariant), so the surviving set is the
+    closed-form complement. The benchmark side broadcasts; the training table
+    is scanned once and never shuffled."""
+    from pyspark_validator.pipelines.curation import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda v: v * 2).alias("embedding"),
+    )
+    clean = semantic_decontaminate(emb, bench, dim=64, threshold=0.95, num_bits=8)
+    return clean.select("vec_id")
+
+
+SQL_CURATION_DECONTAM_SEMANTIC = """
+SELECT vec_id FROM embeddings WHERE vec_id % 25 <> 0
+"""
+
+
 def q_curation_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (pipelines/curation.py::pack_sequences)
     with 8 cross-engine-reproducible bins (doc_id % 8) and 512-token chunks:
@@ -4562,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snm_docs": q_dedup_snm_docs,
         "dedup_keep_one": q_dedup_keep_one,
         "cc_clusters_planted": q_cc_clusters_planted,
+        "cc_keep_best_planted": q_cc_keep_best_planted,
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
         "prefix_jaccard_planted": q_prefix_jaccard_planted,
         "minhash_lsh_planted": q_minhash_lsh_planted,
@@ -4607,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
         "curation_decontam_fuzzy": q_curation_decontam_fuzzy,
+        "curation_decontam_semantic": q_curation_decontam_semantic,
         "curation_pack_docs": q_curation_pack_docs,
         "curation_domain_cap_docs": q_curation_domain_cap_docs,
         "discovery_unary_inds_keys": q_discovery_unary_inds_keys,
@@ -4660,6 +4730,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_snm_docs": SQL_DEDUP_SNM_DOCS,
         "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
         "cc_clusters_planted": SQL_CC_CLUSTERS_PLANTED,
+        "cc_keep_best_planted": SQL_CC_KEEP_BEST_PLANTED,
         "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
         "prefix_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
         # verify=True restricts LSH candidates to true jaccard >= 0.9, and
@@ -4711,6 +4782,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "curation_decontam_fuzzy": SQL_CURATION_DECONTAM_FUZZY,
+        "curation_decontam_semantic": SQL_CURATION_DECONTAM_SEMANTIC,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,
         "curation_domain_cap_docs": SQL_CURATION_DOMAIN_CAP_DOCS,
         "discovery_unary_inds_keys": SQL_DISCOVERY_UNARY_INDS_KEYS,

@@ -102,6 +102,7 @@ HEADLINE = [
     "text_pii_planted",
     # round 2 session 6: pairs -> clusters (iterative large-star/small-star CC)
     "cc_clusters_planted",
+    "cc_keep_best_planted",
     # round 2 session 6: training-data curation tier
     "curation_decontam_planted",
     "curation_pack_docs",
@@ -132,6 +133,7 @@ HEADLINE = [
     "dedup_snm_docs",
     "prefix_jaccard_planted",
     "curation_decontam_fuzzy",
+    "curation_decontam_semantic",
 ]
 
 

@@ -37,6 +37,9 @@ __all__ = [
     "mixture_sample",
     "word_ngrams",
     "decontaminate",
+    "decontaminate_fuzzy",
+    "semantic_contamination",
+    "semantic_decontaminate",
     "pack_sequences",
     "pack_summary",
     "cap_per_group",
@@ -238,6 +241,117 @@ def decontaminate_fuzzy(
         )
         .withColumn("contaminated", F.col("n_benchmark_matches") > 0)
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str | None = None,
+    broadcast_benchmark: bool = True,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-level benchmark contamination: training rows whose embedding
+    lies within ``threshold`` cosine of ANY benchmark embedding.  The semantic
+    tier of the decontamination ladder -- catches paraphrase / translation /
+    re-template contamination that exact 8-gram membership
+    (:func:`decontaminate`) and token-set Jaccard (:func:`decontaminate_fuzzy`)
+    both miss, because the rewrite shares no surface n-grams at all.
+
+    Both corpora are bucketed by the SAME random-hyperplane LSH (identical
+    ``seed`` => identical planes, so equal-direction vectors land in equal
+    buckets deterministically); candidates are bucket-equality matches only and
+    exact cosine verifies, so there are never false positives.  Recall is the
+    usual sign-LSH trade-off governed by ``num_bits`` (a >=threshold pair is
+    missed only if a hyperplane separates it); near-identical vectors --
+    the contamination case -- collide with probability ~1.
+
+    Scale: with ``broadcast_benchmark=True`` (eval suites are KBs-to-MBs) the
+    bucketed benchmark broadcasts and the trillion-row training side is scanned
+    ONCE and never shuffled -- same contract as :func:`decontaminate`.  With a
+    large benchmark, set it False: both sides shuffle on the bucket key and
+    oversized benchmark buckets are dropped (``max_bucket`` skew guard, the
+    :func:`~pyspark_validator.pipelines.similarity.cosine_pairs` policy).
+
+    Returns one row per contaminated training id:
+    ``(id_col, n_benchmark_matches, max_benchmark_cosine)``.
+    """
+    from pyspark_validator.pipelines.similarity import add_lsh_bucket
+
+    bid = bench_id_col or id_col
+    tr = add_lsh_bucket(train, dim, num_bits, seed, vec_col).select(
+        F.col(id_col).alias("__tid"), F.col(vec_col).alias("__tv"), "bucket"
+    )
+    bn = add_lsh_bucket(benchmark, dim, num_bits, seed, vec_col).select(
+        F.col(bid).alias("__bid"), F.col(vec_col).alias("__bv"), "bucket"
+    )
+    if broadcast_benchmark:
+        bn = F.broadcast(bn)
+    else:
+        # persist: the bucketed benchmark feeds the size stats AND the join probe
+        bn = bn.persist()
+        sizes = bn.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
+        bn = bn.join(
+            F.broadcast(sizes.filter(F.col("bs") > max_bucket)), "bucket", "left_anti"
+        )
+    dot = F.aggregate(
+        F.zip_with("__tv", "__bv", lambda a, c: a.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nt = F.sqrt(
+        F.aggregate("__tv", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate("__bv", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    return (
+        tr.join(bn, "bucket")
+        .select("__tid", (dot / (nt * nb)).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("__tid").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_benchmark_matches"),
+            F.max("cosine").alias("max_benchmark_cosine"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str | None = None,
+    broadcast_benchmark: bool = True,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Drop training rows flagged by :func:`semantic_contamination`.  The
+    contaminated-id set is tiny relative to the corpus, so the final removal is
+    a left-anti join AQE resolves to a broadcast."""
+    hits = semantic_contamination(
+        train,
+        benchmark,
+        dim,
+        threshold=threshold,
+        num_bits=num_bits,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        bench_id_col=bench_id_col,
+        broadcast_benchmark=broadcast_benchmark,
+        max_bucket=max_bucket,
+    )
+    return train.join(hits.select(id_col), id_col, "left_anti")
 
 
 def pack_sequences(

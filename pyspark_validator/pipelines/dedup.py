@@ -465,6 +465,37 @@ def dedup_clusters(
     )
 
 
+def cluster_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware near-duplicate removal: close the candidate pairs into
+    clusters (:func:`dedup_clusters`) and keep exactly ONE row per cluster --
+    the row with the HIGHEST ``score`` (ties broken by smallest id), instead of
+    keep-one's smallest-id winner.  This is the keep-policy a curation pipeline
+    actually wants: within a near-dup group, retain the longest / best-quality /
+    canonical-source copy rather than an arbitrary one.
+
+    ``score`` is any deterministic Column over ``df``'s rows (token count,
+    quality score, source priority...).  The window partitions by cluster_id,
+    so the only skew is the largest duplicate group -- same bound as keep-one.
+    Returns the surviving rows with the input schema.
+    """
+    clustered = dedup_clusters(df, pairs, id_col=id_col, a_col=a_col, b_col=b_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "cluster_id")
+    )
+
+
 def _global_ranks(df: DataFrame, key: Column, id_col: str, partitions: int) -> DataFrame:
     """Dense global position for every row under ``ORDER BY key, id`` without
     a single-partition window: range-partition on the sort key, rank locally

@@ -108,3 +108,28 @@ def test_minhash_pairs_to_clusters_end_to_end(spark):
     out = dedup_clusters(docs, pairs)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_cluster_keep_best_matches_union_find_argmax(spark):
+    # survivors = per-component argmax(score, tie -> min id); singletons survive
+    from pyspark_validator.pipelines.dedup import cluster_keep_best
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    score = {i: (i * 37) % 11 for i in range(n)}
+    comp = _uf_components(edges)
+    groups = {}
+    for node, root in comp.items():
+        groups.setdefault(root, []).append(node)
+    expect = set(range(n)) - set(comp)  # singletons
+    for members in groups.values():
+        expect.add(min(members, key=lambda i: (-score[i], i)))
+    docs = spark.createDataFrame(
+        [(i, score[i]) for i in range(n)], "doc_id long, quality long"
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = cluster_keep_best(docs, pairs, F.col("quality"), id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(expect)
+    # schema is preserved (no helper columns leak)
+    assert out.columns == ["doc_id", "quality"]

@@ -256,3 +256,78 @@ def test_cap_per_group_approx_targets_cap(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Window" not in plan
+
+
+def _unit_rows(n, dim, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    m = rng.normal(size=(n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m
+
+
+def test_semantic_decontaminate_planted(spark):
+    from pyspark_validator.pipelines.curation import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    dim = 16
+    m = _unit_rows(60, dim, seed=3)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # benchmark = 2x-scaled copies of every 5th training vector: same direction
+    # => cosine exactly 1.0 and the identical sign-LSH bucket (recall 1 here)
+    bench = spark.createDataFrame(
+        [(1000 + i, [float(2 * x) for x in m[i]]) for i in range(0, 60, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    hits = semantic_contamination(train, bench, dim=dim, threshold=0.95, num_bits=8)
+    got = {r.vec_id: (r.n_benchmark_matches, r.max_benchmark_cosine) for r in hits.collect()}
+    import numpy as np
+
+    # brute-force cross cosine says which OTHER train vectors also clear 0.95
+    sims = m @ m[range(0, 60, 5)].T
+    expect_ids = {i for i in range(60) if sims[i].max() >= 0.95}
+    assert set(got) <= expect_ids  # exact verify => no false positives
+    assert set(got) >= set(range(0, 60, 5))  # planted copies always collide
+    for i in range(0, 60, 5):
+        assert got[i][1] >= 0.999999
+    clean = semantic_decontaminate(train, bench, dim=dim, threshold=0.95, num_bits=8)
+    surv = sorted(r.vec_id for r in clean.collect())
+    assert set(surv) == set(range(60)) - set(got)
+    assert clean.columns == ["vec_id", "embedding"]
+
+
+def test_semantic_contamination_broadcast_plan_and_no_false_positives(spark):
+    import numpy as np
+
+    from pyspark_validator.pipelines.curation import semantic_contamination
+
+    dim = 12
+    t = _unit_rows(80, dim, seed=11)
+    b = _unit_rows(9, dim, seed=12)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in t[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in b[i]]) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    hits = semantic_contamination(train, bench, dim=dim, threshold=0.6, num_bits=4)
+    brute = t @ b.T
+    brute_ids = {i for i in range(80) if brute[i].max() >= 0.6}
+    rows = {r.vec_id: r.max_benchmark_cosine for r in hits.collect()}
+    assert set(rows) <= brute_ids
+    for i, c in rows.items():
+        assert 0.6 <= c <= brute[i].max() + 1e-9
+    # benchmark side broadcasts; the training scan is never shuffle-joined
+    plan = hits._sc._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
