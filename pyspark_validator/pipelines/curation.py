@@ -255,6 +255,7 @@ def semantic_contamination(
     bench_id_col: str | None = None,
     broadcast_benchmark: bool = True,
     max_bucket: int = 10_000,
+    probes: int = 0,
 ) -> DataFrame:
     """Embedding-level benchmark contamination: training rows whose embedding
     lies within ``threshold`` cosine of ANY benchmark embedding.  The semantic
@@ -269,7 +270,11 @@ def semantic_contamination(
     exact cosine verifies, so there are never false positives.  Recall is the
     usual sign-LSH trade-off governed by ``num_bits`` (a >=threshold pair is
     missed only if a hyperplane separates it); near-identical vectors --
-    the contamination case -- collide with probability ~1.
+    the contamination case -- collide with probability ~1.  ``probes`` >= 1
+    multi-probes the BENCHMARK side (buckets at Hamming distance <= probes
+    also match): a (1 + num_bits [+ C(num_bits,2)])x fan-out of the tiny
+    broadcast side recovers one-hyperplane misses at ZERO extra cost on the
+    training scan.
 
     Scale: with ``broadcast_benchmark=True`` (eval suites are KBs-to-MBs) the
     bucketed benchmark broadcasts and the trillion-row training side is scanned
@@ -281,7 +286,7 @@ def semantic_contamination(
     Returns one row per contaminated training id:
     ``(id_col, n_benchmark_matches, max_benchmark_cosine)``.
     """
-    from pyspark_validator.pipelines.similarity import add_lsh_bucket
+    from pyspark_validator.pipelines.similarity import _explode_probes, add_lsh_bucket
 
     bid = bench_id_col or id_col
     tr = add_lsh_bucket(train, dim, num_bits, seed, vec_col).select(
@@ -291,14 +296,16 @@ def semantic_contamination(
         F.col(bid).alias("__bid"), F.col(vec_col).alias("__bv"), "bucket"
     )
     if broadcast_benchmark:
-        bn = F.broadcast(bn)
+        bn = F.broadcast(_explode_probes(bn, num_bits, probes))
     else:
-        # persist: the bucketed benchmark feeds the size stats AND the join probe
+        # persist: the bucketed benchmark feeds the size stats AND the join probe;
+        # the skew guard sees the EXACT buckets, probing fans out after it
         bn = bn.persist()
         sizes = bn.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
         bn = bn.join(
             F.broadcast(sizes.filter(F.col("bs") > max_bucket)), "bucket", "left_anti"
         )
+        bn = _explode_probes(bn, num_bits, probes)
     dot = F.aggregate(
         F.zip_with("__tv", "__bv", lambda a, c: a.cast("double") * c.cast("double")),
         F.lit(0.0),
@@ -334,6 +341,7 @@ def semantic_decontaminate(
     bench_id_col: str | None = None,
     broadcast_benchmark: bool = True,
     max_bucket: int = 10_000,
+    probes: int = 0,
 ) -> DataFrame:
     """Drop training rows flagged by :func:`semantic_contamination`.  The
     contaminated-id set is tiny relative to the corpus, so the final removal is
@@ -350,6 +358,7 @@ def semantic_decontaminate(
         bench_id_col=bench_id_col,
         broadcast_benchmark=broadcast_benchmark,
         max_bucket=max_bucket,
+        probes=probes,
     )
     return train.join(hits.select(id_col), id_col, "left_anti")
 

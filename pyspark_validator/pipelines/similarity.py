@@ -84,6 +84,39 @@ def add_lsh_bucket(
     return df.withColumn("bucket", bucket_of(F.col(vec_col)))
 
 
+def probe_masks(num_bits: int, probes: int) -> list[int]:
+    """XOR masks for multi-probe LSH over a ``num_bits`` sign signature: every
+    bit pattern flipping at most ``probes`` bits (popcount <= probes).
+    ``probes=0`` -> ``[0]`` (exact bucket only).  Capped at 2: beyond that the
+    fan-out (1 + b + b(b-1)/2 + ...) stops paying for itself -- use fewer bits
+    or more bands instead."""
+    if probes > 2:
+        raise ValueError("probes > 2 explodes candidate fan-out; lower num_bits instead")
+    masks = [0]
+    if probes >= 1:
+        masks += [1 << i for i in range(num_bits)]
+    if probes >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(num_bits)
+            for j in range(i + 1, num_bits)
+        ]
+    return masks
+
+
+def _explode_probes(df: DataFrame, num_bits: int, probes: int) -> DataFrame:
+    """Replace 'bucket' with one row per probed bucket (bucket XOR mask).
+    For any candidate pair exactly ONE mask maps the probed row's signature
+    onto the other side's, so probing introduces no duplicate pairs."""
+    if probes <= 0:
+        return df
+    masks = probe_masks(num_bits, probes)
+    return df.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+    )
+
+
 def ann_topk(
     df: DataFrame,
     query: list[float],
@@ -201,10 +234,15 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 10_000,
+    probes: int = 0,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same LSH bucket => candidate, exact cosine
     verifies. High-cosine pairs collide with high probability (collision prob per
-    bit = 1 - theta/pi); oversized buckets are dropped (skew guard)."""
+    bit = 1 - theta/pi); oversized buckets are dropped (skew guard).
+    ``probes`` >= 1 multi-probes one join side (buckets at Hamming distance <=
+    probes also match), recovering pairs a single hyperplane separates at the
+    cost of a (1 + num_bits [+ C(num_bits,2)])x fan-out on that side only --
+    verification stays exact, so probing only ever ADDS true pairs."""
     # persist: the pandas-UDF bucketing feeds the size stats AND both join
     # sides -- without it the Arrow projection runs 3x.
     b = (
@@ -214,7 +252,7 @@ def cosine_pairs(
     )
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
     b = b.join(F.broadcast(sizes.filter(F.col("bs") > max_bucket)), on="bucket", how="left_anti")
-    x, y = b.alias("x"), b.alias("y")
+    x, y = b.alias("x"), _explode_probes(b, num_bits, probes).alias("y")
     dot = F.aggregate(
         F.zip_with("x.v", "y.v", lambda a, c: a.cast("double") * c.cast("double")),
         F.lit(0.0),
@@ -246,6 +284,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 10_000,
+    probes: int = 0,
 ) -> DataFrame:
     """Embedding-space near-duplicate removal (SemDeDup-style, Abbas et al.
     2023): LSH-bucketed candidate pairs verified by exact cosine, then a
@@ -265,6 +304,7 @@ def semantic_dedup(
         vec_col=vec_col,
         id_col=id_col,
         max_bucket=max_bucket,
+        probes=probes,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # left_anti on the (usually small) loser set; AQE picks broadcast when it fits

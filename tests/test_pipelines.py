@@ -508,3 +508,77 @@ def test_pii_signals_and_redaction(spark):
     ip_only = spark.createDataFrame([(1, "host 192.168.10.20 up")], ["doc_id", "text"])
     r2 = pii_signals(ip_only).collect()[0]
     assert (r2.n_ipv4, r2.n_phone) == (1, 0)
+
+
+def test_cosine_pairs_multiprobe_law(spark):
+    # spec law: pairs(probes=r) == {(a,b) : cosine >= t AND hamming(sig) <= r}
+    # computed independently in numpy with the same deterministic planes
+    from pyspark_validator.pipelines.similarity import _planes
+
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(30, 12))
+    near = base + rng.normal(scale=0.08, size=(30, 12))  # borderline near-dups
+    mat = np.vstack([base, near]).astype(float)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    n, num_bits, t = len(mat), 10, 0.95
+    planes = _planes(12, num_bits, seed=42)
+    sigs = ((mat @ planes) > 0).astype(int)
+    cos = mat @ mat.T
+
+    def expected(r):
+        out = set()
+        for a in range(n):
+            for b in range(a + 1, n):
+                if cos[a, b] >= t and int(np.sum(sigs[a] != sigs[b])) <= r:
+                    out.add((a, b))
+        return out
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [list(r) for r in mat]})
+    )
+    for r in (0, 1, 2):
+        got = {
+            (p.id_a, p.id_b)
+            for p in cosine_pairs(
+                df, dim=12, threshold=t, num_bits=num_bits, probes=r
+            ).collect()
+        }
+        assert got == expected(r), f"probes={r}"
+    # the soak data must actually exercise the ladder, or the law is vacuous
+    assert expected(0) < expected(1) <= expected(2)
+
+
+def test_semantic_contamination_multiprobe_recovers_one_bit_miss(spark):
+    from pyspark_validator.pipelines.curation import semantic_contamination
+    from pyspark_validator.pipelines.similarity import _planes
+
+    rng = np.random.RandomState(21)
+    tr = rng.normal(size=(40, 12))
+    tr /= np.linalg.norm(tr, axis=1, keepdims=True)
+    bn = tr[:8] + rng.normal(scale=0.06, size=(8, 12))
+    bn /= np.linalg.norm(bn, axis=1, keepdims=True)
+    num_bits, t = 10, 0.95
+    planes = _planes(12, num_bits, seed=42)
+    st = ((tr @ planes) > 0).astype(int)
+    sb = ((bn @ planes) > 0).astype(int)
+    cos = tr @ bn.T
+
+    def expected(r):
+        return {
+            i
+            for i in range(40)
+            for j in range(8)
+            if cos[i, j] >= t and int(np.sum(st[i] != sb[j])) <= r
+        }
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [list(x) for x in tr]})
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(8), "embedding": [list(x) for x in bn]})
+    )
+    for r in (0, 1):
+        hits = semantic_contamination(
+            train, bench, dim=12, threshold=t, num_bits=num_bits, probes=r
+        )
+        assert {x.vec_id for x in hits.collect()} == expected(r), f"probes={r}"

@@ -427,3 +427,34 @@ def test_cind_verifier_summary_plan(spark, tables):
     assert "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>" in plan
     assert "ReadSchema: struct<c_custkey:bigint>" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prefix_jaccard_no_cartesian_and_persisted_shingles(spark, tables):
+    # the prefix-filtered join must stay an equi-join on the indexed shingle
+    # (never a cartesian fallback), and the shingled/ranked frames must come
+    # from the persisted cache on BOTH join sides (the session-16 plan fix)
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.dedup import prefix_jaccard_pairs
+
+    p = prefix_jaccard_pairs(tables["documents"], k=3, threshold=0.8)
+    plan = _plan(p)
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    assert "InMemoryTableScan" in plan
+
+
+def test_snm_pairs_no_global_window_no_cartesian(spark, tables):
+    # global ranks come from range partition + broadcast offsets: the plan
+    # must never contain a single-partition exchange (the global-window
+    # anti-pattern) nor a cartesian pair join
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.dedup import sorted_neighborhood_pairs
+
+    s = sorted_neighborhood_pairs(
+        tables["documents"], F.concat_ws("|", "source", "lang"), window=4
+    )
+    plan = _plan(s)
+    assert "SinglePartition" not in plan
+    assert _count(plan, "CartesianProduct") == 0
