@@ -1196,6 +1196,49 @@ def q_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", _r(F.col("jaccard"), 9).alias("jaccard"))
 
 
+def q_dedup_delta_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus MinHash dedup (pipelines/dedup.py::delta_dedup_minhash):
+    the crawl-increment scenario — dedup new docs against the standing corpus
+    via its band index, never re-pairing the corpus. Delta = exact copies of
+    every 40th doc (identical signatures => banding recall 1 => dropped) plus
+    word-REVERSED texts of doc_id % 40 == 1 (shingle sets near-disjoint from
+    every corpus doc => kept; a <=1-word doc whose reversal equals itself is an
+    exact match on BOTH sides). No non-identical cross pair reaches Jaccard
+    0.9 in the test data (the ngram_jaccard_planted invariant), so survivors
+    == delta rows with no exact normalized-text match in the corpus — the
+    closed-form oracle."""
+    from pyspark_validator.pipelines.dedup import delta_dedup_minhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    reversed_docs = d.filter(F.col("doc_id") % 40 == 1).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    delta = copies.unionByName(reversed_docs)
+    clean = delta_dedup_minhash(d, delta, k=3, threshold=0.9)
+    return clean.select("doc_id")
+
+
+SQL_DEDUP_DELTA_MINHASH = r"""
+WITH delta AS (
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 40 = 1
+),
+cn AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT d.doc_id FROM delta d
+WHERE trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) NOT IN (SELECT t FROM cn)
+"""
+
+
 def q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-bucketed exact dedup: simhash banding proposes candidates
     (hamming == 0), an exact normalized-text confirm keeps true duplicates.
@@ -4634,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_planted": q_ngram_jaccard_planted,
         "prefix_jaccard_planted": q_prefix_jaccard_planted,
         "minhash_lsh_planted": q_minhash_lsh_planted,
+        "dedup_delta_minhash": q_dedup_delta_minhash,
         "simhash_planted": q_simhash_planted,
         "similarity_brute_topk": q_similarity_brute_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -4737,6 +4781,7 @@ def oracle_sql() -> dict[str, str]:
         # banding recall over the planted dups is total -> the exhaustive
         # n-gram Jaccard SQL is an exact oracle for the LSH pipeline too.
         "minhash_lsh_planted": SQL_NGRAM_JACCARD_PLANTED,
+        "dedup_delta_minhash": SQL_DEDUP_DELTA_MINHASH,
         "simhash_planted": SQL_SIMHASH_PLANTED,
         "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
         "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,

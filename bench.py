@@ -56,6 +56,7 @@ HEADLINE = [
     "text_quality",
     "dedup_exact_planted",
     "minhash_lsh_planted",
+    "dedup_delta_minhash",
     "simhash_planted",
     "similarity_brute_topk",
     "similarity_ivf_topk",

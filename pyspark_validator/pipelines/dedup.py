@@ -176,25 +176,7 @@ def minhash_lsh_pairs(
     # persist: the banded table feeds bucket-size stats AND both join sides --
     # without it the whole signature computation runs 3x.
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * r + j] for j in range(r)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_explode(sig, bands, r, keep_sig=True)
     # skew guard: drop degenerate buckets
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
     banded = banded.join(
@@ -258,6 +240,160 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", "est_jaccard")
     )
+
+
+def _band_explode(sig: DataFrame, bands: int, r: int, keep_sig: bool = True) -> DataFrame:
+    """Explode a [id, sig] frame to one row per (id, band, bucket): bucket =
+    xxhash64 of the band's r signature slots. Shared by the self-join pair
+    generator and the standing delta-dedup index."""
+    cols = ["id", "sig"] if keep_sig else ["id"]
+    return sig.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Standing LSH index of a corpus: one row per (id, band, bucket) -- the
+    precomputable, append-only state that makes delta dedup cheap. Build it
+    ONCE over the 10^12-doc corpus, store it bucketed on (band, bucket)
+    (:func:`pyspark_validator.io.write_bucketed`), append each ingested delta's
+    rows, and every future :func:`delta_minhash_pairs` probe joins it
+    shuffle-free. Signature arrays are dropped (storage = 3 longs/row);
+    exact verification re-shingles only candidate docs."""
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    return _band_explode(sig, bands, num_hashes // bands, keep_sig=False)
+
+
+def delta_minhash_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs (delta doc, corpus doc): dedup a crawl
+    increment against a standing corpus WITHOUT re-pairing the corpus. The
+    corpus side is touched only through its band index -- pass a precomputed
+    ``corpus_index`` (:func:`minhash_band_index`, stored bucketed) and the
+    probe cost scales with |delta| + hit buckets, never |corpus|: the delta's
+    distinct (band, bucket) set is tiny, so the index prune is a broadcast
+    semi-join, and exact Jaccard verification re-shingles ONLY candidate docs
+    from either side. Output: [id_delta, id_corpus, jaccard >= threshold]."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig_d = minhash_signatures(delta, text_col, id_col, k, num_hashes)
+    banded_d = _band_explode(sig_d, bands, r, keep_sig=False).persist()
+    banded_c = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_band_index(corpus, text_col, id_col, k, num_hashes, bands)
+    )
+    # prune the standing index to buckets the delta actually hits (broadcast:
+    # |delta| * bands keys), then cap what a degenerate bucket can contribute
+    hit = banded_d.select("band", "bucket").distinct()
+    banded_c = banded_c.join(F.broadcast(hit), on=["band", "bucket"], how="left_semi")
+    sizes = banded_c.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
+    banded_c = banded_c.join(
+        F.broadcast(sizes.filter(F.col("bs") > max_bucket)),
+        on=["band", "bucket"],
+        how="left_anti",
+    )
+    cand = (
+        banded_d.alias("d")
+        .join(
+            banded_c.alias("c"),
+            on=(F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("d.id").alias("id_delta"), F.col("c.id").alias("id_corpus"))
+        .dropDuplicates(["id_delta", "id_corpus"])
+        .persist()
+    )
+
+    def _shsets(df: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(text_col).alias("__t"))
+            .join(ids, on=out_id, how="left_semi")
+            .select(
+                out_id,
+                F.array_distinct(
+                    F.transform(_shingles(F.col("__t"), k), lambda s: F.xxhash64(s))
+                ).alias(f"__sh_{out_id}"),
+            )
+        )
+
+    sd = _shsets(delta, cand.select("id_delta").distinct(), "id_delta")
+    sc = _shsets(corpus, cand.select("id_corpus").distinct(), "id_corpus")
+    joined = cand.join(sd, on="id_delta").join(sc, on="id_corpus")
+    common = F.size(F.array_intersect("__sh_id_delta", "__sh_id_corpus"))
+    jac = common / (
+        F.size("__sh_id_delta") + F.size("__sh_id_corpus") - common
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_delta", "id_corpus", "jaccard")
+    )
+
+
+def delta_dedup_minhash(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Delta rows that near-duplicate NOTHING in the standing corpus
+    (:func:`delta_minhash_pairs` hits anti-joined away). Within-delta dups are
+    the ordinary self-join problem -- compose :func:`minhash_lsh_pairs` +
+    keep-one over the (small) delta before or after this call."""
+    hits = delta_minhash_pairs(
+        corpus,
+        delta,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        corpus_index=corpus_index,
+    )
+    losers = hits.select(F.col("id_delta").alias(id_col)).distinct()
+    return delta.join(losers, on=id_col, how="left_anti")
 
 
 def simhash(
