@@ -433,8 +433,6 @@ def test_prefix_jaccard_no_cartesian_and_persisted_shingles(spark, tables):
     # the prefix-filtered join must stay an equi-join on the indexed shingle
     # (never a cartesian fallback), and the shingled/ranked frames must come
     # from the persisted cache on BOTH join sides (the session-16 plan fix)
-    from pyspark.sql import functions as F
-
     from pyspark_validator.pipelines.dedup import prefix_jaccard_pairs
 
     p = prefix_jaccard_pairs(tables["documents"], k=3, threshold=0.8)
