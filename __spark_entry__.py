@@ -715,6 +715,45 @@ FROM g
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (pipelines/sessions.py):
+    30-minute inactivity gap, per-(user, session) stats. Gap tests and
+    durations are integer microsecond arithmetic on both sides — exact."""
+    from pyspark_validator.pipelines.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = session_stats(ev, gap_seconds=1800.0)
+    return st.select(
+        "user_id",
+        "session_seq",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _r(F.col("duration_sec"), 6).alias("duration_sec"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 6) AS duration_sec
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_monotonic_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.checks.stats import monotonicity
 
@@ -4662,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": q_topk_event_types,
         "entropy_gini_events": q_entropy_gini_events,
         "monotonic_events_ts": q_monotonic_events_ts,
+        "sessionize_events": q_sessionize_events,
         "drift_categorical_events": q_drift_categorical_events,
         "drift_numeric_events": q_drift_numeric_events,
         "drift_numeric_by_type": q_drift_numeric_by_type,
@@ -4763,6 +4803,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "entropy_gini_events": SQL_ENTROPY_GINI_EVENTS,
         "monotonic_events_ts": SQL_MONOTONIC_EVENTS_TS,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "drift_categorical_events": SQL_DRIFT_CATEGORICAL_EVENTS,
         "drift_numeric_events": SQL_DRIFT_NUMERIC_EVENTS,
         "drift_numeric_by_type": SQL_DRIFT_NUMERIC_BY_TYPE,

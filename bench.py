@@ -135,6 +135,8 @@ HEADLINE = [
     "prefix_jaccard_planted",
     "curation_decontam_fuzzy",
     "curation_decontam_semantic",
+    # round 2 session 17: delta-vs-corpus dedup, keep-best, sessionization
+    "sessionize_events",
 ]
 
 
