@@ -311,6 +311,52 @@ def streaming_dedup(
     )
 
 
+def streaming_session_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(user, session) stats over a live event stream via Spark's NATIVE
+    session windows (``F.session_window``): state is one OPEN window per
+    active user, merged as events arrive; the watermark closes a session
+    ``watermark`` after its last event and emits exactly one final row — the
+    streaming counterpart of ``pipelines/sessions.py::session_stats``.
+
+    Boundary note (pinned by the batch-parity test): ``session_window``
+    merges an event strictly inside prev + gap (a gap EQUAL to ``gap``
+    breaks), while the batch ``sessionize`` breaks only on gap > threshold —
+    the two agree on any stream without exact-boundary gaps (measure zero
+    for microsecond event times).  Also works on a static DataFrame (Spark
+    supports session windows in batch), which is how the parity law is
+    tested without a state store."""
+    w = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    return (
+        w.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            user_col,
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (
+                (
+                    F.unix_micros(F.col("session_end").cast("timestamp"))
+                    - F.unix_micros(F.col("session_start").cast("timestamp"))
+                )
+                / F.lit(1_000_000.0)
+            ).alias("duration_sec"),
+        )
+    )
+
+
 def streaming_quality_gate(
     stream: DataFrame, text_col: str = "text", min_quality: float = 0.3
 ) -> DataFrame:

@@ -78,3 +78,67 @@ def test_session_stats_exact_duration_and_single_exchange(spark):
     assert len(re.findall(r"\+- (?:\* )?Exchange", plan)) + len(
         re.findall(r"^(?:\* )?Exchange", plan, re.M)
     ) == 1, plan
+
+
+def test_streaming_session_stats_batch_parity(spark):
+    # session_window (native) == sessionize (window-algebra) on data with no
+    # exact-boundary gaps — run both on the same static frame
+    from pyspark_validator.streaming import streaming_session_stats
+
+    spec = [(i, u, float(m)) for i, (u, m) in enumerate(
+        [(1, 0), (1, 10), (1, 41), (1, 70.5), (1, 101.001),
+         (2, 5), (2, 5.0001), (2, 2000), (3, 0)]
+    )]
+    df = spark.createDataFrame(
+        _mk_events(spec), "event_id long, user_id long, ts timestamp"
+    )
+    native = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_sec)
+        for r in streaming_session_stats(df, gap="30 minutes").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_sec)
+        for r in session_stats(df, gap_seconds=1800.0).collect()
+    }
+    assert native == batch
+
+
+def test_streaming_session_stats_stream(spark, tmp_path):
+    # watermark passage closes sessions: two files, the second's late event
+    # ts advances the watermark far enough to finalize user 1's first session
+    import datetime as dt
+
+    from pyspark_validator.streaming import streaming_session_stats
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1)
+    rows0 = [(0, 1, base), (1, 1, base + dt.timedelta(minutes=5))]
+    rows1 = [(2, 1, base + dt.timedelta(hours=6))]
+    for i, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = streaming_session_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    # the first session (2 events, 300s) is closed by the 6h-later event;
+    # the last session stays open (no later watermark) and is NOT emitted
+    assert (1, 2, 300.0) in got
+    assert all(n <= 2 for _, n, _ in got)
