@@ -199,6 +199,27 @@ def decontaminate(
     )
 
 
+def contamination_gram_hashes(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+):
+    """Sorted int64 array of the benchmark's distinct word n-gram xxhash64
+    values — the driver-side artifact behind the STATELESS streaming
+    decontamination gate (streaming.py::streaming_decontaminate).  Collecting
+    it is bounded by definition: eval suites are KBs-to-MBs (the same premise
+    as :func:`decontaminate`'s broadcast), i.e. at most a few million 8-byte
+    hashes.  Exactly the key set the batch join uses, so gate and batch check
+    agree bit-for-bit."""
+    import numpy as np
+
+    rows = (
+        _exploded_grams(benchmark, text_col, n, [])
+        .select(F.xxhash64(F.col("_g")).alias("_gk"))
+        .distinct()
+        .collect()
+    )
+    return np.sort(np.array([r._gk for r in rows], dtype=np.int64))
+
+
 def decontaminate_fuzzy(
     train: DataFrame,
     benchmark: DataFrame,

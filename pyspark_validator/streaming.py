@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
@@ -355,6 +357,72 @@ def streaming_session_stats(
             ).alias("duration_sec"),
         )
     )
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination as a STATELESS stream gate: per incoming doc,
+    count its word n-gram instances whose xxhash64 is in the benchmark's
+    distinct gram-hash set (pipelines/curation.py::contamination_gram_hashes)
+    and drop contaminated docs (or keep + flag with
+    ``keep_contaminated=True``).
+
+    The batch :func:`~pyspark_validator.pipelines.curation.decontaminate`
+    explodes grams and joins — on a stream the regrouping would be a stateful
+    aggregation, so the gate instead tests membership per row: one
+    Arrow-batched pandas UDF doing ``np.searchsorted`` against the sorted
+    benchmark hash array (bounded driver artifact — eval suites are KBs-MBs).
+    Zero state, no watermark, no shuffle; counts match the batch check
+    bit-for-bit (same tokenization, same hashes — pinned by the parity test).
+    Works on static frames too (how parity is tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark_validator.pipelines.curation import contamination_gram_hashes
+
+    bench = contamination_gram_hashes(benchmark, text_col, n)
+
+    @pandas_udf("long")
+    def _member_count(grams: pd.Series) -> pd.Series:
+        if len(grams) == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.array([len(g) for g in grams], dtype=np.int64)
+        if len(bench) == 0 or lens.sum() == 0:
+            return pd.Series(np.zeros(len(grams), dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(g, dtype=np.int64) for g in grams if len(g)]
+        )
+        pos = np.searchsorted(bench, flat)
+        pos[pos == len(bench)] = 0
+        hit = (bench[pos] == flat).astype(np.int64)
+        # segment sums over only the non-empty docs, then scatter back
+        nz = lens > 0
+        starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+        per_doc = np.zeros(len(grams), dtype=np.int64)
+        per_doc[nz] = np.add.reduceat(hit, starts)
+        return pd.Series(per_doc)
+
+    # Generate barrier: materialize the words array once per row — without it
+    # CollapseProject re-inlines the regex split once PER GRAM (the measured
+    # 20x _exploded_grams pathology; same fix, explode of a 1-element array)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_w = stream.withColumn("_w", F.explode(F.array(words)))
+    idx = F.when(
+        F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice("_w", i, n), " "))
+    )
+    out = (
+        with_w.withColumn("n_contaminated_grams", _member_count(gram_hashes))
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+        .drop("_w")
+    )
+    return out if keep_contaminated else out.filter(~F.col("contaminated"))
 
 
 def streaming_quality_gate(

@@ -399,3 +399,66 @@ def test_streaming_categorical_drift_other_bucket(spark, tmp_path):
     assert not got["00"]["drift_detected"]
     assert got["01"]["drift_detected"]
     assert got["01"]["n_c"] == 100
+
+
+def test_streaming_decontaminate_batch_parity(spark):
+    # the stateless gate's counts must equal the batch decontaminate join
+    # bit-for-bit (same tokenization, same xxhash64 keys)
+    from pyspark_validator.pipelines.curation import decontaminate
+    from pyspark_validator.streaming import streaming_decontaminate
+
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_txt + " plus a tail"),                 # contains bench 8-grams
+        (1, "totally clean text with eight or more words in it"),
+        (2, bench_txt),                                   # exact benchmark item
+        (3, "short doc"),                                 # < n words -> 0 grams
+        (4, "Alpha  beta gamma delta epsilon zeta eta theta extra"),  # case/ws
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_txt)], "doc_id long, text string")
+    batch = {
+        r.doc_id: (r.n_contaminated_grams, r.contaminated)
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    gate = {
+        r.doc_id: (r.n_contaminated_grams, r.contaminated)
+        for r in streaming_decontaminate(
+            train, bench, n=8, keep_contaminated=True
+        ).collect()
+    }
+    assert gate == batch
+    assert batch[2][1] and not batch[1][1] and batch[3] == (0, False)
+    # default mode drops contaminated rows
+    surv = sorted(
+        r.doc_id for r in streaming_decontaminate(train, bench, n=8).collect()
+    )
+    assert surv == sorted(d for d, v in batch.items() if not v[1])
+
+
+def test_streaming_decontaminate_is_stateless_on_stream(spark, tmp_path):
+    from pyspark_validator.streaming import streaming_decontaminate
+
+    bench_txt = "one two three four five six seven eight nine ten"
+    bench = spark.createDataFrame([(0, bench_txt)], "doc_id long, text string")
+    src = tmp_path / "deco_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, bench_txt + " contaminated"), (2, "clean words " * 6)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    out = streaming_decontaminate(stream, bench, n=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deco_stream")
+        .outputMode("append")  # append with NO watermark proves zero state
+        .option("checkpointLocation", str(tmp_path / "deco_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.doc_id for r in spark.sql("select doc_id from deco_stream").collect()]
+    assert got == [2]
