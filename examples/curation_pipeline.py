@@ -1,6 +1,7 @@
 """End-to-end training-data curation over a documents table:
 
-  quality gate -> exact dedup -> benchmark decontamination ->
+  quality gate -> exact dedup -> benchmark decontamination (three-tier
+  ladder: exact 8-gram, fuzzy shingle-Jaccard, semantic embedding-cosine) ->
   per-source mixture sampling -> deterministic train/val/test split ->
   concat-and-chunk sequence packing.
 
@@ -51,13 +52,37 @@ clean = (
 )
 n3 = clean.count()
 
+# 3b. fuzzy tier: near-copies that share few exact 8-grams but keep a high
+# shingle Jaccard (prefix-filtered exact similarity join under the hood)
+from pyspark_validator.pipelines.curation import decontaminate_fuzzy
+
+clean = (
+    decontaminate_fuzzy(clean, bench, k=3, threshold=0.8)
+    .where(~F.col("contaminated"))
+    .drop("n_benchmark_matches", "max_benchmark_jaccard", "contaminated")
+)
+n3b = clean.count()
+
+# 3c. semantic tier: paraphrases sharing no surface n-grams at all — LSH-
+# bucketed embedding cosine vs a (tiny, broadcast) benchmark embedding set
+from pyspark_validator.pipelines.curation import semantic_decontaminate
+
+emb_path = os.path.join(os.path.dirname(path), "embeddings.parquet")
+if os.path.exists(emb_path):
+    emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    bench_emb = emb.where(F.col("vec_id") % 25 == 0)
+    kept_vecs = semantic_decontaminate(
+        emb, bench_emb, dim=64, threshold=0.95, num_bits=8, probes=1
+    )
+    print("semantic tier (embedding table):", emb.count(), "->", kept_vecs.count())
+
 # 4. mixture: keep all of src0, half of everything else
 mixed = mixture_sample(clean, {"src0": 1.0}, default_rate=0.5, salt="mix-v1")
 n4 = mixed.count()
 
 # 5. deterministic split (stable under re-runs and engine changes)
 split = hash_split(mixed, fractions={"test": 0.05, "val": 0.05, "train": 0.90})
-print("funnel:", {"raw": n0, "quality": n1, "dedup": n2, "decontam": n3, "mixture": n4})
+print("funnel:", {"raw": n0, "quality": n1, "dedup": n2, "decontam": n3, "fuzzy": n3b, "mixture": n4})
 split.groupBy("split").count().orderBy("split").show()
 
 # 6. pack the train split into 2048-token sequences across 8 bins
