@@ -1356,6 +1356,168 @@ FROM embeddings WHERE vec_id % 25 = 0
 """
 
 
+def q_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN (pipelines/similarity.py::knn_join_brute): every 97th
+    vector gets its 5 nearest neighbors by cosine (self excluded). The query
+    side broadcasts as a numpy matrix; the corpus streams through ONE
+    mapInPandas scan (per-batch BLAS matmul + per-batch top-k reduction), so
+    only partial winners reach the final per-query window. The oracle is the
+    full cross-product ranked in SQL -- feasible because sf embeddings are
+    small; the Spark plan never materializes that cross product."""
+    from pyspark_validator.pipelines.similarity import knn_join_brute
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 97 == 0)
+    r = knn_join_brute(left, emb, k=5, exclude_self=True)
+    return r.select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        _r(F.col("cosine")).alias("cosine"),
+    )
+
+
+SQL_KNN_JOIN_EMBEDDINGS = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 97 = 0),
+s AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS BIGINT)
+         AS rank,
+       round(c, 6) AS cosine
+FROM s
+QUALIFY rank <= 5
+"""
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf embeddings plus one planted row per conformance-violation class:
+    2000001 wrong dim (63 of 64), 2000002 all-NaN, 2000003 all-zero,
+    2000004 norm scaled x100 (out of the [0.5, 2] band), 2000005 NULL vector.
+    Mirrored verbatim by the oracles' `planted` CTE."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def pick(src_id: int, new_id: int, fn) -> DataFrame:
+        return emb.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("bigint").alias("vec_id"),
+            fn(F.col("embedding")).alias("embedding"),
+        )
+
+    nan32 = F.lit(float("nan")).cast("float")
+    return (
+        emb.unionByName(pick(1, 2000001, lambda e: F.slice(e, 1, 63)))
+        .unionByName(pick(2, 2000002, lambda e: F.transform(e, lambda x: nan32)))
+        .unionByName(
+            pick(3, 2000003, lambda e: F.transform(e, lambda x: F.lit(0.0).cast("float")))
+        )
+        .unionByName(
+            pick(
+                4,
+                2000004,
+                lambda e: F.transform(e, lambda x: (x * F.lit(100.0)).cast("float")),
+            )
+        )
+        .unionByName(pick(5, 2000005, lambda e: F.lit(None).cast("array<float>")))
+    )
+
+
+#: shared by both embedding-conformance oracles: the planted table and the
+#: per-row flags, computed with DuckDB list lambdas exactly as schema.py's
+#: JVM higher-order functions compute them.
+_SQL_EMB_FLAGS = """
+planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT 2000001, embedding[1:63] FROM embeddings WHERE vec_id = 1
+  UNION ALL SELECT 2000002, list_transform(embedding, x -> 'NaN'::FLOAT)
+    FROM embeddings WHERE vec_id = 2
+  UNION ALL SELECT 2000003, list_transform(embedding, x -> 0.0::FLOAT)
+    FROM embeddings WHERE vec_id = 3
+  UNION ALL SELECT 2000004, list_transform(embedding, x -> CAST(x * 100.0 AS FLOAT))
+    FROM embeddings WHERE vec_id = 4
+  UNION ALL SELECT 2000005, NULL::FLOAT[] FROM embeddings WHERE vec_id = 5
+),
+fl AS (
+  SELECT vec_id,
+    embedding IS NULL AS f_null,
+    (embedding IS NOT NULL AND len(embedding) <> 64) AS f_dim,
+    (embedding IS NOT NULL AND len(embedding) = 64
+      AND len(list_filter(embedding,
+            x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0) AS f_nf,
+    CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+      AND len(list_filter(embedding,
+            x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+      THEN sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS norm
+  FROM planted
+)
+"""
+
+
+def q_embedding_conformance_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column conformance summary (schema.py::embedding_conformance):
+    ONE map-side-combinable aggregation counting null / wrong-dim / nonfinite
+    / zero / out-of-norm-band vectors over the planted table. The media-side
+    schema invariant of the interleaved-document north rule."""
+    from pyspark_validator.schema import embedding_conformance
+
+    return embedding_conformance(
+        _planted_embeddings(spark, sf_dir), dim=64, norm_lo=0.5, norm_hi=2.0
+    )
+
+
+SQL_EMBEDDING_CONFORMANCE_PLANTED = (
+    "WITH "
+    + _SQL_EMB_FLAGS
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN f_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+  CAST(sum(CASE WHEN f_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+  CAST(sum(CASE WHEN f_nf THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+  CAST(sum(CASE WHEN norm IS NOT NULL AND norm <> 0
+                 AND (norm < 0.5 OR norm > 2.0) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_norm_out,
+  round(min(norm), 6) AS min_norm,
+  round(max(norm), 6) AS max_norm
+FROM fl
+"""
+)
+
+
+def q_embedding_violations_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-conformance violation ROWS (schema.py::embedding_violations):
+    (vec_id, reason), exactly one priority-ordered reason per offending row --
+    the violation-row half of the north rule's per-partition verdict +
+    violation-rows contract, for the vector column."""
+    from pyspark_validator.schema import embedding_violations
+
+    return embedding_violations(
+        _planted_embeddings(spark, sf_dir), dim=64, norm_lo=0.5, norm_hi=2.0
+    )
+
+
+SQL_EMBEDDING_VIOLATIONS_PLANTED = (
+    "WITH "
+    + _SQL_EMB_FLAGS
+    + """
+SELECT vec_id,
+  CASE WHEN f_null THEN 'null_vector'
+       WHEN f_dim THEN 'bad_dim'
+       WHEN f_nf THEN 'nonfinite'
+       WHEN norm = 0 THEN 'zero_vector'
+       WHEN norm < 0.5 OR norm > 2.0 THEN 'norm_out' END AS reason
+FROM fl
+WHERE f_null OR f_dim OR f_nf OR norm = 0 OR norm < 0.5 OR norm > 2.0
+"""
+)
+
+
 def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style keep-one over the planted 2x-scaled copies: every
     planted copy (vec_id + 1000000) is the larger id of a cosine-1.0 pair, so
@@ -4722,6 +4884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_brute_topk": q_similarity_brute_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "knn_join_embeddings": q_knn_join_embeddings,
+        "embedding_conformance_planted": q_embedding_conformance_planted,
+        "embedding_violations_planted": q_embedding_violations_planted,
         "stats_deviation_lineitem": q_stats_deviation_lineitem,
         "pac_events_value": q_pac_events_value,
         "mfd_quantity_orderkey": q_mfd_quantity_orderkey,
@@ -4825,6 +4990,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_delta_minhash": SQL_DEDUP_DELTA_MINHASH,
         "simhash_planted": SQL_SIMHASH_PLANTED,
         "embedding_cosine_dups": SQL_EMBEDDING_COSINE_DUPS,
+        "knn_join_embeddings": SQL_KNN_JOIN_EMBEDDINGS,
+        "embedding_conformance_planted": SQL_EMBEDDING_CONFORMANCE_PLANTED,
+        "embedding_violations_planted": SQL_EMBEDDING_VIOLATIONS_PLANTED,
         "similarity_brute_topk": SQL_SIMILARITY_BRUTE_TOPK,
         # full probe (nprobe = n_lists) makes IVF exact -> brute-force SQL
         # is the oracle; pruned-nprobe recall is pytest-covered.

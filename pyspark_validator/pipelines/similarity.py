@@ -10,6 +10,11 @@
     (numpy matmul per batch, never per-row Python).
   * cosine_pairs: embedding near-duplicate pairs via shared LSH bucket + exact
     cosine verification (the embedding-cosine dedup path).
+  * knn_join_brute / knn_join_lsh: k-NN JOIN (every query row -> its k nearest
+    corpus rows; hard-negative mining, retrieval eval). Brute = broadcast
+    query matrix + ONE mapInPandas corpus scan with per-batch BLAS matmul and
+    per-batch top-k reduction (only partial winners shuffle); LSH = bucketed
+    candidates + exact re-rank, the corpus-x-corpus scale path.
 """
 
 from __future__ import annotations
@@ -272,6 +277,158 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_left: int = 100_000,
+    exclude_self: bool = False,
+    query_chunk: int = 1024,
+) -> DataFrame:
+    """Exact k-NN join: for every ``left`` row, its ``k`` nearest ``right``
+    rows by cosine (hard-negative mining / retrieval-eval shape: a bounded
+    query set against an unbounded corpus).
+
+    Scale design: the query side is collected to a driver matrix (guarded by
+    ``max_left`` -- eval/query sets are bounded by construction) and shipped
+    as a broadcast; the corpus side streams through ONE mapInPandas scan
+    whose kernel does a single BLAS matmul per Arrow batch (never per-row
+    Python) and reduces each batch to its per-query top-k *candidates*
+    before anything is shuffled.  The only shuffled rows are the
+    ``<= n_batches * |L| * k`` partial winners feeding the final per-query
+    window -- the |L| x |R| pair space never materializes.  Ties at the
+    batch k-boundary are kept (``>= kth value`` mask), so the final window
+    (cosine desc, id asc) is exact and deterministic.  Zero-norm corpus
+    vectors get cosine 0.
+
+    Returns (qid, id, rank, cosine): ``rank`` 1..k per qid.
+    """
+    rows = left.select(id_col, vec_col).limit(max_left + 1).collect()
+    if len(rows) > max_left:
+        raise ValueError(
+            f"left side exceeds max_left={max_left}; k-NN join broadcasts the "
+            "query side -- pre-sample it or raise the guard explicitly"
+        )
+    if not rows:
+        raise ValueError("left side is empty")
+    q_ids = np.array([r[0] for r in rows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(1))
+    q_norm[q_norm == 0] = 1.0
+    q_mat = q_mat / q_norm[:, None]
+
+    id_ddl = right.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_ddl}, id {id_ddl}, cosine double"
+    kk = k
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(1))
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            batch_ids = pdf[id_col].to_numpy()
+            outs = []
+            for s in range(0, len(q_ids), query_chunk):
+                qc_ids = q_ids[s : s + query_chunk]
+                sims = m @ q_mat[s : s + query_chunk].T  # (batch, chunk)
+                if exclude_self:
+                    sims = np.where(batch_ids[:, None] == qc_ids[None, :], -np.inf, sims)
+                if len(m) > kk:
+                    thresh = np.partition(sims, -kk, axis=0)[-kk]
+                    mask = sims >= thresh[None, :]
+                else:
+                    mask = np.ones_like(sims, dtype=bool)
+                mask &= sims > -np.inf
+                bi, qi = np.nonzero(mask)
+                outs.append(
+                    pd.DataFrame(
+                        {"qid": qc_ids[qi], "id": batch_ids[bi], "cosine": sims[bi, qi]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    partial = right.select(id_col, vec_col).mapInPandas(_scan, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "rank", "cosine")
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_bits: int = 12,
+    seed: int = 42,
+    probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 10_000,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate k-NN join at corpus-x-corpus scale: candidates are rows
+    sharing an LSH bucket (query side multi-probed to Hamming distance <=
+    ``probes``), exact cosine re-ranks candidates only, one window takes the
+    per-query top-k.  The corpus is bucketed ONCE (persist/write it
+    partitioned by bucket to amortize); oversized buckets are dropped (skew
+    guard, surfaced by comparing counts).  For any (left, right) pair exactly
+    one probe mask maps the left signature onto the right's, so probing
+    introduces no duplicate candidates and ``rank`` is exact over the
+    candidate set.
+
+    Returns (qid, id, rank, cosine) -- top-k *of the candidates*; recall vs
+    the exact join rises with num_bits' collision probability and probes.
+    """
+    r = (
+        add_lsh_bucket(right, dim, num_bits, seed, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("rv"), "bucket")
+        .persist()
+    )
+    sizes = r.groupBy("bucket").agg(F.count(F.lit(1)).alias("bs"))
+    r = r.join(
+        F.broadcast(sizes.filter(F.col("bs") > max_bucket)), on="bucket", how="left_anti"
+    )
+    lft = add_lsh_bucket(left, dim, num_bits, seed, vec_col).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    lft = _explode_probes(lft, num_bits, probes)
+    j = lft.join(r, on="bucket")
+    if exclude_self:
+        j = j.filter(F.col("qid") != F.col("id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "rv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nq = F.sqrt(
+        F.aggregate("qv", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    nr = F.sqrt(
+        F.aggregate("rv", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    scored = j.select("qid", "id", (dot / (nq * nr)).alias("cosine"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "rank", "cosine")
     )
 
 

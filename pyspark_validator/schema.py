@@ -23,6 +23,13 @@ costs:
    (``fused.FusedPass.add_span_integrity``) and, here, as violation *rows*
    (doc_id + offending span sequence + reason) for the report sink.
 
+4. **Embedding conformance** — the media/vector side of the same invariant:
+   ``array<float>`` columns must be present, the declared width, finite,
+   non-degenerate and optionally inside a norm band before any cosine
+   pipeline (dedup / ANN / decontamination) may trust them.
+   :func:`embedding_conformance` (one map-side-combinable agg) and
+   :func:`embedding_violations` (violation rows, one reason each).
+
 Everything data-level is pure JVM higher-order functions (``exists`` /
 ``zip_with`` / ``slice``) — no Python in the row path.
 """
@@ -319,3 +326,100 @@ def quarantine_by_integrity(
     flags = span_violation_flags(spans_col, kinds)
     any_bad = _any_violation(flags)
     return df.where(~any_bad), df.where(any_bad)
+
+
+# ---------------------------------------------------------------------------
+# 4. embedding (vector-column) conformance
+
+#: reason priority: one reason per row, most structural first — a NULL vector
+#: is not also "wrong dim"; a wrong-dim vector is not also scored for norm.
+_EMB_REASONS = ("null_vector", "bad_dim", "nonfinite", "zero_vector", "norm_out")
+
+
+def _embedding_flags(
+    vec: Column,
+    dim: int,
+    norm_lo: float | None,
+    norm_hi: float | None,
+) -> dict[str, Column]:
+    """Mutually exclusive conformance flags for an ``array<float>`` column,
+    all JVM higher-order functions (exists/aggregate) — no Python in the row
+    path. The media side of the interleaved-document north rule: embedding
+    vectors must be present, the declared width, finite, non-degenerate and
+    (optionally) inside a norm band before any cosine-based pipeline
+    (dedup/ANN/decontamination) may trust them."""
+    is_null = vec.isNull()
+    bad_dim = ~is_null & (F.size(vec) != F.lit(dim))
+    shaped = ~is_null & ~bad_dim
+    x_bad = lambda x: F.isnan(x.cast("double")) | (  # noqa: E731
+        F.abs(x.cast("double")) == F.lit(float("inf"))
+    )
+    nonfinite = shaped & F.exists(vec, x_bad)
+    measurable = shaped & ~nonfinite
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    zero = measurable & (norm == F.lit(0.0))
+    if norm_lo is None and norm_hi is None:
+        norm_out = F.lit(False)
+    else:
+        lo = F.lit(float(norm_lo)) if norm_lo is not None else F.lit(float("-inf"))
+        hi = F.lit(float(norm_hi)) if norm_hi is not None else F.lit(float("inf"))
+        norm_out = measurable & ~zero & ((norm < lo) | (norm > hi))
+    return {
+        "null_vector": is_null,
+        "bad_dim": bad_dim,
+        "nonfinite": nonfinite,
+        "zero_vector": zero,
+        "norm_out": norm_out,
+        "__norm_ok": measurable,  # internal: rows whose norm is defined
+        "__norm": norm,
+    }
+
+
+def embedding_conformance(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    norm_lo: float | None = None,
+    norm_hi: float | None = None,
+) -> DataFrame:
+    """One-row conformance summary for an embedding column: counts per reason
+    plus the norm range over measurable rows. ONE aggregation over one scan —
+    every counter is a conditional sum, so it is map-side combinable and the
+    shuffle is a single row per partition regardless of table size."""
+    fl = _embedding_flags(F.col(vec_col), dim, norm_lo, norm_hi)
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        cnt(fl["null_vector"]).alias("n_null_vec"),
+        cnt(fl["bad_dim"]).alias("n_bad_dim"),
+        cnt(fl["nonfinite"]).alias("n_nonfinite"),
+        cnt(fl["zero_vector"]).alias("n_zero_vec"),
+        cnt(fl["norm_out"]).alias("n_norm_out"),
+        F.round(F.min(F.when(fl["__norm_ok"], fl["__norm"])), 6).alias("min_norm"),
+        F.round(F.max(F.when(fl["__norm_ok"], fl["__norm"])), 6).alias("max_norm"),
+    )
+
+
+def embedding_violations(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    norm_lo: float | None = None,
+    norm_hi: float | None = None,
+) -> DataFrame:
+    """Violation rows (id, reason) for the report sink — exactly one reason
+    per row, the most structural one (see ``_EMB_REASONS``). A pure filter +
+    CASE over the scan; selectivity pushes down, nothing shuffles."""
+    fl = _embedding_flags(F.col(vec_col), dim, norm_lo, norm_hi)
+    reason = F.lit(None).cast("string")
+    for name in reversed(_EMB_REASONS):
+        reason = F.when(fl[name], F.lit(name)).otherwise(reason)
+    return (
+        df.select(F.col(id_col), reason.alias("reason"))
+        .where(F.col("reason").isNotNull())
+    )
