@@ -137,6 +137,10 @@ HEADLINE = [
     "curation_decontam_semantic",
     # round 2 session 17: delta-vs-corpus dedup, keep-best, sessionization
     "sessionize_events",
+    # round 2 session 18: k-NN join + embedding-column conformance
+    "knn_join_embeddings",
+    "embedding_conformance_planted",
+    "embedding_violations_planted",
 ]
 
 

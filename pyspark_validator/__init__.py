@@ -69,6 +69,8 @@ from pyspark_validator.report import write_report
 from pyspark_validator.schema import (
     ColumnSpec,
     SchemaSpec,
+    embedding_conformance,
+    embedding_violations,
     quarantine_by_integrity,
     schema_check,
     schema_verdict,
@@ -132,6 +134,8 @@ __all__ = [
     "nd_check",
     "partition_id_expr",
     "pfd_check",
+    "embedding_conformance",
+    "embedding_violations",
     "quarantine_by_integrity",
     "read_reference_csv",
     "sd_check",
