@@ -3351,6 +3351,80 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate spans (pipelines/curation.py::duplicate_spans;
+    Lee et al. 2022 exact-substring dedup at word-8-gram granularity): every
+    (doc, position) whose 8-gram occurs in >= 2 distinct documents. The sf
+    documents table NATURALLY shares ~1k boilerplate 8-grams across docs, so
+    no planting is needed; the oracle recomputes positions + distinct-doc
+    counts from gram STRINGS (the engine's xxhash64 key is internal)."""
+    from pyspark_validator.pipelines.curation import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, n=8, min_docs=2).select(
+        "doc_id", "pos", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
+SQL_DEDUP_DUP_SPANS_DOCS = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+            FROM w)),
+c AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, n_docs
+FROM g JOIN c USING (gram)
+"""
+
+
+def q_dedup_dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage exposure (pipelines/curation.py::
+    duplicate_span_stats): gram and merged-token coverage fractions of the
+    spans shared with other documents -- the gate metric over
+    duplicate_spans. The oracle replays the fixed-width interval merge with
+    one LAG window in SQL."""
+    from pyspark_validator.pipelines.curation import duplicate_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_span_stats(docs, n=8, min_docs=2)
+
+
+SQL_DEDUP_DUP_SPAN_STATS_DOCS = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+            FROM w)),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos,
+             pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+      FROM g JOIN c USING (gram)),
+dup AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_dup_grams,
+               CAST(sum(CASE WHEN gap IS NULL THEN 8
+                             ELSE least(8, gap) END) AS BIGINT) AS covered_tokens
+        FROM d GROUP BY doc_id),
+base AS (SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_tokens,
+                CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams
+         FROM w)
+SELECT CAST(base.doc_id AS BIGINT) AS doc_id, n_tokens, n_grams,
+       COALESCE(n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(covered_tokens, 0) AS covered_tokens,
+       round(CASE WHEN n_grams > 0
+                  THEN COALESCE(n_dup_grams, 0) / CAST(n_grams AS DOUBLE)
+                  ELSE 0.0 END, 9) AS dup_gram_frac,
+       round(CASE WHEN n_tokens > 0
+                  THEN COALESCE(covered_tokens, 0) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 9) AS dup_token_frac
+FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
+"""
+
+
 def q_curation_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination (pipelines/curation.py::
     semantic_decontaminate): benchmark = 2x-scaled copies of every 25th
@@ -4924,6 +4998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_hash_split_docs": q_curation_hash_split_docs,
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
+        "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
+        "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "curation_decontam_fuzzy": q_curation_decontam_fuzzy,
         "curation_decontam_semantic": q_curation_decontam_semantic,
         "curation_pack_docs": q_curation_pack_docs,
@@ -5035,6 +5111,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_hash_split_docs": SQL_CURATION_HASH_SPLIT_DOCS,
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
+        "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
+        "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "curation_decontam_fuzzy": SQL_CURATION_DECONTAM_FUZZY,
         "curation_decontam_semantic": SQL_CURATION_DECONTAM_SEMANTIC,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,

@@ -137,10 +137,13 @@ HEADLINE = [
     "curation_decontam_semantic",
     # round 2 session 17: delta-vs-corpus dedup, keep-best, sessionization
     "sessionize_events",
-    # round 2 session 18: k-NN join + embedding-column conformance
+    # round 2 session 18: k-NN join + embedding-column conformance +
+    # cross-document duplicate spans
     "knn_join_embeddings",
     "embedding_conformance_planted",
     "embedding_violations_planted",
+    "dedup_dup_spans_docs",
+    "dedup_dup_span_stats_docs",
 ]
 
 

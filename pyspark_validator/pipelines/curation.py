@@ -44,6 +44,8 @@ __all__ = [
     "pack_summary",
     "cap_per_group",
     "hex_threshold",
+    "duplicate_spans",
+    "duplicate_span_stats",
 ]
 
 #: md5-prefix length used for threshold comparisons. 12 hex chars = 48 bits of
@@ -138,8 +140,11 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
 
 
-def _exploded_grams(df: DataFrame, text_col: str, n: int, keep: list[str]) -> DataFrame:
-    """One row per word n-gram (column ``_g``), carrying ``keep`` columns.
+def _exploded_grams(
+    df: DataFrame, text_col: str, n: int, keep: list[str], with_pos: bool = False
+) -> DataFrame:
+    """One row per word n-gram (column ``_g``), carrying ``keep`` columns
+    (plus the 1-based gram position as ``pos`` when ``with_pos``).
 
     Same gram strings as ``word_ngrams`` but ~20x faster: the words array is
     materialized once per row behind a Generate barrier (``explode(array(w))``)
@@ -153,8 +158,9 @@ def _exploded_grams(df: DataFrame, text_col: str, n: int, keep: list[str]) -> Da
         F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     gdf = wdf.select(*keep, F.col("_w"), F.explode(idx).alias("_i"))
+    pos = [F.col("_i").cast("bigint").alias("pos")] if with_pos else []
     return gdf.select(
-        *keep, F.array_join(F.slice("_w", F.col("_i"), n), " ").alias("_g")
+        *keep, *pos, F.array_join(F.slice("_w", F.col("_i"), n), " ").alias("_g")
     )
 
 
@@ -196,6 +202,105 @@ def decontaminate(
             F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("bigint"),
         )
         .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cross-document repeated passages — the SPAN-level exact-substring dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), at word-n-gram granularity: every (doc, position) whose n-gram
+    occurs in >= ``min_docs`` distinct documents. Document-level near-dup ops
+    (MinHash/SimHash/Jaccard) cannot see this: two mostly-different pages
+    sharing one boilerplate paragraph are far below any document threshold,
+    yet the paragraph is memorization fuel.
+
+    Returns (id, pos, n_docs): 1-based word position of each duplicated gram
+    plus how many distinct documents carry it.
+
+    Scale design: grams reduce to 8-byte xxhash64 keys (``hash_grams``); the
+    distinct-doc count is ONE two-phase aggregation on the gram key (map-side
+    partial over (gram, doc)); the join back re-shuffles only the gram frame
+    — the aggregated counts side already carries the gram-key partitioning,
+    which Catalyst reuses. No pair join exists anywhere: cost is linear in
+    total grams, exactly the published algorithm's distributed shape.
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    grams = _exploded_grams(df, text_col, n, [id_col], with_pos=True).select(
+        id_col, "pos", key(F.col("_g")).alias("_gk")
+    )
+    counts = (
+        grams.groupBy("_gk")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(counts, "_gk").select(id_col, "pos", "n_docs")
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-passage exposure, the gate metric over
+    :func:`duplicate_spans`: how much of each document is covered by spans
+    shared with other documents.
+
+    Returns one row per input document:
+      * ``n_tokens`` — whitespace tokens;
+      * ``n_grams`` — word n-grams (``max(n_tokens - n + 1, 0)``);
+      * ``n_dup_grams`` — grams occurring in >= min_docs docs;
+      * ``dup_gram_frac`` — n_dup_grams / n_grams (0 when no grams);
+      * ``covered_tokens`` — merged length of the duplicated [pos, pos+n)
+        intervals (fixed-width intervals merge with one LAG: each gram adds
+        ``min(n, pos - prev_pos)``, the first adds ``n``);
+      * ``dup_token_frac`` — covered_tokens / n_tokens.
+
+    The coverage window partitions by document, so skew = the single most
+    duplicated document; everything else is the same linear gram pass as
+    :func:`duplicate_spans`. Fractions are rounded to 9 dp (engine-portable).
+    """
+    spans = duplicate_spans(df, text_col, id_col, n, min_docs, hash_grams)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    covered = F.when(gap.isNull(), F.lit(n)).otherwise(F.least(F.lit(n), gap))
+    dup = spans.select(id_col, covered.alias("_cov")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        F.sum("_cov").cast("bigint").alias("covered_tokens"),
+    )
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.greatest(toks - (n - 1), F.lit(0)).cast("bigint").alias("n_grams"),
+    )
+    out = base.join(dup, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0)), 9
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        "n_dup_grams",
+        "covered_tokens",
+        frac("n_dup_grams", "n_grams").alias("dup_gram_frac"),
+        frac("covered_tokens", "n_tokens").alias("dup_token_frac"),
     )
 
 
