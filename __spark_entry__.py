@@ -3425,6 +3425,42 @@ FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
 """
 
 
+def q_dedup_delta_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus duplicate spans (pipelines/curation.py::
+    delta_duplicate_spans): every third document arrives as a crawl increment
+    and is span-checked against the standing gram-count index of the rest --
+    the corpus is never re-paired. By the recompute-equivalence law (pinned in
+    tests/test_dup_spans.py) the result equals the FULL-table duplicate-span
+    set restricted to delta docs, which is what the oracle computes."""
+    from pyspark_validator.pipelines.curation import (
+        delta_duplicate_spans,
+        gram_count_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = gram_count_index(corpus, n=8)
+    return delta_duplicate_spans(delta, idx, n=8, min_docs=2).select(
+        "doc_id", "pos", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
+SQL_DEDUP_DELTA_DUP_SPANS_DOCS = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+            FROM w)),
+c AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, n_docs
+FROM g JOIN c USING (gram)
+WHERE doc_id % 3 = 0
+"""
+
+
 def q_curation_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination (pipelines/curation.py::
     semantic_decontaminate): benchmark = 2x-scaled copies of every 25th
@@ -5000,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontam_planted": q_curation_decontam_planted,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
+        "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
         "curation_decontam_fuzzy": q_curation_decontam_fuzzy,
         "curation_decontam_semantic": q_curation_decontam_semantic,
         "curation_pack_docs": q_curation_pack_docs,
@@ -5113,6 +5150,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
+        "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,
         "curation_decontam_fuzzy": SQL_CURATION_DECONTAM_FUZZY,
         "curation_decontam_semantic": SQL_CURATION_DECONTAM_SEMANTIC,
         "curation_pack_docs": SQL_CURATION_PACK_DOCS,

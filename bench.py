@@ -144,6 +144,7 @@ HEADLINE = [
     "embedding_violations_planted",
     "dedup_dup_spans_docs",
     "dedup_dup_span_stats_docs",
+    "dedup_delta_dup_spans_docs",
 ]
 
 

@@ -46,6 +46,9 @@ __all__ = [
     "hex_threshold",
     "duplicate_spans",
     "duplicate_span_stats",
+    "gram_count_index",
+    "merge_gram_count_index",
+    "delta_duplicate_spans",
 ]
 
 #: md5-prefix length used for threshold comparisons. 12 hex chars = 48 bits of
@@ -302,6 +305,78 @@ def duplicate_span_stats(
         frac("n_dup_grams", "n_grams").alias("dup_gram_frac"),
         frac("covered_tokens", "n_tokens").alias("dup_token_frac"),
     )
+
+
+def gram_count_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Standing state for delta span-dedup: (gram_key, n_docs) over a corpus,
+    gram keys = xxhash64 of the word n-gram. Append-mergeable BY SUM as long
+    as increments partition the corpus by document (every doc arrives whole
+    in one batch — the crawl-increment invariant): distinct-doc counts of
+    disjoint doc sets add. Store it bucketed on gram_key; each delta probe
+    then co-locates for free."""
+    grams = _exploded_grams(df, text_col, n, [id_col]).select(
+        id_col, F.xxhash64(F.col("_g")).alias("_gk")
+    )
+    return grams.groupBy("_gk").agg(F.countDistinct(id_col).alias("n_docs"))
+
+
+def merge_gram_count_index(index: DataFrame, delta_index: DataFrame) -> DataFrame:
+    """Fold a delta's gram counts into the standing index (sum merge — valid
+    under the docs-arrive-whole invariant documented on
+    :func:`gram_count_index`)."""
+    return (
+        index.unionByName(delta_index)
+        .groupBy("_gk")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def delta_duplicate_spans(
+    delta: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate spans of a crawl INCREMENT against a standing corpus without
+    re-scanning the corpus: a delta gram is duplicated when (corpus docs
+    carrying it) + (delta docs carrying it) >= ``min_docs``. Equals
+    ``duplicate_spans(corpus UNION delta)`` restricted to delta docs (law
+    pinned in tests), at cost linear in the DELTA's grams.
+
+    Scale design: the delta's distinct gram-key set is broadcast to PRUNE the
+    (huge) standing index down to hit grams before the join — the index is
+    scanned once with a semi-join filter and never shuffled beyond the hits;
+    delta-side counts are one agg over the delta's own grams.
+
+    Returns (id, pos, n_docs) with n_docs = total distinct docs across
+    corpus + delta."""
+    grams = _exploded_grams(delta, text_col, n, [id_col], with_pos=True).select(
+        id_col, "pos", F.xxhash64(F.col("_g")).alias("_gk")
+    )
+    delta_counts = grams.groupBy("_gk").agg(
+        F.countDistinct(id_col).alias("_nd_delta")
+    )
+    hit_index = index.join(
+        F.broadcast(delta_counts.select("_gk")), "_gk", "left_semi"
+    )
+    totals = (
+        delta_counts.join(hit_index, "_gk", "left")
+        .select(
+            "_gk",
+            (
+                F.col("_nd_delta") + F.coalesce(F.col("n_docs"), F.lit(0))
+            ).cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(totals, "_gk").select(id_col, "pos", "n_docs")
 
 
 def contamination_gram_hashes(

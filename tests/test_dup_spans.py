@@ -15,7 +15,13 @@ Laws pinned here:
 
 from pyspark.sql import functions as F
 
-from pyspark_validator.pipelines.curation import duplicate_span_stats, duplicate_spans
+from pyspark_validator.pipelines.curation import (
+    delta_duplicate_spans,
+    duplicate_span_stats,
+    duplicate_spans,
+    gram_count_index,
+    merge_gram_count_index,
+)
 
 SHARED = "the quick brown fox jumps over lazy dogs tonight"  # 9 words
 DOCS = [
@@ -99,3 +105,57 @@ def test_stats_coverage_interval_merge(spark):
         assert abs(r.dup_token_frac - round(covered / r.n_tokens, 9)) < 1e-12
     # every input doc present, including the gram-less tiny doc
     assert set(stats) == {d for d, _ in DOCS}
+
+
+def test_delta_equals_full_recompute(spark):
+    df = _df(spark)
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+    delta = df.filter(F.col("doc_id") % 2 == 1)
+    idx = gram_count_index(corpus, n=8)
+    got = sorted(
+        (r.doc_id, r.pos, r.n_docs)
+        for r in delta_duplicate_spans(delta, idx, n=8, min_docs=2).collect()
+    )
+    full = duplicate_spans(df, n=8, min_docs=2)
+    want = sorted(
+        (r.doc_id, r.pos, r.n_docs)
+        for r in full.filter(F.col("doc_id") % 2 == 1).collect()
+    )
+    assert got == want
+    assert want  # non-vacuous: docs 1 and 3 carry the shared paragraph
+
+
+def test_delta_within_delta_only_duplicates_fire(spark):
+    # corpus has NONE of the shared grams; docs 1 and 3 (both in the delta)
+    # still duplicate each other -> the delta's own counts must contribute
+    df = _df(spark)
+    corpus = df.filter(F.col("doc_id") == 2)
+    delta = df.filter(F.col("doc_id").isin(1, 3))
+    idx = gram_count_index(corpus, n=8)
+    got = delta_duplicate_spans(delta, idx, n=8, min_docs=2)
+    assert got.count() > 0
+    assert got.agg(F.max("n_docs")).collect()[0][0] == 2
+
+
+def test_index_merge_law(spark):
+    df = _df(spark)
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+    delta = df.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_gram_count_index(
+        gram_count_index(corpus, n=8), gram_count_index(delta, n=8)
+    )
+    want = gram_count_index(df, n=8)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
+
+
+def test_delta_plan_broadcast_prunes_index(spark):
+    df = _df(spark)
+    idx = gram_count_index(df.filter(F.col("doc_id") % 2 == 0), n=8)
+    res = delta_duplicate_spans(df.filter(F.col("doc_id") % 2 == 1), idx, n=8)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    ).split("Initial Plan")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the index prune is the broadcast semi
