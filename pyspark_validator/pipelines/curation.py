@@ -243,6 +243,10 @@ def duplicate_spans(
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+    # grams feeds both the count agg and the join-back, so the text is
+    # tokenized twice — deliberate: persisting the full-corpus gram frame
+    # (~tokens x 24 B) costs far more than a second linear scan at 10^12-doc
+    # scale. The bounded-delta variant (delta_duplicate_spans) persists.
     return grams.join(counts, "_gk").select(id_col, "pos", "n_docs")
 
 
@@ -357,8 +361,12 @@ def delta_duplicate_spans(
 
     Returns (id, pos, n_docs) with n_docs = total distinct docs across
     corpus + delta."""
-    grams = _exploded_grams(delta, text_col, n, [id_col], with_pos=True).select(
-        id_col, "pos", F.xxhash64(F.col("_g")).alias("_gk")
+    # the delta is bounded (a crawl increment), so persist its gram frame:
+    # it feeds the count agg, the broadcast prune AND the final join
+    grams = (
+        _exploded_grams(delta, text_col, n, [id_col], with_pos=True)
+        .select(id_col, "pos", F.xxhash64(F.col("_g")).alias("_gk"))
+        .persist()
     )
     delta_counts = grams.groupBy("_gk").agg(
         F.countDistinct(id_col).alias("_nd_delta")
