@@ -322,8 +322,9 @@ def knn_join_brute(
     q_norm[q_norm == 0] = 1.0
     q_mat = q_mat / q_norm[:, None]
 
+    qid_ddl = left.schema[id_col].dataType.simpleString()
     id_ddl = right.schema[id_col].dataType.simpleString()
-    out_schema = f"qid {id_ddl}, id {id_ddl}, cosine double"
+    out_schema = f"qid {qid_ddl}, id {id_ddl}, cosine double"
     kk = k
 
     def _scan(batches):
