@@ -1020,6 +1020,122 @@ FROM r
 """
 
 
+def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (pipelines/text.py::lm_quality) -- the
+    deterministic CCNet-style quality filter: train an additive-smoothed
+    unigram LM on the corpus itself (top-500 vocab, alpha=0.5), score every
+    document's mean negative log-likelihood. Train = one groupBy(token) +
+    TakeOrderedAndProject cap; score = broadcast lm join + one groupBy(doc)."""
+    from pyspark_validator.pipelines.text import lm_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_quality(d, vocab_size=500, alpha=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r(F.col("nll"), 9).alias("nll"),
+    )
+
+
+SQL_TEXT_LM_QUALITY = """
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS token FROM words
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total, count(*) AS vdist FROM cnt),
+params AS (SELECT total + 0.5 * (least(vdist, 500) + 1) AS denom FROM tot),
+ranked AS (
+  SELECT token, c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rn FROM cnt
+),
+lm AS (
+  SELECT token, ln((c + 0.5) / denom) AS logp FROM ranked, params WHERE rn <= 500
+),
+scored AS (
+  SELECT t.doc_id,
+         coalesce(lm.logp, (SELECT ln(0.5 / denom) FROM params)) AS lp
+  FROM tok2 t LEFT JOIN lm USING (token)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(-lp), 9) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       a.nll
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def q_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (pipelines/dedup.py::containment_pairs):
+    plants a 12-word prefix "quotation" of every 50th document as a new short
+    doc -- containment 1.0 against its source while Jaccard stays far below
+    threshold -- and returns all pairs with overlap coefficient >= 0.9."""
+    from pyspark_validator.pipelines.dedup import containment_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    quotes = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 12), " ").alias("text"),
+    )
+    full = d.select("doc_id", "text").unionByName(quotes)
+    p = containment_pairs(
+        full, text_col="text", id_col="doc_id", k=3, threshold=0.9, max_df=2**31 - 1
+    )
+    return p.select(
+        "id_a",
+        "id_b",
+        _r(F.col("containment"), 9).alias("containment"),
+        _r(F.col("jaccard"), 9).alias("jaccard"),
+    )
+
+
+SQL_CONTAINMENT_PLANTED = """
+WITH full_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(
+           (regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))[1:12],
+           ' ') AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM full_docs
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(array_length(w) - 3, 0) + 1),
+           i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / least(sa.n_sh, sb.n_sh), 9) AS containment,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.9
+"""
+
+
 def q_dedup_exact_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_validator.pipelines.dedup import exact_duplicates
 
@@ -4981,6 +5097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
+        "text_lm_quality": q_text_lm_quality,
+        "containment_planted": q_containment_planted,
         "dedup_exact_planted": q_dedup_exact_planted,
         "dedup_snm_docs": q_dedup_snm_docs,
         "dedup_keep_one": q_dedup_keep_one,
@@ -5089,6 +5207,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
         "text_language_id": SQL_TEXT_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
+        "text_lm_quality": SQL_TEXT_LM_QUALITY,
+        "containment_planted": SQL_CONTAINMENT_PLANTED,
         "dedup_exact_planted": SQL_DEDUP_EXACT_PLANTED,
         "dedup_snm_docs": SQL_DEDUP_SNM_DOCS,
         "dedup_keep_one": SQL_DEDUP_KEEP_ONE,

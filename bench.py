@@ -145,6 +145,9 @@ HEADLINE = [
     "dedup_dup_spans_docs",
     "dedup_dup_span_stats_docs",
     "dedup_delta_dup_spans_docs",
+    # round 2 session 19: unigram-LM perplexity scoring + containment dedup
+    "text_lm_quality",
+    "containment_planted",
 ]
 
 

@@ -67,19 +67,17 @@ def _shingles(text: Column, k: int) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    threshold: float = 0.7,
-    max_df: int = 1000,
+def _inverted_common(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+    """Shared inverted-index pair generator: [id_a, id_b, common, n_a, n_b]
+    for every co-shingled pair (id_a < id_b), where common counts shared
+    distinct word-k-shingles and n_* are the full shingle-set sizes.
 
-    Plan: explode distinct shingles -> drop shingles with doc-frequency > max_df
-    (skew guard) -> self-join on shingle hash -> per-pair common count -> jaccard
-    via |A|+|B|-common. Candidate generation touches only co-shingled pairs.
+    Plan: explode distinct shingles -> drop shingles with doc-frequency >
+    max_df (skew guard; dropping can only LOWER common, so threshold filters
+    downstream stay sound one-sidedly) -> self-join on the 8-byte shingle
+    hash -> per-pair count. Only co-shingled pairs are ever materialized.
     """
     # the doc table often arrives as ONE small parquet file -> spread the
     # (expensive) shingling across the cluster before exploding; persist the
@@ -108,9 +106,30 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+    return common.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+        on="id_a",
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+        on="id_b",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan: :func:`_inverted_common` candidate pairs -> jaccard via
+    |A|+|B|-common. Candidate generation touches only co-shingled pairs.
+    """
+    return (
+        _inverted_common(df, text_col, id_col, k, max_df)
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -118,7 +137,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT (the overlap
+    coefficient |A∩B| / min(|A|,|B|)): catches a short document quoted
+    verbatim inside a much longer one -- a pair symmetric Jaccard provably
+    misses (J <= |A|/|B| no matter how complete the quotation), yet exactly
+    the shape of boilerplate inclusion and article-in-aggregator duplication
+    in web corpora.
+
+    Same candidate generator as :func:`ngram_jaccard_pairs` (inverted shingle
+    index, max_df hot-shingle drop); prefix filtering cannot prune this
+    predicate (containment gives no lower bound on the larger side's overlap
+    fraction), so max_df is the scale lever.
+
+    Output: [id_a, id_b, containment, jaccard] with id_a < id_b,
+    containment >= threshold (jaccard carried for triage).
+    """
+    return (
+        _inverted_common(df, text_col, id_col, k, max_df)
+        .withColumn(
+            "containment", F.col("common") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
 
 
 def minhash_signatures(

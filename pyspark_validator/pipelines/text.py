@@ -368,3 +368,113 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
     for kind in _PII_ORDER:
         t = F.regexp_replace(t, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return df.withColumn(out_col, t)
+
+
+def _lm_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) rows: normalized words, empty tokens dropped (an empty or
+    whitespace-only document contributes no rows)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """Train an additive-smoothed unigram LM over a reference corpus -- the
+    deterministic stand-in for the CCNet/Gopher KenLM perplexity filter
+    (Wenzek et al. 2020): documents far from the reference distribution score
+    a high negative log-likelihood and get gated.
+
+    Returns ``(lm, oov_logp)`` where ``lm`` is [token, cnt, logp] for the
+    ``vocab_size`` most frequent tokens (ties broken by token asc, so any
+    engine re-derives the same vocabulary) with
+    ``logp = ln((cnt + alpha) / (total + alpha * (V + 1)))``
+    over the FULL token total (suffix mass lands in OOV), and ``oov_logp``
+    uses cnt = 0. ``V = min(vocab_size, distinct tokens)``.
+
+    Scale: tokenize + one groupBy(token) with map-side combine; the top-V cap
+    is ``orderBy().limit()`` = TakeOrderedAndProject (distributed heap, no
+    single-partition window); total/V are one scalar agg. The returned lm is
+    vocab_size rows -- broadcastable by construction.
+    """
+    counts = _lm_tokens(df, text_col, id_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counts = counts.persist()
+    tot_row = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vdist")
+    ).collect()[0]
+    total = int(tot_row["total"] or 0)
+    v = min(int(tot_row["vdist"]), vocab_size)
+    denom = total + alpha * (v + 1)
+    if total == 0:
+        raise ValueError("train_unigram_lm: reference corpus has no tokens")
+    import math
+
+    lm = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .withColumn(
+            "logp", F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom))
+        )
+    )
+    return lm, math.log(alpha / denom)
+
+
+def unigram_nll(
+    df: DataFrame,
+    lm: DataFrame,
+    oov_logp: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM from
+    :func:`train_unigram_lm` -- the quality signal of the perplexity filter
+    (nll = ln(perplexity); gate on a band, e.g. Wikipedia-like 300..1000 ppl).
+
+    Plan: tokenize -> broadcast join the (<= vocab_size)-row lm on the token
+    key (map-side; the corpus scan never shuffles for scoring) -> one
+    groupBy(id). Documents with zero tokens return n_tokens = 0, nll = NULL.
+
+    Output: [id_col, n_tokens, nll].
+    """
+    tok = _lm_tokens(df, text_col, id_col)
+    scored = tok.join(
+        F.broadcast(lm.select("token", "logp")), on="token", how="left"
+    ).withColumn("lp", F.coalesce(F.col("logp"), F.lit(float(oov_logp))))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg(-F.col("lp")).alias("nll")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("nll"),
+        )
+    )
+
+
+def lm_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Self-trained perplexity scoring: train the unigram LM on ``df`` itself
+    and score every document against it (outlier documents -- wrong language,
+    binary junk, boilerplate floods -- sit in the nll tail even when the
+    reference corpus IS the corpus being filtered)."""
+    lm, oov = train_unigram_lm(df, text_col, id_col, vocab_size, alpha)
+    return unigram_nll(df, lm, oov, text_col, id_col)

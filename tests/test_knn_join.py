@@ -88,6 +88,25 @@ def test_brute_batch_invariance(spark):
         assert abs(ca[(r.qid, r.id)] - r.cosine) < 1e-12
 
 
+def test_brute_mixed_id_types(spark):
+    """qid is typed from the LEFT table's id column, id from the right's —
+    a string-keyed query set against a bigint-keyed corpus round-trips both."""
+    df, mat = _mk(spark, n=20)
+    left = df.filter(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    res = knn_join_brute(left, df, k=3)
+    got = res.collect()
+    schema = res.schema
+    assert schema["qid"].dataType.simpleString() == "string"
+    assert schema["id"].dataType.simpleString() == "bigint"
+    want = _np_knn(np.array([0, 1]), mat[[0, 1]], np.arange(20), mat, 3, False)
+    assert sorted((r.qid, r.id, r.rank) for r in got) == sorted(
+        (f"q{q}", i, rk) for q, i, rk, _ in want
+    )
+
+
 def test_brute_guard_and_empty(spark):
     df, _ = _mk(spark, n=20)
     with pytest.raises(ValueError, match="max_left"):

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_validator.pipelines.dedup import (
+    containment_pairs,
     dedup_exact,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -84,6 +85,49 @@ def test_ngram_jaccard(spark, corpus):
         "the quick brown fox jumps over the lazy dog near the old stone bridge every single evening"
     )
     assert jac[("d1", "d4")] == pytest.approx(len(a & b) / len(a | b))
+
+
+def _sh_set(t, k=3):
+    w = " ".join(t.lower().split()).split(" ")
+    return {" ".join(w[i : i + k]) for i in range(max(len(w) - k, 0) + 1)}
+
+
+def test_containment_quotation(spark):
+    """A short doc quoted verbatim inside a much longer one: containment is
+    1.0 while jaccard sits far below any dedup threshold."""
+    quote = "the committee voted to approve the annual budget on tuesday"
+    filler = " ".join(f"filler{i} section{i} topic{i}" for i in range(30))
+    rows = [("short", quote), ("long", filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = containment_pairs(df, k=3, threshold=0.8, max_df=10**6).collect()
+    assert len(got) == 1
+    r = got[0]
+    a, b = _sh_set(rows[0][1]), _sh_set(rows[1][1])
+    assert (r.id_a, r.id_b) == ("long", "short")
+    assert r.containment == pytest.approx(len(a & b) / min(len(a), len(b)))
+    assert r.containment == pytest.approx(1.0)
+    assert r.jaccard == pytest.approx(len(a & b) / len(a | b))
+    assert r.jaccard < 0.8  # symmetric Jaccard would have missed this pair
+
+
+def test_containment_oracle_and_laws(spark, corpus):
+    """Full python oracle on the shared corpus + containment >= jaccard law."""
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    got = containment_pairs(corpus, k=3, threshold=0.5, max_df=10**6).collect()
+    want = {}
+    ids = sorted(rows)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            a, b = _sh_set(rows[x]), _sh_set(rows[y])
+            c = len(a & b) / min(len(a), len(b))
+            if c >= 0.5:
+                want[(x, y)] = (c, len(a & b) / len(a | b))
+    assert {(r.id_a, r.id_b) for r in got} == set(want)
+    for r in got:
+        c, j = want[(r.id_a, r.id_b)]
+        assert r.containment == pytest.approx(c)
+        assert r.jaccard == pytest.approx(j)
+        assert r.containment >= r.jaccard - 1e-12
 
 
 def test_minhash_lsh(spark, corpus):
