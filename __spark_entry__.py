@@ -3363,6 +3363,97 @@ def q_curation_decontam_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_contam_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PaLM-style coverage-fraction contamination (pipelines/curation.py::
+    contamination_fraction): benchmark = docs with doc_id % 37 == 0; training
+    docs with doc_id % 31 == 3 get benchmark doc 0's FULL text appended
+    (coverage 1.0 of item 0), docs with doc_id % 43 == 7 get the first HALF of
+    its words appended (partial coverage ~0.36). Returns every (train doc,
+    bench item) pair whose fraction of the item's distinct 8-grams found in
+    the doc is >= 0.3; the oracle replays the planted corpus and the coverage
+    join in SQL."""
+    from pyspark_validator.pipelines.curation import contamination_fraction
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    b0 = bench.where(F.col("doc_id") == 0).select(F.col("text").alias("btext"))
+    bw = F.split(F.trim(F.col("btext")), r"\s+")
+    half = F.array_join(F.slice(bw, 1, F.floor(F.size(bw) / 2).cast("int")), " ")
+    train = (
+        d.where(F.col("doc_id") % 37 != 0)
+        .select("doc_id", "text")
+        .crossJoin(F.broadcast(b0))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 31 == 3,
+                F.concat(F.col("text"), F.lit(" "), F.col("btext")),
+            )
+            .when(
+                F.col("doc_id") % 43 == 7,
+                F.concat(F.col("text"), F.lit(" "), half),
+            )
+            .otherwise(F.col("text")),
+        )
+        .drop("btext")
+    )
+    out = contamination_fraction(train, bench, n=8, min_frac=0.3)
+    return out.select(
+        "doc_id",
+        "bench_id",
+        F.col("common_grams").cast("long").alias("common_grams"),
+        F.col("n_bench_grams").cast("long").alias("n_bench_grams"),
+        _r(F.col("frac"), 9).alias("frac"),
+    )
+
+
+SQL_CURATION_CONTAM_FRACTION = r"""
+WITH b0 AS (SELECT text AS btext FROM documents WHERE doc_id = 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+train AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN d.doc_id % 31 = 3 THEN d.text || ' ' || b0.btext
+           WHEN d.doc_id % 43 = 7 THEN d.text || ' ' || array_to_string(
+             (regexp_split_to_array(trim(b0.btext), '\s+'))
+               [1 : array_length(regexp_split_to_array(trim(b0.btext), '\s+')) // 2],
+             ' ')
+           ELSE d.text
+         END AS text
+  FROM documents d, b0
+  WHERE d.doc_id % 37 != 0
+),
+bw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM bench),
+bg AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(array_length(w) - 7, 0) + 1),
+           i -> array_to_string(w[i:i+7], ' ')))) AS g
+  FROM bw
+),
+sizes AS (SELECT bench_id, count(*) AS n_bench_grams FROM bg GROUP BY bench_id),
+tw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM train),
+tg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(array_length(w) - 7, 0) + 1),
+           i -> array_to_string(w[i:i+7], ' ')))) AS g
+  FROM tw
+),
+common AS (
+  SELECT t.doc_id, b.bench_id, count(*) AS common_grams
+  FROM tg t JOIN bg b ON t.g = b.g
+  GROUP BY 1, 2
+)
+SELECT c.doc_id, c.bench_id,
+       CAST(common_grams AS BIGINT) AS common_grams,
+       CAST(n_bench_grams AS BIGINT) AS n_bench_grams,
+       round(common_grams * 1.0 / n_bench_grams, 9) AS frac
+FROM common c JOIN sizes s USING (bench_id)
+WHERE common_grams * 1.0 / n_bench_grams >= 0.3
+"""
+
+
 def q_curation_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate decontamination (pipelines/curation.py::
     decontaminate_fuzzy over dedup.py::prefix_jaccard_join): benchmark = docs
@@ -5152,6 +5243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_hash_split_docs": q_curation_hash_split_docs,
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
+        "curation_contam_fraction": q_curation_contam_fraction,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5268,6 +5360,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_hash_split_docs": SQL_CURATION_HASH_SPLIT_DOCS,
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
+        "curation_contam_fraction": SQL_CURATION_CONTAM_FRACTION,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

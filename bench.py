@@ -148,6 +148,7 @@ HEADLINE = [
     # round 2 session 19: unigram-LM perplexity scoring + containment dedup
     "text_lm_quality",
     "containment_planted",
+    "curation_contam_fraction",
 ]
 
 

@@ -208,6 +208,58 @@ def decontaminate(
     )
 
 
+def contamination_fraction(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_frac: float = 0.7,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """PaLM-style per-benchmark-item coverage contamination (Chowdhery et al.
+    2022 flag a training doc when >= 70% of an eval item's 8-grams appear in
+    it): unlike the any-overlap gate in :func:`decontaminate`, this attributes
+    hits to a SPECIFIC eval item and tolerates incidental single-gram
+    collisions -- the fraction, not the existence, of shared grams decides.
+
+    Output: [id_col, bench_id, common_grams, n_bench_grams, frac] for pairs
+    with ``frac >= min_frac``, where frac = |distinct grams of the benchmark
+    item found in the train doc| / |distinct grams of the benchmark item|.
+    Benchmark items with fewer than ``n`` words have no grams and never
+    appear.
+
+    Scale design: the benchmark's per-item distinct gram table (and its
+    per-item size table) is benchmark-sized -> broadcast; the training scan
+    explodes grams once and map-side joins the broadcast table, so the ONLY
+    shuffle carries surviving (train doc, bench item) hit pairs. The distinct
+    in "distinct shared grams" runs AFTER the join (count_distinct with
+    map-side partials) -- never a full-corpus distinct.
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bg = (
+        _exploded_grams(benchmark, text_col, n, [id_col])
+        .select(F.col(id_col).alias("bench_id"), key(F.col("_g")).alias("_gk"))
+        .distinct()
+        .persist()
+    )
+    sizes = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench_grams"))
+    tg = _exploded_grams(train, text_col, n, [id_col]).select(
+        id_col, key(F.col("_g")).alias("_gk")
+    )
+    hits = (
+        tg.join(F.broadcast(bg), "_gk")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count_distinct("_gk").alias("common_grams"))
+    )
+    return (
+        hits.join(F.broadcast(sizes), "bench_id")
+        .withColumn("frac", F.col("common_grams") / F.col("n_bench_grams"))
+        .filter(F.col("frac") >= min_frac)
+        .select(id_col, "bench_id", "common_grams", "n_bench_grams", "frac")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -4,10 +4,12 @@ concat-and-chunk packing."""
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_validator.pipelines.curation import (
     cap_per_group,
+    contamination_fraction,
     decontaminate,
     hash_split,
     hex_threshold,
@@ -128,6 +130,83 @@ def test_decontaminate_planted(spark):
         assert cnt == exp and flag == (exp > 0)
     assert out[2] == (0, False)
     assert out[1][1] and out[3][1]
+
+
+_B100 = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _cf_frames(spark):
+    bench = spark.createDataFrame(
+        [(100, _B100), (101, "one two three")],  # 101: < n words -> no grams
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x " + _B100 + " y"),  # full inclusion -> frac 1.0
+            (2, "p alpha beta gamma delta epsilon zeta q"),  # partial
+            (3, "clean words only here nothing shared at all whatsoever"),
+            (4, _B100 + " " + _B100),  # repetition must NOT inflate coverage
+        ],
+        ["doc_id", "text"],
+    )
+    return bench, train
+
+
+def _py_contam_frac(bench_rows, train_rows, n, min_frac):
+    def gset(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))}
+
+    want = {}
+    for bid, bt in bench_rows:
+        bg = gset(bt)
+        if not bg:
+            continue
+        for tid, tt in train_rows:
+            common = len(gset(tt) & bg)
+            frac = common / len(bg)
+            if frac >= min_frac:
+                want[(tid, bid)] = (common, len(bg), frac)
+    return want
+
+
+@pytest.mark.parametrize("hash_grams", [True, False])
+def test_contamination_fraction_oracle(spark, hash_grams):
+    bench, train = _cf_frames(spark)
+    got = {
+        (r.doc_id, r.bench_id): (r.common_grams, r.n_bench_grams, r.frac)
+        for r in contamination_fraction(
+            train, bench, n=5, min_frac=0.4, hash_grams=hash_grams
+        ).collect()
+    }
+    want = _py_contam_frac(
+        [(r.doc_id, r.text) for r in bench.collect()],
+        [(r.doc_id, r.text) for r in train.collect()],
+        n=5,
+        min_frac=0.4,
+    )
+    assert set(got) == set(want)
+    for k, (c, nb, f) in want.items():
+        assert got[k][0] == c and got[k][1] == nb
+        assert got[k][2] == pytest.approx(f)
+    # the planted invariants: full inclusion = 1.0; repetition doesn't inflate;
+    # the short benchmark item and the clean doc never appear
+    assert got[(1, 100)][2] == pytest.approx(1.0)
+    assert got[(4, 100)][0] == got[(1, 100)][0]
+    assert all(b != 101 for _, b in got)
+    assert all(t != 3 for t, _ in got)
+
+
+def test_contamination_fraction_plan(spark):
+    bench, train = _cf_frames(spark)
+    res = contamination_fraction(train, bench, n=5, min_frac=0.4)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    ).split("Initial Plan")[0]
+    assert "CartesianProduct" not in plan
+    # both the gram lookup and the sizes join must be broadcast (the training
+    # side shuffles only the post-join hit pairs)
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_decontaminate_string_and_hashed_grams_agree(spark):
