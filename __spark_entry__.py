@@ -3363,6 +3363,36 @@ def q_curation_decontam_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (pipelines/curation.py::
+    chunk_documents): 64-token windows every 48 tokens (16-token overlap),
+    tail emitted exactly once; zero-shuffle per-row plan. The oracle replays
+    the start/length arithmetic and the token re-join in SQL."""
+    from pyspark_validator.pipelines.curation import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+SQL_CURATION_CHUNK_DOCS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w,
+         unnest(range(0,
+           CAST(ceil(greatest(array_length(w) - 64, 0) / 48.0) AS BIGINT) + 1)) AS i
+  FROM words
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 48 + 1 AS BIGINT) AS start_token,
+       CAST(least(64, array_length(w) - i * 48) AS BIGINT) AS n_tokens,
+       array_to_string(w[i*48 + 1 : i*48 + 64], ' ') AS text
+FROM starts
+"""
+
+
 def q_curation_contam_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PaLM-style coverage-fraction contamination (pipelines/curation.py::
     contamination_fraction): benchmark = docs with doc_id % 37 == 0; training
@@ -5244,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_mixture_docs": q_curation_mixture_docs,
         "curation_decontam_planted": q_curation_decontam_planted,
         "curation_contam_fraction": q_curation_contam_fraction,
+        "curation_chunk_docs": q_curation_chunk_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5361,6 +5392,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_mixture_docs": SQL_CURATION_MIXTURE_DOCS,
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "curation_contam_fraction": SQL_CURATION_CONTAM_FRACTION,
+        "curation_chunk_docs": SQL_CURATION_CHUNK_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -149,6 +149,7 @@ HEADLINE = [
     "text_lm_quality",
     "containment_planted",
     "curation_contam_fraction",
+    "curation_chunk_docs",
 ]
 
 

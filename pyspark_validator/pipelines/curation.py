@@ -208,6 +208,57 @@ def decontaminate(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking (the per-document counterpart of
+    :func:`pack_sequences`): split each document into windows of
+    ``chunk_tokens`` whitespace tokens starting every ``chunk_tokens -
+    overlap`` tokens, so consecutive chunks share ``overlap`` tokens of
+    context -- the standard long-document preparation for a fixed-context
+    trainer or embedding model.
+
+    Chunk starts are ``1 + i*stride`` for ``i in 0..ceil(max(n - chunk_tokens,
+    0) / stride)``: every token is covered, the tail is emitted exactly once,
+    and a document shorter than one window yields a single chunk. Whitespace
+    inside chunks is normalized to single spaces (tokens are re-joined).
+
+    Zero-shuffle per-row plan: the token array is materialized once per row
+    behind a Generate barrier (``explode(array(w))`` -- without it
+    CollapseProject re-splits the document once per chunk), chunk indices come
+    from one ``sequence``/``explode``, and every output column is a JVM slice
+    of the shared array.
+
+    Output: [id_col, chunk_id, start_token (1-based), n_tokens, text].
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    wdf = df.select(id_col, F.explode(F.array(w)).alias("_w"))
+    n = F.size("_w")
+    last = F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(float(stride))
+    ).cast("int")
+    cdf = wdf.select(
+        id_col, "_w", F.explode(F.sequence(F.lit(0), last)).alias("chunk_id")
+    )
+    start = F.col("chunk_id") * stride + 1
+    return cdf.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_token"),
+        F.least(F.lit(chunk_tokens), F.size("_w") - start + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_w", start, chunk_tokens), " ").alias("text"),
+    )
+
+
 def contamination_fraction(
     train: DataFrame,
     benchmark: DataFrame,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from pyspark_validator.pipelines.curation import (
     cap_per_group,
+    chunk_documents,
     contamination_fraction,
     decontaminate,
     hash_split,
@@ -130,6 +131,53 @@ def test_decontaminate_planted(spark):
         assert cnt == exp and flag == (exp > 0)
     assert out[2] == (0, False)
     assert out[1][1] and out[3][1]
+
+
+def _py_chunks(text, chunk, overlap):
+    w = text.strip().split()
+    if not w:
+        w = [""]
+    stride = chunk - overlap
+    import math
+
+    last = math.ceil(max(len(w) - chunk, 0) / stride)
+    out = []
+    for i in range(last + 1):
+        s = i * stride  # 0-based
+        piece = w[s : s + chunk]
+        out.append((i, s + 1, len(piece), " ".join(piece)))
+    return out
+
+
+@pytest.mark.parametrize(
+    "n_words,chunk,overlap",
+    [(3, 8, 2), (8, 8, 2), (9, 8, 2), (20, 8, 2), (19, 8, 0), (25, 10, 9)],
+)
+def test_chunk_documents_oracle(spark, n_words, chunk, overlap):
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted(
+        (r.chunk_id, r.start_token, r.n_tokens, r.text)
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    assert got == _py_chunks(text, chunk, overlap)
+    # coverage law: dropping each chunk's leading overlap (except chunk 0)
+    # and concatenating reconstructs the normalized document
+    rebuilt = " ".join(
+        t if i == 0 else " ".join(t.split()[overlap:]) for i, _, _, t in got
+    ).strip()
+    assert rebuilt == " ".join(text.split())
+
+
+def test_chunk_documents_guard_and_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+    res = chunk_documents(df, chunk_tokens=4, overlap=1)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    ).split("Initial Plan")[0]
+    assert "Exchange" not in plan  # zero-shuffle per-row op
 
 
 _B100 = "alpha beta gamma delta epsilon zeta eta theta"
