@@ -511,6 +511,44 @@ def contamination_gram_hashes(
     return np.sort(np.array([r._gk for r in rows], dtype=np.int64))
 
 
+def contamination_item_gram_index(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+):
+    """Per-ITEM gram index for the streaming coverage-fraction gate
+    (streaming.py::streaming_contamination_fraction): the benchmark's distinct
+    (gram xxhash64, item) pairs as three aligned numpy arrays --
+    ``keys`` (int64, sorted; one row per distinct (gram, item) pair),
+    ``items`` (int64 item INDEX aligned with keys), ``sizes`` (float64 distinct
+    gram count per item index). Items with fewer than ``n`` words have no
+    grams and never index. Bounded by the same eval-suites-are-small premise
+    as :func:`contamination_gram_hashes`."""
+    import numpy as np
+
+    rows = (
+        _exploded_grams(benchmark, text_col, n, [id_col])
+        .select(F.col(id_col).alias("_bid"), F.xxhash64(F.col("_g")).alias("_gk"))
+        .distinct()
+        .collect()
+    )
+    if not rows:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.float64),
+        )
+    ids = sorted({r._bid for r in rows})
+    idx = {b: i for i, b in enumerate(ids)}
+    keys = np.array([r._gk for r in rows], dtype=np.int64)
+    items = np.array([idx[r._bid] for r in rows], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, items = keys[order], items[order]
+    sizes = np.bincount(items, minlength=len(ids)).astype(np.float64)
+    return keys, items, sizes
+
+
 def decontaminate_fuzzy(
     train: DataFrame,
     benchmark: DataFrame,

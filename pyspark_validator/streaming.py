@@ -425,6 +425,95 @@ def streaming_decontaminate(
     return out if keep_contaminated else out.filter(~F.col("contaminated"))
 
 
+def streaming_contamination_fraction(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_frac: float = 0.7,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Coverage-fraction decontamination (the PaLM-style rule of
+    pipelines/curation.py::contamination_fraction) as a STATELESS stream gate:
+    per incoming doc, the MAX over benchmark items of (distinct item grams
+    found in the doc) / (distinct item grams); drop docs with max coverage >=
+    ``min_frac`` (or keep + flag with ``keep_contaminated=True``).
+
+    The batch check joins exploded grams -- stateful on a stream -- so the
+    gate tests per row against the driver-side per-item gram index
+    (curation.py::contamination_item_gram_index): one Arrow-batched pandas UDF
+    that (1) dedups each doc's gram hashes (lexsort mask, no per-doc python),
+    (2) range-expands searchsorted hits into (doc, item) pairs -- each pair
+    occurrence IS one distinct shared gram because both sides are distinct --
+    and (3) folds per-(doc, item) counts into a per-doc max via
+    ``np.maximum.at``. Zero state, no watermark, no shuffle; fractions match
+    the batch check bit-for-bit (parity-pinned). Works on static frames too.
+
+    Adds ``max_benchmark_coverage`` (0.0 when the doc shares no gram) and
+    ``contaminated``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark_validator.pipelines.curation import contamination_item_gram_index
+
+    keys, items, sizes = contamination_item_gram_index(
+        benchmark, text_col=text_col, n=n
+    )
+    n_items = int(sizes.size)
+
+    @pandas_udf("double")
+    def _max_cov(grams: pd.Series) -> pd.Series:
+        m = len(grams)
+        if m == 0:
+            return pd.Series([], dtype="float64")
+        acc = np.zeros(m, dtype=np.float64)
+        lens = np.array([len(g) for g in grams], dtype=np.int64)
+        if keys.size == 0 or lens.sum() == 0:
+            return pd.Series(acc)
+        doc_idx = np.repeat(np.arange(m, dtype=np.int64), lens)
+        flat = np.concatenate(
+            [np.asarray(g, dtype=np.int64) for g in grams if len(g)]
+        )
+        # distinct (doc, gram): sort by (doc, gram), mask repeats
+        order = np.lexsort((flat, doc_idx))
+        d, f = doc_idx[order], flat[order]
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        d, f = d[first], f[first]
+        left = np.searchsorted(keys, f, side="left")
+        right = np.searchsorted(keys, f, side="right")
+        cnt = right - left
+        tot = int(cnt.sum())
+        if tot:
+            starts = np.cumsum(cnt) - cnt
+            expand = np.repeat(left, cnt) + (
+                np.arange(tot, dtype=np.int64) - np.repeat(starts, cnt)
+            )
+            pair = np.repeat(d, cnt) * n_items + items[expand]
+            uniq, c = np.unique(pair, return_counts=True)
+            np.maximum.at(acc, uniq // n_items, c / sizes[uniq % n_items])
+        return pd.Series(acc)
+
+    # Generate barrier: materialize the words array once per row (the
+    # CollapseProject re-split pathology; same fix as streaming_decontaminate)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_w = stream.withColumn("_w", F.explode(F.array(words)))
+    idx = F.when(
+        F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice("_w", i, n), " "))
+    )
+    out = (
+        with_w.withColumn("max_benchmark_coverage", _max_cov(gram_hashes))
+        .withColumn(
+            "contaminated", F.col("max_benchmark_coverage") >= F.lit(min_frac)
+        )
+        .drop("_w")
+    )
+    return out if keep_contaminated else out.filter(~F.col("contaminated"))
+
+
 def streaming_quality_gate(
     stream: DataFrame, text_col: str = "text", min_quality: float = 0.3
 ) -> DataFrame:

@@ -462,3 +462,80 @@ def test_streaming_decontaminate_is_stateless_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.doc_id for r in spark.sql("select doc_id from deco_stream").collect()]
     assert got == [2]
+
+
+def test_streaming_contam_fraction_batch_parity(spark):
+    # the stateless gate's per-doc MAX coverage must equal the batch
+    # contamination_fraction join's max frac per doc (same tokenization,
+    # same xxhash64 keys, same distinct semantics)
+    from pyspark_validator.pipelines.curation import contamination_fraction
+    from pyspark_validator.streaming import streaming_contamination_fraction
+
+    b1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b2 = "red orange yellow green blue indigo violet ultraviolet infrared"
+    rows = [
+        (0, b1 + " plus a tail of unrelated words here"),  # covers all of b1
+        (1, "totally clean text with eight or more words in it for sure"),
+        (2, " ".join(b1.split()[:9]) + " detour"),  # partial coverage of b1
+        (3, "short doc"),  # < n words -> 0 grams
+        (4, b2 + " " + b2),  # repetition must not inflate coverage of b2
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, b1), (101, b2), (102, "tiny item")],  # 102: < n words, no grams
+        "doc_id long, text string",
+    )
+    pairs = contamination_fraction(train, bench, n=8, min_frac=1e-12).collect()
+    batch_max = {d: 0.0 for d, _ in rows}
+    for r in pairs:
+        batch_max[r.doc_id] = max(batch_max[r.doc_id], r.frac)
+    gate = {
+        r.doc_id: (r.max_benchmark_coverage, r.contaminated)
+        for r in streaming_contamination_fraction(
+            train, bench, n=8, min_frac=0.5, keep_contaminated=True
+        ).collect()
+    }
+    assert set(gate) == set(batch_max)
+    for d, mf in batch_max.items():
+        assert gate[d][0] == pytest.approx(mf, abs=1e-12)
+        assert gate[d][1] == (mf >= 0.5)
+    assert gate[0] == (pytest.approx(1.0), True)
+    assert gate[3] == (0.0, False)
+    assert 0.0 < gate[2][0] < 1.0
+    assert gate[4][0] == pytest.approx(1.0)
+    # default mode drops flagged rows
+    surv = sorted(
+        r.doc_id
+        for r in streaming_contamination_fraction(
+            train, bench, n=8, min_frac=0.5
+        ).collect()
+    )
+    assert surv == sorted(d for d, mf in batch_max.items() if mf < 0.5)
+
+
+def test_streaming_contam_fraction_is_stateless_on_stream(spark, tmp_path):
+    from pyspark_validator.streaming import streaming_contamination_fraction
+
+    bench_txt = "one two three four five six seven eight nine ten"
+    bench = spark.createDataFrame([(0, bench_txt)], "doc_id long, text string")
+    src = tmp_path / "cf_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, bench_txt + " contaminated"), (2, "clean words " * 6)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    out = streaming_contamination_fraction(stream, bench, n=8, min_frac=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cf_stream")
+        .outputMode("append")  # append with NO watermark proves zero state
+        .option("checkpointLocation", str(tmp_path / "cf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.doc_id for r in spark.sql("select doc_id from cf_stream").collect()]
+    assert got == [2]
