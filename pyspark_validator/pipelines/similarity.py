@@ -15,6 +15,9 @@
     query matrix + ONE mapInPandas corpus scan with per-batch BLAS matmul and
     per-batch top-k reduction (only partial winners shuffle); LSH = bucketed
     candidates + exact re-rank, the corpus-x-corpus scale path.
+  * knn_join_ivf: the coarse-quantizer join path -- corpus assigned once to
+    k-means lists (ivf_build), queries probe their nprobe nearest lists,
+    exact re-rank; nprobe = n_lists degenerates to the exact join.
 """
 
 from __future__ import annotations
@@ -408,6 +411,89 @@ def knn_join_lsh(
     )
     lft = _explode_probes(lft, num_bits, probes)
     j = lft.join(r, on="bucket")
+    if exclude_self:
+        j = j.filter(F.col("qid") != F.col("id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "rv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nq = F.sqrt(
+        F.aggregate("qv", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    nr = F.sqrt(
+        F.aggregate("rv", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    scored = j.select("qid", "id", (dot / (nq * nr)).alias("cosine"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "rank", "cosine")
+    )
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    dim: int = None,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = False,
+    index: tuple[DataFrame, np.ndarray] | None = None,
+) -> DataFrame:
+    """IVF-partitioned approximate k-NN join -- the coarse-quantizer scale
+    path beside :func:`knn_join_lsh`: the corpus is assigned ONCE to its
+    nearest k-means list (:func:`ivf_build`; persist/write partitioned by
+    list_id to amortize across query batches), every query row probes its
+    ``nprobe`` nearest lists, exact cosine re-ranks candidates only, one
+    window takes the per-query top-k.
+
+    The candidate set is deterministic given (seed, sample): candidates(q) =
+    {r : list(r) in the nprobe nearest lists of q}, so recall rises
+    monotonically with nprobe and ``nprobe = n_lists`` degenerates to the
+    exact join (spec law pinned in tests). A query's probe lists are distinct
+    by construction -- probing never duplicates a candidate pair.
+
+    Pass ``index=(assigned_df, centroids)`` (from :func:`ivf_build`) to reuse
+    a standing index; otherwise one is built from ``right``.
+
+    Returns (qid, id, rank, cosine) -- top-k of the candidates.
+    """
+    if index is None:
+        indexed, cents = ivf_build(
+            right, dim, n_lists, sample_size, iters, seed, vec_col
+        )
+    else:
+        indexed, cents = index
+    r = indexed.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("rv"), "list_id"
+    )
+    npb = min(nprobe, len(cents))
+    c = cents
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        part = np.argsort(d2, axis=1, kind="stable")[:, :npb].astype(np.int32)
+        return pd.Series(list(part))
+
+    lft = left.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    j = lft.join(r, on="list_id")
     if exclude_self:
         j = j.filter(F.col("qid") != F.col("id"))
     dot = F.aggregate(

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 from pyspark_validator.pipelines.similarity import (
     _planes,
+    ivf_build,
     knn_join_brute,
+    knn_join_ivf,
     knn_join_lsh,
     probe_masks,
 )
@@ -143,12 +145,52 @@ def test_lsh_equals_brute_on_candidates(spark):
     assert len(pairs) == len(set(pairs))
 
 
+def test_ivf_equals_brute_on_candidates(spark):
+    """Spec law: knn_join_ivf == exact top-k restricted to the candidate set
+    {r : list(r) in the query's nprobe nearest lists}, recomputed in numpy
+    from the SAME standing index."""
+    df, mat = _mk(spark, n=70, dups=False)
+    left = df.filter(F.col("vec_id") % 11 == 0)
+    q_ids = [i for i in range(70) if i % 11 == 0]
+    index = ivf_build(df, dim=8, n_lists=4, seed=3)
+    indexed, cents = index
+    assign = {r.vec_id: r.list_id for r in indexed.select("vec_id", "list_id").collect()}
+    got = knn_join_ivf(left, index=index, k=4, nprobe=2).collect()
+    want = []
+    for q in q_ids:
+        d2 = ((cents - mat[q][None, :]) ** 2).sum(1)
+        probes = set(np.argsort(d2, kind="stable")[:2].tolist())
+        cand = [i for i in range(70) if assign[i] in probes]
+        qn = mat[q] / np.sqrt(mat[q] @ mat[q])
+        scored = sorted(
+            cand, key=lambda i: (-(mat[i] / np.sqrt(mat[i] @ mat[i])) @ qn, i)
+        )
+        for rank, i in enumerate(scored[:4], start=1):
+            want.append((q, i, rank))
+    assert sorted((r.qid, r.id, r.rank) for r in got) == sorted(want)
+    # probing never duplicates a candidate pair
+    pairs = [(r.qid, r.id) for r in got]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_ivf_full_nprobe_is_exact(spark):
+    df, mat = _mk(spark, n=50, dups=False)
+    left = df.filter(F.col("vec_id") < 3)
+    index = ivf_build(df, dim=8, n_lists=4, seed=3)
+    got = knn_join_ivf(left, index=index, k=5, nprobe=4).collect()
+    want = _np_knn(np.arange(3), mat[:3], np.arange(50), mat, 5, False)
+    assert sorted((r.qid, r.id, r.rank) for r in got) == sorted(
+        (q, i, rk) for q, i, rk, _ in want
+    )
+
+
 def test_plans_have_no_cartesian(spark):
     df, _ = _mk(spark, n=30)
     left = df.filter(F.col("vec_id") < 3)
     for res in (
         knn_join_brute(left, df, k=3),
         knn_join_lsh(left, df, dim=8, k=3, num_bits=4),
+        knn_join_ivf(left, df, dim=8, k=3, n_lists=4, nprobe=2),
     ):
         plan = res._sc._jvm.PythonSQLUtils.explainString(
             res._jdf.queryExecution(), "formatted"
