@@ -5189,6 +5189,87 @@ def _nary_ind_oracle_sql() -> str:
 SQL_DISCOVERY_NARY_INDS_ORDERS = _nary_ind_oracle_sql()
 
 
+def q_curation_dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (pipelines/curation.py::dsir_resample, Xie
+    et al. 2023): target = the zh documents, raw = everything else; hashed
+    uni+bigram features into 256 md5-suffix buckets, additive-0.5-smoothed
+    per-bucket log ratio (broadcast, <=256 rows), per-doc log importance
+    weight in one groupBy, Gumbel top-40 with deterministic md5-derived
+    noise. The oracle replays the whole chain -- tokenize, hash-bucket,
+    smooth, score, Gumbel-key -- in SQL."""
+    from pyspark_validator.pipelines.curation import dsir_resample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = d.filter(F.col("lang") != "zh").select("doc_id", "text")
+    tgt = d.filter(F.col("lang") == "zh").select("doc_id", "text")
+    sel = dsir_resample(raw, tgt, k=40, hex_chars=2, alpha=0.5, seed="dsir")
+    return sel.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        _r(F.col("logw"), 9).alias("logw"),
+        _r(F.col("select_key"), 9).alias("select_key"),
+    )
+
+
+SQL_CURATION_DSIR_DOCS = r"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE lang <> 'zh'),
+tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'zh'),
+rw AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM raw),
+tw AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM tgt),
+rg AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(w) AS g FROM rw) WHERE g <> ''
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, array_length(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS g
+  FROM rw
+),
+tg AS (
+  SELECT g FROM (SELECT unnest(w) AS g FROM tw) WHERE g <> ''
+  UNION ALL
+  SELECT unnest(list_transform(range(1, array_length(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS g
+  FROM tw
+),
+rb AS (SELECT doc_id, substr(md5(g), 31, 2) AS b FROM rg),
+tb AS (SELECT substr(md5(g), 31, 2) AS b FROM tg),
+rcnt AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+tcnt AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM tcnt) + 0.5 * 256 AS tden,
+               (SELECT CAST(sum(c) AS DOUBLE) FROM rcnt) + 0.5 * 256 AS rden),
+ratio AS (
+  SELECT coalesce(t.b, r.b) AS b,
+         ln((coalesce(t.c, 0) + 0.5) / tot.tden)
+           - ln((coalesce(r.c, 0) + 0.5) / tot.rden) AS lr
+  FROM tcnt t FULL JOIN rcnt r ON t.b = r.b, tot
+),
+scored AS (
+  SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         sum(coalesce(ratio.lr,
+                      (SELECT ln(0.5 / tden) - ln(0.5 / rden) FROM tot))) AS logw
+  FROM rb LEFT JOIN ratio ON ratio.b = rb.b
+  GROUP BY rb.doc_id
+),
+wts AS (
+  SELECT r.doc_id,
+         CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         coalesce(s.logw, 0.0) AS logw
+  FROM raw r LEFT JOIN scored s ON s.doc_id = r.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+         logw + (-ln(-ln(
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'), 1, 12)
+                 AS BIGINT) + 0.5) / 281474976710656.0))) AS select_key
+  FROM wts
+)
+SELECT doc_id, n_grams, round(logw, 9) AS logw, round(select_key, 9) AS select_key
+FROM keyed
+ORDER BY select_key DESC, doc_id ASC
+LIMIT 40
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5275,6 +5356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontam_planted": q_curation_decontam_planted,
         "curation_contam_fraction": q_curation_contam_fraction,
         "curation_chunk_docs": q_curation_chunk_docs,
+        "curation_dsir_docs": q_curation_dsir_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5393,6 +5475,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_decontam_planted": SQL_CURATION_DECONTAM_PLANTED,
         "curation_contam_fraction": SQL_CURATION_CONTAM_FRACTION,
         "curation_chunk_docs": SQL_CURATION_CHUNK_DOCS,
+        "curation_dsir_docs": SQL_CURATION_DSIR_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -49,6 +49,11 @@ __all__ = [
     "gram_count_index",
     "merge_gram_count_index",
     "delta_duplicate_spans",
+    "dsir_bucket_counts",
+    "dsir_log_ratio",
+    "dsir_weights",
+    "dsir_select",
+    "dsir_resample",
 ]
 
 #: md5-prefix length used for threshold comparisons. 12 hex chars = 48 bits of
@@ -815,3 +820,192 @@ def cap_per_group(
     return joined.filter(
         (F.col("__n") <= cap) | (frac < cap / F.col("__n").cast("double"))
     ).drop("__n")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"). Select raw-corpus documents
+# whose hashed bag-of-ngrams distribution looks like a small target corpus:
+# per-doc log importance weight = sum over the doc's (uni+bi)gram instances of
+# ln p_target(bucket) - ln p_raw(bucket), buckets = hashed n-gram features,
+# then Gumbel top-k sampling (without replacement, proportional to the
+# softmax of the weights) with hash-derived deterministic noise.
+#
+# Scale design (100 TB contract): the feature space is B = 16**hex_chars
+# buckets, so BOTH distributions are <= B-row frames -- the raw corpus is
+# scanned once for its bucket counts (one groupBy(bucket) with map-side
+# combine; the shuffle carries <= B rows per task) and once for scoring (the
+# <= B-row log-ratio table is broadcast; the only shuffle is the per-doc sum,
+# the same key as any per-doc aggregation). Bucket counts are sum-mergeable:
+# keep them as a standing index and fold crawl increments in with
+# ``merge_gram_count_index``-style unions instead of rescanning the corpus.
+# Selection is orderBy().limit() = TakeOrderedAndProject (distributed heap,
+# never a single-partition sort). Bucketing uses the LAST ``hex_chars`` chars
+# of md5 (not xxhash64) so any engine re-derives identical features.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_grams(
+    df: DataFrame, text_col: str, id_col: str, bigrams: bool = True
+) -> DataFrame:
+    """One row per gram instance (``_id``, ``_g``): lowercase whitespace
+    unigrams plus (optionally) space-joined bigrams. Empty documents
+    contribute no rows. The words array sits behind a Generate barrier
+    (``explode(array(w))``) for the same CollapseProject reason as
+    ``_exploded_grams``."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    wdf = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(w)).alias("_w")
+    )
+    uni = F.filter(F.col("_w"), lambda t: t != "")
+    grams = uni
+    if bigrams:
+        idx = F.when(
+            F.size("_w") >= 2, F.sequence(F.lit(1), F.size("_w") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bi = F.transform(idx, lambda i: F.array_join(F.slice("_w", i, 2), " "))
+        grams = F.concat(uni, bi)
+    return wdf.select("_id", F.explode(grams).alias("_g"))
+
+
+def _dsir_bucket(gram: Column, hex_chars: int) -> Column:
+    """Feature bucket id: the last ``hex_chars`` hex chars of md5(gram) --
+    a uniform hash into 16**hex_chars buckets that every engine re-derives."""
+    return F.substring(F.md5(gram), 32 - hex_chars + 1, hex_chars)
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_chars: int = 3,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Hashed n-gram feature counts ``[bucket, cnt]`` of a corpus -- the
+    sufficient statistic for both sides of DSIR. Sum-mergeable: union + one
+    groupBy folds increments into a standing index."""
+    g = _dsir_grams(df, text_col, id_col, bigrams)
+    return g.groupBy(_dsir_bucket(F.col("_g"), hex_chars).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def dsir_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    alpha: float = 0.5,
+    hex_chars: int = 3,
+) -> tuple[DataFrame, float]:
+    """Per-bucket ``ln p_target(b) - ln p_raw(b)`` under additive-``alpha``
+    smoothing over B = 16**hex_chars buckets. Returns ``(ratio, default)``
+    where ``ratio`` is ``[bucket, log_ratio]`` over buckets seen in EITHER
+    corpus (<= B rows, broadcastable by construction) and ``default`` is the
+    ratio of a bucket seen in neither (a constant: the smoothing masses
+    cancel to ``ln((Tr + alpha*B) / (Tt + alpha*B))``)."""
+    import math
+
+    b_total = float(16**hex_chars)
+    tt = target_counts.agg(F.sum("cnt")).collect()[0][0]
+    tr = raw_counts.agg(F.sum("cnt")).collect()[0][0]
+    if not tt or not tr:
+        raise ValueError("dsir_log_ratio: empty target or raw corpus")
+    tden = float(tt) + alpha * b_total
+    rden = float(tr) + alpha * b_total
+    joined = target_counts.withColumnRenamed("cnt", "_ct").join(
+        raw_counts.withColumnRenamed("cnt", "_cr"), "bucket", "full_outer"
+    )
+    ratio = joined.select(
+        "bucket",
+        (
+            F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha)) / F.lit(tden))
+            - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(alpha)) / F.lit(rden))
+        ).alias("log_ratio"),
+    )
+    return ratio, math.log(alpha / tden) - math.log(alpha / rden)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    ratio: DataFrame,
+    default_ratio: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_chars: int = 3,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: the corpus is scanned once,
+    every gram instance map-side joins the broadcast <= B-row ratio table,
+    and one groupBy(id) sums. Documents with no grams get ``n_grams = 0,
+    logw = 0.0``. Output: ``[id_col, n_grams, logw]``."""
+    g = _dsir_grams(raw, text_col, id_col, bigrams).select(
+        "_id", _dsir_bucket(F.col("_g"), hex_chars).alias("bucket")
+    )
+    scored = g.join(F.broadcast(ratio), "bucket", "left").withColumn(
+        "_lr", F.coalesce(F.col("log_ratio"), F.lit(float(default_ratio)))
+    )
+    agg = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("_lr").alias("logw"),
+    )
+    return (
+        raw.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    gumbel: bool = True,
+) -> DataFrame:
+    """Pick ``k`` documents from a ``dsir_weights`` frame. ``gumbel=True``
+    (the paper's sampler) draws without replacement proportionally to
+    ``exp(logw)`` via the Gumbel top-k trick with DETERMINISTIC noise --
+    ``u = (md5_prefix(id|seed) + 0.5) / 16**12`` is a uniform in (0,1), so
+    re-runs and other engines select the identical set. ``gumbel=False`` is
+    the argmax variant (plain top-k by weight). Adds ``select_key``; the
+    top-k is orderBy().limit() = TakeOrderedAndProject (distributed heap)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    key = F.col("logw")
+    if gumbel:
+        u = (
+            F.conv(_md5_prefix(F.col(id_col), seed), 16, 10).cast("double")
+            + F.lit(0.5)
+        ) / float(16**_PREFIX_LEN)
+        key = key + (-F.log(-F.log(u)))
+    return (
+        weights.withColumn("select_key", key)
+        .orderBy(F.col("select_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_chars: int = 3,
+    alpha: float = 0.5,
+    bigrams: bool = True,
+    seed: str = "dsir",
+    gumbel: bool = True,
+) -> DataFrame:
+    """End-to-end DSIR: hashed-ngram bucket counts of both corpora ->
+    smoothed per-bucket log ratio -> per-doc weights -> Gumbel top-k.
+    Two scans of the raw corpus total (counts + scoring); the target corpus
+    (an eval suite / quality reference, KBs-to-MBs) is tiny by definition."""
+    tc = dsir_bucket_counts(target, text_col, id_col, hex_chars, bigrams)
+    rc = dsir_bucket_counts(raw, text_col, id_col, hex_chars, bigrams)
+    ratio, default = dsir_log_ratio(tc, rc, alpha=alpha, hex_chars=hex_chars)
+    w = dsir_weights(raw, ratio, default, text_col, id_col, hex_chars, bigrams)
+    return dsir_select(w, k, id_col=id_col, seed=seed, gumbel=gumbel)
