@@ -5270,6 +5270,73 @@ LIMIT 40
 """
 
 
+def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (pipelines/dedup.py::dedup_lines,
+    the MassiveText/RefinedWeb line-dedup tier): every doc gets two footer
+    lines planted -- 'subscribe to our newsletter.' on even ids (250 docs,
+    banned at min_docs=3), 'cookie banner boilerplate' on ids % 5 == 0 (100
+    docs, banned), and per-doc unique footers otherwise (kept). The oracle
+    replays the census (count DISTINCT docs per non-blank line) and the
+    ordered rebuild in SQL; clean text is md5'd to keep the diff small."""
+    from pyspark_validator.pipelines.dedup import dedup_lines
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f1 = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter.")
+    ).otherwise(F.concat(F.lit("unique footer "), F.col("doc_id").cast("string")))
+    f2 = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("cookie banner boilerplate")
+    ).otherwise(F.concat(F.lit("second footer "), F.col("doc_id").cast("string")))
+    planted = d.select(
+        "doc_id", F.concat_ws("\n", F.col("text"), f1, f2).alias("text")
+    )
+    out = dedup_lines(planted, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed_lines").cast("long").alias("n_removed_lines"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SQL_DEDUP_LINES_DOCS = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter.'
+              ELSE 'unique footer ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+         CASE WHEN doc_id % 5 = 0 THEN 'cookie banner boilerplate'
+              ELSE 'second footer ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+split_docs AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+pos_lines AS (
+  SELECT doc_id, l, unnest(range(1, array_length(l) + 1)) AS pos FROM split_docs
+),
+line_rows AS (SELECT doc_id, pos, l[CAST(pos AS INT)] AS line FROM pos_lines),
+banned AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS n_docs
+    FROM line_rows WHERE trim(line) <> '' GROUP BY line
+  ) WHERE n_docs >= 3
+),
+judged AS (
+  SELECT lr.doc_id, lr.pos, lr.line, b.line IS NOT NULL AS is_banned
+  FROM line_rows lr LEFT JOIN banned b ON b.line = lr.line
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_banned THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines,
+         coalesce(string_agg(CASE WHEN NOT is_banned THEN line END,
+                             chr(10) ORDER BY pos), '') AS clean_text
+  FROM judged GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_removed_lines, md5(clean_text) AS clean_md5
+FROM rebuilt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5357,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_contam_fraction": q_curation_contam_fraction,
         "curation_chunk_docs": q_curation_chunk_docs,
         "curation_dsir_docs": q_curation_dsir_docs,
+        "dedup_lines_docs": q_dedup_lines_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5476,6 +5544,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_contam_fraction": SQL_CURATION_CONTAM_FRACTION,
         "curation_chunk_docs": SQL_CURATION_CHUNK_DOCS,
         "curation_dsir_docs": SQL_CURATION_DSIR_DOCS,
+        "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -975,3 +975,113 @@ def prefix_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-line removal (the MassiveText / RefinedWeb line-dedup
+# tier, Rae et al. 2021 / Penedo et al. 2023): a line appearing verbatim in
+# >= min_docs DISTINCT documents is boilerplate (nav bars, cookie banners,
+# signatures) and is stripped from every document, preserving the order of
+# the surviving lines. Complements line_filter (per-doc heuristics -- no
+# corpus evidence) and duplicate_spans (n-gram tier -- no line alignment).
+# ---------------------------------------------------------------------------
+
+
+def duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Lines that occur in >= ``min_docs`` distinct documents:
+    ``[line, n_docs]``. Whitespace-only lines are structure, not boilerplate,
+    and are never reported.
+
+    Scale: explode is per-row; the per-doc distinct runs on the 8-byte
+    xxhash64 line key FIRST (groupBy(key, id) -- map-side combinable, so a
+    line repeated inside one giant doc collapses before the wire), then one
+    groupBy(key). A line shared by millions of docs is exactly the hot key
+    the map-side combine absorbs; nothing here is quadratic in its
+    frequency. The line STRING rides along as ``first(line)`` per key --
+    only one copy per distinct line ever shuffles.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+    ).filter(F.trim(F.col("line")) != "")
+    per_doc = lines.groupBy(
+        F.xxhash64("line").alias("_lk"), F.col("_id")
+    ).agg(F.first("line").alias("line"))
+    return (
+        per_doc.groupBy("_lk")
+        .agg(
+            F.first("line").alias("line"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", "n_docs")
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+    broadcast_banned: bool = False,
+) -> DataFrame:
+    """Strip corpus-wide duplicate lines from every document. Adds
+    ``clean_text`` (surviving lines re-joined on ``sep`` in original order),
+    ``n_lines`` and ``n_removed_lines``. Whitespace-only lines always
+    survive (they are document structure).
+
+    Scale: two scans of the corpus (banned-line census + rewrite). The
+    rewrite explodes with position, left-joins the banned table on the
+    8-byte line key, and reassembles per doc via one groupBy with
+    ``array_sort(collect_list(struct(pos, line)))`` -- a doc's lines fit in
+    memory by definition, so the collect_list is bounded by doc size, never
+    by corpus size. The banned table holds only lines ABOVE the threshold
+    (boilerplate, not the full distinct-line census); pass
+    ``broadcast_banned=True`` when it is known-small, otherwise the shuffle
+    join's build side is one row per banned key and AQE's skew split handles
+    the hot probe keys.
+    """
+    banned = duplicate_lines(df, text_col, id_col, min_docs, sep).select(
+        F.xxhash64("line").alias("_lk"), F.lit(True).alias("_banned")
+    )
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    pos_lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    keyed = pos_lines.withColumn(
+        "_lk",
+        F.when(F.trim(F.col("line")) != "", F.xxhash64("line")),
+    )
+    judged = keyed.join(banned, "_lk", "left")
+    rebuilt = judged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_banned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.coalesce(F.col("_banned"), F.lit(False)),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return df.join(
+        rebuilt.withColumnRenamed("_id", id_col), id_col, "left"
+    )
