@@ -5337,6 +5337,57 @@ FROM rebuilt
 """
 
 
+def q_dedup_delta_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated delta-vs-corpus EXACT dedup (pipelines/bloom.py::
+    delta_new_rows): the crawl-increment fast path -- the standing corpus is a
+    distinct-fingerprint index plus an OR-mergeable m-bit Bloom filter; delta
+    rows the filter rejects are definitely new and bypass the verify join
+    (zero shuffle), only maybe-seen rows are anti-joined against the index.
+    Delta = normalized-equal copies of every 30th doc (uppercased, padded --
+    exact dups, dropped) + every (30k+7)th doc with a fresh suffix (new,
+    kept). The result is exact regardless of filter sizing, so the oracle is
+    the closed-form anti-join on normalized text."""
+    from pyspark_validator.pipelines.bloom import (
+        bloom_array,
+        bloom_words,
+        content_hash_index,
+        delta_new_rows,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = d.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit(" "))).alias("text"),
+    )
+    fresh = d.filter(F.col("doc_id") % 30 == 7).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" freshly crawled suffix")).alias("text"),
+    )
+    delta = copies.unionByName(fresh)
+    idx = content_hash_index(d).persist()
+    m, k = 1 << 20, 7
+    arr = bloom_array(bloom_words(idx, num_bits=m, num_hashes=k), m)
+    out = delta_new_rows(delta, idx, bloom=arr, num_bits=m, num_hashes=k)
+    return out.select("doc_id")
+
+
+SQL_DEDUP_DELTA_BLOOM_DOCS = r"""
+WITH delta AS (
+  SELECT doc_id + 5000000 AS doc_id, upper('  ' || text || ' ') AS text
+  FROM documents WHERE doc_id % 30 = 0
+  UNION ALL
+  SELECT doc_id + 6000000 AS doc_id, text || ' freshly crawled suffix' AS text
+  FROM documents WHERE doc_id % 30 = 7
+),
+cn AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT d.doc_id FROM delta d
+WHERE trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) NOT IN (SELECT t FROM cn)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5425,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_chunk_docs": q_curation_chunk_docs,
         "curation_dsir_docs": q_curation_dsir_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
+        "dedup_delta_bloom_docs": q_dedup_delta_bloom_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5545,6 +5597,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_chunk_docs": SQL_CURATION_CHUNK_DOCS,
         "curation_dsir_docs": SQL_CURATION_DSIR_DOCS,
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
+        "dedup_delta_bloom_docs": SQL_DEDUP_DELTA_BLOOM_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,
