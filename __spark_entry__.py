@@ -1656,6 +1656,32 @@ SELECT vec_id FROM embeddings
 """
 
 
+def q_semantic_dedup_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered SemDeDup, the published k-means form (pipelines/similarity.py
+    ::semantic_dedup_clustered): unit-normalize, k-means coarse quantizer,
+    within-cluster cosine pairs, keep-one. The planted 2x-scaled copies
+    normalize to bit-identical unit vectors (powers of two are float-exact),
+    so they land in the same cluster deterministically and are always dropped
+    -- the surviving set is exactly the original table, the same closed-form
+    oracle as the LSH variant. Cross-cluster recall is pinned separately by
+    the n_lists=1 == numpy-all-pairs law in tests/test_semdedup_clustered.py."""
+    from pyspark_validator.pipelines.similarity import semantic_dedup_clustered
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda v: v * 2).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(dup)
+    out = semantic_dedup_clustered(planted, dim=64, threshold=0.999, n_lists=8, iters=5)
+    return out.select("vec_id")
+
+
+SQL_SEMANTIC_DEDUP_IVF_PLANTED = """
+SELECT vec_id FROM embeddings
+"""
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at full probe (nprobe = n_lists): scanning every list makes
     IVF exactly equal to brute force, so the brute-force SQL is an exact
@@ -5477,6 +5503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_dsir_docs": q_curation_dsir_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
         "dedup_delta_bloom_docs": q_dedup_delta_bloom_docs,
+        "semantic_dedup_ivf_planted": q_semantic_dedup_ivf_planted,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5598,6 +5625,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_dsir_docs": SQL_CURATION_DSIR_DOCS,
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "dedup_delta_bloom_docs": SQL_DEDUP_DELTA_BLOOM_DOCS,
+        "semantic_dedup_ivf_planted": SQL_SEMANTIC_DEDUP_IVF_PLANTED,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -519,6 +519,137 @@ def knn_join_ivf(
     )
 
 
+def unit_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    """Adds ``out_col`` = the unit-normalized (double) copy of an embedding
+    column, pure JVM exprs. The norm is materialized behind a Generate barrier
+    (explode(array(e))) so CollapseProject cannot re-inline the O(dim)
+    aggregate into every element of the per-element transform (the measured
+    CollapseProject blowup family). Zero vectors pass through unscaled."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, t: a + t.cast("double") * t.cast("double")
+        )
+    )
+    return (
+        df.withColumn("__n", F.explode(F.array(norm)))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col(vec_col), lambda t: t.cast("double") / F.col("__n")),
+            ).otherwise(F.transform(F.col(vec_col), lambda t: t.cast("double"))),
+        )
+        .drop("__n")
+    )
+
+
+def cluster_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 10_000,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster embedding near-duplicate pairs -- the published SemDeDup
+    candidate structure (Abbas et al. 2023): k-means on the UNIT SPHERE
+    (normalize, then the ivf_build coarse quantizer), candidates = same
+    cluster, exact cosine verifies. Returns [id_a, id_b, cosine].
+
+    Scale shape: the only pair join is within-list (one shuffle on list_id);
+    a degenerate mega-cluster is dropped by ``max_cluster`` (drop-not-salt --
+    a cluster that big means the quantizer, not the pairing, needs fixing).
+    Pairs split across a cluster boundary are missed by construction -- that
+    is SemDeDup's documented recall trade; cosine_pairs (LSH + multi-probe)
+    is the overlapping-candidate alternative.
+
+    Pass ``index`` (a previous return of ``ivf_build(unit_normalize(df), ...)``
+    restricted to [id, v, unit, list_id]) to reuse a standing assignment."""
+    if index is None:
+        u = unit_normalize(df, vec_col=vec_col, out_col="__unit")
+        assigned, _ = ivf_build(
+            u,
+            dim,
+            n_lists=n_lists,
+            sample_size=sample_size,
+            iters=iters,
+            seed=seed,
+            vec_col="__unit",
+        )
+        b = assigned.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
+        ).persist()
+    else:
+        b = index
+    sizes = b.groupBy("list_id").agg(F.count(F.lit(1)).alias("cs"))
+    b = b.join(
+        F.broadcast(sizes.filter(F.col("cs") > max_cluster)), on="list_id", how="left_anti"
+    )
+    x, y = b.alias("x"), b.alias("y")
+    dot = F.aggregate(
+        F.zip_with("x.v", "y.v", lambda a, c: a.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nx = F.sqrt(
+        F.aggregate("x.v", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    ny = F.sqrt(
+        F.aggregate("y.v", F.lit(0.0), lambda acc, t: acc + t.cast("double") * t.cast("double"))
+    )
+    cos = dot / (nx * ny)
+    return (
+        x.join(
+            y,
+            on=(F.col("x.list_id") == F.col("y.list_id")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
+    )
+
+
+def semantic_dedup_clustered(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup in its published form (Abbas et al. 2023): k-means clusters on
+    normalized embeddings, within-cluster cosine >= threshold pairs, keep-one
+    (a row is dropped iff it is the larger id of some pair -- the same
+    conservative single-pass reduction as :func:`semantic_dedup`, which is the
+    LSH-bucketed variant of this operator). Returns surviving rows."""
+    pairs = cluster_cosine_pairs(
+        df,
+        dim,
+        threshold=threshold,
+        n_lists=n_lists,
+        sample_size=sample_size,
+        iters=iters,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_cluster=max_cluster,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
