@@ -1682,6 +1682,47 @@ SELECT vec_id FROM embeddings
 """
 
 
+def q_curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (pipelines/curation.py::
+    shuffle_shards): key = md5(id|seed) is the epoch permutation, shard =
+    int(key[:8], 16) mod n -- md5 (not xxhash64) so ANY engine re-derives the
+    identical layout. The query pins assignment AND within-shard order: per
+    shard, the count and the md5 of the comma-joined doc ids sorted by
+    shuffle key. The oracle folds the 8 hex digits to an integer in SQL."""
+    from pyspark_validator.pipelines.curation import shuffle_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = shuffle_shards(d, n_shards=8, seed="r2")
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("shuffle_key"), F.col("doc_id").cast("string").alias("i")))
+        ),
+        lambda x: x["i"],
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("ids_md5"),
+    )
+
+
+_HEX8_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substr(key,{i + 1},1))-1)*{16 ** (7 - i)}"
+    for i in range(8)
+)
+
+SQL_CURATION_SHUFFLE_SHARDS = f"""
+WITH keyed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|r2') AS key FROM documents
+),
+sharded AS (
+  SELECT doc_id, key, CAST(({_HEX8_FOLD}) % 8 AS BIGINT) AS shard_id FROM keyed
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY key)) AS ids_md5
+FROM sharded GROUP BY shard_id
+"""
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at full probe (nprobe = n_lists): scanning every list makes
     IVF exactly equal to brute force, so the brute-force SQL is an exact
@@ -5504,6 +5545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_docs": q_dedup_lines_docs,
         "dedup_delta_bloom_docs": q_dedup_delta_bloom_docs,
         "semantic_dedup_ivf_planted": q_semantic_dedup_ivf_planted,
+        "curation_shuffle_shards": q_curation_shuffle_shards,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5626,6 +5668,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "dedup_delta_bloom_docs": SQL_DEDUP_DELTA_BLOOM_DOCS,
         "semantic_dedup_ivf_planted": SQL_SEMANTIC_DEDUP_IVF_PLANTED,
+        "curation_shuffle_shards": SQL_CURATION_SHUFFLE_SHARDS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

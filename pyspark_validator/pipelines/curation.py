@@ -1009,3 +1009,53 @@ def dsir_resample(
     ratio, default = dsir_log_ratio(tc, rc, alpha=alpha, hex_chars=hex_chars)
     w = dsir_weights(raw, ratio, default, text_col, id_col, hex_chars, bigrams)
     return dsir_select(w, k, id_col=id_col, seed=seed, gumbel=gumbel)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 1024,
+    seed: str = "",
+    id_col: str = "doc_id",
+    shard_col: str = "shard_id",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment (training-data
+    export prep): training loaders want the corpus in a random-looking but
+    REPRODUCIBLE order, split into a fixed number of shard files.
+
+    Adds ``key_col`` = md5(id|seed) (the shuffle order: sorting by it is a
+    seeded random permutation any engine re-derives -- same md5-everywhere
+    rationale as hash_split) and ``shard_col`` = first-8-hex-digits(key) mod
+    n_shards.  Pure per-row exprs, zero shuffle: the expensive part
+    (physically clustering by shard and ordering within) belongs to the
+    writer, which pays exactly ONE shuffle -- see :func:`write_training_shards`.
+    Changing ``seed`` reshuffles every epoch deterministically.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed)))
+    df = df.withColumn(key_col, key)
+    shard = F.pmod(
+        F.conv(F.substring(F.col(key_col), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    )
+    return df.withColumn(shard_col, shard)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 1024,
+    seed: str = "",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the shuffled corpus as ``path/shard_id=*/`` parquet dirs,
+    rows ordered by the shuffle key inside each shard: ONE shuffle
+    (repartition on shard_id) + a sortWithinPartitions (no global sort task),
+    parallelism = n_shards."""
+    s = shuffle_shards(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    (
+        s.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
