@@ -5455,6 +5455,51 @@ WHERE trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')) NOT IN (SELECT t FROM
 """
 
 
+def q_retrieval_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scoring over the documents table (pipelines/retrieval.py::
+    bm25_scores): per-doc lexical relevance for a 3-term query. N/avgdl/df
+    come from one scalar agg; scoring is a zero-shuffle per-row expression
+    over the LM tokenization. The oracle spells the full formula (Lucene +1
+    idf variant) end-to-end in DuckDB over the same token stream."""
+    from pyspark_validator.pipelines.retrieval import bm25_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bm25_scores(d, ["spark", "merge", "vector"])
+    return s.select(F.col("id").alias("doc_id"), _r(F.col("score")).alias("score"))
+
+
+SQL_RETRIEVAL_BM25_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM toks),
+dfs AS (
+  SELECT sum(CASE WHEN list_contains(tk, 'spark')  THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN list_contains(tk, 'merge')  THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END) AS df2
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+    ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+      * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*len(tk)/avgdl))
+    + ln(1 + (n - df1 + 0.5)/(df1 + 0.5))
+      * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*len(tk)/avgdl))
+    + ln(1 + (n - df2 + 0.5)/(df2 + 0.5))
+      * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*len(tk)/avgdl)) AS score
+  FROM toks, stats, dfs,
+  LATERAL (SELECT
+     CAST(len(list_filter(tk, t -> t = 'spark'))  AS DOUBLE) AS tf0,
+     CAST(len(list_filter(tk, t -> t = 'merge'))  AS DOUBLE) AS tf1,
+     CAST(len(list_filter(tk, t -> t = 'vector')) AS DOUBLE) AS tf2)
+)
+SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5546,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_delta_bloom_docs": q_dedup_delta_bloom_docs,
         "semantic_dedup_ivf_planted": q_semantic_dedup_ivf_planted,
         "curation_shuffle_shards": q_curation_shuffle_shards,
+        "retrieval_bm25_docs": q_retrieval_bm25_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5669,6 +5715,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_delta_bloom_docs": SQL_DEDUP_DELTA_BLOOM_DOCS,
         "semantic_dedup_ivf_planted": SQL_SEMANTIC_DEDUP_IVF_PLANTED,
         "curation_shuffle_shards": SQL_CURATION_SHUFFLE_SHARDS,
+        "retrieval_bm25_docs": SQL_RETRIEVAL_BM25_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,
