@@ -5500,6 +5500,60 @@ SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
 """
 
 
+def q_retrieval_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (pipelines/retrieval.py::rrf_fuse) of two
+    term-frequency ranked lists -- the hybrid-retrieval combiner. Ranks are
+    integer-deterministic (tf desc, id asc), so both engines assign identical
+    rank lists; n_lists <= 2 keeps the rrf sum a single fp addition (order-
+    independent), so 9-dp rounding is exact."""
+    from pyspark_validator.pipelines.retrieval import rrf_fuse, with_rank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+
+    def ranked(term: str) -> DataFrame:
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        top = (
+            d.select(F.col("doc_id").alias("id"), tf.alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(20)
+        )
+        return with_rank(top, "score")
+
+    fused = rrf_fuse([ranked("spark"), ranked("vector")], k=60)
+    return fused.select(
+        F.col("id").alias("doc_id"), _r(F.col("rrf"), 9).alias("rrf"), "n_lists"
+    )
+
+
+SQL_RETRIEVAL_RRF_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY len(list_filter(tk, t -> t = 'spark')) DESC, doc_id) AS rank
+  FROM toks QUALIFY rank <= 20
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY len(list_filter(tk, t -> t = 'vector')) DESC, doc_id) AS rank
+  FROM toks QUALIFY rank <= 20
+),
+u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM ra
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM rb
+)
+SELECT doc_id, round(sum(c), 9) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5592,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_ivf_planted": q_semantic_dedup_ivf_planted,
         "curation_shuffle_shards": q_curation_shuffle_shards,
         "retrieval_bm25_docs": q_retrieval_bm25_docs,
+        "retrieval_rrf_docs": q_retrieval_rrf_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5716,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_ivf_planted": SQL_SEMANTIC_DEDUP_IVF_PLANTED,
         "curation_shuffle_shards": SQL_CURATION_SHUFFLE_SHARDS,
         "retrieval_bm25_docs": SQL_RETRIEVAL_BM25_DOCS,
+        "retrieval_rrf_docs": SQL_RETRIEVAL_RRF_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -36,7 +36,15 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-__all__ = ["corpus_stats", "term_doc_frequency", "bm25_scores", "bm25_topk"]
+__all__ = [
+    "corpus_stats",
+    "term_doc_frequency",
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
+    "with_rank",
+    "knn_recall",
+]
 
 
 def _token_array(text_col) -> F.Column:
@@ -114,3 +122,73 @@ def bm25_topk(
     TakeOrderedAndProject, no global sort."""
     s = bm25_scores(df, query, k1=k1, b=b, text_col=text_col, id_col=id_col)
     return s.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 60,
+    id_col: str = "id",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked result lists --
+    the standard hybrid-retrieval combiner (BM25 + dense k-NN):
+    rrf(d) = sum_lists 1 / (k + rank_d).  Each input must carry ``id_col``
+    and a ``rank`` column (1-based; ties already broken deterministically
+    upstream).  Result: [id, rrf, n_lists] ordered by (rrf desc, id asc).
+
+    Ranked lists are top-k by construction (bounded), so the union +
+    groupBy is a few-thousand-row aggregation regardless of corpus size."""
+    parts = [
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias("__c"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (
+        u.groupBy("id")
+        .agg(F.sum("__c").alias("rrf"), F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.desc("rrf"), F.asc("id"))
+    )
+    return out.limit(topk) if topk else out
+
+
+def with_rank(df: DataFrame, order_col: str, id_col: str = "id") -> DataFrame:
+    """Attach a deterministic 1-based ``rank`` (order_col desc, id asc) to a
+    BOUNDED result list (a top-k output). The single-partition window is safe
+    exactly because the input is k rows; never call this on an unbounded
+    frame."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(order_col), F.asc(id_col))
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def knn_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    qid_col: str = "qid",
+    id_col: str = "id",
+) -> DataFrame:
+    """Recall@k of an approximate k-NN join against the exact one: per query,
+    |approx ∩ exact| / |exact|. Input frames carry (qid, id) pairs (ranks
+    irrelevant). One inner join on (qid, id) + two counts -- both sides are
+    k·|queries| rows, so this is always small. Returns [qid, n_exact, n_hit,
+    recall]."""
+    e = exact.select(F.col(qid_col).alias("qid"), F.col(id_col).alias("id"))
+    a = approx.select(F.col(qid_col).alias("qid"), F.col(id_col).alias("id"))
+    hit = e.join(a, on=["qid", "id"], how="left_semi")
+    ec = e.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    hc = hit.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        ec.join(hc, on="qid", how="left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )

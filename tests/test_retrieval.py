@@ -92,3 +92,44 @@ def test_topk_order_and_plan(spark, docs):
     assert [r["id"] for r in rows] == [i for i, _ in want]
     plan = t._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fuse_matches_python_oracle(spark):
+    from pyspark_validator.pipelines.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id bigint, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], "id bigint, rank int")
+    got = {r["id"]: (r["rrf"], r["n_lists"]) for r in rrf_fuse([a, b], k=60).collect()}
+    want = {
+        1: (1 / 61 + 1 / 62, 2),
+        2: (1 / 62, 1),
+        3: (1 / 63 + 1 / 61, 2),
+        4: (1 / 63, 1),
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == pytest.approx(want[i][0], abs=1e-12)
+        assert got[i][1] == want[i][1]
+    order = [r["id"] for r in rrf_fuse([a, b], k=60, topk=2).collect()]
+    assert order == sorted(want, key=lambda i: (-want[i][0], i))[:2]
+
+
+def test_with_rank_and_knn_recall(spark):
+    from pyspark_validator.pipelines.retrieval import knn_recall, with_rank
+
+    t = spark.createDataFrame(
+        [(5, 0.9), (6, 0.9), (7, 0.1)], "id bigint, score double"
+    )
+    ranks = {r["id"]: r["rank"] for r in with_rank(t, "score").collect()}
+    assert ranks == {5: 1, 6: 2, 7: 3}
+
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21)], "qid bigint, id bigint"
+    )
+    approx = spark.createDataFrame(
+        [(0, 10), (0, 12), (0, 99), (2, 1)], "qid bigint, id bigint"
+    )
+    got = {r["qid"]: (r["n_exact"], r["n_hit"], r["recall"]) for r in knn_recall(approx, exact).collect()}
+    assert got[0] == (3, 2, pytest.approx(2 / 3))
+    assert got[1] == (2, 0, 0.0)
+    assert 2 not in got  # approx-only queries don't appear (no exact baseline)
