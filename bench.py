@@ -150,6 +150,16 @@ HEADLINE = [
     "containment_planted",
     "curation_contam_fraction",
     "curation_chunk_docs",
+    # round 2 session 19 (late): DSIR importance resampling + line dedup
+    "curation_dsir_docs",
+    "dedup_lines_docs",
+    # round 2 session 20: Bloom delta gate, clustered SemDeDup, shuffle
+    # shards, BM25 + RRF retrieval
+    "dedup_delta_bloom_docs",
+    "semantic_dedup_ivf_planted",
+    "curation_shuffle_shards",
+    "retrieval_bm25_docs",
+    "retrieval_rrf_docs",
 ]
 
 

@@ -1085,3 +1085,50 @@ def dedup_lines(
     return df.join(
         rebuilt.withColumnRenamed("_id", id_col), id_col, "left"
     )
+
+
+def lsh_collision_prob(jaccard: float, bands: int, rows: int) -> float:
+    """P[>= 1 band collision] = 1 - (1 - s^r)^b -- the MinHash-LSH S-curve."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def minhash_plan(
+    threshold: float,
+    num_hashes: int = 64,
+    false_negative_weight: float = 1.0,
+) -> dict:
+    """Pick (bands, rows) for minhash_lsh_pairs / minhash_band_index from the
+    target Jaccard threshold -- the closed-form S-curve planner (the same
+    trade datasketch/Spark ML make by integral scan; exact enumeration here
+    since num_hashes is small).
+
+    Minimizes  fn_weight * integral_[t,1] (1 - P(s)) ds + integral_[0,t] P(s) ds
+    over every (b, r) with b*r == num_hashes (trapezoid over 1000 points).
+    Raise ``false_negative_weight`` to bias toward recall (dedup prefers
+    false positives -- the exact verify kills them -- over missed dups).
+    Returns {"bands", "rows", "s50"} where s50 = (1/b)^(1/r) is the curve's
+    midpoint similarity."""
+    best = None
+    grid = [i / 1000.0 for i in range(1001)]
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        fp = fn = 0.0
+        for s in grid:
+            p = lsh_collision_prob(s, bands, rows)
+            w = 0.0005 if s in (0.0, 1.0) else 0.001  # trapezoid ends
+            if s >= threshold:
+                fn += (1.0 - p) * w
+            else:
+                fp += p * w
+        cost = false_negative_weight * fn + fp
+        if best is None or cost < best[0]:
+            best = (cost, bands, rows)
+    _, bands, rows = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "s50": (1.0 / bands) ** (1.0 / rows),
+        "cost": best[0],
+    }
