@@ -5554,6 +5554,96 @@ FROM u GROUP BY doc_id
 """
 
 
+def q_span_transitions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-kind transition census over the interleaved view (pipelines/
+    interleaved.py::span_kind_transitions): the corpus's structural Markov
+    fingerprint (BOS/text/image/EOS adjacency counts), at most (kinds+1)^2
+    output rows however large the corpus. The oracle re-derives the kind
+    sequences from the span_seq string encoding and counts edges in SQL."""
+    from pyspark_validator.pipelines.interleaved import span_kind_transitions
+
+    ds = _docs_spans(spark, sf_dir)
+    return span_kind_transitions(ds).select(
+        "src", "dst", F.col("n_transitions").cast("long").alias("n_transitions")
+    )
+
+
+SQL_SPAN_TRANSITIONS_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+kinds AS (
+  SELECT list_concat(list_concat(['BOS'],
+           list_transform(str_split(span_seq, chr(30)), s -> str_split(s, chr(31))[1])),
+         ['EOS']) AS ks
+  FROM docs_spans
+),
+edges AS (
+  SELECT ks[i] AS src, ks[i + 1] AS dst
+  FROM kinds, LATERAL (SELECT unnest(range(1, len(ks))) AS i)
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+FROM edges GROUP BY src, dst
+"""
+
+
+def q_media_census_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-object reuse census over the interleaved view (pipelines/
+    interleaved.py::media_ref_census): per media_ref, distinct docs vs total
+    span slots referencing it -- the image-side exact-dedup census (synthetic
+    refs are hashed mod 100000, so reuse across docs AND copy-duplicated docs
+    with the same doc_id both occur, exercising the two counts differently).
+    Only media spans are exploded; text spans never leave the row."""
+    from pyspark_validator.pipelines.interleaved import media_ref_census
+
+    ds = _docs_spans(spark, sf_dir)
+    c = media_ref_census(ds)
+    return c.select(
+        "media_ref",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_slots").cast("long").alias("n_slots"),
+    )
+
+
+SQL_MEDIA_CENSUS_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+slots AS (
+  SELECT doc_id, str_split(s, chr(31))[3] AS media_ref
+  FROM docs_spans, LATERAL (SELECT unnest(str_split(span_seq, chr(30))) AS s)
+  WHERE str_split(s, chr(31))[1] = 'image'
+)
+SELECT media_ref, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_slots
+FROM slots GROUP BY media_ref
+"""
+
+
+def q_spans_flatten_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved -> text bridge (pipelines/interleaved.py::spans_to_text):
+    flatten each doc's text spans in offset order to the plain string every
+    text-tier operator consumes. Zero-shuffle per-row exprs; md5 keeps the
+    diff small. Copies share a doc_id, so duplicate rows are expected and
+    compared as a multiset."""
+    from pyspark_validator.pipelines.interleaved import spans_to_text
+
+    ds = _docs_spans(spark, sf_dir)
+    return spans_to_text(ds).select("doc_id", F.md5("text").alias("text_md5"))
+
+
+SQL_SPANS_FLATTEN_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+flat AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(str_split(span_seq, chr(30)),
+                         s -> str_split(s, chr(31))[1] = 'text'),
+             s -> str_split(s, chr(31))[2]),
+           ' ') AS text
+  FROM docs_spans
+)
+SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM flat
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5647,6 +5737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_shuffle_shards": q_curation_shuffle_shards,
         "retrieval_bm25_docs": q_retrieval_bm25_docs,
         "retrieval_rrf_docs": q_retrieval_rrf_docs,
+        "span_transitions_docs": q_span_transitions_docs,
+        "media_census_docs": q_media_census_docs,
+        "spans_flatten_docs": q_spans_flatten_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5772,6 +5865,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_shuffle_shards": SQL_CURATION_SHUFFLE_SHARDS,
         "retrieval_bm25_docs": SQL_RETRIEVAL_BM25_DOCS,
         "retrieval_rrf_docs": SQL_RETRIEVAL_RRF_DOCS,
+        "span_transitions_docs": SQL_SPAN_TRANSITIONS_DOCS,
+        "media_census_docs": SQL_MEDIA_CENSUS_DOCS,
+        "spans_flatten_docs": SQL_SPANS_FLATTEN_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

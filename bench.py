@@ -160,6 +160,9 @@ HEADLINE = [
     "curation_shuffle_shards",
     "retrieval_bm25_docs",
     "retrieval_rrf_docs",
+    "span_transitions_docs",
+    "media_census_docs",
+    "spans_flatten_docs",
 ]
 
 

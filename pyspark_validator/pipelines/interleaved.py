@@ -1,0 +1,127 @@
+"""Analytics over the interleaved text+media document shape
+(doc_id: string, spans: array<struct<kind, text, media_ref, offset>>) --
+the north rule's input table.
+
+Three operators a multimodal training pipeline runs constantly:
+
+  * span_kind_transitions: the corpus-level Markov census of span-kind
+    adjacency (text->image, image->text, ...; BOS/EOS edges included) --
+    the structural fingerprint of an interleaved corpus. Drift in this
+    table between snapshots flags upstream extraction changes (e.g. a
+    crawler that suddenly drops alt-text splits text->text runs). Pure JVM:
+    per-row zip_with of the kind array against its own tail, one explode +
+    one groupBy (bounded by kinds^2 + 2*kinds keys, with map-side combine).
+  * media_ref_census / media_reuse_summary: per-media-object reuse counts
+    (how many docs and slots reference each media_ref) -- the media-side
+    exact-dedup census (hot objects = dedup/caching candidates; a media_ref
+    appearing in thousands of docs is boilerplate, the image-side analog of
+    duplicate lines). One explode restricted to media spans + one groupBy on
+    the ref.
+  * spans_to_text: flatten a doc's text spans (offset order) into one plain
+    string -- the bridge from the interleaved shape to every text-tier
+    operator (dedup/quality/LM/contamination run on the flattened view).
+    Zero shuffle, pure per-row exprs.
+
+Span order note: the input-hint invariant says offsets are strictly
+increasing (validated by span_integrity); these operators still sort by
+offset defensively so they are well-defined on pre-validation data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["span_kind_transitions", "media_ref_census", "media_reuse_summary", "spans_to_text"]
+
+
+def _ordered_spans(spans_col: str = "spans") -> F.Column:
+    # array_sort on struct<offset, ...> sorts by offset first; repack so the
+    # sort key leads, then strip it back off via transform downstream.
+    return F.array_sort(
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+
+
+def span_kind_transitions(
+    df: DataFrame, spans_col: str = "spans", include_bounds: bool = True
+) -> DataFrame:
+    """Corpus-wide (src, dst, n_transitions) counts over offset-ordered span
+    kinds; with ``include_bounds``, BOS -> first-kind and last-kind -> EOS
+    edges are counted too (so row sums reconstruct doc counts). Output is at
+    most (kinds+1)^2 rows however large the corpus."""
+    kinds = F.transform(_ordered_spans(spans_col), lambda s: s["kind"])
+    if include_bounds:
+        kinds = F.concat(F.array(F.lit("BOS")), kinds, F.array(F.lit("EOS")))
+    n = F.size(kinds)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(kinds, 1, n - 1),
+            F.slice(kinds, 2, n - 1),
+            lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<src:string,dst:string>>")
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def media_ref_census(df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id") -> DataFrame:
+    """Per-media-object reuse: [media_ref, n_docs, n_slots] (distinct docs vs
+    total span slots referencing it). One explode of media spans only (text
+    spans are filtered BEFORE the Generate, so the exploded volume is the
+    media span count, not the span count) + one groupBy(media_ref)."""
+    refs = F.filter(
+        F.transform(F.col(spans_col), lambda s: s["media_ref"]),
+        lambda r: r.isNotNull(),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(refs).alias("media_ref"))
+        .groupBy("media_ref")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+    )
+
+
+def media_reuse_summary(df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id", hot_docs: int = 2) -> DataFrame:
+    """One-row rollup of the census: total media slots, distinct objects,
+    objects referenced by >= hot_docs distinct docs, and the max reuse."""
+    c = media_ref_census(df, spans_col, id_col)
+    return c.agg(
+        F.sum("n_slots").cast("long").alias("n_media_slots"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_refs"),
+        F.sum((F.col("n_docs") >= hot_docs).cast("long")).alias("n_hot_refs"),
+        F.max("n_docs").cast("long").alias("max_doc_reuse"),
+    )
+
+
+def spans_to_text(
+    df: DataFrame,
+    spans_col: str = "spans",
+    out_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Adds ``out_col`` = the doc's text spans (offset order, nulls dropped)
+    joined with ``sep`` -- the flattened view every text-tier operator
+    consumes. Pure per-row exprs, zero shuffle."""
+    texts = F.filter(
+        F.transform(_ordered_spans(spans_col), lambda s: s["text"]),
+        lambda t: t.isNotNull(),
+    )
+    return df.withColumn(out_col, F.array_join(texts, sep))
