@@ -693,3 +693,48 @@ def streaming_categorical_drift(
         psi_threshold,
         None,
     )
+
+
+def streaming_span_gate(
+    stream: DataFrame,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Stateless span-integrity gate for a stream of interleaved documents:
+    adds ``span_ok`` plus the four per-document violation flags from
+    ``schema.span_violation_flags`` (bad kind, text-span without text,
+    media-span without media_ref, offset disorder). Every flag is a pure
+    per-row JVM expression, so this composes with Structured Streaming with
+    ZERO state and no watermark -- route ``span_ok`` downstream / quarantine
+    exactly like the batch ``schema.quarantine_by_integrity`` split (same
+    flag exprs, so batch/stream verdicts agree bit-for-bit)."""
+    from pyspark_validator.schema import _any_violation, span_violation_flags
+
+    flags = span_violation_flags(spans_col)
+    out = stream
+    for name, col in flags.items():
+        out = out.withColumn(f"viol_{name}", col)
+    return out.withColumn("span_ok", ~_any_violation(flags))
+
+
+def streaming_bloom_gate(
+    stream: DataFrame,
+    bloom,
+    num_bits: int,
+    num_hashes: int = 7,
+    text_col: str = "text",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Stateless streaming membership gate against the standing corpus Bloom
+    filter (``pipelines/bloom.py``): flags each streamed document as
+    maybe-seen (true duplicate or ~fpp false positive) vs definitely-new.
+    The exact batch path anti-joins suspects against the hash index; on a
+    stream that join would be stateful, so the gate emits the FLAG and a
+    downstream batch job (or foreachBatch) resolves suspects -- rows flagged
+    False need no resolution at all (no false negatives: the gate shares the
+    builder's JVM position exprs). Zero state, no watermark, no shuffle."""
+    from pyspark_validator.pipelines.bloom import bloom_gate, content_fp
+
+    keyed = stream.withColumn("__fp", content_fp(F.col(text_col)))
+    return bloom_gate(
+        keyed, bloom, num_bits, num_hashes, key_col="__fp", out_col=out_col
+    ).drop("__fp")

@@ -539,3 +539,85 @@ def test_streaming_contam_fraction_is_stateless_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.doc_id for r in spark.sql("select doc_id from cf_stream").collect()]
     assert got == [2]
+
+
+def test_streaming_span_gate_stateless_and_batch_parity(spark, tmp_path):
+    from pyspark_validator.schema import quarantine_by_integrity
+    from pyspark_validator.streaming import streaming_span_gate
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        ("ok", [sp("text", "a", None, 0), sp("image", None, "m://1", 64)]),
+        ("bad_kind", [sp("video?", None, "m://2", 0)]),
+        ("text_null", [sp("text", None, None, 0)]),
+        ("media_null", [sp("image", None, None, 0)]),
+        ("disorder", [sp("text", "a", None, 64), sp("text", "b", None, 0)]),
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    src = tmp_path / "sg_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = streaming_span_gate(stream).select("doc_id", "span_ok")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sgate")
+        .outputMode("append")  # append with NO watermark => provably stateless
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["span_ok"] for r in spark.table("sgate").collect()}
+    assert got == {
+        "ok": True,
+        "bad_kind": False,
+        "text_null": False,
+        "media_null": False,
+        "disorder": False,
+    }
+    # batch parity: the clean split of quarantine_by_integrity == span_ok rows
+    clean, bad = quarantine_by_integrity(batch)
+    assert {r["doc_id"] for r in clean.collect()} == {k for k, v in got.items() if v}
+
+
+def test_streaming_bloom_gate_stateless(spark, tmp_path):
+    from pyspark_validator.pipelines.bloom import (
+        bloom_array,
+        bloom_words,
+        content_hash_index,
+    )
+    from pyspark_validator.streaming import streaming_bloom_gate
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    m, k = 1 << 16, 7
+    arr = bloom_array(bloom_words(content_hash_index(corpus), num_bits=m, num_hashes=k), m)
+
+    src = tmp_path / "bg_src"
+    src.mkdir()
+    delta = spark.createDataFrame(
+        [(100, "corpus doc 7"), (101, "BRAND new doc"), (102, "  Corpus   doc 8 ")],
+        "doc_id long, text string",
+    )
+    delta.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src) + "/*")
+    out = streaming_bloom_gate(stream, arr, m, k).select("doc_id", "maybe_seen")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["maybe_seen"] for r in spark.table("bgate").collect()}
+    # exact copy and normalized copy flagged; new doc passes (fpp ~ 0 at this sizing)
+    assert got == {100: True, 101: False, 102: True}
