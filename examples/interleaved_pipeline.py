@@ -1,0 +1,83 @@
+"""End-to-end triage of an INTERLEAVED text+media corpus (the north-rule
+input shape: doc_id + spans array<struct<kind,text,media_ref,offset>>):
+
+  1. span-integrity quarantine (schema tier)
+  2. structural profile: span-kind transition census + media-object reuse
+  3. flatten text spans -> plain text (the bridge to the text tier)
+  4. exact dedup of the flattened view, Bloom-gated against a standing corpus
+  5. BM25 keyword retrieval + RRF fusion with a second ranked list
+
+Every stage is zero-shuffle per-row exprs, one bounded groupBy, or a
+broadcast-gated join; nothing here materializes an unbounded pair space.
+
+Run:  python examples/interleaved_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import pyspark_validator as pv
+from pyspark_validator.pipelines.bloom import (
+    bloom_array,
+    bloom_words,
+    content_hash_index,
+    delta_new_rows,
+)
+from pyspark_validator.pipelines.interleaved import (
+    media_reuse_summary,
+    span_kind_transitions,
+    spans_to_text,
+)
+from pyspark_validator.pipelines.retrieval import bm25_topk, rrf_fuse, with_rank
+from pyspark_validator.schema import quarantine_by_integrity
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+spark = pv.get_spark(app_name="interleaved-pipeline", master="local[4]", shuffle_partitions=8)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entry  # the deterministic interleaved view builder
+
+docs = entry._docs_spans(spark, sf_dir)
+print(f"interleaved docs: {docs.count()}")
+
+# -- 1. schema tier: quarantine docs whose span sequence breaks the contract
+clean, quarantined = quarantine_by_integrity(docs)
+print(f"clean: {clean.count()}  quarantined: {quarantined.count()}")
+
+# -- 2. structural profile
+print("span-kind transition census:")
+for r in span_kind_transitions(clean).orderBy("src", "dst").collect():
+    print(f"  {r['src']:>6} -> {r['dst']:<6} {r['n_transitions']}")
+print("media reuse:", media_reuse_summary(clean).collect()[0].asDict())
+
+# -- 3. flatten to the text tier
+flat = spans_to_text(clean).select("doc_id", "text")
+
+# -- 4. exact dedup, Bloom-gated against a standing corpus (here: the even
+#    half plays the standing corpus, the odd half the incoming delta)
+corpus = flat.filter(F.crc32("doc_id") % 2 == 0)
+delta = flat.filter(F.crc32("doc_id") % 2 == 1)
+idx = content_hash_index(corpus).persist()
+m, k = 1 << 20, 7
+arr = bloom_array(bloom_words(idx, num_bits=m, num_hashes=k), m)
+new = delta_new_rows(delta, idx, bloom=arr, num_bits=m, num_hashes=k)
+print(f"delta: {delta.count()}  new after Bloom-gated exact dedup: {new.count()}")
+
+# -- 5. retrieval over the flattened corpus: BM25 + RRF hybrid
+q1 = with_rank(
+    bm25_topk(flat.dropDuplicates(["doc_id"]), ["spark", "merge"], k=10), "score"
+)
+q2 = with_rank(
+    bm25_topk(flat.dropDuplicates(["doc_id"]), ["vector", "batch"], k=10), "score"
+)
+fused = rrf_fuse([q1, q2], k=60, topk=5)
+print("hybrid top-5:")
+for r in fused.collect():
+    print(f"  {r['id']}  rrf={r['rrf']:.6f}  lists={r['n_lists']}")
+
+spark.stop()
+print("interleaved pipeline done")
