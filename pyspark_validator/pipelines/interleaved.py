@@ -32,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["span_kind_transitions", "media_ref_census", "media_reuse_summary", "spans_to_text"]
+__all__ = [
+    "span_kind_transitions",
+    "media_ref_census",
+    "media_reuse_summary",
+    "spans_to_text",
+    "merge_span_kind_transitions",
+    "merge_media_ref_census",
+    "span_structure_drift",
+]
 
 
 def _ordered_spans(spans_col: str = "spans") -> F.Column:
@@ -125,3 +133,64 @@ def spans_to_text(
         lambda t: t.isNotNull(),
     )
     return df.withColumn(out_col, F.array_join(texts, sep))
+
+
+def merge_span_kind_transitions(*censuses: DataFrame) -> DataFrame:
+    """Sum-merge transition censuses (standing-index update path: documents
+    arrive whole, so census(A ∪ B) == merge(census(A), census(B)) exactly --
+    fold each crawl increment's census into the standing one instead of
+    re-scanning the corpus)."""
+    u = censuses[0]
+    for c in censuses[1:]:
+        u = u.unionByName(c)
+    return u.groupBy("src", "dst").agg(
+        F.sum("n_transitions").alias("n_transitions")
+    )
+
+
+def merge_media_ref_census(*censuses: DataFrame) -> DataFrame:
+    """Sum-merge media-reuse censuses. Exact under the docs-arrive-whole
+    invariant AND disjoint doc_id sets between increments (n_docs is a
+    distinct count per ref; a doc split across increments would double-count
+    -- the same contract as the gram-count index)."""
+    u = censuses[0]
+    for c in censuses[1:]:
+        u = u.unionByName(c)
+    return u.groupBy("media_ref").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_slots").alias("n_slots")
+    )
+
+
+def span_structure_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    spans_col: str = "spans",
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Structural drift between two interleaved snapshots: PSI + chi-square
+    over the span-kind TRANSITION distribution (each doc contributes its
+    BOS/EOS-bounded kind edges as categorical observations). A crawler or
+    extractor change that reshapes documents -- dropped alt-text, merged text
+    runs, vanished images -- moves this distribution before any content-level
+    check fires. The two bounded censuses feed the standard PSI/chi2 rollup
+    DIRECTLY as weighted counts (never re-expanded to observation rows --
+    a trillion-transition corpus still contributes <= (kinds+1)^2 rows)."""
+    from ..checks.drift import _psi_chi2_rollup
+
+    def census(df: DataFrame, cnt: str) -> DataFrame:
+        return span_kind_transitions(df, spans_col=spans_col).select(
+            F.concat_ws("->", "src", "dst").alias("bucket"),
+            F.col("n_transitions").alias(cnt),
+        )
+
+    counts = (
+        census(baseline, "cnt_b")
+        .join(census(current, "cnt_c"), on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+            F.coalesce("cnt_c", F.lit(0)).alias("cnt_c"),
+        )
+    )
+    return _psi_chi2_rollup(counts, [], alpha, psi_threshold)

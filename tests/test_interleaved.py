@@ -98,3 +98,45 @@ def test_spans_to_text_offset_order(spark, docs):
     assert got["d1"] == ""
     assert got["d2"] == ""
     assert got["d3"] == "solo"
+
+
+def test_merge_laws(spark, docs):
+    from pyspark_validator.pipelines.interleaved import (
+        merge_media_ref_census,
+        merge_span_kind_transitions,
+    )
+
+    a = docs.filter(F.col("doc_id").isin("d0", "d1"))
+    b = docs.filter(~F.col("doc_id").isin("d0", "d1"))
+
+    def tset(df):
+        return {(r["src"], r["dst"]): r["n_transitions"] for r in df.collect()}
+
+    merged = merge_span_kind_transitions(
+        span_kind_transitions(a), span_kind_transitions(b)
+    )
+    assert tset(merged) == tset(span_kind_transitions(docs))
+
+    def mset(df):
+        return {r["media_ref"]: (r["n_docs"], r["n_slots"]) for r in df.collect()}
+
+    m2 = merge_media_ref_census(media_ref_census(a), media_ref_census(b))
+    assert mset(m2) == mset(media_ref_census(docs))
+
+
+def test_span_structure_drift(spark, docs):
+    from pyspark_validator.pipelines.interleaved import span_structure_drift
+
+    # identical snapshots: zero PSI, no drift
+    same = span_structure_drift(docs, docs).collect()[0]
+    assert same["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert not same["drift_detected"]
+    # structural change: strip every image span -> big PSI
+    no_media = docs.select(
+        "doc_id",
+        F.filter("spans", lambda s: s["kind"] == "text").alias("spans"),
+    )
+    moved = span_structure_drift(docs, no_media, psi_threshold=0.2).collect()[0]
+    assert moved["psi"] > 0.2 and moved["drift_detected"]
+    # conservation: weighted totals = sum(len(spans) + 1) over the 4 docs
+    assert same["n_b"] == same["n_c"] == (3 + 1) + (1 + 1) + (0 + 1) + (3 + 1)
