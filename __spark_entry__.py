@@ -5644,6 +5644,66 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM flat
 """
 
 
+def q_span_structure_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural drift between two interleaved snapshots (pipelines/
+    interleaved.py::span_structure_drift): PSI + chi2 over the span-kind
+    transition distribution, censuses fed as weighted counts (no observation
+    re-expansion). Sides = even/odd numeric doc ids; the oracle replays the
+    census split and both formulas in SQL."""
+    from pyspark_validator.pipelines.interleaved import span_structure_drift
+
+    ds = _docs_spans(spark, sf_dir)
+    num = F.substring("doc_id", 5, 12).cast("long")
+    out = span_structure_drift(
+        ds.filter(num % 2 == 0), ds.filter(num % 2 == 1)
+    )
+    return out.select(
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("chi2"), 6).alias("chi2"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "drift_detected",
+    )
+
+
+SQL_SPAN_STRUCTURE_DRIFT_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+kinds AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) % 2 AS side,
+         list_concat(list_concat(['BOS'],
+           list_transform(str_split(span_seq, chr(30)), s -> str_split(s, chr(31))[1])),
+         ['EOS']) AS ks
+  FROM docs_spans
+),
+edges AS (
+  SELECT side, ks[i] || '->' || ks[i + 1] AS bucket
+  FROM kinds, LATERAL (SELECT unnest(range(1, len(ks))) AS i)
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM edges GROUP BY bucket
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts),
+terms AS (
+  SELECT
+    ((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+      * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k))) AS psi_t,
+    pow(cnt_b - (cnt_b + cnt_c) * n_b / (n_b + n_c), 2) / ((cnt_b + cnt_c) * n_b / (n_b + n_c))
+      + pow(cnt_c - (cnt_b + cnt_c) * n_c / (n_b + n_c), 2) / ((cnt_b + cnt_c) * n_c / (n_b + n_c)) AS chi_t,
+    n_b, n_c, k
+  FROM counts, tot
+)
+SELECT round(sum(psi_t), 9) AS psi, round(sum(chi_t), 6) AS chi2,
+       CAST(any_value(n_b) AS BIGINT) AS n_b, CAST(any_value(n_c) AS BIGINT) AS n_c,
+       CAST(any_value(k) AS BIGINT) AS n_buckets,
+       sum(psi_t) > 0.2 AS drift_detected
+FROM terms
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5740,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_transitions_docs": q_span_transitions_docs,
         "media_census_docs": q_media_census_docs,
         "spans_flatten_docs": q_spans_flatten_docs,
+        "span_structure_drift_docs": q_span_structure_drift_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5868,6 +5929,7 @@ def oracle_sql() -> dict[str, str]:
         "span_transitions_docs": SQL_SPAN_TRANSITIONS_DOCS,
         "media_census_docs": SQL_MEDIA_CENSUS_DOCS,
         "spans_flatten_docs": SQL_SPANS_FLATTEN_DOCS,
+        "span_structure_drift_docs": SQL_SPAN_STRUCTURE_DRIFT_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -163,6 +163,7 @@ HEADLINE = [
     "span_transitions_docs",
     "media_census_docs",
     "spans_flatten_docs",
+    "span_structure_drift_docs",
 ]
 
 
