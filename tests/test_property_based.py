@@ -870,3 +870,124 @@ def test_mine_afds_g1_depth3_law(spark, rows, budget):
     assert [(l, r) for l, r, _ in mined] == _brute_lattice(
         rows, cols, g1, budget, max_lhs=3
     )
+
+
+# --- session-20 pipeline properties -----------------------------------------
+
+_corpus_strategy = st.lists(
+    st.text(alphabet="ab X", min_size=0, max_size=12),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(corpus_texts=_corpus_strategy, delta_texts=_corpus_strategy)
+@settings(**_SETTINGS)
+def test_bloom_gated_dedup_equals_anti_join(spark, corpus_texts, delta_texts):
+    from pyspark_validator.pipelines.bloom import (
+        bloom_array,
+        bloom_words,
+        content_hash_index,
+        delta_new_rows,
+    )
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id bigint, text string"
+    )
+    delta = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(delta_texts)],
+        "doc_id bigint, text string",
+    )
+    idx = content_hash_index(corpus)
+    # deliberately tiny filter: false positives guaranteed on many draws
+    m, k = 128, 3
+    arr = bloom_array(bloom_words(idx, num_bits=m, num_hashes=k), m)
+    gated = sorted(
+        r["doc_id"]
+        for r in delta_new_rows(delta, idx, bloom=arr, num_bits=m, num_hashes=k).collect()
+    )
+    plain = sorted(r["doc_id"] for r in delta_new_rows(delta, idx).collect())
+    assert gated == plain
+    # python oracle: normalized-text membership
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    seen = {norm(t) for t in corpus_texts}
+    want = sorted(
+        i + 1000 for i, t in enumerate(delta_texts) if norm(t) not in seen
+    )
+    assert plain == want
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=25, unique=True),
+    seed=st.sampled_from(["", "ep1", "zz"]),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+@settings(**_SETTINGS)
+def test_shuffle_shards_hashlib_property(spark, ids, seed, n_shards):
+    import hashlib
+
+    from pyspark_validator.pipelines.curation import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["shard_id"])
+        for r in shuffle_shards(df, n_shards=n_shards, seed=seed).collect()
+    }
+    for i in ids:
+        key = hashlib.md5(f"{i}|{seed}".encode()).hexdigest()
+        assert got[i] == (key, int(key[:8], 16) % n_shards)
+
+
+_spans_strategy = st.lists(  # per doc: list of (kind, offset) pairs
+    st.lists(
+        st.tuples(st.sampled_from(["text", "image", "audio"]), st.integers(0, 500)),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_spans_strategy)
+@settings(**_SETTINGS)
+def test_span_transitions_python_oracle(spark, docs):
+    from collections import Counter
+
+    from pyspark_validator.pipelines.interleaved import span_kind_transitions
+
+    rows = [
+        (
+            f"d{i}",
+            [
+                {"kind": k, "text": "t" if k == "text" else None,
+                 "media_ref": None if k == "text" else "m", "offset": off}
+                for k, off in spans
+            ],
+        )
+        for i, spans in enumerate(docs)
+    ]
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["src"], r["dst"]): r["n_transitions"]
+        for r in span_kind_transitions(df).collect()
+    }
+    want = Counter()
+    for spans in docs:
+        # python oracle mirrors array_sort on (offset, kind, text, media_ref):
+        # ties on offset break by kind, then text (None sorts FIRST in Spark
+        # asc null-first inside array_sort? -- avoid relying on it: sort key
+        # (offset, kind) is enough because text/media are kind-determined)
+        ks = [k for k, _ in sorted(spans, key=lambda p: (p[1], p[0]))]
+        seq = ["BOS"] + ks + ["EOS"]
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
