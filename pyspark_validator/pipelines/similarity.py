@@ -683,3 +683,32 @@ def semantic_dedup(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # left_anti on the (usually small) loser set; AQE picks broadcast when it fits
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def ivf_save(indexed: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Persist an IVF index as the standing on-disk artifact: the assigned
+    vectors under ``path/lists/`` PARTITIONED BY list_id (so a query's
+    nprobe filter becomes parquet partition PRUNING -- only the probed list
+    directories are read, pinned in tests), plus the centroid matrix as JSON
+    under ``path/centroids.json`` (exact float round-trip via repr)."""
+    import json
+
+    indexed.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/lists")
+    payload = {
+        "shape": list(centroids.shape),
+        "data": [float(x) for x in centroids.ravel()],
+    }
+    with open(f"{path}/centroids.json", "w") as f:
+        json.dump(payload, f)
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a standing IVF index written by :func:`ivf_save`. The returned
+    frame is partition-pruned on list_id filters; feed it straight to
+    ivf_topk / knn_join_ivf."""
+    import json
+
+    with open(f"{path}/centroids.json") as f:
+        payload = json.load(f)
+    cents = np.array(payload["data"], dtype=np.float64).reshape(payload["shape"])
+    return spark.read.parquet(f"{path}/lists"), cents

@@ -196,3 +196,37 @@ def test_plans_have_no_cartesian(spark):
             res._jdf.queryExecution(), "formatted"
         ).split("Initial Plan")[0]
         assert "CartesianProduct" not in plan
+
+
+def test_ivf_save_load_roundtrip_and_partition_pruning(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.similarity import ivf_build, ivf_load, ivf_save, ivf_topk
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(120, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<float>",
+    )
+    indexed, cents = ivf_build(df, dim=8, n_lists=4, iters=4)
+    path = str(tmp_path / "ivf")
+    ivf_save(indexed, cents, path)
+    loaded, cents2 = ivf_load(spark, path)
+    assert np.array_equal(cents, cents2)  # exact float round-trip
+    q = [float(x) for x in m[5]]
+    a = [(r["id"], r["cosine"]) for r in ivf_topk(indexed, cents, q, k=5, nprobe=4).collect()]
+    b = [(r["id"], r["cosine"]) for r in ivf_topk(loaded, cents2, q, k=5, nprobe=4).collect()]
+    assert a == b
+    # partition pruning: an nprobe=1 query's scan must read ONE list_id dir
+    pruned = ivf_topk(loaded, cents2, q, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    probe_list = int(np.argmin(((cents2 - np.asarray(q, dtype=np.float64)) ** 2).sum(1)))
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, plan
+    # the nprobe=1 filter reaches the scan as a partition filter on the single
+    # probed list -- parquet reads ONE list_id directory
+    assert re.search(rf"list_id#\d+ (= {probe_list}\b|IN \({probe_list}\))", pf.group(1)), pf.group(1)
