@@ -5704,6 +5704,77 @@ FROM terms
 """
 
 
+def q_curation_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture sampling (pipelines/curation.py::
+    temperature_mixture, the mC4 alpha-temperature rule): per-source keep
+    rates ∝ n^alpha, realized as md5-prefix Bernoulli thresholds. Rates are
+    quantized to 6 dp inside the operator precisely so this oracle can
+    re-derive the identical cut points: the SQL recomputes counts, rates and
+    the numeric threshold, then compares the folded 12-hex md5 prefix."""
+    from pyspark_validator.pipelines.curation import temperature_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_mixture(d, alpha=0.3, target_total=200)
+    return out.select("doc_id", "source")
+
+
+_HEX12_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substr(pre,{i + 1},1))-1)*{16 ** (11 - i)}"
+    for i in range(12)
+)
+
+SQL_CURATION_TEMPERATURE_DOCS = f"""
+WITH counts AS (
+  SELECT source AS s, count(*) AS n FROM documents GROUP BY source
+),
+z AS (SELECT sum(pow(n, 0.3)) AS z FROM counts),
+rates AS (
+  SELECT s, least(1.0, round(least(1.0, 200 * (pow(n, 0.3) / z) / n), 6)) AS rate
+  FROM counts, z
+),
+keyed AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR) || '|temp'), 1, 12) AS pre
+  FROM documents
+)
+SELECT k.doc_id, k.source
+FROM keyed k JOIN rates r ON r.s = k.source
+WHERE ({_HEX12_FOLD}) < floor(r.rate * 281474976710656)
+"""
+
+
+def q_curation_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget subsetting (pipelines/curation.py::
+    token_budget_sample, exact mode): docs ranked by md5(id|salt), kept while
+    the source's running token total including the doc stays <= budget
+    (strict prefix -- an overflowing doc still consumes budget). One window
+    shuffle, parallelism = number of sources. The oracle replays the ranked
+    running sum in SQL."""
+    from pyspark_validator.pipelines.curation import token_budget_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_sample(d, budget_tokens=500)
+    return out.select("doc_id", "source", "n_tokens")
+
+
+SQL_CURATION_TOKEN_BUDGET_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 12) AS pre
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY pre, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks
+)
+SELECT doc_id, source, n_tokens FROM cum WHERE c <= 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5801,6 +5872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_census_docs": q_media_census_docs,
         "spans_flatten_docs": q_spans_flatten_docs,
         "span_structure_drift_docs": q_span_structure_drift_docs,
+        "curation_temperature_docs": q_curation_temperature_docs,
+        "curation_token_budget_docs": q_curation_token_budget_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -5930,6 +6003,8 @@ def oracle_sql() -> dict[str, str]:
         "media_census_docs": SQL_MEDIA_CENSUS_DOCS,
         "spans_flatten_docs": SQL_SPANS_FLATTEN_DOCS,
         "span_structure_drift_docs": SQL_SPAN_STRUCTURE_DRIFT_DOCS,
+        "curation_temperature_docs": SQL_CURATION_TEMPERATURE_DOCS,
+        "curation_token_budget_docs": SQL_CURATION_TOKEN_BUDGET_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

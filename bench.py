@@ -164,6 +164,8 @@ HEADLINE = [
     "media_census_docs",
     "spans_flatten_docs",
     "span_structure_drift_docs",
+    "curation_temperature_docs",
+    "curation_token_budget_docs",
 ]
 
 

@@ -1059,3 +1059,97 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_total: int | None = None,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-balanced mixture sampling (the
+    mC4/multilingual-corpus alpha-temperature rule, Xue et al. 2021): sampling
+    probability p_i ∝ n_i^alpha flattens the source distribution (alpha=1
+    keeps natural proportions, alpha=0 uniform across sources).
+
+    Realized as per-source Bernoulli keep rates with expected output size
+    ``target_total`` (default: the size of the smallest source times the
+    number of sources -- the largest uniform-able total):
+    rate_i = min(1, target_total * p_i / n_i), ROUNDED TO 6 DP so any engine
+    re-derives the identical cut points (pow/div last-ulp differences cannot
+    flip a threshold). One groupBy bounded by the number of sources."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if target_total is None:
+        target_total = min(counts.values()) * len(counts)
+    z = sum(n**alpha for n in counts.values())
+    return {
+        s: round(min(1.0, target_total * (n**alpha / z) / n), 6)
+        for s, n in counts.items()
+    }
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_total: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-balanced deterministic downsampling: temperature_rates +
+    mixture_sample (md5-prefix thresholds, zero shuffle on the kept scan)."""
+    rates = temperature_rates(df, alpha=alpha, target_total=target_total, source_col=source_col)
+    return mixture_sample(df, rates, source_col=source_col, id_col=id_col, salt=salt)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-source token-budget subsetting ("take <= B tokens of each source"):
+    docs are ranked by md5(id|salt) (a deterministic priority any engine
+    re-derives) and kept while the source's running token total INCLUDING the
+    doc stays <= budget_tokens. Adds ``n_tokens``.
+
+    Exact mode: one window shuffle, parallelism = number of sources (same
+    trade as cap_per_group exact mode -- a mega-source serializes its own
+    window task). ``approx=True`` is the mega-source path: keep iff the doc's
+    md5 fraction < budget/source_total_tokens -- expected (not exact) budget,
+    ZERO windows, the scan never shuffles (per-source totals broadcast as
+    literals)."""
+    toks = F.filter(F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "), lambda t: t != "")
+    d = df.withColumn("n_tokens", F.size(toks).cast("long"))
+    if approx:
+        totals = {
+            r["s"]: r["t"]
+            for r in d.groupBy(F.col(source_col).alias("s"))
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        thr = F.lit(hex_threshold(0.0))
+        for s, t in totals.items():
+            frac = round(min(1.0, budget_tokens / t), 6) if t else 1.0
+            thr = F.when(F.col(source_col) == s, F.lit(hex_threshold(frac))).otherwise(thr)
+        return d.where(_md5_prefix(F.col(id_col), salt) < thr)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(_md5_prefix(F.col(id_col), salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("__cum", F.sum("n_tokens").over(w))
+        .where(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
