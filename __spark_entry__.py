@@ -2010,8 +2010,11 @@ LIMIT 200
 
 def q_aod_oc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OC order-compatibility (o_orderdate ~ o_totalprice within each customer).
-    No SQL oracle: the minimal removal set needs a longest-nondecreasing-
-    subsequence pass per group (rows-only driver check)."""
+    The minimal removal count per group = group size - LNDS of right values in
+    (left asc, right asc) order; the oracle spells the LNDS as a recursive-CTE
+    chain DP (states (group, pos, len) deduped by UNION -- O(n^2) per group,
+    fine at oracle scale; the engine's patience-sorting kernel is the
+    distributed path)."""
     from pyspark_validator.checks.od import aod_check
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
@@ -2021,6 +2024,32 @@ def q_aod_oc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "check", "holds", "n_rows", "n_groups", "n_violating_groups", "n_removals"
     )
+
+
+SQL_AOD_OC_ORDERS = r"""
+WITH RECURSIVE t AS (
+  SELECT o_custkey AS g,
+         CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE) AS l,
+         CAST(o_totalprice AS DOUBLE) AS r
+  FROM orders
+),
+ranked AS (
+  SELECT g, r, row_number() OVER (PARTITION BY g ORDER BY l, r) AS pos FROM t
+),
+chain AS (
+  SELECT g, pos, r, 1 AS len FROM ranked
+  UNION
+  SELECT rk.g, rk.pos, rk.r, c.len + 1
+  FROM chain c JOIN ranked rk ON rk.g = c.g AND rk.pos > c.pos AND rk.r >= c.r
+),
+per_group AS (SELECT g, max(len) AS lnds FROM chain GROUP BY g),
+sizes AS (SELECT g, count(*) AS n FROM t GROUP BY g)
+SELECT 'oc' AS "check", sum(n - lnds) = 0 AS holds, CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN n > lnds THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(n - lnds) AS BIGINT) AS n_removals
+FROM sizes JOIN per_group USING (g)
+"""
 
 
 def q_cfd_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5958,6 +5987,7 @@ def oracle_sql() -> dict[str, str]:
         "mfd_levenshtein_nation": SQL_MFD_LEVENSHTEIN_NATION,
         "sd_events_gap": SQL_SD_EVENTS_GAP,
         "aod_ofd_orders": SQL_AOD_OFD_ORDERS,
+        "aod_oc_orders": SQL_AOD_OC_ORDERS,
         "aod_removal_rows_orders": SQL_AOD_REMOVAL_ROWS_ORDERS,
         # aod_oc_orders: no oracle (per-group LNDS is not SQL-expressible) ->
         # rows-only driver check; the OFD variant above is value-checked.
