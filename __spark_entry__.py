@@ -5804,6 +5804,60 @@ SELECT doc_id, source, n_tokens FROM cum WHERE c <= 500
 """
 
 
+def q_drift_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (checks/drift.py::embedding_centroid_drift):
+    cosine between the even- and odd-id halves' mean vectors plus mean-norm
+    shift -- the centroid moves on a model swap or population shift long
+    before pairwise checks notice. Partial sums shuffle groups x dim rows,
+    never the corpus. The oracle recomputes per-index means in SQL."""
+    from pyspark_validator.checks.drift import embedding_centroid_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        min_cosine=0.99,
+    )
+    return out.select(
+        "n_b",
+        "n_c",
+        _r(F.col("centroid_cosine"), 9).alias("centroid_cosine"),
+        _r(F.col("mean_norm_b"), 6).alias("mean_norm_b"),
+        _r(F.col("mean_norm_c"), 6).alias("mean_norm_c"),
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_EMBEDDING_CENTROID = """
+WITH b AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0),
+c AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1),
+bi AS (
+  SELECT i, avg(e[i]) AS m
+  FROM b, LATERAL (SELECT unnest(range(1, 65)) AS i) u GROUP BY i
+),
+ci AS (
+  SELECT i, avg(e[i]) AS m
+  FROM c, LATERAL (SELECT unnest(range(1, 65)) AS i) u GROUP BY i
+),
+cosine AS (
+  SELECT sum(bi.m * ci.m) / (sqrt(sum(bi.m * bi.m)) * sqrt(sum(ci.m * ci.m))) AS cos
+  FROM bi JOIN ci USING (i)
+),
+norms AS (
+  SELECT
+    (SELECT avg(sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x)))) FROM b) AS nb,
+    (SELECT avg(sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x)))) FROM c) AS nc,
+    (SELECT count(*) FROM b) AS n_b,
+    (SELECT count(*) FROM c) AS n_c
+)
+SELECT CAST(n_b AS BIGINT) AS n_b, CAST(n_c AS BIGINT) AS n_c,
+       round(cos, 9) AS centroid_cosine,
+       round(nb, 6) AS mean_norm_b, round(nc, 6) AS mean_norm_c,
+       cos < 0.99 AS drift_detected
+FROM cosine, norms
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5903,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_structure_drift_docs": q_span_structure_drift_docs,
         "curation_temperature_docs": q_curation_temperature_docs,
         "curation_token_budget_docs": q_curation_token_budget_docs,
+        "drift_embedding_centroid": q_drift_embedding_centroid,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -6035,6 +6090,7 @@ def oracle_sql() -> dict[str, str]:
         "span_structure_drift_docs": SQL_SPAN_STRUCTURE_DRIFT_DOCS,
         "curation_temperature_docs": SQL_CURATION_TEMPERATURE_DOCS,
         "curation_token_budget_docs": SQL_CURATION_TOKEN_BUDGET_DOCS,
+        "drift_embedding_centroid": SQL_DRIFT_EMBEDDING_CENTROID,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

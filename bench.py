@@ -166,6 +166,7 @@ HEADLINE = [
     "span_structure_drift_docs",
     "curation_temperature_docs",
     "curation_token_budget_docs",
+    "drift_embedding_centroid",
 ]
 
 

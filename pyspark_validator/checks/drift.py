@@ -265,3 +265,74 @@ def categorical_baseline(
         "other_count": n - sum(counts),
         "n": n,
     }
+
+
+def embedding_centroid_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    by: list[str] | None = None,
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots: per group, the cosine
+    between the two sides' MEAN vectors (plus mean-norm shift). An embedding
+    model swap, a feature-pipeline change, or a population shift moves the
+    centroid long before per-pair checks notice.
+
+    Scale shape: each side folds to (group x dim) partial sums via ONE
+    posexplode + groupBy(by, idx) with map-side combine -- the shuffle
+    carries groups x dim rows, never the corpus -- then the two bounded
+    frames join on (by, idx) and fold to one row per group. Output:
+    [by..., n_b, n_c, centroid_cosine, mean_norm_b, mean_norm_c,
+    drift_detected (cosine < min_cosine)].
+    """
+    by = by or []
+
+    def sums(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            *by,
+            F.posexplode(F.col(vec_col)).alias("__i", "__v"),
+            F.size(F.col(vec_col)).alias("__dim"),
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col),
+                    F.lit(0.0),
+                    lambda a, t: a + t.cast("double") * t.cast("double"),
+                )
+            ).alias("__nrm"),
+        )
+        return e.groupBy(*by, "__i").agg(
+            F.sum(F.col("__v").cast("double")).alias(f"s_{tag}"),
+            # per-(group, idx) the row count and norm sum repeat the per-row
+            # values dim times; divide back out at the rollup
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("__nrm").alias(f"ns_{tag}"),
+        )
+
+    j = sums(baseline, "b").join(sums(current, "c"), on=[*by, "__i"], how="full_outer")
+    j = j.fillna(0, subset=["s_b", "s_c", "n_b", "n_c", "ns_b", "ns_c"])
+    # try_divide: a group present on only ONE side has n=0 there -> null mean,
+    # null cosine, null drift flag (a structural appearance/vanish, not a
+    # numeric drift verdict; the Spark-4 ANSI divide would throw instead)
+    mb = F.try_divide(F.col("s_b"), F.col("n_b"))
+    mc = F.try_divide(F.col("s_c"), F.col("n_c"))
+    grouped = j.groupBy(*by) if by else j.groupBy()
+    out = grouped.agg(
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("n_c").cast("long").alias("n_c"),
+        F.sum(mb * mc).alias("__dot"),
+        F.sqrt(F.sum(mb * mb)).alias("__nb"),
+        F.sqrt(F.sum(mc * mc)).alias("__nc"),
+        F.try_divide(F.max("ns_b"), F.max("n_b")).alias("mean_norm_b"),
+        F.try_divide(F.max("ns_c"), F.max("n_c")).alias("mean_norm_c"),
+    )
+    cos = F.try_divide(F.col("__dot"), F.col("__nb") * F.col("__nc"))
+    return out.select(
+        *by,
+        "n_b",
+        "n_c",
+        cos.alias("centroid_cosine"),
+        "mean_norm_b",
+        "mean_norm_c",
+        (cos < F.lit(min_cosine)).alias("drift_detected"),
+    )

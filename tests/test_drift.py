@@ -97,3 +97,46 @@ def test_kll_ks_drift_matches_exact_ks(spark):
     reloaded = KLL.from_bytes(drift["sketch_b"].to_bytes())
     again = kll_ks_compare(reloaded, drift["sketch_c"])
     assert abs(again["ks_stat"] - drift["ks_stat"]) < 1e-12
+
+
+def test_embedding_centroid_drift(spark):
+    import numpy as np
+
+    from pyspark_validator.checks.drift import embedding_centroid_drift
+
+    rng = np.random.RandomState(11)
+    base_m = rng.randn(60, 6)
+    schema = "vec_id bigint, src string, embedding array<float>"
+
+    def frame(m, src):
+        return spark.createDataFrame(
+            [(i, src, [float(x) for x in m[i]]) for i in range(len(m))], schema
+        )
+
+    # identical snapshots: cosine exactly ~1, no drift
+    b = frame(base_m, "a")
+    same = embedding_centroid_drift(b, frame(base_m, "a"), by=["src"]).collect()[0]
+    assert same["centroid_cosine"] == pytest.approx(1.0, abs=1e-12)
+    assert not same["drift_detected"]
+    assert same["n_b"] == same["n_c"] == 60
+
+    # numpy oracle on a shifted current side
+    cur_m = base_m + np.array([2.0, 0, 0, 0, 0, 0])
+    got = embedding_centroid_drift(b, frame(cur_m, "a"), by=["src"]).collect()[0]
+    f32 = lambda m: m.astype(np.float32).astype(np.float64)  # noqa: E731
+    cb, cc = f32(base_m).mean(0), f32(cur_m).mean(0)
+    want = float(cb @ cc / (np.linalg.norm(cb) * np.linalg.norm(cc)))
+    assert got["centroid_cosine"] == pytest.approx(want, abs=1e-9)
+    assert got["mean_norm_b"] == pytest.approx(
+        float(np.sqrt((f32(base_m) ** 2).sum(1)).mean()), abs=1e-9
+    )
+    assert got["drift_detected"]
+
+    # a group present on one side only: null cosine, null flag
+    two = b.unionByName(frame(base_m, "only_b").filter("vec_id < 5"))
+    rows = {
+        r["src"]: r
+        for r in embedding_centroid_drift(two, frame(base_m, "a"), by=["src"]).collect()
+    }
+    assert rows["only_b"]["centroid_cosine"] is None
+    assert rows["only_b"]["n_c"] == 0
