@@ -5858,6 +5858,76 @@ FROM cosine, norms
 """
 
 
+def q_dedup_spans_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-native boilerplate-span dedup (pipelines/interleaved.py::
+    dedup_boilerplate_spans): a footer TEXT SPAN planted on every even doc is
+    banned by the distinct-doc census (>= 3 docs) and stripped from every
+    span array; media spans and unique text always survive. Multi-copy doc
+    ids (% 100 == 0) are filtered so doc_id is a unique key for the per-doc
+    rebuild. The oracle replays census + rebuild on the span_seq encoding."""
+    from pyspark_validator.canonical import span_seq_expr
+    from pyspark_validator.pipelines.interleaved import dedup_boilerplate_spans
+
+    ds = _docs_spans(spark, sf_dir)
+    did = F.substring("doc_id", 5, 12).cast("long")
+    ds = ds.filter(did % 100 != 0)
+    footer = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("subscribe to our newsletter.").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(100000).alias("offset"),
+    )
+    planted = ds.withColumn(
+        "spans",
+        F.when(did % 2 == 0, F.concat("spans", F.array(footer))).otherwise(
+            F.col("spans")
+        ),
+    )
+    out = dedup_boilerplate_spans(planted, min_docs=3)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_removed_spans",
+        F.md5(span_seq_expr("spans")).alias("spans_md5"),
+    )
+
+
+SQL_DEDUP_SPANS_BOILERPLATE_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+base AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 2 = 0
+              THEN span_seq || chr(30) || 'text' || chr(31)
+                   || 'subscribe to our newsletter.' || chr(31) || chr(0) || 'N'
+              ELSE span_seq END AS span_seq
+  FROM docs_spans
+  WHERE CAST(substr(doc_id, 5) AS BIGINT) % 100 <> 0
+),
+el AS (
+  SELECT doc_id, u.s AS el
+  FROM base, LATERAL (SELECT unnest(str_split(span_seq, chr(30))) AS s) u
+),
+banned AS (
+  SELECT coalesce(list(t), []) AS bl FROM (
+    SELECT str_split(el, chr(31))[2] AS t, count(DISTINCT doc_id) AS n_docs
+    FROM el WHERE str_split(el, chr(31))[1] = 'text' GROUP BY t
+  ) WHERE n_docs >= 3
+),
+rebuilt AS (
+  SELECT b.doc_id,
+         CAST(len(str_split(b.span_seq, chr(30))) AS BIGINT) AS n_spans,
+         list_filter(str_split(b.span_seq, chr(30)),
+                     s -> NOT (str_split(s, chr(31))[1] = 'text'
+                               AND list_contains(bn.bl, str_split(s, chr(31))[2]))) AS kept
+  FROM base b, banned bn
+)
+SELECT doc_id, n_spans,
+       n_spans - CAST(len(kept) AS BIGINT) AS n_removed_spans,
+       md5(coalesce(array_to_string(kept, chr(30)), '')) AS spans_md5
+FROM rebuilt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -5958,6 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_temperature_docs": q_curation_temperature_docs,
         "curation_token_budget_docs": q_curation_token_budget_docs,
         "drift_embedding_centroid": q_drift_embedding_centroid,
+        "dedup_spans_boilerplate_docs": q_dedup_spans_boilerplate_docs,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -6091,6 +6162,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_temperature_docs": SQL_CURATION_TEMPERATURE_DOCS,
         "curation_token_budget_docs": SQL_CURATION_TOKEN_BUDGET_DOCS,
         "drift_embedding_centroid": SQL_DRIFT_EMBEDDING_CENTROID,
+        "dedup_spans_boilerplate_docs": SQL_DEDUP_SPANS_BOILERPLATE_DOCS,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -167,6 +167,7 @@ HEADLINE = [
     "curation_temperature_docs",
     "curation_token_budget_docs",
     "drift_embedding_centroid",
+    "dedup_spans_boilerplate_docs",
 ]
 
 

@@ -194,3 +194,77 @@ def span_structure_drift(
         )
     )
     return _psi_chi2_rollup(counts, [], alpha, psi_threshold)
+
+
+def span_text_census(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicate TEXT-SPAN census on the interleaved shape:
+    [span_key (xxhash64 of exact span text), n_docs] -- the span-granularity
+    analog of the line-dedup census (nav chunks, footers, cookie banners that
+    the extractor emitted as whole spans). Map-side (key, doc) collapse first
+    (a span shared by millions of docs is exactly the hot key the combine
+    absorbs), then ONE groupBy(key). Sum-mergeable across increments under
+    docs-arrive-whole + disjoint doc ids."""
+    texts = F.filter(
+        F.transform(F.col(spans_col), lambda s: s["text"]), lambda t: t.isNotNull()
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(texts).alias("__t"))
+        .select("id", F.xxhash64("__t").alias("span_key"))
+        .dropDuplicates(["id", "span_key"])
+        .groupBy("span_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def dedup_boilerplate_spans(
+    df: DataFrame,
+    min_docs: int = 3,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    census: DataFrame | None = None,
+) -> DataFrame:
+    """Strip text spans appearing verbatim in >= min_docs DISTINCT documents
+    from every document's span array (the interleaved-native boilerplate
+    tier; media spans and sub-threshold text always survive, offsets keep
+    their source values -- they index the ORIGINAL byte stream).
+
+    Same plan shape as the line-dedup rewrite: posexplode + left join on the
+    8-byte key against the ABOVE-THRESHOLD banned table only, ordered per-doc
+    rebuild via array_sort(collect_list(struct(pos, span))) bounded by doc
+    size. Returns [id_col, spans (cleaned), n_spans, n_removed_spans].
+    Pass a precomputed ``census`` (standing state) to skip the census scan."""
+    c = census if census is not None else span_text_census(df, spans_col, id_col)
+    banned = c.filter(F.col("n_docs") >= min_docs).select("span_key")
+    # posexplode_OUTER: a document with an empty span array must survive
+    # (with an empty cleaned array), not vanish from the output
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode_outer(F.col(spans_col)).alias("pos", "s")
+    ).withColumn(
+        "span_key",
+        F.when(F.col("s.text").isNotNull(), F.xxhash64(F.col("s.text"))),
+    )
+    judged = ex.join(
+        banned.withColumnRenamed("span_key", "__bk"),
+        on=F.col("span_key") == F.col("__bk"),
+        how="left",
+    ).withColumn("__banned", F.col("__bk").isNotNull())
+    rebuilt = judged.groupBy("id").agg(
+        F.sum(F.col("s").isNotNull().cast("long")).alias("n_spans"),
+        F.sum(F.col("__banned").cast("long")).alias("n_removed_spans"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(  # nulls (banned or outer-padding) are skipped
+                    F.when(
+                        F.col("s").isNotNull() & ~F.col("__banned"),
+                        F.struct(F.col("pos").alias("pos"), F.col("s").alias("s")),
+                    )
+                )
+            ),
+            lambda x: x["s"],
+        ).alias(spans_col),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col), spans_col, "n_spans", "n_removed_spans"
+    )

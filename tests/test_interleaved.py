@@ -140,3 +140,52 @@ def test_span_structure_drift(spark, docs):
     assert moved["psi"] > 0.2 and moved["drift_detected"]
     # conservation: weighted totals = sum(len(spans) + 1) over the 4 docs
     assert same["n_b"] == same["n_c"] == (3 + 1) + (1 + 1) + (0 + 1) + (3 + 1)
+
+
+def test_dedup_boilerplate_spans(spark):
+    from pyspark_validator.pipelines.interleaved import (
+        dedup_boilerplate_spans,
+        span_text_census,
+    )
+
+    footer = {"kind": "text", "text": "subscribe now", "media_ref": None, "offset": 900}
+    rows = []
+    for i in range(10):
+        spans = [
+            _span("text", f"unique body {i}", None, 0),
+            _span("image", None, f"m://{i}", 64),
+        ]
+        if i % 2 == 0:
+            spans.append(dict(footer))
+        if i == 3:
+            # same doc repeats the footer twice -> still ONE doc in the census
+            spans.append(dict(footer))
+            spans.append(dict(footer))
+        rows.append((f"d{i}", spans))
+    rows.append(("empty", []))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    census = {r["span_key"]: r["n_docs"] for r in span_text_census(df).collect()}
+    import pyspark.sql.functions as SF
+
+    fkey = (
+        spark.range(1)
+        .select(SF.xxhash64(SF.lit("subscribe now")).alias("k"))
+        .collect()[0]["k"]
+    )
+    assert census[fkey] == 6  # docs 0,2,4,6,8 and 3 (distinct docs)
+
+    out = {r["doc_id"]: r for r in dedup_boilerplate_spans(df, min_docs=3).collect()}
+    assert len(out) == 11  # empty doc survives
+    assert out["empty"]["n_spans"] == 0 and out["empty"]["spans"] == []
+    for i in range(10):
+        r = out[f"d{i}"]
+        texts = [s["text"] for s in r["spans"]]
+        assert "subscribe now" not in texts
+        assert f"unique body {i}" in texts  # sub-threshold text survives
+        assert any(s["kind"] == "image" for s in r["spans"])  # media survives
+        expected_removed = {3: 2}.get(i, 1 if i % 2 == 0 else 0)
+        assert r["n_removed_spans"] == expected_removed
+        # offset order preserved
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == sorted(offs)
