@@ -81,3 +81,32 @@ for r in fused.collect():
 
 spark.stop()
 print("interleaved pipeline done")
+
+# -- appendix: the remaining interleaved-native tiers, driven end-to-end ----
+spark2 = pv.get_spark(app_name="interleaved-pipeline-2", master="local[4]", shuffle_partitions=8)
+docs2 = entry._docs_spans(spark2, sf_dir)
+from pyspark_validator.checks.drift import embedding_centroid_drift
+from pyspark_validator.pipelines.interleaved import (
+    dedup_boilerplate_spans,
+    span_structure_drift,
+)
+
+did = F.substring("doc_id", 5, 12).cast("long")
+sd = span_structure_drift(docs2.filter(did % 2 == 0), docs2.filter(did % 2 == 1))
+print("structure drift (even vs odd):", sd.collect()[0].asDict())
+
+cleaned = dedup_boilerplate_spans(docs2.filter(did % 100 != 0), min_docs=3)
+print(
+    "boilerplate-span dedup:",
+    cleaned.agg(
+        F.sum("n_spans").alias("spans"), F.sum("n_removed_spans").alias("removed")
+    ).collect()[0].asDict(),
+)
+
+emb = spark2.read.parquet(f"{sf_dir}/embeddings.parquet")
+cd = embedding_centroid_drift(
+    emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+)
+print("embedding centroid drift:", cd.collect()[0].asDict())
+spark2.stop()
+print("appendix done")
