@@ -5928,6 +5928,119 @@ FROM rebuilt
 """
 
 
+def q_dedup_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout (structural) dedup on the interleaved shape
+    (pipelines/interleaved.py::layout_clusters): clusters of documents whose
+    offset-ordered (kind, text-length-bucket) skeletons coincide -- the
+    template tier content dedup cannot see. ONE groupBy on the 8-byte
+    fingerprint; the oracle rebuilds the identical layout string from the
+    span_seq encoding and groups on the string itself."""
+    from pyspark_validator.pipelines.interleaved import layout_clusters
+
+    ds = _docs_spans(spark, sf_dir)
+    return layout_clusters(ds, len_bucket=16, min_cluster=2).select(
+        "representative",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+    )
+
+
+SQL_DEDUP_LAYOUT_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+lay AS (
+  SELECT doc_id,
+    array_to_string(list_transform(str_split(span_seq, chr(30)),
+      sp -> str_split(sp, chr(31))[1] || '#' ||
+            CASE WHEN str_split(sp, chr(31))[2] = chr(0)||'N' THEN '-'
+                 ELSE CAST(CAST(floor(length(str_split(sp, chr(31))[2]) / 16.0) AS BIGINT) AS VARCHAR) END),
+      '|') AS layout,
+    len(str_split(span_seq, chr(30))) AS n_spans
+  FROM docs_spans)
+SELECT min(doc_id) AS representative, CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(max(n_spans) AS BIGINT) AS n_spans
+FROM lay GROUP BY layout HAVING count(*) >= 2
+"""
+
+
+def q_interleaved_token_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-token accounting (pipelines/interleaved.py::
+    span_token_costs): text spans cost their BPE-ish token count, media spans
+    a flat 256 vision-token budget. Pure per-row exprs, zero shuffle; the
+    oracle recomputes both terms per span from the span_seq encoding."""
+    from pyspark_validator.pipelines.interleaved import span_token_costs
+
+    ds = _docs_spans(spark, sf_dir)
+    return span_token_costs(ds, media_token_cost=256).select(
+        "doc_id",
+        F.col("n_text_tokens").cast("bigint").alias("n_text_tokens"),
+        F.col("n_media_spans").cast("bigint").alias("n_media_spans"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_INTERLEAVED_TOKEN_COSTS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+c AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(str_split(span_seq, chr(30)),
+      sp -> CASE WHEN str_split(sp, chr(31))[2] = chr(0)||'N' THEN 0
+                 ELSE length(regexp_extract_all(str_split(sp, chr(31))[2], '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END)) AS BIGINT) AS n_text_tokens,
+    CAST(len(list_filter(str_split(span_seq, chr(30)),
+                         sp -> str_split(sp, chr(31))[3] <> chr(0)||'N')) AS BIGINT) AS n_media_spans
+  FROM docs_spans)
+SELECT doc_id, n_text_tokens, n_media_spans,
+       CAST(n_text_tokens + 256 * n_media_spans AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+def q_curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split duplicate-leakage audit (pipelines/curation.py::
+    split_leakage over pipelines/dedup.py::exact_duplicate_pairs): the
+    planted exact duplicates land in md5-hash splits, and every dup pair is
+    counted by its unordered split combination -- a non-zero train x val/test
+    row is eval contamination. The oracle replays the normalized-text pair
+    join and the md5 cut points end-to-end."""
+    from pyspark_validator.pipelines.curation import hash_split, split_leakage
+    from pyspark_validator.pipelines.dedup import exact_duplicate_pairs
+
+    d = _documents_planted(spark, sf_dir)
+    pairs = exact_duplicate_pairs(d, text_col="text", id_col="doc_id")
+    sp = hash_split(
+        d, fractions={"test": 0.1, "val": 0.1, "train": 0.8}, salt="leak"
+    )
+    return split_leakage(pairs, sp).select(
+        "split_a", "split_b", F.col("n_pairs").cast("bigint").alias("n_pairs")
+    )
+
+
+SQL_CURATION_SPLIT_LEAKAGE = f"""
+WITH {DOCUMENTS_PLANTED_SQL.strip()},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents_planted
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|leak'), 1, 12) < '{{t1}}' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|leak'), 1, 12) < '{{t2}}' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents_planted
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN s sa ON pairs.id_a = sa.doc_id
+JOIN s sb ON pairs.id_b = sb.doc_id
+GROUP BY 1, 2
+""".format(t1=_hex_cut(0.1), t2=_hex_cut(0.2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -6029,6 +6142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_token_budget_docs": q_curation_token_budget_docs,
         "drift_embedding_centroid": q_drift_embedding_centroid,
         "dedup_spans_boilerplate_docs": q_dedup_spans_boilerplate_docs,
+        "dedup_layout_docs": q_dedup_layout_docs,
+        "interleaved_token_costs": q_interleaved_token_costs,
+        "curation_split_leakage": q_curation_split_leakage,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -6163,6 +6279,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_token_budget_docs": SQL_CURATION_TOKEN_BUDGET_DOCS,
         "drift_embedding_centroid": SQL_DRIFT_EMBEDDING_CENTROID,
         "dedup_spans_boilerplate_docs": SQL_DEDUP_SPANS_BOILERPLATE_DOCS,
+        "dedup_layout_docs": SQL_DEDUP_LAYOUT_DOCS,
+        "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
+        "curation_split_leakage": SQL_CURATION_SPLIT_LEAKAGE,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -168,6 +168,9 @@ HEADLINE = [
     "curation_token_budget_docs",
     "drift_embedding_centroid",
     "dedup_spans_boilerplate_docs",
+    "dedup_layout_docs",
+    "interleaved_token_costs",
+    "curation_split_leakage",
 ]
 
 

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_split",
+    "split_leakage",
+    "leaked_ids",
     "mixture_sample",
     "word_ngrams",
     "decontaminate",
@@ -132,6 +134,66 @@ def mixture_sample(
             thr
         )
     return df.where(prefix < thr)
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplicate-leakage audit across train/val/test splits: join a
+    candidate/duplicate PAIR table (any dedup tier's output) against the
+    per-document split assignment and count pairs by the unordered split
+    combination. A non-zero (train, val)/(train, test) row means eval
+    examples have training-set duplicates -- the contamination mode a
+    document-level split cannot prevent once near-dups exist.
+
+    Returns [split_a, split_b, n_pairs] with ``split_a <= split_b``
+    (pair orientation is an artifact of id order, the leak is not). Two hash
+    joins on the id key: the split side is the full corpus (streamed through
+    the join, never collected), the pair side is the already-bounded
+    candidate output."""
+    sa = splits.select(F.col(id_col).alias("__ida"), F.col(split_col).alias("__sa"))
+    sb = splits.select(F.col(id_col).alias("__idb"), F.col(split_col).alias("__sb"))
+    j = pairs.join(sa, F.col(id_a) == F.col("__ida"), "inner").join(
+        sb, F.col(id_b) == F.col("__idb"), "inner"
+    )
+    return j.groupBy(
+        F.least("__sa", "__sb").alias("split_a"),
+        F.greatest("__sa", "__sb").alias("split_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def leaked_ids(
+    pairs: DataFrame,
+    splits: DataFrame,
+    protect: tuple[str, ...] = ("val", "test"),
+    against: str = "train",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The eviction list behind ``split_leakage``: distinct documents in a
+    ``protect`` split that have a duplicate partner in the ``against`` split
+    -- the rows to drop from eval before measuring. Returns
+    [id_col, split_col]. Same two hash joins; the union of the two pair
+    orientations is deduplicated by one distinct on (id, split)."""
+    sa = splits.select(F.col(id_col).alias("__ida"), F.col(split_col).alias("__sa"))
+    sb = splits.select(F.col(id_col).alias("__idb"), F.col(split_col).alias("__sb"))
+    j = pairs.join(sa, F.col(id_a) == F.col("__ida"), "inner").join(
+        sb, F.col(id_b) == F.col("__idb"), "inner"
+    )
+    left = j.filter(
+        F.col("__sa").isin(*protect) & (F.col("__sb") == against)
+    ).select(F.col("__ida").alias(id_col), F.col("__sa").alias(split_col))
+    right = j.filter(
+        F.col("__sb").isin(*protect) & (F.col("__sa") == against)
+    ).select(F.col("__idb").alias(id_col), F.col("__sb").alias(split_col))
+    return left.unionByName(right).distinct()
 
 
 def word_ngrams(text: Column, n: int) -> Column:

@@ -44,6 +44,36 @@ def exact_duplicates(
     )
 
 
+def exact_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """All exact-duplicate pairs (``id_a < id_b``) by normalized content hash
+    -- the pair-level view downstream audits (split leakage, provenance
+    conflict) consume. Self-equi-join on the 8-byte fingerprint, never a
+    cartesian: join fan-out is exactly the pair count. A degenerate cluster
+    (the same boilerplate page crawled millions of times) would emit
+    quadratic pairs, so clusters above ``max_cluster`` members are dropped
+    from the PAIR view (the drop-not-salt guard every candidate generator
+    here uses; the cluster itself still surfaces via ``exact_duplicates``)."""
+    keyed = df.select(
+        F.xxhash64(normalize_text(F.col(text_col))).alias("__fp"),
+        F.col(id_col).alias("__id"),
+    )
+    sizes = keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("__n"))
+    ok = sizes.filter((F.col("__n") > 1) & (F.col("__n") <= max_cluster)).select("__fp")
+    # no forced broadcast: the duplicate-fingerprint set scales with the dup
+    # rate, not a constant -- AQE picks broadcast when it actually fits
+    keyed = keyed.join(ok, on="__fp", how="inner")
+    a = keyed.select(F.col("__fp"), F.col("__id").alias("id_a"))
+    b = keyed.select(F.col("__fp").alias("__fp2"), F.col("__id").alias("id_b"))
+    return a.join(
+        b, (F.col("__fp") == F.col("__fp2")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row (min id) per normalized content: window rank over the hash --
     a single shuffle, no join."""

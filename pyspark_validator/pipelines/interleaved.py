@@ -40,6 +40,10 @@ __all__ = [
     "merge_span_kind_transitions",
     "merge_media_ref_census",
     "span_structure_drift",
+    "layout_fingerprint",
+    "layout_clusters",
+    "span_token_costs",
+    "pack_interleaved",
 ]
 
 
@@ -267,4 +271,126 @@ def dedup_boilerplate_spans(
     )
     return rebuilt.select(
         F.col("id").alias(id_col), spans_col, "n_spans", "n_removed_spans"
+    )
+
+
+def layout_fingerprint(
+    df: DataFrame,
+    spans_col: str = "spans",
+    len_bucket: int = 16,
+    out_col: str = "layout",
+    key_col: str = "layout_key",
+) -> DataFrame:
+    """Per-document STRUCTURAL fingerprint of the interleaved shape: the
+    offset-ordered sequence of ``kind#length-bucket`` tokens (text spans
+    bucket their text length by ``len_bucket``; payload-less media spans get
+    ``kind#-``). Content-blind and media-identity-blind by construction, so
+    two templated pages with different wording/images but the same skeleton
+    collide -- the dedup signal exact/MinHash content tiers cannot see.
+    Adds ``out_col`` (the canonical layout string) and ``key_col`` (its
+    8-byte xxhash64). Pure per-row exprs, zero shuffle."""
+    toks = F.transform(
+        _ordered_spans(spans_col),
+        lambda s: F.concat_ws(
+            "#",
+            s["kind"],
+            F.when(s["text"].isNull(), F.lit("-")).otherwise(
+                F.floor(F.length(s["text"]) / F.lit(len_bucket)).cast("string")
+            ),
+        ),
+    )
+    return df.withColumn(out_col, F.array_join(toks, "|")).withColumn(
+        key_col, F.xxhash64(F.col(out_col))
+    )
+
+
+def layout_clusters(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    len_bucket: int = 16,
+    min_cluster: int = 2,
+) -> DataFrame:
+    """Layout-duplicate census: clusters of documents sharing a structural
+    fingerprint (the template-dedup tier). ONE groupBy on the 8-byte
+    fingerprint -- the shuffle carries the hash, never the layout string, so
+    a 500-span document costs the same 8 bytes as a 2-span one. Output
+    mirrors ``exact_duplicates``: [layout_key, representative (min id),
+    cluster_size, n_spans], clusters below ``min_cluster`` dropped. Same
+    collision contract as the content-hash dedup tiers (xxhash64 keys)."""
+    lf = layout_fingerprint(df, spans_col, len_bucket)
+    return (
+        lf.select(
+            "layout_key",
+            F.col(id_col).alias("id"),
+            F.size(F.col(spans_col)).cast("long").alias("__n"),
+        )
+        .groupBy("layout_key")
+        .agg(
+            F.min("id").alias("representative"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max("__n").alias("n_spans"),  # equal within a layout cluster
+        )
+        .filter(F.col("cluster_size") >= min_cluster)
+    )
+
+
+def span_token_costs(
+    df: DataFrame,
+    spans_col: str = "spans",
+    media_token_cost: int = 256,
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-document training-token accounting on the interleaved shape: text
+    spans cost their BPE-ish token count, media spans a flat
+    ``media_token_cost`` (the vision-token slots an image occupies in a
+    multimodal context window). Adds ``n_text_tokens``, ``n_media_spans`` and
+    ``out_col`` = text + media cost. Pure per-row exprs, zero shuffle -- the
+    budget input for ``pack_interleaved`` and token-budget curation."""
+    from .text import bpe_token_count
+
+    spans = F.col(spans_col)
+    text_toks = F.aggregate(
+        F.transform(spans, lambda s: F.coalesce(bpe_token_count(s["text"]), F.lit(0))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_media = F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull())).cast("long")
+    return (
+        df.withColumn("n_text_tokens", text_toks)
+        .withColumn("n_media_spans", n_media)
+        .withColumn(
+            out_col,
+            (F.col("n_text_tokens") + F.col("n_media_spans") * F.lit(media_token_cost)).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+def pack_interleaved(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    chunk_tokens: int = 8192,
+    media_token_cost: int = 256,
+    num_bins: int = 64,
+    bin_col: F.Column | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing of INTERLEAVED documents: delegates to
+    ``pack_sequences`` with the span-aware token cost from
+    ``span_token_costs``, so a document's images occupy their vision-token
+    slots in the packed context window instead of packing for free. Same
+    output columns and chunk semantics as ``pack_sequences`` (one shuffle on
+    the deterministic bin id, no global sort)."""
+    from .curation import pack_sequences
+
+    costed = span_token_costs(df, spans_col, media_token_cost)
+    return pack_sequences(
+        costed,
+        id_col=id_col,
+        token_col="n_tokens",
+        chunk_tokens=chunk_tokens,
+        num_bins=num_bins,
+        bin_col=bin_col,
     )

@@ -458,3 +458,94 @@ def test_semantic_contamination_broadcast_plan_and_no_false_positives(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate pairs + split leakage
+
+
+def _leak_fixture(spark):
+    # clusters: {1,2,3} share text A; {10, 11} share text B; 20 unique;
+    # mega-cluster {30..34} exercises the max_cluster pair guard
+    rows = (
+        [(i, "A text  shared") for i in (1, 2, 3)]
+        + [(i, "b TEXT shared") for i in (10, 11)]
+        + [(20, "unique")]
+        + [(i, "mega") for i in range(30, 35)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_pairs_python_oracle(spark):
+    from pyspark_validator.pipelines.dedup import exact_duplicate_pairs
+
+    d = _leak_fixture(spark)
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in exact_duplicate_pairs(d).collect()
+    )
+    import itertools
+
+    want = sorted(
+        itertools.chain(
+            itertools.combinations((1, 2, 3), 2),
+            itertools.combinations((10, 11), 2),
+            itertools.combinations(range(30, 35), 2),
+        )
+    )
+    assert got == want
+
+
+def test_exact_duplicate_pairs_max_cluster_guard(spark):
+    from pyspark_validator.pipelines.dedup import exact_duplicate_pairs
+
+    d = _leak_fixture(spark)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in exact_duplicate_pairs(d, max_cluster=4).collect()
+    )
+    # the 5-member mega cluster is dropped from the PAIR view; smaller survive
+    assert got == [(1, 2), (1, 3), (2, 3), (10, 11)]
+
+
+def test_split_leakage_python_oracle(spark):
+    from pyspark_validator.pipelines.curation import leaked_ids, split_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (30, 31)], "id_a long, id_b long"
+    )
+    assign = {1: "train", 2: "val", 3: "train", 10: "test", 11: "train",
+              30: "val", 31: "val"}
+    splits = spark.createDataFrame(
+        [(k, v) for k, v in assign.items()], "doc_id long, split string"
+    )
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in split_leakage(pairs, splits).collect()
+    }
+    from collections import Counter
+
+    want = Counter(
+        tuple(sorted((assign[a], assign[b]))) for a, b in
+        [(1, 2), (1, 3), (2, 3), (10, 11), (30, 31)]
+    )
+    assert got == dict(want)
+
+    leaked = sorted(
+        (r["doc_id"], r["split"]) for r in leaked_ids(pairs, splits).collect()
+    )
+    # protected docs with a train partner: 2 (val, via 1) and 10 (test, via 11)
+    assert leaked == [(2, "val"), (10, "test")]
+
+
+def test_split_leakage_zero_on_clean_split(spark):
+    from pyspark_validator.pipelines.curation import leaked_ids, split_leakage
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train")], "doc_id long, split string"
+    )
+    rows = split_leakage(pairs, splits).collect()
+    assert [(r["split_a"], r["split_b"], r["n_pairs"]) for r in rows] == [
+        ("train", "train", 1)
+    ]
+    assert leaked_ids(pairs, splits).count() == 0

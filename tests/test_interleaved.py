@@ -189,3 +189,142 @@ def test_dedup_boilerplate_spans(spark):
         # offset order preserved
         offs = [s["offset"] for s in r["spans"]]
         assert offs == sorted(offs)
+
+
+# ---------------------------------------------------------------------------
+# layout fingerprint / clusters
+
+
+@pytest.fixture(scope="module")
+def layout_docs(spark):
+    rows = [
+        # t0/t1: same skeleton (text lens bucket equally, media slot in the
+        # same place) but entirely different words and media identities
+        (
+            "t0",
+            [
+                _span("text", "aaaa bbbb cccc dddd", None, 0),  # len 19 -> bucket 1
+                _span("image", None, "media://image/1", 19),
+                _span("text", "xy", None, 300),  # len 2 -> bucket 0
+            ],
+        ),
+        (
+            "t1",
+            [
+                _span("text", "eeee ffff gggg hhhh", None, 0),  # len 19 -> bucket 1
+                _span("image", None, "media://image/999", 19),
+                _span("text", "zq", None, 300),
+            ],
+        ),
+        # t2: same kinds but a text length in another bucket -> distinct layout
+        (
+            "t2",
+            [
+                _span("text", "a", None, 0),  # bucket 0, not 1
+                _span("image", None, "media://image/1", 1),
+                _span("text", "xy", None, 300),
+            ],
+        ),
+        # t3: spans listed OUT of offset order; ordered layout equals t0's
+        (
+            "t3",
+            [
+                _span("text", "xy", None, 300),
+                _span("image", None, "media://image/1", 19),
+                _span("text", "aaaa bbbb cccc dddd", None, 0),
+            ],
+        ),
+        ("t4", []),  # empty doc: layout "" -- its own (singleton) class
+    ]
+    return spark.createDataFrame(rows, SCHEMA).persist()
+
+
+def test_layout_fingerprint_content_and_media_blind(spark, layout_docs):
+    from pyspark_validator.pipelines.interleaved import layout_fingerprint
+
+    got = {
+        r["doc_id"]: (r["layout"], r["layout_key"])
+        for r in layout_fingerprint(layout_docs).collect()
+    }
+    assert got["t0"][0] == "text#1|image#-|text#0"
+    assert got["t0"] == got["t1"]  # content/media blind
+    assert got["t0"] == got["t3"]  # offset-order canonicalization
+    assert got["t2"][0] == "text#0|image#-|text#0"
+    assert got["t2"] != got["t0"]
+    assert got["t4"][0] == ""
+
+
+def test_layout_clusters_min_and_representative(spark, layout_docs):
+    from pyspark_validator.pipelines.interleaved import layout_clusters
+
+    rows = layout_clusters(layout_docs, min_cluster=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["representative"] == "t0"
+    assert r["cluster_size"] == 3
+    assert r["n_spans"] == 3
+
+
+def test_layout_len_bucket_knob(spark, layout_docs):
+    from pyspark_validator.pipelines.interleaved import layout_fingerprint
+
+    # bucket=1 is exact-length layout: t0 vs t1 still collide (equal lengths),
+    # but a single-char difference in length would not
+    got = {
+        r["doc_id"]: r["layout"]
+        for r in layout_fingerprint(layout_docs, len_bucket=1).collect()
+    }
+    assert got["t0"] == "text#19|image#-|text#2"
+    assert got["t0"] == got["t1"]
+
+
+# ---------------------------------------------------------------------------
+# span token costs / interleaved packing
+
+
+def test_span_token_costs_python_oracle(spark, docs):
+    import re
+
+    from pyspark_validator.pipelines.interleaved import span_token_costs
+    from pyspark_validator.pipelines.text import BPE_TOKEN_PATTERN
+
+    got = {
+        r["doc_id"]: (r["n_text_tokens"], r["n_media_spans"], r["n_tokens"])
+        for r in span_token_costs(docs, media_token_cost=10).collect()
+    }
+    texts = {
+        "d0": ["world", "hello"],
+        "d1": [],
+        "d2": [],
+        "d3": ["solo"],
+    }
+    media = {"d0": 1, "d1": 1, "d2": 0, "d3": 2}
+    for doc, ts in texts.items():
+        want_text = sum(len(re.findall(BPE_TOKEN_PATTERN, t)) for t in ts)
+        assert got[doc] == (want_text, media[doc], want_text + 10 * media[doc]), doc
+
+
+def test_pack_interleaved_matches_pack_sequences(spark, docs):
+    from pyspark_validator.pipelines.curation import pack_sequences
+    from pyspark_validator.pipelines.interleaved import (
+        pack_interleaved,
+        span_token_costs,
+    )
+
+    bin_col = F.lit(0)
+    got = pack_interleaved(
+        docs, chunk_tokens=4, media_token_cost=3, num_bins=1, bin_col=bin_col
+    ).select("doc_id", "pack_bin", "n_tokens", "chunk_id", "chunk_offset")
+    want = pack_sequences(
+        span_token_costs(docs, media_token_cost=3),
+        token_col="n_tokens",
+        chunk_tokens=4,
+        num_bins=1,
+        bin_col=bin_col,
+    ).select("doc_id", "pack_bin", "n_tokens", "chunk_id", "chunk_offset")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # token conservation: last doc's offset + preceding tokens == total
+    rows = sorted(got.collect(), key=lambda r: r["doc_id"])
+    total = sum(r["n_tokens"] for r in rows)
+    last = rows[-1]
+    assert last["chunk_id"] * 4 + last["chunk_offset"] + last["n_tokens"] == total
