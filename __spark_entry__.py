@@ -3854,6 +3854,50 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_curation_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader manifest of the packed corpus (pipelines/curation.py::
+    chunk_manifest): one row per (chunk, doc) overlap with the doc-token
+    slice and its landing offset inside the chunk -- the inverse view a
+    training data loader reads. The oracle replays the pack prefix sums and
+    expands each doc over the chunk range it touches."""
+    from pyspark_validator.pipelines.curation import chunk_manifest, pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    packed = pack_sequences(
+        d, chunk_tokens=512, num_bins=8, bin_col=F.col("doc_id") % 8
+    )
+    return chunk_manifest(packed, chunk_tokens=512).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pack_bin").cast("bigint").alias("pack_bin"),
+        "chunk_id",
+        "doc_tok_start",
+        "doc_tok_end",
+        "chunk_tok_start",
+    )
+
+
+SQL_CURATION_CHUNK_MANIFEST = r"""
+WITH t AS (SELECT doc_id, doc_id % 8 AS pack_bin,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, pack_bin, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY pack_bin ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t),
+m AS (SELECT doc_id, pack_bin, n_tokens, before,
+             unnest(range(CAST(floor(before / 512) AS BIGINT),
+                          CAST(floor((before + n_tokens - 1) / 512) AS BIGINT) + 1)) AS ch
+      FROM c WHERE n_tokens > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pack_bin AS BIGINT) AS pack_bin,
+       CAST(ch AS BIGINT) AS chunk_id,
+       CAST(greatest(0, ch * 512 - before) AS BIGINT) AS doc_tok_start,
+       CAST(least(n_tokens, (ch + 1) * 512 - before) AS BIGINT) AS doc_tok_end,
+       CAST(greatest(0, before - ch * 512) AS BIGINT) AS chunk_tok_start
+FROM m
+"""
+
+
 _BIND_TABLES = {
     "nation": ("n_nationkey", "n_regionkey"),
     "customer": ("c_custkey", "c_nationkey"),
@@ -6145,6 +6189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_layout_docs": q_dedup_layout_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
         "curation_split_leakage": q_curation_split_leakage,
+        "curation_chunk_manifest": q_curation_chunk_manifest,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
         "dedup_dup_span_stats_docs": q_dedup_dup_span_stats_docs,
         "dedup_delta_dup_spans_docs": q_dedup_delta_dup_spans_docs,
@@ -6282,6 +6327,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_layout_docs": SQL_DEDUP_LAYOUT_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
         "curation_split_leakage": SQL_CURATION_SPLIT_LEAKAGE,
+        "curation_chunk_manifest": SQL_CURATION_CHUNK_MANIFEST,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,
         "dedup_dup_span_stats_docs": SQL_DEDUP_DUP_SPAN_STATS_DOCS,
         "dedup_delta_dup_spans_docs": SQL_DEDUP_DELTA_DUP_SPANS_DOCS,

@@ -171,6 +171,7 @@ HEADLINE = [
     "dedup_layout_docs",
     "interleaved_token_costs",
     "curation_split_leakage",
+    "curation_chunk_manifest",
 ]
 
 

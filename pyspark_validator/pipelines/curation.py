@@ -44,6 +44,7 @@ __all__ = [
     "semantic_decontaminate",
     "pack_sequences",
     "pack_summary",
+    "chunk_manifest",
     "cap_per_group",
     "hex_threshold",
     "duplicate_spans",
@@ -828,6 +829,51 @@ def pack_sequences(
     return out.withColumn(
         "chunk_id", F.floor(before / chunk_tokens).cast("bigint")
     ).withColumn("chunk_offset", (before % chunk_tokens).cast("bigint"))
+
+
+def chunk_manifest(
+    packed: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Loader-ready manifest of a ``pack_sequences``/``pack_interleaved``
+    result: ONE row per (chunk, document) overlap, mapping every training
+    chunk back to the document token slices that fill it (a document
+    straddling a chunk boundary appears once per chunk it touches -- the
+    inverse view the data loader actually reads). Columns: ``pack_bin``,
+    ``chunk_id``, ``id_col``, ``doc_tok_start``/``doc_tok_end`` (half-open
+    slice into the doc's own token stream) and ``chunk_tok_start`` (where the
+    slice lands inside the chunk). Zero-token docs occupy no chunk and emit
+    no rows. Pure per-row Generate over a bounded sequence (a doc touches at
+    most ceil(n_tokens/chunk_tokens)+1 chunks) -- zero additional shuffle
+    after packing."""
+    before = (
+        F.col("chunk_id").cast("bigint") * chunk_tokens + F.col("chunk_offset")
+    )
+    last = F.floor((before + F.col("n_tokens") - 1) / chunk_tokens).cast("bigint")
+    chunks = F.when(
+        F.col("n_tokens") > 0, F.sequence(F.col("chunk_id").cast("bigint"), last)
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = packed.select(
+        F.col(id_col),
+        F.col("pack_bin"),
+        F.col("n_tokens"),
+        before.alias("__before"),
+        F.explode(chunks).alias("__c"),
+    )
+    c = F.col("__c")
+    b = F.col("__before")
+    zero = F.lit(0).cast("bigint")
+    return ex.select(
+        id_col,
+        "pack_bin",
+        c.alias("chunk_id"),
+        F.greatest(zero, c * chunk_tokens - b).cast("bigint").alias("doc_tok_start"),
+        F.least(F.col("n_tokens").cast("bigint"), (c + 1) * chunk_tokens - b)
+        .cast("bigint")
+        .alias("doc_tok_end"),
+        F.greatest(zero, b - c * chunk_tokens).cast("bigint").alias("chunk_tok_start"),
+    )
 
 
 def pack_summary(packed: DataFrame) -> DataFrame:

@@ -716,6 +716,36 @@ def streaming_span_gate(
     return out.withColumn("span_ok", ~_any_violation(flags))
 
 
+def streaming_layout_gate(
+    stream: DataFrame,
+    bloom,
+    num_bits: int,
+    num_hashes: int = 7,
+    spans_col: str = "spans",
+    len_bucket: int = 16,
+    out_col: str = "banned_layout",
+) -> DataFrame:
+    """Stateless template-quarantine gate for a stream of interleaved
+    documents: flags each doc whose STRUCTURAL fingerprint
+    (``pipelines/interleaved.py::layout_fingerprint``) may match the standing
+    banned-template Bloom filter -- built offline from ``layout_clusters``
+    output via ``bloom_words(clusters, key_col="layout_key", ...)``. The
+    content never matters: a spam template refilled with fresh words still
+    trips the gate. Zero state, no watermark, no shuffle, no false negatives
+    (the gate shares the builder's JVM position exprs); flagged docs go to a
+    batch resolver, unflagged ones need nothing."""
+    from pyspark_validator.pipelines.bloom import bloom_gate
+    from pyspark_validator.pipelines.interleaved import layout_fingerprint
+
+    keyed = layout_fingerprint(
+        stream, spans_col=spans_col, len_bucket=len_bucket, out_col="__layout",
+        key_col="__lk",
+    )
+    return bloom_gate(
+        keyed, bloom, num_bits, num_hashes, key_col="__lk", out_col=out_col
+    ).drop("__layout", "__lk")
+
+
 def streaming_bloom_gate(
     stream: DataFrame,
     bloom,

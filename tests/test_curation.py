@@ -549,3 +549,64 @@ def test_split_leakage_zero_on_clean_split(spark):
         ("train", "train", 1)
     ]
     assert leaked_ids(pairs, splits).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# chunk manifest
+
+
+def test_chunk_manifest_python_oracle(spark):
+    from pyspark_validator.pipelines.curation import chunk_manifest, pack_sequences
+
+    # one bin, chunk=10: doc sizes 4, 9 (straddles), 0 (skipped), 25 (3 chunks)
+    rows = [(0, "a " * 4), (1, "b " * 9), (2, ""), (3, "c " * 25)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(d, chunk_tokens=10, num_bins=1, bin_col=F.lit(0))
+    got = sorted(
+        (
+            r["doc_id"], r["chunk_id"], r["doc_tok_start"],
+            r["doc_tok_end"], r["chunk_tok_start"],
+        )
+        for r in chunk_manifest(packed, chunk_tokens=10).collect()
+    )
+    # stream: doc0 tokens [0,4), doc1 [4,13), doc3 [13,38)
+    want = [
+        (0, 0, 0, 4, 0),
+        (1, 0, 0, 6, 4),   # doc1 fills the rest of chunk 0
+        (1, 1, 6, 9, 0),   # and spills 3 tokens into chunk 1
+        (3, 1, 0, 7, 3),   # doc3 fills chunk 1
+        (3, 2, 7, 17, 0),  # all of chunk 2
+        (3, 3, 17, 25, 0), # 8 tokens into chunk 3
+    ]
+    assert got == want
+
+
+def test_chunk_manifest_conservation_laws(spark):
+    from collections import defaultdict
+
+    from pyspark_validator.pipelines.curation import chunk_manifest, pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    packed = pack_sequences(
+        d, chunk_tokens=256, num_bins=4, bin_col=F.col("doc_id") % 4
+    )
+    man = chunk_manifest(packed, chunk_tokens=256).collect()
+    tok = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    per_doc = defaultdict(int)
+    per_chunk = defaultdict(int)
+    for r in man:
+        assert 0 <= r["doc_tok_start"] < r["doc_tok_end"] <= tok[r["doc_id"]]
+        assert 0 <= r["chunk_tok_start"] < 256
+        per_doc[r["doc_id"]] += r["doc_tok_end"] - r["doc_tok_start"]
+        per_chunk[(r["pack_bin"], r["chunk_id"])] += (
+            r["doc_tok_end"] - r["doc_tok_start"]
+        )
+    # every token of every doc lands in exactly one chunk slice
+    assert per_doc == {k: v for k, v in tok.items() if v > 0}
+    # every chunk except each bin's last is exactly full
+    last = {}
+    for (b, c) in per_chunk:
+        last[b] = max(last.get(b, -1), c)
+    for (b, c), n in per_chunk.items():
+        if c < last[b]:
+            assert n == 256, (b, c, n)

@@ -621,3 +621,58 @@ def test_streaming_bloom_gate_stateless(spark, tmp_path):
     got = {r["doc_id"]: r["maybe_seen"] for r in spark.table("bgate").collect()}
     # exact copy and normalized copy flagged; new doc passes (fpp ~ 0 at this sizing)
     assert got == {100: True, 101: False, 102: True}
+
+
+def test_streaming_layout_gate_stateless(spark, tmp_path):
+    from pyspark_validator.pipelines.bloom import bloom_array, bloom_words
+    from pyspark_validator.pipelines.interleaved import layout_clusters
+    from pyspark_validator.streaming import streaming_layout_gate
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def _sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    # a spam template repeated 3x (different words, same skeleton) -> banned
+    def template(i):
+        return [
+            _sp("text", f"buy {'x' * 10} now{i}", None, 0),  # len 16 -> bucket 1
+            _sp("image", None, f"media://image/{i}", 100),
+        ]
+
+    corpus = spark.createDataFrame(
+        [(f"c{i}", template(i)) for i in range(3)]
+        + [("c9", [_sp("text", "a genuinely organic paragraph of text", None, 0)])],
+        schema,
+    )
+    m, k = 1 << 16, 5
+    banned = layout_clusters(corpus, min_cluster=3)
+    arr = bloom_array(
+        bloom_words(banned, key_col="layout_key", num_bits=m, num_hashes=k), m
+    )
+
+    src = tmp_path / "lg_src"
+    src.mkdir()
+    delta = spark.createDataFrame(
+        [
+            ("d0", template(77)),  # fresh words + fresh media, SAME skeleton
+            ("d1", [_sp("text", "short", None, 0)]),  # different skeleton
+        ],
+        schema,
+    )
+    delta.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = streaming_layout_gate(stream, arr, m, k).select("doc_id", "banned_layout")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["banned_layout"] for r in spark.table("lgate").collect()}
+    assert got == {"d0": True, "d1": False}
