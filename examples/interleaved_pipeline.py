@@ -103,6 +103,40 @@ print(
     ).collect()[0].asDict(),
 )
 
+from pyspark_validator.pipelines.curation import chunk_manifest
+from pyspark_validator.pipelines.interleaved import (
+    layout_clusters,
+    pack_interleaved,
+    span_token_costs,
+)
+
+lc = layout_clusters(docs2, min_cluster=2)
+print(
+    "layout (template) dedup:",
+    lc.agg(
+        F.count(F.lit(1)).alias("clusters"), F.sum("cluster_size").alias("docs")
+    ).collect()[0].asDict(),
+)
+
+uniq = docs2.filter(did % 100 != 0)  # unique doc_id keys for packing
+packed = pack_interleaved(
+    uniq, chunk_tokens=2048, media_token_cost=256, num_bins=8,
+    bin_col=did % 8,
+)
+costs = span_token_costs(uniq).agg(
+    F.sum("n_text_tokens").alias("text_tokens"),
+    F.sum("n_media_spans").alias("media_spans"),
+)
+print("multimodal token budget:", costs.collect()[0].asDict())
+man = chunk_manifest(packed, chunk_tokens=2048)
+print(
+    "loader manifest:",
+    man.agg(
+        F.count(F.lit(1)).alias("slices"),
+        F.count_distinct("pack_bin", "chunk_id").alias("chunks"),
+    ).collect()[0].asDict(),
+)
+
 emb = spark2.read.parquet(f"{sf_dir}/embeddings.parquet")
 cd = embedding_centroid_drift(
     emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
