@@ -456,3 +456,48 @@ def test_snm_pairs_no_global_window_no_cartesian(spark, tables):
     plan = _plan(s)
     assert "SinglePartition" not in plan
     assert _count(plan, "CartesianProduct") == 0
+
+
+def test_span_token_costs_exchange_free(spark):
+    from pyspark_validator.pipelines.interleaved import span_token_costs
+
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "text", "text": "a b", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    plan = _plan(span_token_costs(docs))
+    assert _count(plan, "Exchange") == 0  # pure per-row exprs
+
+
+def test_layout_clusters_single_hash_shuffle(spark):
+    from pyspark_validator.pipelines.interleaved import layout_clusters
+
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "text", "text": "a b", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    plan = _plan(layout_clusters(docs))
+    # ONE shuffle for the fingerprint groupBy; the shuffle key is the 8-byte
+    # layout_key, the layout STRING itself is projected away before the agg
+    assert _count(plan, "Exchange") == 1
+    agg_input = plan.split("Exchange")[1]
+    assert "layout#" not in agg_input.split("Input [")[1].split("]")[0]
+
+
+def test_chunk_manifest_no_extra_shuffle_after_pack(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.pipelines.curation import chunk_manifest, pack_sequences
+
+    packed = pack_sequences(
+        tables["documents"].select("doc_id", "text"),
+        chunk_tokens=512,
+        num_bins=8,
+        bin_col=F.col("doc_id") % 8,
+    )
+    base = _count(_plan(packed), "Exchange")
+    plan = _plan(chunk_manifest(packed, chunk_tokens=512))
+    assert _count(plan, "Exchange") == base  # Generate adds zero shuffles
+    assert _count(plan, "Generate") == 1
