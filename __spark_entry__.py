@@ -6006,6 +6006,56 @@ FROM lay GROUP BY layout HAVING count(*) >= 2
 """
 
 
+def q_layout_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template diversity (pipelines/interleaved.py::
+    layout_census + layout_diversity): the template-farm detector -- a source
+    whose docs collapse onto few structural fingerprints scores a high
+    template_ratio. The census is the bounded sum-mergeable standing index;
+    the rollup costs one tiny groupBy. Oracle rebuilds the layout string and
+    replays census + rollup in SQL."""
+    from pyspark_validator.pipelines.interleaved import (
+        layout_census,
+        layout_diversity,
+    )
+
+    ds = _docs_spans(spark, sf_dir)
+    did = F.substring("doc_id", 5, 12).cast("long")
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("did"), "source"
+    )
+    tagged = ds.withColumn("did", did).join(src, "did")
+    div = layout_diversity(layout_census(tagged, "source"))
+    return div.select(
+        F.col("group").alias("source"),
+        "n_docs",
+        "n_layouts",
+        _r(F.col("template_ratio"), 9).alias("template_ratio"),
+        _r(F.col("top_layout_share"), 9).alias("top_layout_share"),
+    )
+
+
+SQL_LAYOUT_DIVERSITY_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+lay AS (
+  SELECT ds.doc_id, d.source,
+    array_to_string(list_transform(str_split(ds.span_seq, chr(30)),
+      sp -> str_split(sp, chr(31))[1] || '#' ||
+            CASE WHEN str_split(sp, chr(31))[2] = chr(0)||'N' THEN '-'
+                 ELSE CAST(CAST(floor(length(str_split(sp, chr(31))[2]) / 16.0) AS BIGINT) AS VARCHAR) END),
+      '|') AS layout
+  FROM docs_spans ds
+  JOIN documents d ON CAST(substr(ds.doc_id, 5) AS BIGINT) = d.doc_id),
+census AS (
+  SELECT source, layout, count(*) AS n_docs FROM lay GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_layouts,
+       round(1.0 - count(*) * 1.0 / sum(n_docs), 9) AS template_ratio,
+       round(max(n_docs) * 1.0 / sum(n_docs), 9) AS top_layout_share
+FROM census GROUP BY source
+"""
+
+
 def q_interleaved_token_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal training-token accounting (pipelines/interleaved.py::
     span_token_costs): text spans cost their BPE-ish token count, media spans
@@ -6187,6 +6237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_embedding_centroid": q_drift_embedding_centroid,
         "dedup_spans_boilerplate_docs": q_dedup_spans_boilerplate_docs,
         "dedup_layout_docs": q_dedup_layout_docs,
+        "layout_diversity_docs": q_layout_diversity_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
         "curation_split_leakage": q_curation_split_leakage,
         "curation_chunk_manifest": q_curation_chunk_manifest,
@@ -6325,6 +6376,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_embedding_centroid": SQL_DRIFT_EMBEDDING_CENTROID,
         "dedup_spans_boilerplate_docs": SQL_DEDUP_SPANS_BOILERPLATE_DOCS,
         "dedup_layout_docs": SQL_DEDUP_LAYOUT_DOCS,
+        "layout_diversity_docs": SQL_LAYOUT_DIVERSITY_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
         "curation_split_leakage": SQL_CURATION_SPLIT_LEAKAGE,
         "curation_chunk_manifest": SQL_CURATION_CHUNK_MANIFEST,

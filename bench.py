@@ -172,6 +172,7 @@ HEADLINE = [
     "interleaved_token_costs",
     "curation_split_leakage",
     "curation_chunk_manifest",
+    "layout_diversity_docs",
 ]
 
 

@@ -42,6 +42,9 @@ __all__ = [
     "span_structure_drift",
     "layout_fingerprint",
     "layout_clusters",
+    "layout_census",
+    "merge_layout_census",
+    "layout_diversity",
     "span_token_costs",
     "pack_interleaved",
 ]
@@ -332,6 +335,51 @@ def layout_clusters(
             F.max("__n").alias("n_spans"),  # equal within a layout cluster
         )
         .filter(F.col("cluster_size") >= min_cluster)
+    )
+
+
+def layout_census(
+    df: DataFrame,
+    group_col: str = "source",
+    spans_col: str = "spans",
+    len_bucket: int = 16,
+) -> DataFrame:
+    """Per-group structural-template census: [group, layout_key, n_docs] --
+    how many documents of each group share each layout fingerprint. ONE
+    groupBy on (group, 8-byte key) with map-side combine (a template stamped
+    over millions of docs is exactly the hot key the combine absorbs).
+    Sum-mergeable across increments under docs-arrive-whole: fold a crawl
+    increment's census into the standing one instead of re-scanning."""
+    lf = layout_fingerprint(df, spans_col, len_bucket)
+    return (
+        lf.select(F.col(group_col).alias("group"), "layout_key")
+        .groupBy("group", "layout_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def merge_layout_census(*censuses: DataFrame) -> DataFrame:
+    """Sum-merge layout censuses (standing-index update path; exact because
+    every document contributes its one fingerprint exactly once)."""
+    u = censuses[0]
+    for c in censuses[1:]:
+        u = u.unionByName(c)
+    return u.groupBy("group", "layout_key").agg(F.sum("n_docs").alias("n_docs"))
+
+
+def layout_diversity(census: DataFrame) -> DataFrame:
+    """Template-diversity rollup of a ``layout_census``: per group the doc
+    count, distinct-layout count, ``template_ratio`` = 1 - layouts/docs
+    (0 = every doc its own structure, -> 1 = one template stamped everywhere)
+    and ``top_layout_share`` = the hottest template's share of the group --
+    the template-farm detector for source-level curation. Input is the
+    already-bounded census, so this costs one tiny groupBy however large the
+    corpus was."""
+    return census.groupBy("group").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_layouts"),
+        (1.0 - F.count(F.lit(1)) / F.sum("n_docs")).alias("template_ratio"),
+        (F.max("n_docs") / F.sum("n_docs")).alias("top_layout_share"),
     )
 
 

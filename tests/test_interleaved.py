@@ -328,3 +328,34 @@ def test_pack_interleaved_matches_pack_sequences(spark, docs):
     total = sum(r["n_tokens"] for r in rows)
     last = rows[-1]
     assert last["chunk_id"] * 4 + last["chunk_offset"] + last["n_tokens"] == total
+
+
+def test_layout_census_merge_law_and_diversity(spark, layout_docs):
+    from pyspark_validator.pipelines.interleaved import (
+        layout_census,
+        layout_diversity,
+        merge_layout_census,
+    )
+
+    tagged = layout_docs.withColumn(
+        "source", F.when(F.col("doc_id") < "t2", "A").otherwise("B")
+    )
+    full = layout_census(tagged, "source")
+    got = {(r["group"], r["layout_key"]): r["n_docs"] for r in full.collect()}
+    # A = {t0, t1} share one layout; B = {t2, t3, t4} all distinct
+    assert sorted(got.values()) == [1, 1, 1, 2]
+
+    # sum-merge law: census(all) == merge(census(half1), census(half2))
+    h1 = tagged.filter(F.col("doc_id").isin("t0", "t2", "t4"))
+    h2 = tagged.filter(F.col("doc_id").isin("t1", "t3"))
+    merged = merge_layout_census(layout_census(h1, "source"), layout_census(h2, "source"))
+    got_m = {(r["group"], r["layout_key"]): r["n_docs"] for r in merged.collect()}
+    assert got_m == got
+
+    div = {r["group"]: r for r in layout_diversity(full).collect()}
+    assert div["A"]["n_docs"] == 2 and div["A"]["n_layouts"] == 1
+    assert div["A"]["template_ratio"] == pytest.approx(0.5)
+    assert div["A"]["top_layout_share"] == pytest.approx(1.0)
+    assert div["B"]["n_docs"] == 3 and div["B"]["n_layouts"] == 3
+    assert div["B"]["template_ratio"] == pytest.approx(0.0)
+    assert div["B"]["top_layout_share"] == pytest.approx(1 / 3)
