@@ -305,6 +305,54 @@ class FusedPass:
         merges.update({f"{n}__n_{kind}": "sum" for kind in counts})
         return self._add(_Member(n, exprs, merges, finish))
 
+    def add_token_budget(
+        self,
+        name: str,
+        spans_col: str = "spans",
+        media_token_cost: int = 256,
+        max_tokens: int | None = None,
+    ) -> "FusedPass":
+        """Multimodal token accounting on the interleaved shape
+        (pipelines/interleaved.py::span_token_costs as pure-sum partials):
+        per partition the doc count, text-token total, media-span total and
+        combined cost (text + media_token_cost per media span). ``holds``
+        gates the partition's combined cost against ``max_tokens`` (None =
+        informational, always holds). Folds deltas AND retracts deletes
+        through IncrementalFused, so the corpus token budget stays live at
+        delta cost."""
+        from pyspark_validator.pipelines.interleaved import token_cost_columns
+
+        n = _ident(name)
+        text_toks, n_media = token_cost_columns(spans_col)
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n}__n_docs"),
+            F.sum(text_toks).alias(f"{n}__n_text_tokens"),
+            F.sum(n_media).alias(f"{n}__n_media_spans"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            text = F.col(f"{n}__n_text_tokens")
+            media = F.col(f"{n}__n_media_spans")
+            total = (text + media * F.lit(media_token_cost)).cast("bigint")
+            holds = (
+                F.lit(True) if max_tokens is None else total <= F.lit(max_tokens)
+            )
+            return g.select(
+                "partition_id",
+                holds.alias("holds"),
+                F.col(f"{n}__n_docs").alias("n_docs"),
+                text.alias("n_text_tokens"),
+                media.alias("n_media_spans"),
+                total.alias("n_tokens"),
+            )
+
+        merges = {
+            f"{n}__n_docs": "sum",
+            f"{n}__n_text_tokens": "sum",
+            f"{n}__n_media_spans": "sum",
+        }
+        return self._add(_Member(n, exprs, merges, finish))
+
     def add_type_conformance(
         self,
         name: str,

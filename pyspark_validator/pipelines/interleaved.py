@@ -383,6 +383,22 @@ def layout_diversity(census: DataFrame) -> DataFrame:
     )
 
 
+def token_cost_columns(spans_col: str = "spans") -> tuple[F.Column, F.Column]:
+    """The two per-row accounting exprs behind ``span_token_costs`` --
+    (BPE-ish text-token count, media-span count) -- exposed so the fused
+    incremental engine can sum them as pure partials."""
+    from .text import bpe_token_count
+
+    spans = F.col(spans_col)
+    text_toks = F.aggregate(
+        F.transform(spans, lambda s: F.coalesce(bpe_token_count(s["text"]), F.lit(0))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_media = F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull())).cast("long")
+    return text_toks, n_media
+
+
 def span_token_costs(
     df: DataFrame,
     spans_col: str = "spans",
@@ -395,15 +411,7 @@ def span_token_costs(
     multimodal context window). Adds ``n_text_tokens``, ``n_media_spans`` and
     ``out_col`` = text + media cost. Pure per-row exprs, zero shuffle -- the
     budget input for ``pack_interleaved`` and token-budget curation."""
-    from .text import bpe_token_count
-
-    spans = F.col(spans_col)
-    text_toks = F.aggregate(
-        F.transform(spans, lambda s: F.coalesce(bpe_token_count(s["text"]), F.lit(0))),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    n_media = F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull())).cast("long")
+    text_toks, n_media = token_cost_columns(spans_col)
     return (
         df.withColumn("n_text_tokens", text_toks)
         .withColumn("n_media_spans", n_media)

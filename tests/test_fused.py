@@ -553,3 +553,61 @@ def test_fused_pii_budget_member(spark, tmp_path):
         F.sum("n_pii_docs"), F.sum("n_rows")
     ).collect()[0]
     assert (after_del[0], after_del[1]) == (0, 20)
+
+
+def test_fused_token_budget_member(spark, tmp_path):
+    """add_token_budget: totals equal the standalone span_token_costs rollup;
+    pure-sum partials fold deltas AND retract deletes exactly; max_tokens
+    gates the combined cost."""
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+    from pyspark_validator.pipelines.interleaved import span_token_costs
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        (f"d{i}", [sp("text", "five words of plain text", None, 0),
+                   sp("image", None, f"media://image/{i}", 50)])
+        for i in range(12)
+    ] + [("empty", [])]
+    df = spark.createDataFrame(rows, schema)
+
+    def fp(d, max_tokens=None):
+        return FusedPass(d, num_partitions=4, partition_key="doc_id").add_token_budget(
+            "tok", media_token_cost=10, max_tokens=max_tokens
+        )
+
+    v = fp(df).verdicts()["tok"]
+    agg = v.agg(
+        F.sum("n_docs"), F.sum("n_text_tokens"), F.sum("n_media_spans"), F.sum("n_tokens")
+    ).collect()[0]
+    direct = span_token_costs(df, media_token_cost=10).agg(
+        F.count(F.lit(1)), F.sum("n_text_tokens"), F.sum("n_media_spans"), F.sum("n_tokens")
+    ).collect()[0]
+    assert tuple(agg) == tuple(direct) == (13, 60, 12, 180)
+    assert v.filter(~F.col("holds")).count() == 0  # informational mode
+
+    # gate: with max_tokens=10 some partition must exceed
+    v2 = fp(df, max_tokens=10).verdicts()["tok"]
+    assert v2.filter(~F.col("holds")).count() >= 1
+
+    # incremental fold + retract
+    base = df.filter(F.col("doc_id") < "d6")
+    delta = df.filter(F.col("doc_id") >= "d6")
+    inc = IncrementalFused(fp(base), str(tmp_path / "tok_state"))
+    inc.initialize()
+    inc.apply_delta(inserts=delta)
+    assert inc.verdicts()["tok"].agg(F.sum("n_tokens")).collect()[0][0] == 180
+    inc.apply_delta(deletes=delta)
+    after = inc.verdicts()["tok"].agg(
+        F.sum("n_tokens"), F.sum("n_docs")
+    ).collect()[0]
+    base_direct = span_token_costs(base, media_token_cost=10).agg(
+        F.sum("n_tokens"), F.count(F.lit(1))
+    ).collect()[0]
+    assert tuple(after) == tuple(base_direct)
