@@ -814,6 +814,13 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
             spans_col=params.get("spans_col", "spans"),
             kinds=params.get("kinds"),
         )
+    elif kind == "token_budget":
+        p.add_token_budget(
+            name,
+            spans_col=params.get("spans_col", "spans"),
+            media_token_cost=params.get("media_token_cost", 256),
+            max_tokens=params.get("max_tokens"),
+        )
     elif kind == "pii_budget":
         p.add_pii_budget(
             name,

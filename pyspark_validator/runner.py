@@ -275,6 +275,8 @@ class ValidationSuite:
             "histogram_drift",
             "type_conformance",
             "span_integrity",
+            "pii_budget",
+            "token_budget",
         ):
             # agg-shaped kinds whose only home is fused.py: run each as its
             # own single-member pass so they work without "fuse": true too

@@ -611,3 +611,50 @@ def test_fused_token_budget_member(spark, tmp_path):
         F.sum("n_tokens"), F.count(F.lit(1))
     ).collect()[0]
     assert tuple(after) == tuple(base_direct)
+
+
+def test_runner_budget_kinds_standalone(spark):
+    """pii_budget and token_budget specs work through plain run() (no
+    "fuse": true) via single-member passes."""
+    from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        (
+            f"d{i}",
+            [{"kind": "text", "text": "plain words here", "media_ref": None,
+              "offset": 0}],
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    suite = ValidationSuite(spark, df, num_partitions=4, doc_id_col="doc_id")
+    res = suite.run(
+        [
+            CheckSpec(
+                name="tok",
+                kind="token_budget",
+                params={"media_token_cost": 7, "max_tokens": 1000},
+            ),
+        ]
+    )
+    tok = res["tok"].collect()
+    assert sum(r.n_tokens for r in tok) == 24  # 3 tokens x 8 docs, no media
+    assert all(r.holds for r in tok)
+
+    # pii_budget rides the FLAT-table path (canonicalize passes text through)
+    flat = spark.createDataFrame(
+        [(f"d{i}", "plain words here") for i in range(7)]
+        + [("d9", "mail a@b.io now")],
+        "doc_id string, text string",
+    )
+    suite2 = ValidationSuite(spark, flat, num_partitions=4, doc_id_col="doc_id")
+    res2 = suite2.run(
+        [CheckSpec(name="pii", kind="pii_budget", params={})]
+    )
+    pii = res2["pii"].collect()
+    assert sum(r.n_pii_docs for r in pii) == 1
+    assert any(not r.holds for r in pii)  # default max_doc_fraction=0.0
