@@ -6088,6 +6088,60 @@ FROM c
 """
 
 
+def q_interleaved_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-aligned greedy context chunking (pipelines/interleaved.py::
+    chunk_interleaved): consecutive offset-ordered spans packed until the
+    multimodal budget (text BPE + 16 tokens per media span) would overflow;
+    media spans land whole. Multi-copy doc ids are filtered so doc_id keys
+    the per-doc chain. The oracle replays the greedy fold as a per-doc
+    recursive-CTE chain DP and md5-compares each chunk's canonical span
+    encoding."""
+    from pyspark_validator.canonical import span_seq_expr
+    from pyspark_validator.pipelines.interleaved import chunk_interleaved
+
+    ds = _docs_spans(spark, sf_dir)
+    did = F.substring("doc_id", 5, 12).cast("long")
+    out = chunk_interleaved(
+        ds.filter(did % 100 != 0), chunk_tokens=24, media_token_cost=16
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_spans",
+        "n_tokens",
+        F.md5(span_seq_expr("spans")).alias("spans_md5"),
+    )
+
+
+SQL_INTERLEAVED_CHUNK_DOCS = f"""
+WITH RECURSIVE {DOCS_SPANS_SQL.strip()},
+base AS (
+  SELECT doc_id, str_split(span_seq, chr(30)) AS sp
+  FROM docs_spans WHERE CAST(substr(doc_id, 5) AS BIGINT) % 100 <> 0
+),
+el AS (
+  SELECT doc_id, u.pos, sp[u.pos] AS el,
+         CASE WHEN str_split(sp[u.pos], chr(31))[3] <> chr(0)||'N' THEN 16
+              ELSE length(regexp_extract_all(str_split(sp[u.pos], chr(31))[2], '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END AS cost
+  FROM base, LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS pos) u
+),
+rec AS (
+  SELECT doc_id, 1 AS pos, cost AS cur, 0 AS chunk FROM el WHERE pos = 1
+  UNION ALL
+  SELECT r.doc_id, r.pos + 1,
+         CASE WHEN r.cur > 0 AND r.cur + e.cost > 24 THEN e.cost ELSE r.cur + e.cost END,
+         CASE WHEN r.cur > 0 AND r.cur + e.cost > 24 THEN r.chunk + 1 ELSE r.chunk END
+  FROM rec r JOIN el e ON e.doc_id = r.doc_id AND e.pos = r.pos + 1
+)
+SELECT r.doc_id, CAST(r.chunk AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e.cost) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list(e.el ORDER BY e.pos), chr(30))) AS spans_md5
+FROM rec r JOIN el e ON e.doc_id = r.doc_id AND e.pos = r.pos
+GROUP BY r.doc_id, r.chunk
+"""
+
+
 def q_curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split duplicate-leakage audit (pipelines/curation.py::
     split_leakage over pipelines/dedup.py::exact_duplicate_pairs): the
@@ -6239,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_layout_docs": q_dedup_layout_docs,
         "layout_diversity_docs": q_layout_diversity_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
+        "interleaved_chunk_docs": q_interleaved_chunk_docs,
         "curation_split_leakage": q_curation_split_leakage,
         "curation_chunk_manifest": q_curation_chunk_manifest,
         "dedup_dup_spans_docs": q_dedup_dup_spans_docs,
@@ -6378,6 +6433,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_layout_docs": SQL_DEDUP_LAYOUT_DOCS,
         "layout_diversity_docs": SQL_LAYOUT_DIVERSITY_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
+        "interleaved_chunk_docs": SQL_INTERLEAVED_CHUNK_DOCS,
         "curation_split_leakage": SQL_CURATION_SPLIT_LEAKAGE,
         "curation_chunk_manifest": SQL_CURATION_CHUNK_MANIFEST,
         "dedup_dup_spans_docs": SQL_DEDUP_DUP_SPANS_DOCS,

@@ -173,6 +173,7 @@ HEADLINE = [
     "curation_split_leakage",
     "curation_chunk_manifest",
     "layout_diversity_docs",
+    "interleaved_chunk_docs",
 ]
 
 

@@ -47,6 +47,8 @@ __all__ = [
     "layout_diversity",
     "span_token_costs",
     "pack_interleaved",
+    "chunk_interleaved",
+    "token_cost_columns",
 ]
 
 
@@ -421,6 +423,108 @@ def span_token_costs(
                 "bigint"
             ),
         )
+    )
+
+
+def chunk_interleaved(
+    df: DataFrame,
+    chunk_tokens: int = 8192,
+    media_token_cost: int = 256,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each interleaved document into SPAN-ALIGNED context windows:
+    consecutive offset-ordered spans are packed greedily until the multimodal
+    token budget (text BPE-ish count + flat ``media_token_cost`` per media
+    span) would overflow, then a new chunk starts. Spans are never split --
+    a single span costlier than the whole budget gets its own chunk -- so a
+    media span always lands whole in exactly one window. The WITHIN-doc
+    counterpart of ``pack_interleaved`` (which packs docs into chunks): run
+    this first when single documents exceed the context window.
+
+    One output row per (doc, chunk): [id_col, chunk_id, spans, n_spans,
+    n_tokens]. Documents with empty span arrays emit no chunks. The greedy
+    fold, the chunk partition and the per-chunk stats are all per-row array
+    exprs behind explode barriers + ONE Generate -- zero shuffle."""
+    from .text import bpe_token_count
+
+    costed_expr = F.transform(
+        _ordered_spans(spans_col),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+            F.when(
+                s["media_ref"].isNotNull(),
+                F.lit(media_token_cost).cast("bigint"),
+            )
+            .otherwise(F.coalesce(bpe_token_count(s["text"]), F.lit(0)).cast("bigint"))
+            .alias("cost"),
+        ),
+    )
+    # barrier 1: the costed array is referenced many times downstream --
+    # explode(array(.)) stops CollapseProject re-inlining it per use
+    d1 = df.select(
+        F.col(id_col), F.explode(F.array(costed_expr)).alias("__costed")
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("cur"),
+        F.lit(0).cast("bigint").alias("chunk"),
+        F.array().cast("array<bigint>").alias("ids"),
+    )
+
+    def fold(acc, s):
+        overflow = (acc["cur"] > 0) & (acc["cur"] + s["cost"] > chunk_tokens)
+        nxt_chunk = F.when(overflow, acc["chunk"] + 1).otherwise(acc["chunk"])
+        return F.struct(
+            F.when(overflow, s["cost"]).otherwise(acc["cur"] + s["cost"]).alias("cur"),
+            nxt_chunk.alias("chunk"),
+            F.concat(acc["ids"], F.array(nxt_chunk)).alias("ids"),
+        )
+
+    # barrier 2: the fold result feeds both the zip and the chunk count
+    d2 = d1.select(
+        id_col,
+        "__costed",
+        F.explode(F.array(F.aggregate(F.col("__costed"), acc0, fold))).alias("__acc"),
+    )
+    zipped = F.zip_with(
+        F.col("__costed"),
+        F.col("__acc.ids"),
+        lambda s, i: F.struct(i.alias("cid"), s.alias("s")),
+    )
+    chunks = F.when(
+        F.size("__costed") > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.col("__acc.chunk")),
+            lambda c: F.filter(zipped, lambda z: z["cid"] == c),
+        ),
+    ).otherwise(F.array().cast(
+        "array<array<struct<cid:bigint,s:struct<kind:string,text:string,"
+        "media_ref:string,offset:int,cost:bigint>>>>"
+    ))
+    d3 = d2.select(id_col, F.posexplode(chunks).alias("chunk_id", "__chunk"))
+    spans_out = F.transform(
+        F.col("__chunk"),
+        lambda z: F.struct(
+            z["s"]["kind"].alias("kind"),
+            z["s"]["text"].alias("text"),
+            z["s"]["media_ref"].alias("media_ref"),
+            z["s"]["offset"].alias("offset"),
+        ),
+    )
+    n_tokens = F.aggregate(
+        F.col("__chunk"),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z["s"]["cost"],
+    )
+    return d3.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        spans_out.alias(spans_col),
+        F.size("__chunk").cast("bigint").alias("n_spans"),
+        n_tokens.alias("n_tokens"),
     )
 
 

@@ -359,3 +359,101 @@ def test_layout_census_merge_law_and_diversity(spark, layout_docs):
     assert div["B"]["n_docs"] == 3 and div["B"]["n_layouts"] == 3
     assert div["B"]["template_ratio"] == pytest.approx(0.0)
     assert div["B"]["top_layout_share"] == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# span-aligned greedy chunking
+
+
+def _py_greedy(costs, budget):
+    ids, cur, chunk = [], 0, 0
+    for c in costs:
+        if cur > 0 and cur + c > budget:
+            chunk, cur = chunk + 1, 0
+        ids.append(chunk)
+        cur += c
+    return ids
+
+
+def test_chunk_interleaved_python_oracle(spark):
+    import re
+
+    from pyspark_validator.pipelines.interleaved import chunk_interleaved
+    from pyspark_validator.pipelines.text import BPE_TOKEN_PATTERN
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    texts = ["one two three", "four five", "six", "seven eight nine ten", "x"]
+    rows = []
+    docs = {}
+    for d in range(4):
+        spans, costs = [], []
+        for i in range(d + 2):
+            t = texts[(d + i) % len(texts)]
+            if (d + i) % 3 == 0:
+                spans.append(sp("image", None, f"m://{d}/{i}", i * 100))
+                costs.append(5)
+            else:
+                spans.append(sp("text", t, None, i * 100))
+                costs.append(len(re.findall(BPE_TOKEN_PATTERN, t)))
+        rows.append((f"d{d}", spans))
+        docs[f"d{d}"] = (spans, costs)
+    rows.append(("empty", []))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = chunk_interleaved(df, chunk_tokens=6, media_token_cost=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+            r["n_spans"],
+            r["n_tokens"],
+        )
+    assert "empty" not in got
+    for d, (spans, costs) in docs.items():
+        ids = _py_greedy(costs, 6)
+        want_chunks = {}
+        for i, cid in enumerate(ids):
+            want_chunks.setdefault(cid, []).append(i)
+        assert set(got[d]) == set(want_chunks), d
+        for cid, idxs in want_chunks.items():
+            w_spans = [
+                (spans[i]["kind"], spans[i]["text"], spans[i]["media_ref"],
+                 spans[i]["offset"])
+                for i in idxs
+            ]
+            assert got[d][cid] == (w_spans, len(idxs), sum(costs[i] for i in idxs)), (d, cid)
+
+
+def test_chunk_interleaved_laws(spark, docs):
+    from pyspark_validator.pipelines.interleaved import (
+        chunk_interleaved,
+        span_token_costs,
+    )
+
+    out = chunk_interleaved(docs, chunk_tokens=3, media_token_cost=2)
+    rows = out.collect()
+    # budget law: a chunk exceeds the budget only when it is a single span
+    for r in rows:
+        assert r["n_tokens"] <= 3 or r["n_spans"] == 1, r
+    # conservation law: concatenating a doc's chunks (chunk order) rebuilds
+    # the offset-ordered span sequence, and token totals match
+    per_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        per_doc.setdefault(r["doc_id"], []).extend(
+            (s["kind"], s["offset"]) for s in r["spans"]
+        )
+    tot = {
+        r["doc_id"]: r["n_tokens"]
+        for r in span_token_costs(docs, media_token_cost=2).collect()
+    }
+    chunk_tot = {}
+    for r in rows:
+        chunk_tot[r["doc_id"]] = chunk_tot.get(r["doc_id"], 0) + r["n_tokens"]
+    for d, seq in per_doc.items():
+        assert seq == sorted(seq, key=lambda t: t[1]), d
+        assert chunk_tot[d] == tot[d], d
