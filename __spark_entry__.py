@@ -6056,6 +6056,64 @@ FROM census GROUP BY source
 """
 
 
+def q_drift_layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-distribution drift (pipelines/interleaved.py::layout_drift):
+    PSI + chi2 over per-layout doc counts between the even/odd doc-id
+    snapshots -- the finer-grained companion of span_structure_drift (a
+    template family shifting share trips it even with an unchanged aggregate
+    transition mix). The oracle rebuilds the layout strings and replays both
+    formulas in SQL (bucket labels don't enter the sums, so string-vs-hash
+    bucketing agrees)."""
+    from pyspark_validator.pipelines.interleaved import layout_drift
+
+    ds = _docs_spans(spark, sf_dir)
+    num = F.substring("doc_id", 5, 12).cast("long")
+    out = layout_drift(ds.filter(num % 2 == 0), ds.filter(num % 2 == 1))
+    return out.select(
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("chi2"), 6).alias("chi2"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_LAYOUT_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+lay AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) % 2 AS side,
+    array_to_string(list_transform(str_split(span_seq, chr(30)),
+      sp -> str_split(sp, chr(31))[1] || '#' ||
+            CASE WHEN str_split(sp, chr(31))[2] = chr(0)||'N' THEN '-'
+                 ELSE CAST(CAST(floor(length(str_split(sp, chr(31))[2]) / 16.0) AS BIGINT) AS VARCHAR) END),
+      '|') AS bucket
+  FROM docs_spans
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM lay GROUP BY bucket
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts),
+terms AS (
+  SELECT
+    ((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+      * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k))) AS psi_t,
+    pow(cnt_b - (cnt_b + cnt_c) * n_b / (n_b + n_c), 2) / ((cnt_b + cnt_c) * n_b / (n_b + n_c))
+      + pow(cnt_c - (cnt_b + cnt_c) * n_c / (n_b + n_c), 2) / ((cnt_b + cnt_c) * n_c / (n_b + n_c)) AS chi_t,
+    n_b, n_c, k
+  FROM counts, tot
+)
+SELECT round(sum(psi_t), 9) AS psi, round(sum(chi_t), 6) AS chi2,
+       CAST(any_value(n_b) AS BIGINT) AS n_b, CAST(any_value(n_c) AS BIGINT) AS n_c,
+       CAST(any_value(k) AS BIGINT) AS n_buckets,
+       sum(psi_t) > 0.2 AS drift_detected
+FROM terms
+"""
+
+
 def q_interleaved_token_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal training-token accounting (pipelines/interleaved.py::
     span_token_costs): text spans cost their BPE-ish token count, media spans
@@ -6292,6 +6350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_boilerplate_docs": q_dedup_spans_boilerplate_docs,
         "dedup_layout_docs": q_dedup_layout_docs,
         "layout_diversity_docs": q_layout_diversity_docs,
+        "drift_layout_docs": q_drift_layout_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
         "interleaved_chunk_docs": q_interleaved_chunk_docs,
         "curation_split_leakage": q_curation_split_leakage,
@@ -6432,6 +6491,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_boilerplate_docs": SQL_DEDUP_SPANS_BOILERPLATE_DOCS,
         "dedup_layout_docs": SQL_DEDUP_LAYOUT_DOCS,
         "layout_diversity_docs": SQL_LAYOUT_DIVERSITY_DOCS,
+        "drift_layout_docs": SQL_DRIFT_LAYOUT_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
         "interleaved_chunk_docs": SQL_INTERLEAVED_CHUNK_DOCS,
         "curation_split_leakage": SQL_CURATION_SPLIT_LEAKAGE,

@@ -45,6 +45,7 @@ __all__ = [
     "layout_census",
     "merge_layout_census",
     "layout_diversity",
+    "layout_drift",
     "span_token_costs",
     "pack_interleaved",
     "chunk_interleaved",
@@ -191,6 +192,44 @@ def span_structure_drift(
         return span_kind_transitions(df, spans_col=spans_col).select(
             F.concat_ws("->", "src", "dst").alias("bucket"),
             F.col("n_transitions").alias(cnt),
+        )
+
+    counts = (
+        census(baseline, "cnt_b")
+        .join(census(current, "cnt_c"), on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+            F.coalesce("cnt_c", F.lit(0)).alias("cnt_c"),
+        )
+    )
+    return _psi_chi2_rollup(counts, [], alpha, psi_threshold)
+
+
+def layout_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    spans_col: str = "spans",
+    len_bucket: int = 16,
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Template-distribution drift between two interleaved snapshots: PSI +
+    chi-square over the per-LAYOUT document counts -- finer-grained than
+    ``span_structure_drift`` (which pools all docs into one kind-transition
+    distribution): a template family gaining or losing share trips this even
+    when the aggregate transition mix is unchanged (e.g. a new boilerplate
+    page shape with the same text/image alternation). Each side folds to its
+    bounded layout census (distinct templates, not corpus size) and the two
+    censuses feed the standard PSI/chi2 rollup as weighted counts."""
+    from ..checks.drift import _psi_chi2_rollup
+
+    def census(df: DataFrame, cnt: str) -> DataFrame:
+        return (
+            layout_fingerprint(df, spans_col, len_bucket)
+            .groupBy("layout_key")
+            .agg(F.count(F.lit(1)).alias(cnt))
+            .select(F.col("layout_key").cast("string").alias("bucket"), cnt)
         )
 
     counts = (

@@ -457,3 +457,18 @@ def test_chunk_interleaved_laws(spark, docs):
     for d, seq in per_doc.items():
         assert seq == sorted(seq, key=lambda t: t[1]), d
         assert chunk_tot[d] == tot[d], d
+
+
+def test_layout_drift_identity_and_shift(spark, layout_docs):
+    from pyspark_validator.pipelines.interleaved import layout_drift
+
+    same = layout_drift(layout_docs, layout_docs).collect()[0]
+    assert same["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert not same["drift_detected"]
+    assert same["n_b"] == same["n_c"] == 5
+
+    # planted shift: current = the template cluster only (t0/t1/t3 layout
+    # takes 100% of the mass) -> PSI well above threshold
+    cur = layout_docs.filter(F.col("doc_id").isin("t0", "t1", "t3"))
+    moved = layout_drift(layout_docs, cur, psi_threshold=0.1).collect()[0]
+    assert moved["psi"] > 0.1 and moved["drift_detected"]
