@@ -6114,6 +6114,113 @@ FROM terms
 """
 
 
+def q_media_context_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-adjacency audit (pipelines/interleaved.py::media_context): one
+    row per media span with prev/next-neighbor-is-text flags and the
+    ``captioned`` verdict (at least one adjacent text span) -- the
+    OBELICS-style image-text pairing signal. Copies share a doc_id, so
+    duplicate rows are expected and compared as a multiset. The oracle
+    replays the neighbor checks with 1-based list indexing (span_seq is
+    already offset-ordered by construction, offset = 64 * position)."""
+    from pyspark_validator.pipelines.interleaved import media_context
+
+    ds = _docs_spans(spark, sf_dir)
+    return media_context(ds).select(
+        "doc_id",
+        F.col("offset").cast("int").alias("offset"),
+        "media_ref",
+        "prev_is_text",
+        "next_is_text",
+        "captioned",
+    )
+
+
+SQL_MEDIA_CONTEXT_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+parts AS (
+  SELECT doc_id, str_split(span_seq, chr(30)) AS ps FROM docs_spans
+),
+ctx AS (
+  SELECT doc_id,
+    CAST((i - 1) * 64 AS INTEGER) AS "offset",
+    str_split(ps[i], chr(31))[3] AS media_ref,
+    CASE WHEN i > 1 THEN str_split(ps[i - 1], chr(31))[3] = chr(0)||'N'
+         ELSE FALSE END AS prev_is_text,
+    CASE WHEN i < len(ps) THEN str_split(ps[i + 1], chr(31))[3] = chr(0)||'N'
+         ELSE FALSE END AS next_is_text
+  FROM parts, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i)
+  WHERE str_split(ps[i], chr(31))[3] <> chr(0)||'N'
+)
+SELECT doc_id, "offset", media_ref, prev_is_text, next_is_text,
+       prev_is_text OR next_is_text AS captioned
+FROM ctx
+"""
+
+
+def q_interleaved_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level multimodal quality gate (pipelines/interleaved.py::
+    interleaved_quality_gate): per-doc span/media/token counts, media
+    fraction, longest consecutive media run, and the three gate flags
+    (media budget / image-wall run / low text). max_media=2 makes the budget
+    flag fire on long media-bearing docs at this SF. The oracle's max-run is
+    a pure list formula: for each media position, run length = distance back
+    to the nearest earlier text position (every slot in between is media by
+    construction of 'nearest')."""
+    from pyspark_validator.pipelines.interleaved import interleaved_quality_gate
+
+    ds = _docs_spans(spark, sf_dir)
+    out = interleaved_quality_gate(
+        ds, max_media=2, max_media_run=3, min_text_tokens=8
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_media_spans",
+        "n_text_tokens",
+        "n_tokens",
+        "max_media_run",
+        _r(F.col("media_fraction"), 9).alias("media_fraction"),
+        "flag_media_budget",
+        "flag_media_run",
+        "flag_low_text",
+        "keep",
+    )
+
+
+SQL_INTERLEAVED_QUALITY_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+parts AS (
+  SELECT doc_id, str_split(span_seq, chr(30)) AS ps FROM docs_spans
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(ps) AS BIGINT) AS n_spans,
+    CAST(len(list_filter(ps, sp -> str_split(sp, chr(31))[3] <> chr(0)||'N')) AS BIGINT)
+      AS n_media_spans,
+    CAST(list_sum(list_transform(ps,
+      sp -> CASE WHEN str_split(sp, chr(31))[2] = chr(0)||'N' THEN 0
+                 ELSE length(regexp_extract_all(str_split(sp, chr(31))[2], '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END)) AS BIGINT)
+      AS n_text_tokens,
+    coalesce(list_max(list_transform(
+      list_filter(range(1, len(ps) + 1),
+                  i -> str_split(ps[i], chr(31))[3] <> chr(0)||'N'),
+      i -> i - coalesce(list_max(list_filter(range(1, len(ps) + 1),
+             j -> j < i AND str_split(ps[j], chr(31))[3] = chr(0)||'N')), 0))),
+      0) AS max_media_run
+  FROM parts
+)
+SELECT doc_id, n_spans, n_media_spans, n_text_tokens,
+  CAST(n_text_tokens + 256 * n_media_spans AS BIGINT) AS n_tokens,
+  CAST(max_media_run AS BIGINT) AS max_media_run,
+  round(1.0 * n_media_spans / n_spans, 9) AS media_fraction,
+  n_media_spans > 2 AS flag_media_budget,
+  max_media_run > 3 AS flag_media_run,
+  n_text_tokens < 8 AS flag_low_text,
+  NOT (n_media_spans > 2 OR max_media_run > 3 OR n_text_tokens < 8) AS keep
+FROM sig
+"""
+
+
 def q_interleaved_token_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal training-token accounting (pipelines/interleaved.py::
     span_token_costs): text spans cost their BPE-ish token count, media spans
@@ -6351,6 +6458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_layout_docs": q_dedup_layout_docs,
         "layout_diversity_docs": q_layout_diversity_docs,
         "drift_layout_docs": q_drift_layout_docs,
+        "media_context_docs": q_media_context_docs,
+        "interleaved_quality_docs": q_interleaved_quality_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
         "interleaved_chunk_docs": q_interleaved_chunk_docs,
         "curation_split_leakage": q_curation_split_leakage,
@@ -6492,6 +6601,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_layout_docs": SQL_DEDUP_LAYOUT_DOCS,
         "layout_diversity_docs": SQL_LAYOUT_DIVERSITY_DOCS,
         "drift_layout_docs": SQL_DRIFT_LAYOUT_DOCS,
+        "media_context_docs": SQL_MEDIA_CONTEXT_DOCS,
+        "interleaved_quality_docs": SQL_INTERLEAVED_QUALITY_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
         "interleaved_chunk_docs": SQL_INTERLEAVED_CHUNK_DOCS,
         "curation_split_leakage": SQL_CURATION_SPLIT_LEAKAGE,

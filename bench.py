@@ -174,6 +174,9 @@ HEADLINE = [
     "curation_chunk_manifest",
     "layout_diversity_docs",
     "interleaved_chunk_docs",
+    "drift_layout_docs",
+    "media_context_docs",
+    "interleaved_quality_docs",
 ]
 
 

@@ -46,6 +46,10 @@ __all__ = [
     "merge_layout_census",
     "layout_diversity",
     "layout_drift",
+    "media_context",
+    "media_context_summary",
+    "interleaved_quality_signals",
+    "interleaved_quality_gate",
     "span_token_costs",
     "pack_interleaved",
     "chunk_interleaved",
@@ -126,6 +130,170 @@ def media_reuse_summary(df: DataFrame, spans_col: str = "spans", id_col: str = "
         F.count(F.lit(1)).cast("long").alias("n_distinct_refs"),
         F.sum((F.col("n_docs") >= hot_docs).cast("long")).alias("n_hot_refs"),
         F.max("n_docs").cast("long").alias("max_doc_reuse"),
+    )
+
+
+def _media_context_items(spans_col: str = "spans") -> F.Column:
+    """Per-media-span caption-adjacency structs over the offset-ordered span
+    array: (offset, media_ref, prev_is_text, next_is_text). A span is "media"
+    iff media_ref is non-null (the same definition token accounting uses);
+    a neighbor is "text" iff its media_ref is null. ``F.get`` is NULL-safe on
+    out-of-range indices but a NULL struct's field access is NULL too, so the
+    boundary guards are explicit ``i > 0`` / ``i < n-1`` whens."""
+    sp = F.col("_mc_sp")
+    n = F.size(sp)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(sp, i)["offset"].alias("offset"),
+                F.get(sp, i)["media_ref"].alias("media_ref"),
+                F.when(i > 0, F.get(sp, i - 1)["media_ref"].isNull())
+                .otherwise(F.lit(False))
+                .alias("prev_is_text"),
+                F.when(i < n - 1, F.get(sp, i + 1)["media_ref"].isNull())
+                .otherwise(F.lit(False))
+                .alias("next_is_text"),
+            ),
+        ),
+        lambda s: s["media_ref"].isNotNull(),
+    )
+
+
+def _with_ordered_barrier(df: DataFrame, spans_col: str) -> DataFrame:
+    # explode(array(e)) barrier: _ordered_spans is referenced many times per
+    # element downstream; without the Generate, CollapseProject re-inlines the
+    # array_sort PER REFERENCE (the measured 20x family -- see curation.py).
+    return df.withColumn("_mc_sp", F.explode(F.array(_ordered_spans(spans_col))))
+
+
+def media_context(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Caption/alt-text adjacency audit for multimodal curation (the
+    OBELICS-style image-text pairing signal): one row per MEDIA span --
+    [id, offset, media_ref, prev_is_text, next_is_text, captioned] where
+    ``captioned`` means at least one offset-adjacent span is text. Isolated
+    media (no adjacent text anywhere) is the classic symptom of an extractor
+    that drops surrounding prose; such spans carry no alignment signal for
+    image-text training. Text spans are filtered BEFORE the Generate, so the
+    exploded volume is the media span count; zero shuffle."""
+    items = _media_context_items(spans_col)
+    return (
+        _with_ordered_barrier(df, spans_col)
+        .select(F.col(id_col).alias(id_col), F.explode(items).alias("m"))
+        .select(
+            id_col,
+            F.col("m.offset").alias("offset"),
+            F.col("m.media_ref").alias("media_ref"),
+            F.col("m.prev_is_text").alias("prev_is_text"),
+            F.col("m.next_is_text").alias("next_is_text"),
+            (F.col("m.prev_is_text") | F.col("m.next_is_text")).alias("captioned"),
+        )
+    )
+
+
+def media_context_summary(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus rollup of the caption-adjacency audit: total media
+    spans, captioned / isolated counts and the caption ratio. Computed from
+    per-row array sizes (no explode at all): one single-row agg with map-side
+    partials -- the shuffle carries one row per task."""
+    items = _media_context_items(spans_col)
+    per_doc = _with_ordered_barrier(df, spans_col).select(
+        F.size(items).cast("long").alias("_n_media"),
+        F.size(
+            F.filter(items, lambda s: s["prev_is_text"] | s["next_is_text"])
+        )
+        .cast("long")
+        .alias("_n_captioned"),
+    )
+    return per_doc.agg(
+        F.sum("_n_media").alias("n_media"),
+        F.sum("_n_captioned").alias("n_captioned"),
+        (F.sum("_n_media") - F.sum("_n_captioned")).alias("n_isolated"),
+        F.try_divide(F.sum("_n_captioned"), F.sum("_n_media")).alias(
+            "caption_ratio"
+        ),
+    )
+
+
+def interleaved_quality_signals(
+    df: DataFrame,
+    spans_col: str = "spans",
+    media_token_cost: int = 256,
+) -> DataFrame:
+    """Per-doc multimodal quality signals (the MMC4/OBELICS document-level
+    gate inputs): span/media/text-token counts, the media fraction, and
+    ``max_media_run`` -- the longest run of consecutive media spans (an
+    image-wall/gallery-spam detector: a doc whose spans are mostly
+    back-to-back images carries no interleaved alignment signal). All pure
+    per-row exprs behind one Generate barrier; the run length is a single
+    array fold, zero shuffle."""
+    text_toks, n_media = token_cost_columns(spans_col)
+    sp = F.col("_mc_sp")
+    run = F.aggregate(
+        F.transform(sp, lambda s: s["media_ref"].isNotNull()),
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda acc, m: F.struct(
+            F.when(m, acc["cur"] + 1).otherwise(F.lit(0)).alias("cur"),
+            F.greatest(
+                acc["best"], F.when(m, acc["cur"] + 1).otherwise(F.lit(0))
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        _with_ordered_barrier(df, spans_col)
+        .withColumn("n_spans", F.size(sp).cast("long"))
+        .withColumn("n_media_spans", n_media)
+        .withColumn("n_text_tokens", text_toks)
+        .withColumn(
+            "n_tokens",
+            (
+                F.col("n_text_tokens")
+                + F.col("n_media_spans") * F.lit(media_token_cost)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "media_fraction", F.try_divide(F.col("n_media_spans"), F.col("n_spans"))
+        )
+        .withColumn("max_media_run", run.cast("long"))
+        .drop("_mc_sp")
+    )
+
+
+def interleaved_quality_gate(
+    df: DataFrame,
+    spans_col: str = "spans",
+    max_media: int = 32,
+    max_media_run: int = 3,
+    min_text_tokens: int = 8,
+    media_token_cost: int = 256,
+) -> DataFrame:
+    """Document-level multimodal quality gate over the signals: flags docs
+    whose media count exceeds ``max_media`` (gallery pages), whose longest
+    consecutive media run exceeds ``max_media_run`` (image walls), or whose
+    text mass is under ``min_text_tokens`` (no alignment signal). Adds the
+    three flag columns and ``keep`` (no flag fired); filter on ``keep`` to
+    apply. Per-row exprs only -- composes with any scan without a shuffle."""
+    out = interleaved_quality_signals(df, spans_col, media_token_cost)
+    return (
+        out.withColumn("flag_media_budget", F.col("n_media_spans") > max_media)
+        .withColumn("flag_media_run", F.col("max_media_run") > max_media_run)
+        .withColumn("flag_low_text", F.col("n_text_tokens") < min_text_tokens)
+        .withColumn(
+            "keep",
+            ~(
+                F.col("flag_media_budget")
+                | F.col("flag_media_run")
+                | F.col("flag_low_text")
+            ),
+        )
     )
 
 

@@ -472,3 +472,62 @@ def test_layout_drift_identity_and_shift(spark, layout_docs):
     cur = layout_docs.filter(F.col("doc_id").isin("t0", "t1", "t3"))
     moved = layout_drift(layout_docs, cur, psi_threshold=0.1).collect()[0]
     assert moved["psi"] > 0.1 and moved["drift_detected"]
+
+
+def test_media_context_rows_and_summary(spark, docs):
+    from pyspark_validator.pipelines.interleaved import (
+        media_context,
+        media_context_summary,
+    )
+
+    rows = {
+        (r["doc_id"], r["offset"]): (
+            r["prev_is_text"],
+            r["next_is_text"],
+            r["captioned"],
+        )
+        for r in media_context(docs).collect()
+    }
+    # d0 sorts to text(0) image(64) text(128): both neighbors text.
+    # d1 single image: isolated. d3: image@64 captioned on the left only,
+    # image@128 preceded by an image and at the doc edge: isolated.
+    assert rows == {
+        ("d0", 64): (True, True, True),
+        ("d1", 0): (False, False, False),
+        ("d3", 64): (True, False, True),
+        ("d3", 128): (False, False, False),
+    }
+    s = media_context_summary(docs).collect()[0]
+    assert (s["n_media"], s["n_captioned"], s["n_isolated"]) == (4, 2, 2)
+    assert s["caption_ratio"] == pytest.approx(0.5)
+
+
+def test_interleaved_quality_gate(spark, docs):
+    from pyspark_validator.pipelines.interleaved import interleaved_quality_gate
+
+    out = {
+        r["doc_id"]: r
+        for r in interleaved_quality_gate(
+            docs, max_media=2, max_media_run=1, min_text_tokens=1
+        ).collect()
+    }
+    assert out["d0"]["n_spans"] == 3 and out["d0"]["n_media_spans"] == 1
+    assert out["d0"]["n_text_tokens"] == 2 and out["d0"]["max_media_run"] == 1
+    assert out["d0"]["keep"]
+    # d1: single isolated image, no text -> low-text flag only
+    assert out["d1"]["flag_low_text"] and not out["d1"]["flag_media_run"]
+    assert not out["d1"]["keep"] and out["d1"]["max_media_run"] == 1
+    # d2: empty span list -> zero everything, low-text
+    assert out["d2"]["n_spans"] == 0 and out["d2"]["max_media_run"] == 0
+    assert out["d2"]["media_fraction"] is None and not out["d2"]["keep"]
+    # d3: image-image run of 2 trips the run flag at max_media_run=1 but
+    # respects the media budget (2 <= 2)
+    assert out["d3"]["max_media_run"] == 2 and out["d3"]["flag_media_run"]
+    assert not out["d3"]["flag_media_budget"] and not out["d3"]["keep"]
+    assert out["d3"]["media_fraction"] == pytest.approx(2 / 3)
+    # budget knob: max_media=1 flags d3 too
+    strict = {
+        r["doc_id"]: r["flag_media_budget"]
+        for r in interleaved_quality_gate(docs, max_media=1).collect()
+    }
+    assert strict == {"d0": False, "d1": False, "d2": False, "d3": True}
