@@ -501,3 +501,27 @@ def test_chunk_manifest_no_extra_shuffle_after_pack(spark, tables):
     plan = _plan(chunk_manifest(packed, chunk_tokens=512))
     assert _count(plan, "Exchange") == base  # Generate adds zero shuffles
     assert _count(plan, "Generate") == 1
+
+
+def test_media_context_and_quality_gate_exchange_free(spark):
+    from pyspark_validator.pipelines.interleaved import (
+        interleaved_quality_gate,
+        media_context,
+        media_context_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "text", "text": "a b", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    # per-span rows and the gate are pure per-row exprs + Generates
+    assert _count(_plan(media_context(docs)), "Exchange") == 0
+    assert _count(_plan(interleaved_quality_gate(docs)), "Exchange") == 0
+    # the summary's single agg is its only shuffle, and the shuffled rows
+    # carry ONLY the two partial-sum longs (never spans)
+    plan = _plan(media_context_summary(docs))
+    assert _count(plan, "Exchange") == 1
+    exch_input = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exch_input and "spans" not in exch_input.group(1)
+    assert len(exch_input.group(1).split(",")) == 2  # the two partial sums
