@@ -6157,6 +6157,47 @@ FROM ctx
 """
 
 
+def q_caption_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair extraction (pipelines/interleaved.py::caption_pairs):
+    per media span with an adjacent text span, the caption taken from the
+    preferred side ('after' = the figure-then-caption web layout, falling
+    back to 'before'). md5 keeps the caption strings out of the diff. The
+    oracle replays the neighbor preference with 1-based list indexing."""
+    from pyspark_validator.pipelines.interleaved import caption_pairs
+
+    ds = _docs_spans(spark, sf_dir)
+    return caption_pairs(ds).select(
+        "doc_id",
+        F.col("offset").cast("int").alias("offset"),
+        "media_ref",
+        F.md5("caption").alias("caption_md5"),
+        "caption_side",
+    )
+
+
+SQL_CAPTION_PAIRS_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+parts AS (
+  SELECT doc_id, str_split(span_seq, chr(30)) AS ps FROM docs_spans
+),
+pairs AS (
+  SELECT doc_id,
+    CAST((i - 1) * 64 AS INTEGER) AS "offset",
+    str_split(ps[i], chr(31))[3] AS media_ref,
+    CASE WHEN i < len(ps) AND str_split(ps[i + 1], chr(31))[3] = chr(0)||'N'
+         THEN str_split(ps[i + 1], chr(31))[2]
+         WHEN i > 1 AND str_split(ps[i - 1], chr(31))[3] = chr(0)||'N'
+         THEN str_split(ps[i - 1], chr(31))[2] END AS caption,
+    CASE WHEN i < len(ps) AND str_split(ps[i + 1], chr(31))[3] = chr(0)||'N'
+         THEN 'after' ELSE 'before' END AS caption_side
+  FROM parts, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i)
+  WHERE str_split(ps[i], chr(31))[3] <> chr(0)||'N'
+)
+SELECT doc_id, "offset", media_ref, md5(caption) AS caption_md5, caption_side
+FROM pairs WHERE caption IS NOT NULL
+"""
+
+
 def q_interleaved_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level multimodal quality gate (pipelines/interleaved.py::
     interleaved_quality_gate): per-doc span/media/token counts, media
@@ -6459,6 +6500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_diversity_docs": q_layout_diversity_docs,
         "drift_layout_docs": q_drift_layout_docs,
         "media_context_docs": q_media_context_docs,
+        "caption_pairs_docs": q_caption_pairs_docs,
         "interleaved_quality_docs": q_interleaved_quality_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
         "interleaved_chunk_docs": q_interleaved_chunk_docs,
@@ -6602,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_diversity_docs": SQL_LAYOUT_DIVERSITY_DOCS,
         "drift_layout_docs": SQL_DRIFT_LAYOUT_DOCS,
         "media_context_docs": SQL_MEDIA_CONTEXT_DOCS,
+        "caption_pairs_docs": SQL_CAPTION_PAIRS_DOCS,
         "interleaved_quality_docs": SQL_INTERLEAVED_QUALITY_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
         "interleaved_chunk_docs": SQL_INTERLEAVED_CHUNK_DOCS,

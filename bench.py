@@ -177,6 +177,7 @@ HEADLINE = [
     "drift_layout_docs",
     "media_context_docs",
     "interleaved_quality_docs",
+    "caption_pairs_docs",
 ]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "layout_drift",
     "media_context",
     "media_context_summary",
+    "caption_pairs",
     "interleaved_quality_signals",
     "interleaved_quality_gate",
     "span_token_costs",
@@ -219,6 +220,68 @@ def media_context_summary(
         F.try_divide(F.sum("_n_captioned"), F.sum("_n_media")).alias(
             "caption_ratio"
         ),
+    )
+
+
+def caption_pairs(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    prefer: str = "after",
+) -> DataFrame:
+    """Image-text pair extraction -- the interleaved -> CLIP-style-pairs
+    bridge: for every media span with at least one offset-adjacent text span,
+    emit [id, offset, media_ref, caption, caption_side] where the caption is
+    the adjacent text span's content. ``prefer`` breaks the both-neighbors
+    tie: 'after' (the common figure-then-caption web layout) or 'before'.
+    Isolated media (no adjacent text -- see ``media_context``) emits nothing.
+    Same zero-shuffle shape as media_context: candidates are built as array
+    structs and filtered before the single Generate."""
+    if prefer not in ("after", "before"):
+        raise ValueError(f"prefer must be 'after' or 'before', got {prefer!r}")
+    sp = F.col("_mc_sp")
+    n = F.size(sp)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def neighbor_text(i, delta):
+        lo = i + delta >= 0 if delta < 0 else F.lit(True)
+        hi = i + delta < n if delta > 0 else F.lit(True)
+        t = F.get(sp, i + delta)["text"]
+        ref = F.get(sp, i + delta)["media_ref"]
+        return F.when(lo & hi & ref.isNull(), t).otherwise(F.lit(None))
+
+    first, second = (1, -1) if prefer == "after" else (-1, 1)
+    items = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(sp, i)["offset"].alias("offset"),
+                F.get(sp, i)["media_ref"].alias("media_ref"),
+                F.coalesce(
+                    neighbor_text(i, first), neighbor_text(i, second)
+                ).alias("caption"),
+                F.when(
+                    neighbor_text(i, first).isNotNull(),
+                    F.lit("after" if prefer == "after" else "before"),
+                )
+                .otherwise(F.lit("before" if prefer == "after" else "after"))
+                .alias("caption_side"),
+            ),
+        ),
+        lambda s: s["media_ref"].isNotNull() & s["caption"].isNotNull(),
+    )
+    return (
+        _with_ordered_barrier(df, spans_col)
+        .select(F.col(id_col).alias(id_col), F.explode(items).alias("m"))
+        .select(
+            id_col,
+            F.col("m.offset").alias("offset"),
+            F.col("m.media_ref").alias("media_ref"),
+            F.col("m.caption").alias("caption"),
+            F.col("m.caption_side").alias("caption_side"),
+        )
     )
 
 

@@ -531,3 +531,26 @@ def test_interleaved_quality_gate(spark, docs):
         for r in interleaved_quality_gate(docs, max_media=1).collect()
     }
     assert strict == {"d0": False, "d1": False, "d2": False, "d3": True}
+
+
+def test_caption_pairs(spark, docs):
+    from pyspark_validator.pipelines.interleaved import caption_pairs
+
+    got = {
+        (r["doc_id"], r["offset"]): (r["media_ref"], r["caption"], r["caption_side"])
+        for r in caption_pairs(docs).collect()
+    }
+    # d0's image has text on both sides: prefer='after' picks "world";
+    # d3@64 only has text before; d1 and d3@128 are isolated -> no rows
+    assert got == {
+        ("d0", 64): ("media://image/7", "world", "after"),
+        ("d3", 64): ("media://image/9", "solo", "before"),
+    }
+    before = {
+        (r["doc_id"], r["offset"]): (r["caption"], r["caption_side"])
+        for r in caption_pairs(docs, prefer="before").collect()
+    }
+    assert before[("d0", 64)] == ("hello", "before")
+    assert before[("d3", 64)] == ("solo", "before")
+    with pytest.raises(ValueError):
+        caption_pairs(docs, prefer="nearest")
