@@ -353,6 +353,74 @@ class FusedPass:
         }
         return self._add(_Member(n, exprs, merges, finish))
 
+    def add_media_context(
+        self,
+        name: str,
+        spans_col: str = "spans",
+        min_caption_ratio: float | None = None,
+    ) -> "FusedPass":
+        """Caption-adjacency accounting on the interleaved shape
+        (pipelines/interleaved.py::media_context_summary as pure-sum
+        partials): per partition the media-span total and how many have an
+        offset-adjacent text span. ``holds`` gates the partition's caption
+        ratio against ``min_caption_ratio`` (None = informational; a
+        partition with zero media always holds). Unlike media_context this
+        avoids per-index array gets (which an agg expr cannot barrier away
+        from CollapseProject re-inlining): adjacency comes from zip_with of
+        the is-text array against its two shifts -- a constant THREE
+        evaluations of the ordered array per row, independent of span count.
+        Folds deltas AND retracts deletes through IncrementalFused."""
+        from .pipelines.interleaved import _ordered_spans
+
+        n_ = _ident(name)
+        sp = _ordered_spans(spans_col)
+        cnt = F.size(sp)
+        is_text = F.transform(sp, lambda s: s["media_ref"].isNull())
+        is_media = F.transform(sp, lambda s: s["media_ref"].isNotNull())
+        shift = F.greatest(cnt - 1, F.lit(0))
+        prev_text = F.concat(F.array(F.lit(False)), F.slice(is_text, 1, shift))
+        next_text = F.concat(
+            F.when(cnt >= 2, F.slice(is_text, 2, shift)).otherwise(
+                F.array().cast("array<boolean>")
+            ),
+            F.array(F.lit(False)),
+        )
+        adj = F.zip_with(prev_text, next_text, lambda a, b: a | b)
+        n_media_doc = F.size(F.filter(is_media, lambda m: m)).cast("long")
+        n_cap_doc = F.when(
+            cnt > 0,
+            F.aggregate(
+                F.zip_with(is_media, adj, lambda m, t: (m & t).cast("long")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        exprs = [
+            F.sum(n_media_doc).alias(f"{n_}__n_media"),
+            F.sum(n_cap_doc).alias(f"{n_}__n_captioned"),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            media = F.col(f"{n_}__n_media")
+            cap = F.col(f"{n_}__n_captioned")
+            ratio = F.try_divide(cap, media)
+            holds = (
+                F.lit(True)
+                if min_caption_ratio is None
+                else (media == 0) | (ratio >= F.lit(min_caption_ratio))
+            )
+            return g.select(
+                "partition_id",
+                holds.alias("holds"),
+                media.alias("n_media"),
+                cap.alias("n_captioned"),
+                (media - cap).alias("n_isolated"),
+                ratio.alias("caption_ratio"),
+            )
+
+        merges = {f"{n_}__n_media": "sum", f"{n_}__n_captioned": "sum"}
+        return self._add(_Member(n_, exprs, merges, finish))
+
     def add_type_conformance(
         self,
         name: str,
@@ -813,6 +881,12 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
             name,
             spans_col=params.get("spans_col", "spans"),
             kinds=params.get("kinds"),
+        )
+    elif kind == "media_context":
+        p.add_media_context(
+            name,
+            spans_col=params.get("spans_col", "spans"),
+            min_caption_ratio=params.get("min_caption_ratio"),
         )
     elif kind == "token_budget":
         p.add_token_budget(

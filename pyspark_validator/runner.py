@@ -277,6 +277,7 @@ class ValidationSuite:
             "span_integrity",
             "pii_budget",
             "token_budget",
+            "media_context",
         ):
             # agg-shaped kinds whose only home is fused.py: run each as its
             # own single-member pass so they work without "fuse": true too

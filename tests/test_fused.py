@@ -658,3 +658,98 @@ def test_runner_budget_kinds_standalone(spark):
     pii = res2["pii"].collect()
     assert sum(r.n_pii_docs for r in pii) == 1
     assert any(not r.holds for r in pii)  # default max_doc_fraction=0.0
+
+
+def test_fused_media_context_member(spark, tmp_path):
+    """add_media_context: totals equal the standalone media_context_summary;
+    pure-sum partials fold deltas AND retract deletes; min_caption_ratio
+    gates the partition ratio (zero-media partitions always hold)."""
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+    from pyspark_validator.pipelines.interleaved import media_context_summary
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = (
+        [
+            (f"cap{i}", [sp("text", "caption", None, 0),
+                         sp("image", None, f"media://image/{i}", 64)])
+            for i in range(6)
+        ]
+        + [(f"iso{i}", [sp("image", None, f"media://image/x{i}", 0)]) for i in range(3)]
+        + [
+            # image-image run: first captioned on the left, second isolated
+            ("run0", [sp("text", "t", None, 0),
+                      sp("image", None, "media://image/a", 64),
+                      sp("image", None, "media://image/b", 128)]),
+            ("empty", []),
+            ("textonly", [sp("text", "no media", None, 0)]),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    def fp(d, min_ratio=None):
+        return FusedPass(d, num_partitions=4, partition_key="doc_id").add_media_context(
+            "cap", min_caption_ratio=min_ratio
+        )
+
+    v = fp(df).verdicts()["cap"]
+    agg = v.agg(F.sum("n_media"), F.sum("n_captioned"), F.sum("n_isolated")).collect()[0]
+    direct = media_context_summary(df).collect()[0]
+    assert tuple(agg) == (
+        direct["n_media"], direct["n_captioned"], direct["n_isolated"]
+    ) == (11, 7, 4)
+    assert v.filter(~F.col("holds")).count() == 0  # informational
+
+    # gate: requiring a perfect ratio must fail any partition with an
+    # isolated media span, and only those
+    v2 = fp(df, min_ratio=1.0).verdicts()["cap"]
+    bad = {r["partition_id"] for r in v2.filter(~F.col("holds")).collect()}
+    with_iso = {
+        r["partition_id"] for r in v2.filter(F.col("n_isolated") > 0).collect()
+    }
+    assert bad == with_iso and bad
+
+    # incremental fold + retract
+    iso = df.filter(F.col("doc_id").startswith("iso"))
+    base = df.subtract(iso)
+    inc = IncrementalFused(fp(base), str(tmp_path / "cap_state"))
+    inc.initialize()
+    inc.apply_delta(inserts=iso)
+    assert inc.verdicts()["cap"].agg(F.sum("n_isolated")).collect()[0][0] == 4
+    inc.apply_delta(deletes=iso)
+    after = inc.verdicts()["cap"].agg(
+        F.sum("n_media"), F.sum("n_captioned")
+    ).collect()[0]
+    assert tuple(after) == (8, 7)
+
+
+def test_runner_media_context_kind_standalone(spark):
+    from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        (f"d{i}", [{"kind": "text", "text": "cap", "media_ref": None, "offset": 0},
+                   {"kind": "image", "text": None,
+                    "media_ref": f"media://image/{i}", "offset": 64}])
+        for i in range(7)
+    ] + [("lone", [{"kind": "image", "text": None,
+                    "media_ref": "media://image/z", "offset": 0}])]
+    df = spark.createDataFrame(rows, schema)
+    suite = ValidationSuite(spark, df, num_partitions=4, doc_id_col="doc_id")
+    res = suite.run(
+        [CheckSpec(name="cap", kind="media_context",
+                   params={"min_caption_ratio": 1.0})]
+    )
+    v = res["cap"].collect()
+    assert sum(r.n_media for r in v) == 8
+    assert sum(r.n_isolated for r in v) == 1
+    assert sum(0 if r.holds else 1 for r in v) == 1
