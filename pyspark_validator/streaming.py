@@ -746,6 +746,34 @@ def streaming_layout_gate(
     ).drop("__layout", "__lk")
 
 
+def streaming_quality_gate_interleaved(
+    stream: DataFrame,
+    spans_col: str = "spans",
+    max_media: int = 32,
+    max_media_run: int = 3,
+    min_text_tokens: int = 8,
+    media_token_cost: int = 256,
+) -> DataFrame:
+    """Stateless document-level multimodal quality gate for a stream of
+    interleaved documents: the MMC4/OBELICS rules from
+    ``pipelines/interleaved.py::interleaved_quality_gate`` (media budget,
+    image-wall run length, minimum text mass) applied per micro-batch row.
+    Every signal is a per-row JVM expression behind one Generate, so this
+    composes with Structured Streaming with ZERO state and no watermark, and
+    batch/stream verdicts agree bit-for-bit (same exprs). Route ``keep``
+    downstream; the flag columns say why a doc was dropped."""
+    from .pipelines.interleaved import interleaved_quality_gate
+
+    return interleaved_quality_gate(
+        stream,
+        spans_col=spans_col,
+        max_media=max_media,
+        max_media_run=max_media_run,
+        min_text_tokens=min_text_tokens,
+        media_token_cost=media_token_cost,
+    )
+
+
 def streaming_bloom_gate(
     stream: DataFrame,
     bloom,

@@ -676,3 +676,56 @@ def test_streaming_layout_gate_stateless(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"]: r["banned_layout"] for r in spark.table("lgate").collect()}
     assert got == {"d0": True, "d1": False}
+
+def test_streaming_quality_gate_interleaved_stateless_and_batch_parity(
+    spark, tmp_path
+):
+    from pyspark_validator.pipelines.interleaved import interleaved_quality_gate
+    from pyspark_validator.streaming import streaming_quality_gate_interleaved
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        ("good", [sp("text", "enough words to pass the bar", None, 0),
+                  sp("image", None, "m://1", 64)]),
+        ("wall", [sp("text", "enough words to pass the bar", None, 0)]
+                 + [sp("image", None, f"m://w{i}", 64 * (i + 1)) for i in range(4)]),
+        ("thin", [sp("text", "hi", None, 0)]),
+        ("empty", []),
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    src = tmp_path / "qg_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = streaming_quality_gate_interleaved(
+        stream, max_media=8, max_media_run=3, min_text_tokens=3
+    ).select("doc_id", "keep", "flag_media_run", "flag_low_text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("append")  # append with NO watermark => provably stateless
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["keep"], r["flag_media_run"], r["flag_low_text"])
+           for r in spark.table("qgate").collect()}
+    assert got == {
+        "good": (True, False, False),
+        "wall": (False, True, False),   # 4-image run > 3
+        "thin": (False, False, True),
+        "empty": (False, False, True),
+    }
+    # batch parity: identical exprs => identical verdicts
+    b = {r["doc_id"]: (r["keep"], r["flag_media_run"], r["flag_low_text"])
+         for r in interleaved_quality_gate(
+             batch, max_media=8, max_media_run=3, min_text_tokens=3
+         ).select("doc_id", "keep", "flag_media_run", "flag_low_text").collect()}
+    assert b == got
