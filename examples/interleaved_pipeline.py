@@ -137,6 +137,29 @@ print(
     ).collect()[0].asDict(),
 )
 
+from pyspark_validator.pipelines.interleaved import (
+    caption_pairs,
+    interleaved_quality_gate,
+    layout_drift,
+    media_context_summary,
+)
+
+print("caption adjacency:", media_context_summary(docs2).collect()[0].asDict())
+pairs = caption_pairs(docs2)
+print("image-text pairs extracted:", pairs.count(),
+      "(after-side:", pairs.filter(F.col("caption_side") == "after").count(), ")")
+gated = interleaved_quality_gate(docs2, max_media=8, min_text_tokens=4)
+print(
+    "quality gate:",
+    gated.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(F.col("flag_low_text").cast("long")).alias("low_text"),
+    ).collect()[0].asDict(),
+)
+ld = layout_drift(docs2.filter(did % 2 == 0), docs2.filter(did % 2 == 1))
+print("layout drift (even vs odd):", ld.collect()[0].asDict())
+
 emb = spark2.read.parquet(f"{sf_dir}/embeddings.parquet")
 cd = embedding_centroid_drift(
     emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
