@@ -6157,6 +6157,68 @@ FROM ctx
 """
 
 
+def q_normalize_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair transform (pipelines/interleaved.py::normalize_interleaved):
+    offset-sort, degenerate-span drop, adjacent-text-run merge. Multi-copy
+    doc ids filtered so doc_id keys the per-doc result. The oracle rebuilds
+    the merged sequence in SQL: each text span's run id = count of media
+    spans before it (window), runs string_agg in position order, media spans
+    pass through, and the canonical span encoding md5-compares."""
+    from pyspark_validator.canonical import span_seq_expr
+    from pyspark_validator.pipelines.interleaved import normalize_interleaved
+
+    ds = _docs_spans(spark, sf_dir)
+    did = F.substring("doc_id", 5, 12).cast("long")
+    out = normalize_interleaved(ds.filter(did % 100 != 0))
+    return out.select(
+        "doc_id",
+        "n_dropped_spans",
+        "n_merged_spans",
+        F.md5(span_seq_expr("spans")).alias("spans_md5"),
+    )
+
+
+SQL_NORMALIZE_INTERLEAVED_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+base AS (
+  SELECT doc_id, str_split(span_seq, chr(30)) AS ps FROM docs_spans
+  WHERE CAST(substr(doc_id, 5) AS BIGINT) % 100 <> 0
+),
+sp AS (
+  SELECT doc_id, i,
+         str_split(ps[i], chr(31))[1] AS kind,
+         str_split(ps[i], chr(31))[2] AS txt,
+         str_split(ps[i], chr(31))[3] AS ref
+  FROM base, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i)
+),
+segged AS (
+  SELECT *, count(CASE WHEN ref <> chr(0)||'N' THEN 1 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS seg
+  FROM sp
+),
+items AS (
+  SELECT doc_id, min(i) AS pos,
+         arg_min(kind, i) || chr(31) || string_agg(txt, ' ' ORDER BY i)
+           || chr(31) || chr(0)||'N' AS enc
+  FROM segged WHERE ref = chr(0)||'N'
+  GROUP BY doc_id, seg
+  UNION ALL
+  SELECT doc_id, i AS pos,
+         kind || chr(31) || chr(0)||'N' || chr(31) || ref AS enc
+  FROM segged WHERE ref <> chr(0)||'N'
+),
+merged AS (
+  SELECT doc_id, md5(string_agg(enc, chr(30) ORDER BY pos)) AS spans_md5,
+         count(*) AS n_out
+  FROM items GROUP BY doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n_in FROM sp GROUP BY doc_id)
+SELECT m.doc_id, CAST(0 AS BIGINT) AS n_dropped_spans,
+       CAST(c.n_in - m.n_out AS BIGINT) AS n_merged_spans, m.spans_md5
+FROM merged m JOIN counts c USING (doc_id)
+"""
+
+
 def q_caption_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text pair extraction (pipelines/interleaved.py::caption_pairs):
     per media span with an adjacent text span, the caption taken from the
@@ -6501,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_layout_docs": q_drift_layout_docs,
         "media_context_docs": q_media_context_docs,
         "caption_pairs_docs": q_caption_pairs_docs,
+        "normalize_interleaved_docs": q_normalize_interleaved_docs,
         "interleaved_quality_docs": q_interleaved_quality_docs,
         "interleaved_token_costs": q_interleaved_token_costs,
         "interleaved_chunk_docs": q_interleaved_chunk_docs,
@@ -6645,6 +6708,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_layout_docs": SQL_DRIFT_LAYOUT_DOCS,
         "media_context_docs": SQL_MEDIA_CONTEXT_DOCS,
         "caption_pairs_docs": SQL_CAPTION_PAIRS_DOCS,
+        "normalize_interleaved_docs": SQL_NORMALIZE_INTERLEAVED_DOCS,
         "interleaved_quality_docs": SQL_INTERLEAVED_QUALITY_DOCS,
         "interleaved_token_costs": SQL_INTERLEAVED_TOKEN_COSTS,
         "interleaved_chunk_docs": SQL_INTERLEAVED_CHUNK_DOCS,

@@ -178,6 +178,7 @@ HEADLINE = [
     "media_context_docs",
     "interleaved_quality_docs",
     "caption_pairs_docs",
+    "normalize_interleaved_docs",
 ]
 
 

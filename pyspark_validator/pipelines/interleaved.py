@@ -49,6 +49,7 @@ __all__ = [
     "media_context",
     "media_context_summary",
     "caption_pairs",
+    "normalize_interleaved",
     "interleaved_quality_signals",
     "interleaved_quality_gate",
     "span_token_costs",
@@ -473,6 +474,89 @@ def layout_drift(
         )
     )
     return _psi_chi2_rollup(counts, [], alpha, psi_threshold)
+
+
+_SPAN_STRUCT_DDL = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def normalize_interleaved(
+    df: DataFrame,
+    spans_col: str = "spans",
+    sep: str = " ",
+    drop_empty: bool = True,
+    merge_adjacent_text: bool = True,
+) -> DataFrame:
+    """Repair/normalization transform for pre-validation interleaved docs:
+    spans sorted by offset, degenerate spans dropped (a text span with a
+    null/empty text, a media span with a null media_ref -- with
+    ``drop_empty``), and runs of ADJACENT text spans merged into one span
+    (texts joined with ``sep``, keeping the run's first kind and offset) --
+    the standard cleanup after span-level dedup or HTML re-extraction leaves
+    fragmented text. Replaces ``spans_col`` and adds ``n_dropped_spans`` /
+    ``n_merged_spans`` provenance counts. The merge is a single array fold
+    (append-or-extend-last); everything is per-row exprs, zero shuffle."""
+    ordered = _ordered_spans(spans_col)
+    is_media = lambda s: s["media_ref"].isNotNull()  # noqa: E731
+    if drop_empty:
+        kept = F.filter(
+            ordered,
+            lambda s: is_media(s)
+            | (s["text"].isNotNull() & (F.length(s["text"]) > 0)),
+        )
+    else:
+        kept = ordered
+
+    def repack(s) -> F.Column:
+        return F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    ka = F.col("_ni_kept")
+    if merge_adjacent_text:
+        spans_out = F.aggregate(
+            ka,
+            F.array().cast(_SPAN_STRUCT_DDL),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & F.element_at(acc, -1)["media_ref"].isNull()
+                & s["media_ref"].isNull(),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["kind"].alias("kind"),
+                            F.concat_ws(
+                                sep, F.element_at(acc, -1)["text"], s["text"]
+                            ).alias("text"),
+                            F.lit(None).cast("string").alias("media_ref"),
+                            F.element_at(acc, -1)["offset"].alias("offset"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(repack(s)))),
+        )
+    else:
+        spans_out = F.transform(ka, repack)
+    return (
+        # explode(array(e)) barrier: the fold, both counts and the dropped
+        # diff all read the kept array; without the Generate CollapseProject
+        # would re-inline the sort+filter per reference
+        df.withColumn("_ni_kept", F.explode(F.array(kept)))
+        .withColumn(
+            "n_dropped_spans",
+            (F.size(F.col(spans_col)) - F.size(ka)).cast("long"),
+        )
+        .withColumn(spans_col, spans_out.cast(_SPAN_STRUCT_DDL))
+        .withColumn(
+            "n_merged_spans", (F.size(ka) - F.size(F.col(spans_col))).cast("long")
+        )
+        .drop("_ni_kept")
+    )
 
 
 def span_text_census(

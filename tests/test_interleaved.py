@@ -554,3 +554,61 @@ def test_caption_pairs(spark, docs):
     assert before[("d3", 64)] == ("solo", "before")
     with pytest.raises(ValueError):
         caption_pairs(docs, prefer="nearest")
+
+
+def test_normalize_interleaved(spark):
+    from pyspark_validator.pipelines.interleaved import normalize_interleaved
+
+    rows = [
+        (
+            "frag",  # out-of-order fragments: merge into one text run per gap
+            [
+                _span("text", "c", None, 128),
+                _span("image", None, "m://1", 64),
+                _span("text", "a", None, 0),
+                _span("text", "b", None, 32),
+                _span("text", "d", None, 192),
+            ],
+        ),
+        (
+            "degen",  # empty/null text spans dropped, then survivors merge
+            [
+                _span("text", "", None, 0),
+                _span("text", "keep", None, 32),
+                _span("text", None, None, 64),
+                _span("text", "me", None, 96),
+                _span("image", None, None, 128),  # media without ref: dropped
+            ],
+        ),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["doc_id"]: r for r in normalize_interleaved(df).collect()}
+
+    frag = got["frag"]
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in frag["spans"]
+    ] == [
+        ("text", "a b", None, 0),
+        ("image", None, "m://1", 64),
+        ("text", "c d", None, 128),
+    ]
+    assert frag["n_dropped_spans"] == 0 and frag["n_merged_spans"] == 2
+
+    degen = got["degen"]
+    assert [(s["text"], s["offset"]) for s in degen["spans"]] == [("keep me", 32)]
+    assert degen["n_dropped_spans"] == 3 and degen["n_merged_spans"] == 1
+
+    assert got["empty"]["spans"] == [] and got["empty"]["n_dropped_spans"] == 0
+
+    # knobs: no merge keeps fragments; no drop keeps degenerates
+    nm = {
+        r["doc_id"]: len(r["spans"])
+        for r in normalize_interleaved(df, merge_adjacent_text=False).collect()
+    }
+    assert nm == {"frag": 5, "degen": 2, "empty": 0}
+    nd = {
+        r["doc_id"]: (len(r["spans"]), r["n_dropped_spans"])
+        for r in normalize_interleaved(df, drop_empty=False).collect()
+    }
+    assert nd["degen"][1] == 0 and nd["frag"] == (3, 0)
