@@ -991,3 +991,69 @@ def test_span_transitions_python_oracle(spark, docs):
         for a, b in zip(seq, seq[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+# --- normalize_interleaved vs a direct python fold -------------------------
+
+span_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["text", "image"]),
+        st.sampled_from(["w", "xy", "", None]),
+        st.sampled_from(["m://1", "m://2", None]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=8,
+    # the input-hint invariant: offsets are unique (strictly increasing once
+    # sorted); on ties Spark's array_sort tie-breaks on the other struct
+    # fields while python's sorted is stable, so ties are out of contract
+    unique_by=lambda s: s[3],
+)
+
+
+def _normalize_python(spans):
+    """Direct replay: offset-sort (stable), drop degenerates, merge adjacent
+    text runs. A span is media iff media_ref is not None."""
+    ordered = sorted(spans, key=lambda s: s[3])
+    kept = [
+        s for s in ordered if s[2] is not None or (s[1] is not None and len(s[1]) > 0)
+    ]
+    out = []
+    for k, t, m, o in kept:
+        if out and out[-1][2] is None and m is None:
+            pk, pt, _, po = out[-1]
+            out[-1] = (pk, " ".join(x for x in (pt, t) if x is not None), None, po)
+        else:
+            out.append((k, t, m, o))
+    return ordered, kept, out
+
+
+@given(spans=span_strategy)
+@settings(**_SETTINGS)
+def test_normalize_interleaved_matches_python_and_is_idempotent(spark, spans):
+    from pyspark_validator.pipelines.interleaved import normalize_interleaved
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(
+        [("d", [dict(kind=k, text=t, media_ref=m, offset=o) for k, t, m, o in spans])],
+        schema,
+    )
+    got = normalize_interleaved(df).collect()[0]
+    ordered, kept, want = _normalize_python(spans)
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["spans"]
+    ] == want
+    assert got["n_dropped_spans"] == len(ordered) - len(kept)
+    assert got["n_merged_spans"] == len(kept) - len(want)
+
+    # idempotence: a normalized doc is a fixed point
+    again = normalize_interleaved(
+        normalize_interleaved(df).select("doc_id", "spans")
+    ).collect()[0]
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in again["spans"]
+    ] == want
+    assert again["n_dropped_spans"] == 0 and again["n_merged_spans"] == 0
