@@ -6114,6 +6114,70 @@ FROM terms
 """
 
 
+def q_drift_media_census_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-side snapshot drift (pipelines/interleaved.py::
+    media_census_drift): PSI + chi2 over per-media_ref slot counts between
+    the even/odd doc-id snapshots plus new/vanished/shared ref counts --
+    catches an asset migration the structural checks can't see."""
+    from pyspark_validator.pipelines.interleaved import media_census_drift
+
+    ds = _docs_spans(spark, sf_dir)
+    num = F.substring("doc_id", 5, 12).cast("long")
+    out = media_census_drift(ds.filter(num % 2 == 0), ds.filter(num % 2 == 1))
+    return out.select(
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("chi2"), 6).alias("chi2"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "drift_detected",
+        "n_vanished_refs",
+        "n_new_refs",
+        "n_shared_refs",
+    )
+
+
+SQL_DRIFT_MEDIA_CENSUS_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+slots AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) % 2 AS side,
+         str_split(s, chr(31))[3] AS bucket
+  FROM docs_spans, LATERAL (SELECT unnest(str_split(span_seq, chr(30))) AS s)
+  WHERE str_split(s, chr(31))[3] <> chr(0)||'N'
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM slots GROUP BY bucket
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts),
+extra AS (
+  SELECT CAST(sum(CASE WHEN cnt_b > 0 AND cnt_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vanished_refs,
+         CAST(sum(CASE WHEN cnt_b = 0 AND cnt_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_refs,
+         CAST(sum(CASE WHEN cnt_b > 0 AND cnt_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_refs
+  FROM counts
+),
+terms AS (
+  SELECT
+    ((cnt_c + 0.5) / (n_c + 0.5 * k) - (cnt_b + 0.5) / (n_b + 0.5 * k))
+      * ln(((cnt_c + 0.5) / (n_c + 0.5 * k)) / ((cnt_b + 0.5) / (n_b + 0.5 * k))) AS psi_t,
+    pow(cnt_b - (cnt_b + cnt_c) * n_b / (n_b + n_c), 2) / ((cnt_b + cnt_c) * n_b / (n_b + n_c))
+      + pow(cnt_c - (cnt_b + cnt_c) * n_c / (n_b + n_c), 2) / ((cnt_b + cnt_c) * n_c / (n_b + n_c)) AS chi_t,
+    n_b, n_c, k
+  FROM counts, tot
+)
+SELECT round(sum(psi_t), 9) AS psi, round(sum(chi_t), 6) AS chi2,
+       CAST(any_value(t.n_b) AS BIGINT) AS n_b, CAST(any_value(t.n_c) AS BIGINT) AS n_c,
+       CAST(any_value(t.k) AS BIGINT) AS n_buckets,
+       sum(psi_t) > 0.2 AS drift_detected,
+       any_value(e.n_vanished_refs) AS n_vanished_refs,
+       any_value(e.n_new_refs) AS n_new_refs,
+       any_value(e.n_shared_refs) AS n_shared_refs
+FROM terms t, extra e
+"""
+
+
 def q_media_context_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-adjacency audit (pipelines/interleaved.py::media_context): one
     row per media span with prev/next-neighbor-is-text flags and the
@@ -6562,6 +6626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_diversity_docs": q_layout_diversity_docs,
         "drift_layout_docs": q_drift_layout_docs,
         "media_context_docs": q_media_context_docs,
+        "drift_media_census_docs": q_drift_media_census_docs,
         "caption_pairs_docs": q_caption_pairs_docs,
         "normalize_interleaved_docs": q_normalize_interleaved_docs,
         "interleaved_quality_docs": q_interleaved_quality_docs,
@@ -6707,6 +6772,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_diversity_docs": SQL_LAYOUT_DIVERSITY_DOCS,
         "drift_layout_docs": SQL_DRIFT_LAYOUT_DOCS,
         "media_context_docs": SQL_MEDIA_CONTEXT_DOCS,
+        "drift_media_census_docs": SQL_DRIFT_MEDIA_CENSUS_DOCS,
         "caption_pairs_docs": SQL_CAPTION_PAIRS_DOCS,
         "normalize_interleaved_docs": SQL_NORMALIZE_INTERLEAVED_DOCS,
         "interleaved_quality_docs": SQL_INTERLEAVED_QUALITY_DOCS,

@@ -179,6 +179,7 @@ HEADLINE = [
     "interleaved_quality_docs",
     "caption_pairs_docs",
     "normalize_interleaved_docs",
+    "drift_media_census_docs",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "merge_layout_census",
     "layout_diversity",
     "layout_drift",
+    "media_census_drift",
     "media_context",
     "media_context_summary",
     "caption_pairs",
@@ -557,6 +558,49 @@ def normalize_interleaved(
         )
         .drop("_ni_kept")
     )
+
+
+def media_census_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Media-side drift between two interleaved snapshots -- the fourth leg
+    of the drift family (structure = kind transitions, layout = templates,
+    embedding = centroids, media = refs): PSI + chi-square over the per-
+    media_ref SLOT-count distribution plus new / vanished / shared ref
+    counts (a CDN migration or asset re-hash shows up as mass vanish+new with
+    an unchanged structural mix). Each side folds to its bounded reuse census
+    first, so the compare costs distinct refs, not corpus size; the two
+    one-row aggregates cross-join at driver cost."""
+    from ..checks.drift import _psi_chi2_rollup
+
+    def census(df: DataFrame, cnt: str) -> DataFrame:
+        return media_ref_census(df, spans_col, id_col).select(
+            F.col("media_ref").alias("bucket"), F.col("n_slots").alias(cnt)
+        )
+
+    counts = (
+        census(baseline, "cnt_b")
+        .join(census(current, "cnt_c"), on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+            F.coalesce("cnt_c", F.lit(0)).alias("cnt_c"),
+        )
+        .persist()
+    )
+    roll = _psi_chi2_rollup(counts, [], alpha, psi_threshold)
+    b, c = F.col("cnt_b"), F.col("cnt_c")
+    extra = counts.agg(
+        F.sum(((b > 0) & (c == 0)).cast("long")).alias("n_vanished_refs"),
+        F.sum(((b == 0) & (c > 0)).cast("long")).alias("n_new_refs"),
+        F.sum(((b > 0) & (c > 0)).cast("long")).alias("n_shared_refs"),
+    )
+    return roll.crossJoin(extra)
 
 
 def span_text_census(

@@ -612,3 +612,24 @@ def test_normalize_interleaved(spark):
         for r in normalize_interleaved(df, drop_empty=False).collect()
     }
     assert nd["degen"][1] == 0 and nd["frag"] == (3, 0)
+
+
+def test_media_census_drift(spark, docs):
+    from pyspark_validator.pipelines.interleaved import media_census_drift
+
+    same = media_census_drift(docs, docs).collect()[0]
+    assert same["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert not same["drift_detected"]
+    assert (same["n_vanished_refs"], same["n_new_refs"], same["n_shared_refs"]) == (
+        0, 0, 2,
+    )
+    assert same["n_b"] == same["n_c"] == 4  # total slots per side
+
+    # planted: drop d3 -> m://9 vanishes entirely, m://7 loses one slot
+    cur = docs.filter(F.col("doc_id") != "d3")
+    moved = media_census_drift(docs, cur, psi_threshold=0.05).collect()[0]
+    assert (moved["n_vanished_refs"], moved["n_new_refs"], moved["n_shared_refs"]) == (
+        1, 0, 1,
+    )
+    assert moved["n_b"] == 4 and moved["n_c"] == 2
+    assert moved["psi"] > 0.05 and moved["drift_detected"]
