@@ -525,3 +525,31 @@ def test_media_context_and_quality_gate_exchange_free(spark):
     exch_input = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
     assert exch_input and "spans" not in exch_input.group(1)
     assert len(exch_input.group(1).split(",")) == 2  # the two partial sums
+
+
+def test_normalize_interleaved_exchange_free(spark):
+    from pyspark_validator.pipelines.interleaved import normalize_interleaved
+
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "text", "text": "a b", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    assert _count(_plan(normalize_interleaved(docs)), "Exchange") == 0
+
+
+def test_media_census_drift_bounded_shuffles(spark):
+    """Each side: one groupBy(media_ref) census; then the census join and two
+    one-row aggs -- every Exchange after the censuses carries distinct-ref or
+    single-row volumes, never spans (pruned before the first shuffle)."""
+    from pyspark_validator.pipelines.interleaved import media_census_drift
+
+    docs = spark.createDataFrame(
+        [("d0", [{"kind": "image", "text": None, "media_ref": "m://1",
+                  "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    plan = _plan(media_census_drift(docs, docs))
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "spans" not in m.group(1)
