@@ -6114,6 +6114,63 @@ FROM terms
 """
 
 
+def q_media_context_census_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group caption-adjacency census + rollup (pipelines/interleaved.py::
+    media_context_census/media_context_rollup): docs sharded by doc_id % 5 as
+    the stand-in source key; counts sum-merge, ratios null-safe."""
+    from pyspark_validator.pipelines.interleaved import (
+        media_context_census,
+        media_context_rollup,
+    )
+
+    ds = _docs_spans(spark, sf_dir)
+    grouped = ds.withColumn(
+        "shard", (F.substring("doc_id", 5, 12).cast("long") % 5).cast("long")
+    )
+    out = media_context_rollup(media_context_census(grouped, ["shard"]))
+    return out.select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_media").cast("long").alias("n_media"),
+        F.col("n_captioned").cast("long").alias("n_captioned"),
+        F.col("n_isolated").cast("long").alias("n_isolated"),
+        _r(F.col("caption_ratio"), 9).alias("caption_ratio"),
+        _r(F.col("media_per_doc"), 9).alias("media_per_doc"),
+    )
+
+
+SQL_MEDIA_CONTEXT_CENSUS_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+parts AS (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) % 5 AS shard,
+         str_split(span_seq, chr(30)) AS ps
+  FROM docs_spans
+),
+perdoc AS (
+  SELECT shard,
+    len(list_filter(range(1, len(ps) + 1),
+        i -> str_split(ps[i], chr(31))[3] <> chr(0)||'N')) AS n_media,
+    len(list_filter(range(1, len(ps) + 1),
+        i -> str_split(ps[i], chr(31))[3] <> chr(0)||'N' AND (
+             (i > 1 AND str_split(ps[i - 1], chr(31))[3] = chr(0)||'N') OR
+             (i < len(ps) AND str_split(ps[i + 1], chr(31))[3] = chr(0)||'N'))))
+      AS n_captioned
+  FROM parts
+),
+census AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_media) AS BIGINT) AS n_media,
+         CAST(sum(n_captioned) AS BIGINT) AS n_captioned
+  FROM perdoc GROUP BY shard
+)
+SELECT shard, n_docs, n_media, n_captioned,
+       CAST(n_media - n_captioned AS BIGINT) AS n_isolated,
+       round(1.0 * n_captioned / nullif(n_media, 0), 9) AS caption_ratio,
+       round(1.0 * n_media / nullif(n_docs, 0), 9) AS media_per_doc
+FROM census
+"""
+
+
 def q_drift_media_census_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-side snapshot drift (pipelines/interleaved.py::
     media_census_drift): PSI + chi2 over per-media_ref slot counts between
@@ -6627,6 +6684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_layout_docs": q_drift_layout_docs,
         "media_context_docs": q_media_context_docs,
         "drift_media_census_docs": q_drift_media_census_docs,
+        "media_context_census_docs": q_media_context_census_docs,
         "caption_pairs_docs": q_caption_pairs_docs,
         "normalize_interleaved_docs": q_normalize_interleaved_docs,
         "interleaved_quality_docs": q_interleaved_quality_docs,
@@ -6773,6 +6831,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_layout_docs": SQL_DRIFT_LAYOUT_DOCS,
         "media_context_docs": SQL_MEDIA_CONTEXT_DOCS,
         "drift_media_census_docs": SQL_DRIFT_MEDIA_CENSUS_DOCS,
+        "media_context_census_docs": SQL_MEDIA_CONTEXT_CENSUS_DOCS,
         "caption_pairs_docs": SQL_CAPTION_PAIRS_DOCS,
         "normalize_interleaved_docs": SQL_NORMALIZE_INTERLEAVED_DOCS,
         "interleaved_quality_docs": SQL_INTERLEAVED_QUALITY_DOCS,

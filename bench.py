@@ -180,6 +180,7 @@ HEADLINE = [
     "caption_pairs_docs",
     "normalize_interleaved_docs",
     "drift_media_census_docs",
+    "media_context_census_docs",
 ]
 
 

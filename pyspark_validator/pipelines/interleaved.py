@@ -49,6 +49,9 @@ __all__ = [
     "media_census_drift",
     "media_context",
     "media_context_summary",
+    "media_context_census",
+    "merge_media_context_census",
+    "media_context_rollup",
     "caption_pairs",
     "normalize_interleaved",
     "interleaved_quality_signals",
@@ -222,6 +225,64 @@ def media_context_summary(
         F.try_divide(F.sum("_n_captioned"), F.sum("_n_media")).alias(
             "caption_ratio"
         ),
+    )
+
+
+def media_context_census(
+    df: DataFrame,
+    group_cols: list[str],
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group caption-adjacency census -- the standing-index form of
+    ``media_context_summary`` for source-level curation dashboards:
+    [group..., n_docs, n_media, n_captioned], one groupBy over per-row array
+    sizes (no explode; the shuffle carries the group key + three longs).
+    Sum-mergeable under docs-arrive-whole: fold each crawl increment's census
+    into the standing one with ``merge_media_context_census`` instead of
+    re-scanning the corpus."""
+    items = _media_context_items(spans_col)
+    return (
+        _with_ordered_barrier(df, spans_col)
+        .select(
+            *group_cols,
+            F.size(items).cast("long").alias("_n_media"),
+            F.size(F.filter(items, lambda s: s["prev_is_text"] | s["next_is_text"]))
+            .cast("long")
+            .alias("_n_captioned"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_media").alias("n_media"),
+            F.sum("_n_captioned").alias("n_captioned"),
+        )
+    )
+
+
+def merge_media_context_census(*censuses: DataFrame) -> DataFrame:
+    """Sum-merge caption-adjacency censuses (docs-arrive-whole invariant --
+    the same contract as the other interleaved censuses)."""
+    u = censuses[0]
+    for c in censuses[1:]:
+        u = u.unionByName(c)
+    keys = [c for c in u.columns if c not in ("n_docs", "n_media", "n_captioned")]
+    return u.groupBy(*keys).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_media").alias("n_media"),
+        F.sum("n_captioned").alias("n_captioned"),
+    )
+
+
+def media_context_rollup(census: DataFrame) -> DataFrame:
+    """Dashboard rollup over a caption-adjacency census: adds n_isolated,
+    caption_ratio (null for zero-media groups) and media_per_doc. Driver-cost
+    on the bounded census."""
+    media, cap = F.col("n_media"), F.col("n_captioned")
+    return (
+        census.withColumn("n_isolated", media - cap)
+        .withColumn("caption_ratio", F.try_divide(cap, media))
+        .withColumn("media_per_doc", F.try_divide(media, F.col("n_docs")))
     )
 
 

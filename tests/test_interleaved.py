@@ -633,3 +633,35 @@ def test_media_census_drift(spark, docs):
     )
     assert moved["n_b"] == 4 and moved["n_c"] == 2
     assert moved["psi"] > 0.05 and moved["drift_detected"]
+
+
+def test_media_context_census_merge_and_rollup(spark, docs):
+    from pyspark_validator.pipelines.interleaved import (
+        media_context_census,
+        media_context_rollup,
+        merge_media_context_census,
+    )
+
+    grouped = docs.withColumn(
+        "grp", F.when(F.col("doc_id").isin("d0", "d1"), "a").otherwise("b")
+    )
+    census = media_context_census(grouped, ["grp"])
+    got = {r["grp"]: (r["n_docs"], r["n_media"], r["n_captioned"])
+           for r in census.collect()}
+    assert got == {"a": (2, 2, 1), "b": (2, 2, 1)}
+
+    # sum-merge law: census(A) ⊕ census(B) == census(A ∪ B)
+    a = media_context_census(grouped.filter("doc_id in ('d0','d2')"), ["grp"])
+    b = media_context_census(grouped.filter("doc_id in ('d1','d3')"), ["grp"])
+    merged = {r["grp"]: (r["n_docs"], r["n_media"], r["n_captioned"])
+              for r in merge_media_context_census(a, b).collect()}
+    assert merged == got
+
+    roll = {r["grp"]: (r["n_isolated"], r["caption_ratio"], r["media_per_doc"])
+            for r in media_context_rollup(census).collect()}
+    assert roll["a"] == (1, 0.5, 1.0) and roll["b"] == (1, 0.5, 1.0)
+    # zero-media group: null ratio, not a divide error
+    zm = media_context_rollup(
+        media_context_census(docs.filter("doc_id = 'd2'"), [])
+    ).collect()[0]
+    assert zm["n_media"] == 0 and zm["caption_ratio"] is None
