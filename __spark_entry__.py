@@ -5717,6 +5717,34 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM flat
 """
 
 
+def q_spans_flatten_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel-aware flatten (pipelines/interleaved.py::spans_to_text with
+    media_sentinel): media spans contribute an '<image>' marker at their
+    interleaved position -- the LLaVA/OBELICS tokenizer bridge. Same md5
+    parity as the plain flatten."""
+    from pyspark_validator.pipelines.interleaved import spans_to_text
+
+    ds = _docs_spans(spark, sf_dir)
+    return spans_to_text(ds, media_sentinel="<image>").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_SPANS_FLATTEN_SENTINELS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+flat AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(str_split(span_seq, chr(30)),
+             s -> CASE WHEN str_split(s, chr(31))[3] <> chr(0)||'N'
+                       THEN '<image>' ELSE str_split(s, chr(31))[2] END),
+           ' ') AS text
+  FROM docs_spans
+)
+SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM flat
+"""
+
+
 def q_span_structure_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural drift between two interleaved snapshots (pipelines/
     interleaved.py::span_structure_drift): PSI + chi2 over the span-kind
@@ -6674,6 +6702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_transitions_docs": q_span_transitions_docs,
         "media_census_docs": q_media_census_docs,
         "spans_flatten_docs": q_spans_flatten_docs,
+        "spans_flatten_sentinels": q_spans_flatten_sentinels,
         "span_structure_drift_docs": q_span_structure_drift_docs,
         "curation_temperature_docs": q_curation_temperature_docs,
         "curation_token_budget_docs": q_curation_token_budget_docs,
@@ -6821,6 +6850,7 @@ def oracle_sql() -> dict[str, str]:
         "span_transitions_docs": SQL_SPAN_TRANSITIONS_DOCS,
         "media_census_docs": SQL_MEDIA_CENSUS_DOCS,
         "spans_flatten_docs": SQL_SPANS_FLATTEN_DOCS,
+        "spans_flatten_sentinels": SQL_SPANS_FLATTEN_SENTINELS,
         "span_structure_drift_docs": SQL_SPAN_STRUCTURE_DRIFT_DOCS,
         "curation_temperature_docs": SQL_CURATION_TEMPERATURE_DOCS,
         "curation_token_budget_docs": SQL_CURATION_TOKEN_BUDGET_DOCS,

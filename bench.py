@@ -181,6 +181,7 @@ HEADLINE = [
     "normalize_interleaved_docs",
     "drift_media_census_docs",
     "media_context_census_docs",
+    "spans_flatten_sentinels",
 ]
 
 

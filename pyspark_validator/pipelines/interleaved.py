@@ -57,6 +57,7 @@ __all__ = [
     "interleaved_quality_signals",
     "interleaved_quality_gate",
     "span_token_costs",
+    "media_cost_column",
     "pack_interleaved",
     "chunk_interleaved",
     "token_cost_columns",
@@ -428,14 +429,36 @@ def spans_to_text(
     spans_col: str = "spans",
     out_col: str = "text",
     sep: str = " ",
+    media_sentinel: str | dict[str, str] | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` = the doc's text spans (offset order, nulls dropped)
     joined with ``sep`` -- the flattened view every text-tier operator
-    consumes. Pure per-row exprs, zero shuffle."""
-    texts = F.filter(
-        F.transform(_ordered_spans(spans_col), lambda s: s["text"]),
-        lambda t: t.isNotNull(),
-    )
+    consumes. With ``media_sentinel``, media spans contribute a placeholder
+    token at their interleaved position instead of vanishing -- the standard
+    tokenizer bridge for multimodal training (LLaVA/OBELICS-style
+    ``<image>`` markers); pass a string for one sentinel or a
+    {kind: sentinel} map (kinds absent from the map still vanish). Pure
+    per-row exprs, zero shuffle."""
+    if media_sentinel is None:
+        rendered = F.transform(_ordered_spans(spans_col), lambda s: s["text"])
+    elif isinstance(media_sentinel, str):
+        rendered = F.transform(
+            _ordered_spans(spans_col),
+            lambda s: F.when(
+                s["media_ref"].isNotNull(), F.lit(media_sentinel)
+            ).otherwise(s["text"]),
+        )
+    else:
+        kind_map = F.create_map(
+            *[F.lit(x) for kv in media_sentinel.items() for x in kv]
+        )
+        rendered = F.transform(
+            _ordered_spans(spans_col),
+            lambda s: F.when(
+                s["media_ref"].isNotNull(), kind_map[s["kind"]]
+            ).otherwise(s["text"]),
+        )
+    texts = F.filter(rendered, lambda t: t.isNotNull())
     return df.withColumn(out_col, F.array_join(texts, sep))
 
 
@@ -860,27 +883,60 @@ def token_cost_columns(spans_col: str = "spans") -> tuple[F.Column, F.Column]:
     return text_toks, n_media
 
 
+def media_cost_column(
+    spans_col: str = "spans",
+    media_token_cost: int = 256,
+    media_token_costs: dict[str, int] | None = None,
+) -> F.Column:
+    """Total media token cost for a row: flat ``media_token_cost`` per media
+    span, or -- with ``media_token_costs`` -- a per-KIND cost map (real
+    multimodal trainers cost video frames >> a single image; audio sits in
+    between), kinds absent from the map falling back to the flat cost."""
+    spans = F.col(spans_col)
+    media = F.filter(spans, lambda s: s["media_ref"].isNotNull())
+    if not media_token_costs:
+        return (F.size(media).cast("long") * F.lit(media_token_cost)).cast(
+            "bigint"
+        )
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in media_token_costs.items() for x in kv]
+    )
+    return F.aggregate(
+        F.transform(
+            media,
+            lambda s: F.coalesce(
+                kind_map[s["kind"]].cast("bigint"), F.lit(media_token_cost)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def span_token_costs(
     df: DataFrame,
     spans_col: str = "spans",
     media_token_cost: int = 256,
     out_col: str = "n_tokens",
+    media_token_costs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-document training-token accounting on the interleaved shape: text
     spans cost their BPE-ish token count, media spans a flat
     ``media_token_cost`` (the vision-token slots an image occupies in a
-    multimodal context window). Adds ``n_text_tokens``, ``n_media_spans`` and
-    ``out_col`` = text + media cost. Pure per-row exprs, zero shuffle -- the
-    budget input for ``pack_interleaved`` and token-budget curation."""
+    multimodal context window) or a per-kind cost via ``media_token_costs``
+    (see ``media_cost_column``). Adds ``n_text_tokens``, ``n_media_spans``
+    and ``out_col`` = text + media cost. Pure per-row exprs, zero shuffle --
+    the budget input for ``pack_interleaved`` and token-budget curation."""
     text_toks, n_media = token_cost_columns(spans_col)
     return (
         df.withColumn("n_text_tokens", text_toks)
         .withColumn("n_media_spans", n_media)
         .withColumn(
             out_col,
-            (F.col("n_text_tokens") + F.col("n_media_spans") * F.lit(media_token_cost)).cast(
-                "bigint"
-            ),
+            (
+                F.col("n_text_tokens")
+                + media_cost_column(spans_col, media_token_cost, media_token_costs)
+            ).cast("bigint"),
         )
     )
 

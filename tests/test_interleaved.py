@@ -665,3 +665,45 @@ def test_media_context_census_merge_and_rollup(spark, docs):
         media_context_census(docs.filter("doc_id = 'd2'"), [])
     ).collect()[0]
     assert zm["n_media"] == 0 and zm["caption_ratio"] is None
+
+
+def test_spans_to_text_media_sentinels(spark, docs):
+    from pyspark_validator.pipelines.interleaved import spans_to_text
+
+    flat = {r["doc_id"]: r["text"]
+            for r in spans_to_text(docs, media_sentinel="<image>").collect()}
+    # d0 sorts to hello, image, world
+    assert flat["d0"] == "hello <image> world"
+    assert flat["d1"] == "<image>"
+    assert flat["d2"] == ""
+    assert flat["d3"] == "solo <image> <image>"
+    # per-kind map: unknown kinds vanish (None from the map is filtered)
+    m = {r["doc_id"]: r["text"]
+         for r in spans_to_text(docs, media_sentinel={"video": "<vid>"}).collect()}
+    assert m["d0"] == "hello world" and m["d1"] == ""
+    m2 = {r["doc_id"]: r["text"]
+          for r in spans_to_text(docs, media_sentinel={"image": "<img>"}).collect()}
+    assert m2["d3"] == "solo <img> <img>"
+
+
+def test_media_token_costs_by_kind(spark):
+    from pyspark_validator.pipelines.interleaved import span_token_costs
+
+    rows = [
+        ("mm", [
+            _span("text", "two words", None, 0),
+            _span("image", None, "m://i", 10),
+            _span("audio", None, "m://a", 20),
+            _span("video", None, "m://v", 30),
+        ]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    flat = span_token_costs(df, media_token_cost=100).collect()[0]
+    assert flat["n_tokens"] == 2 + 3 * 100
+    by_kind = span_token_costs(
+        df, media_token_cost=100,
+        media_token_costs={"image": 64, "video": 1024},
+    ).collect()[0]
+    # audio absent from the map -> flat fallback 100
+    assert by_kind["n_tokens"] == 2 + 64 + 100 + 1024
+    assert by_kind["n_media_spans"] == 3
