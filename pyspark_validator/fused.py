@@ -370,31 +370,10 @@ class FusedPass:
         the is-text array against its two shifts -- a constant THREE
         evaluations of the ordered array per row, independent of span count.
         Folds deltas AND retracts deletes through IncrementalFused."""
-        from .pipelines.interleaved import _ordered_spans
+        from .pipelines.interleaved import media_context_count_cols
 
         n_ = _ident(name)
-        sp = _ordered_spans(spans_col)
-        cnt = F.size(sp)
-        is_text = F.transform(sp, lambda s: s["media_ref"].isNull())
-        is_media = F.transform(sp, lambda s: s["media_ref"].isNotNull())
-        shift = F.greatest(cnt - 1, F.lit(0))
-        prev_text = F.concat(F.array(F.lit(False)), F.slice(is_text, 1, shift))
-        next_text = F.concat(
-            F.when(cnt >= 2, F.slice(is_text, 2, shift)).otherwise(
-                F.array().cast("array<boolean>")
-            ),
-            F.array(F.lit(False)),
-        )
-        adj = F.zip_with(prev_text, next_text, lambda a, b: a | b)
-        n_media_doc = F.size(F.filter(is_media, lambda m: m)).cast("long")
-        n_cap_doc = F.when(
-            cnt > 0,
-            F.aggregate(
-                F.zip_with(is_media, adj, lambda m, t: (m & t).cast("long")),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        ).otherwise(F.lit(0).cast("bigint"))
+        n_media_doc, n_cap_doc = media_context_count_cols(spans_col)
         exprs = [
             F.sum(n_media_doc).alias(f"{n_}__n_media"),
             F.sum(n_cap_doc).alias(f"{n_}__n_captioned"),

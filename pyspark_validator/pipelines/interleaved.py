@@ -229,6 +229,38 @@ def media_context_summary(
     )
 
 
+def media_context_count_cols(spans_col: str = "spans") -> tuple[F.Column, F.Column]:
+    """(per-row media-span count, per-row captioned count) as pure exprs with
+    a CONSTANT number of ordered-array evaluations per row -- safe inside agg
+    expressions and streaming plans where the explode(array()) barrier isn't
+    available (a per-index F.get formulation would re-inline the array_sort
+    per element under CollapseProject). Adjacency comes from zip_with of the
+    is-text array against its two shifts."""
+    sp = _ordered_spans(spans_col)
+    cnt = F.size(sp)
+    is_text = F.transform(sp, lambda s: s["media_ref"].isNull())
+    is_media = F.transform(sp, lambda s: s["media_ref"].isNotNull())
+    shift = F.greatest(cnt - 1, F.lit(0))
+    prev_text = F.concat(F.array(F.lit(False)), F.slice(is_text, 1, shift))
+    next_text = F.concat(
+        F.when(cnt >= 2, F.slice(is_text, 2, shift)).otherwise(
+            F.array().cast("array<boolean>")
+        ),
+        F.array(F.lit(False)),
+    )
+    adj = F.zip_with(prev_text, next_text, lambda a, b: a | b)
+    n_media_doc = F.size(F.filter(is_media, lambda m: m)).cast("long")
+    n_cap_doc = F.when(
+        cnt > 0,
+        F.aggregate(
+            F.zip_with(is_media, adj, lambda m, t: (m & t).cast("long")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return n_media_doc, n_cap_doc
+
+
 def media_context_census(
     df: DataFrame,
     group_cols: list[str],

@@ -774,6 +774,45 @@ def streaming_quality_gate_interleaved(
     )
 
 
+def streaming_media_context_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Windowed caption-health monitor for a stream of interleaved documents:
+    per event-time window, docs / media spans / captioned media counts and
+    the caption ratio -- a live crawler-regression alarm (an extractor that
+    starts dropping alt-text shows up as a falling ratio within a window or
+    two). The per-row counts are the constant-evaluation exprs from
+    ``media_context_count_cols``, so the only state is the standard windowed
+    sum agg under the watermark."""
+    from .pipelines.interleaved import media_context_count_cols
+
+    n_media_doc, n_cap_doc = media_context_count_cols(spans_col)
+    t = F.col(ts_col)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(t, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_media_doc).alias("n_media"),
+            F.sum(n_cap_doc).alias("n_captioned"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_docs",
+        "n_media",
+        "n_captioned",
+        F.try_divide(F.col("n_captioned"), F.col("n_media")).alias(
+            "caption_ratio"
+        ),
+    )
+
+
 def streaming_bloom_gate(
     stream: DataFrame,
     bloom,

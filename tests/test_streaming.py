@@ -729,3 +729,55 @@ def test_streaming_quality_gate_interleaved_stateless_and_batch_parity(
              batch, max_media=8, max_media_run=3, min_text_tokens=3
          ).select("doc_id", "keep", "flag_media_run", "flag_low_text").collect()}
     assert b == got
+
+
+def test_streaming_media_context_counts_windowed(spark, tmp_path):
+    from pyspark_validator.streaming import streaming_media_context_counts
+
+    schema = (
+        "ts timestamp, doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        # window 0: one captioned image + one isolated image
+        ("2026-01-01 00:00:05", "a",
+         [sp("text", "cap", None, 0), sp("image", None, "m://1", 64)]),
+        ("2026-01-01 00:00:20", "b", [sp("image", None, "m://2", 0)]),
+        # window 1: alt-text dropped -> two isolated images, ratio 0
+        ("2026-01-01 00:01:10", "c",
+         [sp("image", None, "m://3", 0), sp("image", None, "m://4", 64)]),
+    ]
+    src = tmp_path / "mcw_src"
+    src.mkdir()
+    spark.createDataFrame(
+        rows,
+        "ts_s string, doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "spans"
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = streaming_media_context_counts(stream, "ts", "1 minute", "2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mcw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start.isoformat(): (
+            r.n_docs, r.n_media, r.n_captioned, r.caption_ratio
+        )
+        for r in spark.table("mcw").collect()
+    }
+    assert got == {
+        "2026-01-01T00:00:00": (2, 2, 1, 0.5),
+        "2026-01-01T00:01:00": (1, 2, 0, 0.0),
+    }
