@@ -160,6 +160,33 @@ print(
 ld = layout_drift(docs2.filter(did % 2 == 0), docs2.filter(did % 2 == 1))
 print("layout drift (even vs odd):", ld.collect()[0].asDict())
 
+from pyspark_validator.pipelines.interleaved import (
+    media_census_drift,
+    media_context_census,
+    media_context_rollup,
+    normalize_interleaved,
+    spans_to_text,
+)
+
+md = media_census_drift(docs2.filter(did % 2 == 0), docs2.filter(did % 2 == 1))
+print("media census drift (even vs odd):", md.collect()[0].asDict())
+census = media_context_rollup(
+    media_context_census(docs2.withColumn("shard", did % 3), ["shard"])
+)
+print("per-shard caption census:")
+for r in census.orderBy("shard").collect():
+    print("  ", r.asDict())
+norm = normalize_interleaved(docs2)
+print(
+    "normalize:",
+    norm.agg(
+        F.sum("n_dropped_spans").alias("dropped"),
+        F.sum("n_merged_spans").alias("merged"),
+    ).collect()[0].asDict(),
+)
+tok_flat = spans_to_text(docs2, media_sentinel="<image>")
+print("sentinel flatten sample:", tok_flat.select("text").first()["text"][:80])
+
 emb = spark2.read.parquet(f"{sf_dir}/embeddings.parquet")
 cd = embedding_centroid_drift(
     emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
