@@ -979,6 +979,7 @@ def chunk_interleaved(
     media_token_cost: int = 256,
     spans_col: str = "spans",
     id_col: str = "doc_id",
+    media_token_costs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Split each interleaved document into SPAN-ALIGNED context windows:
     consecutive offset-ordered spans are packed greedily until the multimodal
@@ -995,6 +996,16 @@ def chunk_interleaved(
     exprs behind explode barriers + ONE Generate -- zero shuffle."""
     from .text import bpe_token_count
 
+    if media_token_costs:
+        kind_map = F.create_map(
+            *[F.lit(x) for kv in media_token_costs.items() for x in kv]
+        )
+        media_cost = lambda s: F.coalesce(  # noqa: E731
+            kind_map[s["kind"]].cast("bigint"),
+            F.lit(media_token_cost).cast("bigint"),
+        )
+    else:
+        media_cost = lambda s: F.lit(media_token_cost).cast("bigint")  # noqa: E731
     costed_expr = F.transform(
         _ordered_spans(spans_col),
         lambda s: F.struct(
@@ -1004,7 +1015,7 @@ def chunk_interleaved(
             s["offset"].alias("offset"),
             F.when(
                 s["media_ref"].isNotNull(),
-                F.lit(media_token_cost).cast("bigint"),
+                media_cost(s),
             )
             .otherwise(F.coalesce(bpe_token_count(s["text"]), F.lit(0)).cast("bigint"))
             .alias("cost"),
@@ -1083,6 +1094,7 @@ def pack_interleaved(
     media_token_cost: int = 256,
     num_bins: int = 64,
     bin_col: F.Column | None = None,
+    media_token_costs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing of INTERLEAVED documents: delegates to
     ``pack_sequences`` with the span-aware token cost from
@@ -1092,7 +1104,9 @@ def pack_interleaved(
     the deterministic bin id, no global sort)."""
     from .curation import pack_sequences
 
-    costed = span_token_costs(df, spans_col, media_token_cost)
+    costed = span_token_costs(
+        df, spans_col, media_token_cost, media_token_costs=media_token_costs
+    )
     return pack_sequences(
         costed,
         id_col=id_col,

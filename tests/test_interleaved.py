@@ -707,3 +707,36 @@ def test_media_token_costs_by_kind(spark):
     # audio absent from the map -> flat fallback 100
     assert by_kind["n_tokens"] == 2 + 64 + 100 + 1024
     assert by_kind["n_media_spans"] == 3
+
+
+def test_chunk_and_pack_per_kind_costs(spark):
+    from pyspark_validator.pipelines.interleaved import (
+        chunk_interleaved,
+        pack_interleaved,
+    )
+
+    rows = [
+        ("mm", [
+            _span("text", "t", None, 0),
+            _span("video", None, "m://v", 10),   # costs 9 under the map
+            _span("image", None, "m://i", 20),   # costs 1
+        ]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # budget 10: [text(1) + video(9)] fills chunk 0 exactly; image starts 1
+    chunks = chunk_interleaved(
+        df, chunk_tokens=10, media_token_cost=5,
+        media_token_costs={"video": 9, "image": 1},
+    ).collect()
+    got = {r["chunk_id"]: (r["n_spans"], r["n_tokens"]) for r in chunks}
+    assert got == {0: (2, 10), 1: (1, 1)}
+    # flat fallback: both media cost 5 -> text+video fill 6, image (5) would
+    # overflow the 10 budget and starts chunk 1
+    flat = chunk_interleaved(df, chunk_tokens=10, media_token_cost=5).collect()
+    assert {r["chunk_id"]: r["n_tokens"] for r in flat} == {0: 6, 1: 5}
+
+    packed = pack_interleaved(
+        df, chunk_tokens=100, media_token_cost=5, num_bins=1,
+        bin_col=F.lit(0), media_token_costs={"video": 9, "image": 1},
+    )
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == 11
