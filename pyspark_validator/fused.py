@@ -400,6 +400,78 @@ class FusedPass:
         merges = {f"{n_}__n_media": "sum", f"{n_}__n_captioned": "sum"}
         return self._add(_Member(n_, exprs, merges, finish))
 
+    def add_interleaved_quality(
+        self,
+        name: str,
+        spans_col: str = "spans",
+        max_media: int = 32,
+        max_media_run: int = 3,
+        min_text_tokens: int = 8,
+        max_flagged_fraction: float = 0.0,
+    ) -> "FusedPass":
+        """Document-level multimodal quality gate as a per-partition verdict
+        (pipelines/interleaved.py::interleaved_quality_gate aggregated):
+        per partition the doc count and how many docs trip each flag (media
+        budget / image-wall run / low text). ``holds`` gates the partition's
+        flagged fraction against ``max_flagged_fraction``. All partials are
+        pure sums of per-row exprs with constant ordered-array evaluations
+        (the run length is one array fold), so the member folds deltas AND
+        retracts deletes through IncrementalFused."""
+        from .pipelines.interleaved import token_cost_columns, _ordered_spans
+
+        n_ = _ident(name)
+        text_toks, n_media = token_cost_columns(spans_col)
+        sp = _ordered_spans(spans_col)
+        run = F.aggregate(
+            F.transform(sp, lambda s: s["media_ref"].isNotNull()),
+            F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+            lambda acc, m: F.struct(
+                F.when(m, acc["cur"] + 1).otherwise(F.lit(0)).alias("cur"),
+                F.greatest(
+                    acc["best"], F.when(m, acc["cur"] + 1).otherwise(F.lit(0))
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        f_budget = n_media > max_media
+        f_run = run > max_media_run
+        f_text = text_toks < min_text_tokens
+        exprs = [
+            F.count(F.lit(1)).alias(f"{n_}__n_docs"),
+            F.sum(f_budget.cast("long")).alias(f"{n_}__n_media_budget"),
+            F.sum(f_run.cast("long")).alias(f"{n_}__n_media_run"),
+            F.sum(f_text.cast("long")).alias(f"{n_}__n_low_text"),
+            F.sum((f_budget | f_run | f_text).cast("long")).alias(
+                f"{n_}__n_flagged"
+            ),
+        ]
+
+        def finish(g: DataFrame) -> DataFrame:
+            docs = F.col(f"{n_}__n_docs")
+            flagged = F.col(f"{n_}__n_flagged")
+            frac = F.try_divide(flagged, docs)
+            return g.select(
+                "partition_id",
+                (F.coalesce(frac, F.lit(0.0)) <= F.lit(max_flagged_fraction)).alias(
+                    "holds"
+                ),
+                docs.alias("n_docs"),
+                flagged.alias("n_flagged"),
+                F.col(f"{n_}__n_media_budget").alias("n_media_budget"),
+                F.col(f"{n_}__n_media_run").alias("n_media_run"),
+                F.col(f"{n_}__n_low_text").alias("n_low_text"),
+                frac.alias("flagged_fraction"),
+            )
+
+        merges = {
+            f"{n_}__n_docs": "sum",
+            f"{n_}__n_media_budget": "sum",
+            f"{n_}__n_media_run": "sum",
+            f"{n_}__n_low_text": "sum",
+            f"{n_}__n_flagged": "sum",
+        }
+        return self._add(_Member(n_, exprs, merges, finish))
+
     def add_type_conformance(
         self,
         name: str,
@@ -860,6 +932,15 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
             name,
             spans_col=params.get("spans_col", "spans"),
             kinds=params.get("kinds"),
+        )
+    elif kind == "interleaved_quality":
+        p.add_interleaved_quality(
+            name,
+            spans_col=params.get("spans_col", "spans"),
+            max_media=params.get("max_media", 32),
+            max_media_run=params.get("max_media_run", 3),
+            min_text_tokens=params.get("min_text_tokens", 8),
+            max_flagged_fraction=params.get("max_flagged_fraction", 0.0),
         )
     elif kind == "media_context":
         p.add_media_context(

@@ -278,6 +278,7 @@ class ValidationSuite:
             "pii_budget",
             "token_budget",
             "media_context",
+            "interleaved_quality",
         ):
             # agg-shaped kinds whose only home is fused.py: run each as its
             # own single-member pass so they work without "fuse": true too

@@ -753,3 +753,95 @@ def test_runner_media_context_kind_standalone(spark):
     assert sum(r.n_media for r in v) == 8
     assert sum(r.n_isolated for r in v) == 1
     assert sum(0 if r.holds else 1 for r in v) == 1
+
+
+def test_fused_interleaved_quality_member(spark, tmp_path):
+    """add_interleaved_quality: per-partition flag sums equal the standalone
+    gate's flag counts; max_flagged_fraction gates; deltas fold + retract."""
+    from pyspark_validator.fused import FusedPass, IncrementalFused
+    from pyspark_validator.pipelines.interleaved import interleaved_quality_gate
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = (
+        [
+            (f"ok{i}", [sp("text", "enough plain words to pass easily", None, 0),
+                        sp("image", None, f"m://{i}", 64)])
+            for i in range(9)
+        ]
+        + [("wall", [sp("text", "enough plain words to pass easily", None, 0)]
+                    + [sp("image", None, f"m://w{i}", 64 * (i + 1))
+                       for i in range(4)])]
+        + [("thin", [sp("text", "hi", None, 0)])]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    def fp(d, frac=0.0):
+        return FusedPass(
+            d, num_partitions=4, partition_key="doc_id"
+        ).add_interleaved_quality(
+            "q", max_media=8, max_media_run=3, min_text_tokens=3,
+            max_flagged_fraction=frac,
+        )
+
+    v = fp(df).verdicts()["q"]
+    agg = v.agg(
+        F.sum("n_docs"), F.sum("n_flagged"), F.sum("n_media_run"),
+        F.sum("n_low_text"), F.sum("n_media_budget"),
+    ).collect()[0]
+    direct = interleaved_quality_gate(
+        df, max_media=8, max_media_run=3, min_text_tokens=3
+    ).agg(
+        F.count(F.lit(1)), F.sum((~F.col("keep")).cast("long")),
+        F.sum(F.col("flag_media_run").cast("long")),
+        F.sum(F.col("flag_low_text").cast("long")),
+        F.sum(F.col("flag_media_budget").cast("long")),
+    ).collect()[0]
+    assert tuple(agg) == tuple(direct) == (11, 2, 1, 1, 0)
+
+    bad = v.filter(~F.col("holds"))
+    assert bad.count() >= 1  # the partitions holding wall/thin fail at 0.0
+    assert fp(df, frac=1.0).verdicts()["q"].filter(~F.col("holds")).count() == 0
+
+    # incremental fold + retract of the flagged docs
+    flagged = df.filter(F.col("doc_id").isin("wall", "thin"))
+    base = df.subtract(flagged)
+    inc = IncrementalFused(fp(base), str(tmp_path / "q_state"))
+    inc.initialize()
+    inc.apply_delta(inserts=flagged)
+    assert inc.verdicts()["q"].agg(F.sum("n_flagged")).collect()[0][0] == 2
+    inc.apply_delta(deletes=flagged)
+    after = inc.verdicts()["q"].agg(
+        F.sum("n_docs"), F.sum("n_flagged")
+    ).collect()[0]
+    assert tuple(after) == (9, 0)
+
+
+def test_runner_interleaved_quality_kind_standalone(spark):
+    from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        (f"d{i}", [{"kind": "text", "text": "three plain words", "media_ref": None,
+                    "offset": 0}])
+        for i in range(6)
+    ] + [("bare", [])]
+    df = spark.createDataFrame(rows, schema)
+    suite = ValidationSuite(spark, df, num_partitions=4, doc_id_col="doc_id")
+    res = suite.run(
+        [CheckSpec(name="q", kind="interleaved_quality",
+                   params={"min_text_tokens": 2})]
+    )
+    v = res["q"].collect()
+    assert sum(r.n_docs for r in v) == 7
+    assert sum(r.n_flagged for r in v) == 1  # the empty doc
+    assert sum(0 if r.holds else 1 for r in v) == 1
