@@ -59,4 +59,25 @@ fp.rollup_distinct("pk_uniqueness").show()
 print("The whole suite above was ONE scan + ONE 16-row shuffle:")
 fp.grouped().explain(mode="simple")
 fp.unpersist()
+
+# -- interleaved-shape members: the same one-scan pass over the doc table ---
+import importlib.util
+
+spec = importlib.util.spec_from_file_location("entry", "__spark_entry__.py")
+entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry)
+docs = entry._docs_spans(spark, "/root/testdata/sf0.001")
+fp2 = (
+    FusedPass(docs, num_partitions=8, partition_key="doc_id")
+    .add_span_integrity("spans_ok")
+    .add_token_budget("tokens", media_token_cost=256)
+    .add_media_context("captions", min_caption_ratio=0.5)
+    .add_interleaved_quality("quality", max_media=8, min_text_tokens=2,
+                             max_flagged_fraction=0.05)
+)
+for name, verdict in fp2.verdicts().items():
+    rows = verdict.collect()
+    ok = sum(1 for r in rows if r.holds)
+    print(f"{name}: {ok}/{len(rows)} partitions pass")
+fp2.unpersist()
 spark.stop()
