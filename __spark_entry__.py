@@ -6606,6 +6606,351 @@ GROUP BY 1, 2
 """.format(t1=_hex_cut(0.1), t2=_hex_cut(0.2))
 
 
+def q_kanon_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + (distinct & entropy) l-diversity over customer
+    (checks/anon.py): QI = (c_nationkey, c_mktsegment), k=10, sensitive =
+    floor(c_acctbal/1000) at l=5. The privacy dual of the UCC check -- one
+    groupBy(QI, sensitive) -> groupBy(QI) chain, same plan family as FD."""
+    from pyspark_validator.checks.anon import anon_check
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000.0)
+    )
+    s = anon_check(
+        cust, ["c_nationkey", "c_mktsegment"], k=10, sensitive="bal_bucket", l=5
+    ).summary()
+    return s.select(
+        "n_rows",
+        "n_clusters",
+        F.col("min_cluster_size").cast("bigint").alias("min_cluster_size"),
+        "n_k_violating_clusters",
+        "n_k_violating_rows",
+        F.col("min_distinct_sensitive").cast("bigint").alias(
+            "min_distinct_sensitive"
+        ),
+        "n_l_violating_clusters",
+        "n_l_violating_rows",
+        "n_entropy_violating_clusters",
+        _r(F.col("suppression_ratio"), 9).alias("suppression_ratio"),
+        "holds",
+    )
+
+
+SQL_KANON_CUSTOMER = """
+WITH lvl AS (
+  SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS s,
+         count(*) AS c_sy
+  FROM customer GROUP BY 1, 2, 3
+),
+cl AS (
+  SELECT c_nationkey, c_mktsegment, sum(c_sy) AS cnt, count(*) AS nds,
+         ln(sum(c_sy)) - sum(c_sy * ln(c_sy)) / sum(c_sy) AS ent
+  FROM lvl GROUP BY 1, 2
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(min(cnt) AS BIGINT) AS min_cluster_size,
+       CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_violating_clusters,
+       CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT) AS n_k_violating_rows,
+       CAST(min(nds) AS BIGINT) AS min_distinct_sensitive,
+       CAST(sum(CASE WHEN nds < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_l_violating_clusters,
+       CAST(sum(CASE WHEN nds < 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_l_violating_rows,
+       CAST(sum(CASE WHEN ent < 1.6094379124341003 - 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_entropy_violating_clusters,
+       round(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 9)
+         AS suppression_ratio,
+       (sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN nds < 5 THEN 1 ELSE 0 END) = 0) AS holds
+FROM cl
+"""
+
+
+def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of l_extendedprice (checks/benford.py):
+    9-digit census (one map-side-combinable groupBy), chi2 vs the exact
+    chi2_ppf(0.95, 8) critical value, Nigrini MAD bands. TPC-H prices are
+    near-uniform in the leading digit, so the verdict is nonconformity --
+    the point is the exact statistic, replayed digit-by-digit in SQL."""
+    from pyspark_validator.checks.benford import benford_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = benford_check(li, "l_extendedprice").summary()
+    return s.select(
+        "n",
+        _r(F.col("chi2"), 6).alias("chi2"),
+        _r(F.col("chi2_critical"), 9).alias("chi2_critical"),
+        _r(F.col("mad"), 9).alias("mad"),
+        "mad_conformity",
+        "chi2_conforms",
+        "holds",
+    )
+
+
+SQL_BENFORD_LINEITEM = """
+WITH d AS (
+  SELECT CAST(floor(abs(l_extendedprice)
+              / pow(10.0, floor(log10(abs(l_extendedprice))))) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+),
+cen AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+expd AS (SELECT dd AS digit, log10(1.0 + 1.0 / dd) AS p
+         FROM (SELECT unnest(range(1, 10)) AS dd)),
+tot AS (SELECT sum(cnt) AS n FROM cen),
+t AS (
+  SELECT any_value(n) AS n,
+         sum(pow(coalesce(cnt, 0) * 1.0 / n - p, 2) / p) AS chi2_per_n,
+         avg(abs(coalesce(cnt, 0) * 1.0 / n - p)) AS mad
+  FROM expd LEFT JOIN cen USING (digit), tot
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(chi2_per_n * n, 6) AS chi2,
+       round(15.507313055865446, 9) AS chi2_critical,
+       round(mad, 9) AS mad,
+       CASE WHEN mad <= 0.006 THEN 'close'
+            WHEN mad <= 0.012 THEN 'acceptable'
+            WHEN mad <= 0.015 THEN 'marginal'
+            ELSE 'nonconformity' END AS mad_conformity,
+       (chi2_per_n * n <= 15.507313055865446) AS chi2_conforms,
+       (mad <= 0.012) AS holds
+FROM t
+"""
+
+
+def q_assoc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact categorical association (checks/assoc.py) between o_orderstatus
+    and o_orderpriority: chi2 / Cramér's V (+ Bergsma correction) / entropies
+    / mutual information / Theil's U both directions, all from ONE joint
+    census shuffle. The directional U is the engine's exact complement to
+    the AFD error family (U(B|A)=1 <=> FD A -> B)."""
+    from pyspark_validator.checks.assoc import assoc_check
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = assoc_check(orders, "o_orderstatus", "o_orderpriority").summary()
+    return s.select(
+        "n",
+        "r",
+        "c",
+        _r(F.col("chi2"), 6).alias("chi2"),
+        "dof",
+        _r(F.col("cramers_v"), 9).alias("cramers_v"),
+        _r(F.col("cramers_v_corrected"), 9).alias("cramers_v_corrected"),
+        _r(F.col("h_a"), 9).alias("h_a"),
+        _r(F.col("h_b"), 9).alias("h_b"),
+        _r(F.col("h_ab"), 9).alias("h_ab"),
+        _r(F.col("mutual_info"), 9).alias("mutual_info"),
+        _r(F.col("theil_u_a_given_b"), 9).alias("theil_u_a_given_b"),
+        _r(F.col("theil_u_b_given_a"), 9).alias("theil_u_b_given_a"),
+        _r(F.col("chi2_critical"), 6).alias("chi2_critical"),
+        "dependent",
+    )
+
+
+#: z_{0.95} (assoc._norm_ppf(0.95)) inlined so the Wilson-Hilferty gate is
+#: bit-identical across engines.
+_Z95 = "1.6448536269514722"
+
+SQL_ASSOC_ORDERS = f"""
+WITH cen AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS cnt
+             FROM orders GROUP BY 1, 2),
+ra AS (SELECT a, sum(cnt) AS ca FROM cen GROUP BY 1),
+cb AS (SELECT b, sum(cnt) AS cb FROM cen GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM cen),
+sa AS (SELECT count(*) AS r, sum(ca * ln(ca)) AS sca FROM ra),
+sb AS (SELECT count(*) AS c, sum(cb * ln(cb)) AS scb FROM cb),
+sab AS (SELECT sum(cnt * ln(cnt)) AS scnt FROM cen),
+chi AS (SELECT sum(pow(cnt - ca * cb / n, 2) / (ca * cb / n) - ca * cb / n) AS x
+        FROM cen JOIN ra USING (a) JOIN cb USING (b), tot),
+m AS (
+  SELECT n, r, c, x + n AS chi2,
+         ln(n) - sca / n AS h_a, ln(n) - scb / n AS h_b,
+         ln(n) - scnt / n AS h_ab,
+         greatest((ln(n) - sca / n) + (ln(n) - scb / n) - (ln(n) - scnt / n),
+                  0.0) AS mi,
+         (x + n) / n AS phi2,
+         greatest((x + n) / n - (r - 1.0) * (c - 1.0) / (n - 1.0), 0.0) AS phi2c,
+         r - (r - 1.0) * (r - 1.0) / (n - 1.0) AS rc,
+         c - (c - 1.0) * (c - 1.0) / (n - 1.0) AS cc,
+         (r - 1.0) * (c - 1.0) AS dof
+  FROM tot, sa, sb, sab, chi
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+       round(chi2, 6) AS chi2, CAST(dof AS BIGINT) AS dof,
+       round(CASE WHEN least(r, c) > 1
+                  THEN sqrt(phi2 / (least(r, c) - 1.0)) ELSE 0.0 END, 9)
+         AS cramers_v,
+       round(CASE WHEN least(rc, cc) > 1
+                  THEN sqrt(phi2c / (least(rc, cc) - 1.0)) ELSE 0.0 END, 9)
+         AS cramers_v_corrected,
+       round(h_a, 9) AS h_a, round(h_b, 9) AS h_b, round(h_ab, 9) AS h_ab,
+       round(mi, 9) AS mutual_info,
+       round(CASE WHEN h_a > 0 THEN mi / h_a END, 9) AS theil_u_a_given_b,
+       round(CASE WHEN h_b > 0 THEN mi / h_b END, 9) AS theil_u_b_given_a,
+       round(dof * pow(1.0 - 2.0 / (9.0 * dof)
+                       + {_Z95} * sqrt(2.0 / (9.0 * dof)), 3), 6)
+         AS chi2_critical,
+       (chi2 > dof * pow(1.0 - 2.0 / (9.0 * dof)
+                         + {_Z95} * sqrt(2.0 / (9.0 * dof)), 3)) AS dependent
+FROM m
+"""
+
+
+def q_drift_js_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence drift on event_type between even/odd event
+    ids (checks/drift.py::js_divergence_drift): smoothing-free, bounded [0,1]
+    companion to the PSI/chi2 categorical drift query."""
+    from pyspark_validator.checks.drift import js_divergence_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.filter(F.col("event_id") % 2 == 0)
+    c = ev.filter(F.col("event_id") % 2 == 1)
+    d = js_divergence_drift(b, c, "event_type", threshold=0.05)
+    return d.select(
+        _r(F.col("jsd"), 9).alias("jsd"),
+        _r(F.col("js_distance"), 9).alias("js_distance"),
+        "n_b",
+        "n_c",
+        "n_buckets",
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_JS_EVENTS = """
+WITH counts AS (
+  SELECT event_type,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c, count(*) AS k FROM counts),
+j AS (
+  SELECT (CASE WHEN cnt_b > 0 THEN (cnt_b * 1.0 / n_b)
+               * ln((cnt_b * 1.0 / n_b)
+                    / ((cnt_b * 1.0 / n_b + cnt_c * 1.0 / n_c) / 2))
+               / 0.6931471805599453 ELSE 0.0 END
+        + CASE WHEN cnt_c > 0 THEN (cnt_c * 1.0 / n_c)
+               * ln((cnt_c * 1.0 / n_c)
+                    / ((cnt_b * 1.0 / n_b + cnt_c * 1.0 / n_c) / 2))
+               / 0.6931471805599453 ELSE 0.0 END) AS term
+  FROM counts, tot
+),
+s AS (SELECT sum(term) / 2 AS jsd FROM j)
+SELECT round(any_value(jsd), 9) AS jsd,
+       round(sqrt(greatest(any_value(jsd), 0.0)), 9) AS js_distance,
+       CAST(any_value(n_b) AS BIGINT) AS n_b,
+       CAST(any_value(n_c) AS BIGINT) AS n_c,
+       any_value(k) AS n_buckets,
+       (any_value(jsd) > 0.05) AS drift_detected
+FROM s, tot
+"""
+
+
+def q_drift_wasserstein_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein drift of `value` between even/odd event ids on the
+    same 30-bin sketch as drift_numeric_events (checks/drift.py::
+    wasserstein_drift): the integral of the CDF gap, span-weighted across
+    absent bins."""
+    from pyspark_validator.checks.drift import wasserstein_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.filter(F.col("event_id") % 2 == 0)
+    c = ev.filter(F.col("event_id") % 2 == 1)
+    d = wasserstein_drift(
+        b, c, "value", num_bins=30, bin_edges=(0.0, 600.0), threshold=5.0
+    )
+    return d.select(
+        _r(F.col("wasserstein"), 9).alias("wasserstein"),
+        _r(F.col("wasserstein_norm"), 9).alias("wasserstein_norm"),
+        "n_b",
+        "n_c",
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_WASSERSTEIN_EVENTS = """
+WITH binned AS (
+  SELECT least(greatest(CAST(floor(value / 20.0) AS BIGINT), -1), 30) AS bucket,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_b,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cnt_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(cnt_b) AS tb, sum(cnt_c) AS tc FROM binned),
+cum AS (
+  SELECT abs(sum(cnt_b) OVER w * 1.0 / tb - sum(cnt_c) OVER w * 1.0 / tc) AS gap,
+         coalesce(lead(bucket) OVER w - bucket, 0) AS span
+  FROM binned, tot
+  WINDOW w AS (ORDER BY bucket)
+),
+s AS (SELECT sum(gap * span) * 20.0 AS w1 FROM cum)
+SELECT round(any_value(w1), 9) AS wasserstein,
+       round(any_value(w1) / 600.0, 9) AS wasserstein_norm,
+       CAST(any_value(tb) AS BIGINT) AS n_b,
+       CAST(any_value(tc) AS BIGINT) AS n_c,
+       (any_value(w1) > 5.0) AS drift_detected
+FROM s, tot
+"""
+
+
+def q_zipf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law vocabulary fit over documents.text (pipelines/text.py::
+    zipf_signals): OLS of ln(freq) on ln(rank) over the top-500 types of the
+    token census. The synthetic corpus has a near-uniform tiny vocabulary,
+    so the slope sits far from -1 and the band gate fails -- which is
+    exactly what this check is for (template-farm detection)."""
+    from pyspark_validator.pipelines.text import zipf_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = zipf_signals(docs, max_rank=500)
+    return s.select(
+        "n_tokens",
+        "n_types",
+        "n_ranks_fit",
+        _r(F.col("top1_share"), 9).alias("top1_share"),
+        _r(F.col("zipf_slope"), 9).alias("zipf_slope"),
+        _r(F.col("zipf_intercept"), 9).alias("zipf_intercept"),
+        _r(F.col("r2"), 9).alias("r2"),
+        "holds",
+    )
+
+
+SQL_ZIPF_DOCS = """
+WITH toks AS (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+cen AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n_tokens, count(*) AS n_types, max(cnt) AS max_cnt
+        FROM cen),
+head AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM cen ORDER BY cnt DESC, token LIMIT 500
+),
+sums AS (
+  SELECT count(*) AS m, sum(ln(rank)) AS sx, sum(ln(cnt)) AS sy,
+         sum(ln(rank) * ln(rank)) AS sxx, sum(ln(cnt) * ln(cnt)) AS syy,
+         sum(ln(rank) * ln(cnt)) AS sxy
+  FROM head
+),
+fit AS (
+  SELECT m, sx, sy,
+         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS slope,
+         pow(m * sxy - sx * sy, 2)
+           / ((m * sxx - sx * sx) * (m * syy - sy * sy)) AS r2
+  FROM sums
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(m AS BIGINT) AS n_ranks_fit,
+       round(max_cnt * 1.0 / n_tokens, 9) AS top1_share,
+       round(slope, 9) AS zipf_slope,
+       round((sy - slope * sx) / m, 9) AS zipf_intercept,
+       round(r2, 9) AS r2,
+       (slope BETWEEN -1.5 AND -0.7) AS holds
+FROM tot, fit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -6744,6 +7089,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discovery_list_ods_orders": q_discovery_list_ods_orders,
         "discovery_cinds_orders": q_discovery_cinds_orders,
         "discovery_nary_inds_orders": q_discovery_nary_inds_orders,
+        "kanon_customer": q_kanon_customer,
+        "benford_lineitem": q_benford_lineitem,
+        "assoc_orders": q_assoc_orders,
+        "drift_js_events": q_drift_js_events,
+        "drift_wasserstein_events": q_drift_wasserstein_events,
+        "zipf_docs": q_zipf_docs,
     }
 
 
@@ -6892,6 +7243,12 @@ def oracle_sql() -> dict[str, str]:
         "discovery_list_ods_orders": SQL_DISCOVERY_LIST_ODS_ORDERS,
         "discovery_cinds_orders": SQL_DISCOVERY_CINDS_ORDERS,
         "discovery_nary_inds_orders": SQL_DISCOVERY_NARY_INDS_ORDERS,
+        "kanon_customer": SQL_KANON_CUSTOMER,
+        "benford_lineitem": SQL_BENFORD_LINEITEM,
+        "assoc_orders": SQL_ASSOC_ORDERS,
+        "drift_js_events": SQL_DRIFT_JS_EVENTS,
+        "drift_wasserstein_events": SQL_DRIFT_WASSERSTEIN_EVENTS,
+        "zipf_docs": SQL_ZIPF_DOCS,
     }
 
 

@@ -182,6 +182,14 @@ HEADLINE = [
     "drift_media_census_docs",
     "media_context_census_docs",
     "spans_flatten_sentinels",
+    # round 2 session 23: privacy (k-anonymity/l-diversity), Benford
+    # conformance, exact association measures, JS/Wasserstein drift, Zipf fit
+    "kanon_customer",
+    "benford_lineitem",
+    "assoc_orders",
+    "drift_js_events",
+    "drift_wasserstein_events",
+    "zipf_docs",
 ]
 
 

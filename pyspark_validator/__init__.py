@@ -27,6 +27,9 @@ from pyspark_validator.checks.ac import ac_check
 from pyspark_validator.checks.ar import ar_check
 from pyspark_validator.checks.cfd import cfd_check
 from pyspark_validator.checks.cind import cind_check
+from pyspark_validator.checks.anon import anon_check
+from pyspark_validator.checks.assoc import assoc_check
+from pyspark_validator.checks.benford import benford_check
 from pyspark_validator.checks.dc import dc_check
 from pyspark_validator.checks.dd import dd_check
 from pyspark_validator.checks.fd import afd_measures, fd_check, pfd_check
@@ -82,7 +85,10 @@ from pyspark_validator.sketches import sketch_profile
 __all__ = [
     "CanonicalDocs",
     "ac_check",
+    "anon_check",
+    "assoc_check",
     "afd_measures",
+    "benford_check",
     "aod_check",
     "ar_check",
     "canonicalize",

@@ -336,3 +336,143 @@ def embedding_centroid_drift(
         "mean_norm_c",
         (cos < F.lit(min_cosine)).alias("drift_detected"),
     )
+
+
+def js_divergence_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Jensen-Shannon divergence drift on a categorical column (log base 2,
+    so JSD is bounded in [0, 1]; JS distance = sqrt(JSD) is a metric).
+
+    Complements PSI/chi2 (categorical_drift): JSD needs NO smoothing -- the
+    mixture m = (p+q)/2 is positive wherever either side is -- and is
+    symmetric and bounded, so thresholds transfer across columns with very
+    different cardinalities (PSI's additive-alpha floor does not).
+
+    Same physical plan as categorical_drift: tag + union + ONE map-side
+    combinable groupBy(value); the rollup runs over #distinct-values rows.
+    Output one row per group: [by..., jsd, js_distance, n_b, n_c, n_buckets,
+    drift_detected].
+    """
+    by = by or []
+    counts = _two_sample_counts(baseline, current, F.col(column), by)
+    tot = counts.groupBy(*by).agg(
+        F.sum("cnt_b").alias("n_b"),
+        F.sum("cnt_c").alias("n_c"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.join(tot, on=by) if by else counts.crossJoin(tot)
+    p = F.col("cnt_b") / F.col("n_b")
+    q = F.col("cnt_c") / F.col("n_c")
+    m = (p + q) / 2
+    ln2 = F.lit(0.6931471805599453)
+    # 0 * log(0/m) := 0 (absent cell contributes nothing on its side)
+    term_p = F.when(F.col("cnt_b") > 0, p * F.log(p / m) / ln2).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("cnt_c") > 0, q * F.log(q / m) / ln2).otherwise(F.lit(0.0))
+    grouped = j.groupBy(*by) if by else j.groupBy()
+    out = grouped.agg(
+        ((F.sum(term_p) + F.sum(term_q)) / 2).alias("jsd"),
+        F.first("n_b").alias("n_b"),
+        F.first("n_c").alias("n_c"),
+        F.first("k").alias("n_buckets"),
+    )
+    return out.select(
+        *by,
+        "jsd",
+        F.sqrt(F.greatest(F.col("jsd"), F.lit(0.0))).alias("js_distance"),
+        "n_b",
+        "n_c",
+        "n_buckets",
+        (F.col("jsd") > threshold).alias("drift_detected"),
+    )
+
+
+def wasserstein_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    by: list[str] | None = None,
+    num_bins: int = 100,
+    bin_edges: tuple[float, float] | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover) drift over the same equi-width histogram
+    sketch as numeric_drift: W1 = integral |F_b(x) - F_c(x)| dx, evaluated on
+    the binned ECDFs (sum of |CDF gap| * bin width). Where KS reports only the
+    WORST cdf gap, W1 integrates ALL of it, so a broad small shift (mean drift
+    spread over the range) scores high even when no single gap crosses the KS
+    bar.
+
+    Out-of-range sentinel bins (numeric_drift's -1 / num_bins clamps) are
+    counted with one bin width -- the sketch's resolution floor, stated here
+    because a heavy out-of-edges tail makes W1 a lower bound.
+
+    Output: [by..., wasserstein, wasserstein_norm, n_b, n_c, drift_detected]
+    where wasserstein_norm = W1 / (hi - lo) in [0, ~1] for in-range mass.
+    ``threshold`` (absolute, same units as the column) gates drift_detected;
+    None means informational (always False).
+    """
+    by = by or []
+    if bin_edges is None:
+        row = baseline.agg(
+            F.min(F.col(column).cast("double")), F.max(F.col(column).cast("double"))
+        ).collect()[0]
+        lo, hi = float(row[0]), float(row[1])
+    else:
+        lo, hi = bin_edges
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    x = F.col(column).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(-1)),
+        F.lit(num_bins),
+    )
+    counts = _two_sample_counts(
+        baseline.filter(x.isNotNull()), current.filter(x.isNotNull()), bucket, by
+    )
+    w = (
+        Window.partitionBy(*by).orderBy("bucket")
+        if by
+        else Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1))).orderBy("bucket")
+    )
+    tot = counts.groupBy(*by).agg(
+        F.sum("cnt_b").alias("tb"), F.sum("cnt_c").alias("tc")
+    )
+    cum = counts.join(tot, on=by) if by else counts.crossJoin(tot)
+    # a CDF gap persists across ABSENT bins until the next observed bucket,
+    # so each observed gap is weighted by that span (the last bucket's gap is
+    # 0 -- both CDFs reach 1 -- so the null lead contributes nothing).
+    cum = cum.withColumn(
+        "gap",
+        F.abs(
+            F.sum("cnt_b").over(w) / F.col("tb") - F.sum("cnt_c").over(w) / F.col("tc")
+        ),
+    ).withColumn(
+        "span",
+        F.coalesce(F.lead("bucket").over(w) - F.col("bucket"), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    out = (cum.groupBy(*by) if by else cum.groupBy()).agg(
+        (F.sum(F.col("gap") * F.col("span")) * F.lit(width)).alias("wasserstein"),
+        F.first("tb").alias("n_b"),
+        F.first("tc").alias("n_c"),
+    )
+    gate = (
+        F.lit(False)
+        if threshold is None
+        else F.col("wasserstein") > F.lit(threshold)
+    )
+    return out.select(
+        *by,
+        "wasserstein",
+        (F.col("wasserstein") / F.lit(hi - lo if hi > lo else 1.0)).alias(
+            "wasserstein_norm"
+        ),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_c").cast("long").alias("n_c"),
+        gate.alias("drift_detected"),
+    )

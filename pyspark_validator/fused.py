@@ -31,6 +31,9 @@ which remains the single source of truth for the un-fused path):
                       state, unioned across deltas).
 - ``type_conformance`` -- non-null values must try_cast to a declared type
                       (schema.py layer 2).
+- ``benford``      -- Benford first-digit conformance, MAD-gated per
+                      partition (checks/benford.py; the 9-digit census is
+                      pure sums).
 - ``span_integrity``-- the input-hint span-sequence invariant (known kinds,
                       text/media payload presence, strictly increasing
                       offsets) counted per partition (schema.py layer 3).
@@ -690,6 +693,62 @@ class FusedPass:
         merges = {f"{n}__n": "sum", **{f"{n}__b{i}": "sum" for i in range(k)}}
         return self._add(_Member(n, exprs, merges, finish))
 
+    def add_benford(
+        self,
+        name: str,
+        column: str,
+        mad_gate: str = "acceptable",
+    ) -> "FusedPass":
+        """Benford first-digit conformance per partition (checks/benford.py
+        semantics, first digit only). The 9-digit census is pure sums, so the
+        member folds deltas AND retracts deletes through IncrementalFused --
+        a live fabrication/unit-mixup alarm per partition. ``holds`` gates
+        the partition MAD at the Nigrini band chosen by ``mad_gate``;
+        rollup_benford(name) gives the global verdict from the same partials.
+        """
+        from pyspark_validator.checks.benford import (
+            _MAD_BANDS,
+            benford_expected,
+            first_digit_expr,
+        )
+
+        n = _ident(name)
+        if mad_gate not in ("close", "acceptable", "marginal"):
+            raise ValueError("mad_gate must be close|acceptable|marginal")
+        d = first_digit_expr(F.col(column), 1)
+        exprs = [F.sum(d.isNotNull().cast("long")).alias(f"{n}__n")]
+        exprs += [
+            F.sum((d == i).cast("long")).alias(f"{n}__d{i}") for i in range(1, 10)
+        ]
+        p_exp = benford_expected(1)
+        close, acceptable, marginal = _MAD_BANDS[1]
+        gate = {"close": close, "acceptable": acceptable, "marginal": marginal}[
+            mad_gate
+        ]
+
+        def _mad(g_n: Column) -> Column:
+            terms = [
+                F.abs(F.col(f"{n}__d{i}") / g_n - F.lit(p_exp[i]))
+                for i in range(1, 10)
+            ]
+            return sum(terms[1:], terms[0]) / F.lit(9.0)
+
+        def finish(g: DataFrame) -> DataFrame:
+            nn = F.col(f"{n}__n").cast("double")
+            mad = F.when(nn > 0, _mad(nn))
+            return g.select(
+                "partition_id",
+                # empty partition: vacuously holds (no digits to test)
+                F.coalesce(mad <= F.lit(gate), F.lit(True)).alias("holds"),
+                F.col(f"{n}__n").alias("n"),
+                mad.alias("mad"),
+            )
+
+        merges = {f"{n}__n": "sum"}
+        merges.update({f"{n}__d{i}": "sum" for i in range(1, 10)})
+        self._rollups[n] = gate
+        return self._add(_Member(n, exprs, merges, finish))
+
     # ---- execution --------------------------------------------------------
 
     def grouped(self) -> DataFrame:
@@ -735,6 +794,30 @@ class FusedPass:
             F.when(zero, 0.0).otherwise(support).alias("support"),
             F.when(zero, 0.0).otherwise(confidence).alias("confidence"),
             F.when(zero, 0.0).otherwise(fitness).alias("fitness"),
+        )
+
+    def rollup_benford(self, name: str) -> DataFrame:
+        """Global Benford verdict from a ``benford`` member's partials:
+        identical to checks/benford.py summary() MAD/holds on the same column
+        (digit counts are pure sums, so fusing loses nothing)."""
+        from pyspark_validator.checks.benford import benford_expected
+
+        gate = self._rollups[name]
+        n = name
+        p_exp = benford_expected(1)
+        agg = self.grouped().agg(
+            F.sum(f"{n}__n").alias("n"),
+            *[F.sum(f"{n}__d{i}").alias(f"d{i}") for i in range(1, 10)],
+        )
+        nn = F.col("n").cast("double")
+        terms = [
+            F.abs(F.col(f"d{i}") / nn - F.lit(p_exp[i])) for i in range(1, 10)
+        ]
+        mad = sum(terms[1:], terms[0]) / F.lit(9.0)
+        return agg.select(
+            "n",
+            mad.alias("mad"),
+            (mad <= F.lit(gate)).alias("holds"),
         )
 
     def rollup_distinct(self, name: str) -> DataFrame:

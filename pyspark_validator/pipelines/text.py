@@ -13,7 +13,7 @@ so every operator composes with the validation checks in one scan:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _STOPWORDS = {
@@ -519,3 +519,85 @@ def compression_signals(
             ),
         )
     )
+
+
+def token_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token census [token, cnt]: normalized words (normalize_text),
+    one map-side-combinable groupBy. The reusable partial for Zipf/vocabulary
+    analyses -- sum-mergeable across deltas like every census in this engine."""
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def zipf_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 1000,
+    min_count: int = 1,
+    slope_band: tuple[float, float] | None = (-1.5, -0.7),
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on ln(rank)
+    over the top ``max_rank`` types. Natural corpora fit slope ~ -1 (Zipf
+    1949); a collapsed slope is a canonical corpus-quality alarm -- template
+    farms / boilerplate floods flatten the head, dedup artifacts or synthetic
+    text steepen it. The same census drives vocabulary drift between
+    snapshots.
+
+    Scale design: ONE shuffle builds the token census (groupBy(token), map-
+    side combine absorbs stopword-class hot keys); the fit reads only the
+    top-``max_rank`` rows via orderBy(cnt desc, token).limit(k) -- Spark's
+    TakeOrderedAndProject, a distributed per-partition heap, NOT a global
+    sort -- so the un-partitioned rank window that follows runs over <= k
+    rows. The full census is never windowed.
+
+    Output (single row): [n_tokens, n_types, n_ranks_fit, top1_share,
+    zipf_slope, zipf_intercept, r2, holds]. ``holds`` gates the slope inside
+    ``slope_band`` (None = informational, always true).
+    """
+    cen = token_census(df, text_col)
+    if min_count > 1:
+        cen = cen.filter(F.col("cnt") >= min_count)
+    totals = cen.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    head = cen.orderBy(F.col("cnt").desc(), F.col("token")).limit(max_rank)
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )  # <= max_rank rows; pmod keeps Catalyst from folding the partition key
+    ranked = head.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.try_divide(cov, varx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / m
+    r2 = F.try_divide(cov * cov, varx * vary)
+    out = totals.crossJoin(sums).select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("m").cast("bigint").alias("n_ranks_fit"),
+        (F.col("max_cnt") / F.col("n_tokens")).alias("top1_share"),
+        slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept"),
+        r2.alias("r2"),
+    )
+    holds = (
+        F.lit(True)
+        if slope_band is None
+        else F.col("zipf_slope").between(slope_band[0], slope_band[1])
+    )
+    return out.withColumn("holds", holds)
