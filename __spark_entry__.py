@@ -6951,6 +6951,195 @@ FROM tot, fit
 """
 
 
+def q_format_conformance_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-facto format gate (checks/stats.py::format_conformance): c_name's
+    character-class mask ('Aaaaaaaa#999999999') must cover >= 99% of rows.
+    One groupBy over mask cardinality -- tiny by construction."""
+    from pyspark_validator.checks.stats import format_conformance
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = format_conformance(cust, "c_name", min_fraction=0.99)
+    return s.select(
+        "n",
+        "n_masks",
+        "top_mask",
+        "top_mask_cnt",
+        _r(F.col("top_mask_fraction"), 9).alias("top_mask_fraction"),
+        "holds",
+    )
+
+
+SQL_FORMAT_CONFORMANCE_CUSTOMER = """
+WITH cen AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+           AS mask,
+         count(*) AS cnt
+  FROM customer GROUP BY 1
+),
+top AS (SELECT mask, cnt FROM cen ORDER BY cnt DESC, mask LIMIT 1),
+tot AS (SELECT sum(cnt) AS n, count(*) AS n_masks FROM cen)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_masks AS BIGINT) AS n_masks,
+       mask AS top_mask, CAST(cnt AS BIGINT) AS top_mask_cnt,
+       round(cnt * 1.0 / n, 9) AS top_mask_fraction,
+       (cnt >= 0.99 * n) AS holds
+FROM tot, top
+"""
+
+
+def q_format_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 format-mask census of p_type (checks/stats.py::format_profile):
+    the data-cleaning format profile, deterministic (count desc, mask asc)."""
+    from pyspark_validator.checks.stats import format_profile
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return format_profile(part, "p_type", k=5).select(
+        "mask", "cnt", _r(F.col("fraction"), 9).alias("fraction")
+    )
+
+
+SQL_FORMAT_PROFILE_PART = """
+WITH cen AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(
+           p_type, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+           AS mask,
+         count(*) AS cnt
+  FROM part GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS n FROM cen)
+SELECT mask, CAST(cnt AS BIGINT) AS cnt, round(cnt * 1.0 / n, 9) AS fraction
+FROM cen, tot
+ORDER BY cnt DESC, mask
+LIMIT 5
+"""
+
+
+def q_null_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-structure census (checks/stats.py::null_pattern_census)
+    over two deterministically-planted nullable views of events (value > 100
+    nulled; props nulled on 'view' rows): reveals correlated missingness the
+    per-column null rates hide. <= 2^k census rows shuffle."""
+    from pyspark_validator.checks.stats import null_pattern_census
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("value") > 100, None).otherwise(F.col("value")).alias("v"),
+        F.when(F.col("event_type") == "view", None)
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    c = null_pattern_census(ev, ["v", "p"])
+    return c.select("pattern", "cnt", _r(F.col("fraction"), 9).alias("fraction"))
+
+
+SQL_NULL_PATTERNS_EVENTS = """
+WITH m AS (
+  SELECT (CASE WHEN value > 100 THEN '1' ELSE '0' END)
+         || (CASE WHEN event_type = 'view' THEN '1' ELSE '0' END) AS pattern
+  FROM events
+),
+cen AS (SELECT pattern, count(*) AS cnt FROM m GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n FROM cen)
+SELECT pattern, CAST(cnt AS BIGINT) AS cnt, round(cnt * 1.0 / n, 9) AS fraction
+FROM cen, tot
+ORDER BY cnt DESC, pattern
+"""
+
+
+def q_drift_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two snapshot slices of documents
+    (pipelines/text.py::vocab_drift): baseline = even doc ids with a planted
+    'vnshtok' type on doc_id % 10 == 2, current = odd ids with a planted
+    'xq7tok' type on doc_id % 10 == 1 -- so the census join must surface
+    exactly one vanished and one new type plus their token masses."""
+    from pyspark_validator.pipelines.text import vocab_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(
+            F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" vnshtok"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    c = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" xq7tok"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    d = vocab_drift(b, c)
+    return d.select(
+        "n_tokens_b",
+        "n_tokens_c",
+        "n_types_b",
+        "n_types_c",
+        "n_new_types",
+        "n_vanished_types",
+        "n_shared_types",
+        _r(F.col("new_type_mass"), 9).alias("new_type_mass"),
+        _r(F.col("vanished_type_mass"), 9).alias("vanished_type_mass"),
+        _r(F.col("jsd"), 9).alias("jsd"),
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_VOCAB_DOCS = """
+WITH tb AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 10 = 2 THEN text || ' vnshtok' ELSE text END),
+           '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+tc AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 10 = 1 THEN text || ' xq7tok' ELSE text END),
+           '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE doc_id % 2 = 1
+),
+cb AS (SELECT token, count(*) AS cnt_b FROM tb WHERE token <> '' GROUP BY 1),
+cc AS (SELECT token, count(*) AS cnt_c FROM tc WHERE token <> '' GROUP BY 1),
+j AS (
+  SELECT coalesce(cb.cnt_b, 0) AS cnt_b, coalesce(cc.cnt_c, 0) AS cnt_c
+  FROM cb FULL OUTER JOIN cc USING (token)
+),
+tot AS (SELECT sum(cnt_b) AS n_b, sum(cnt_c) AS n_c FROM j),
+terms AS (
+  SELECT cnt_b, cnt_c,
+         CASE WHEN cnt_b > 0 THEN (cnt_b * 1.0 / n_b)
+              * ln((cnt_b * 1.0 / n_b)
+                   / ((cnt_b * 1.0 / n_b + cnt_c * 1.0 / n_c) / 2))
+              / 0.6931471805599453 ELSE 0.0 END AS term_p,
+         CASE WHEN cnt_c > 0 THEN (cnt_c * 1.0 / n_c)
+              * ln((cnt_c * 1.0 / n_c)
+                   / ((cnt_b * 1.0 / n_b + cnt_c * 1.0 / n_c) / 2))
+              / 0.6931471805599453 ELSE 0.0 END AS term_q,
+         n_b, n_c
+  FROM j, tot
+)
+SELECT CAST(max(n_b) AS BIGINT) AS n_tokens_b,
+       CAST(max(n_c) AS BIGINT) AS n_tokens_c,
+       CAST(sum(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+       CAST(sum(CASE WHEN cnt_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_c,
+       CAST(sum(CASE WHEN cnt_b = 0 AND cnt_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_types,
+       CAST(sum(CASE WHEN cnt_b > 0 AND cnt_c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vanished_types,
+       CAST(sum(CASE WHEN cnt_b > 0 AND cnt_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_types,
+       round(sum(CASE WHEN cnt_b = 0 AND cnt_c > 0
+                      THEN cnt_c * 1.0 / n_c ELSE 0 END), 9) AS new_type_mass,
+       round(sum(CASE WHEN cnt_b > 0 AND cnt_c = 0
+                      THEN cnt_b * 1.0 / n_b ELSE 0 END), 9)
+         AS vanished_type_mass,
+       round((sum(term_p) + sum(term_q)) / 2, 9) AS jsd,
+       ((sum(term_p) + sum(term_q)) / 2 > 0.1
+        OR sum(CASE WHEN cnt_b = 0 AND cnt_c > 0
+                    THEN cnt_c * 1.0 / n_c ELSE 0 END) > 0.2) AS drift_detected
+FROM terms
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7095,6 +7284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_js_events": q_drift_js_events,
         "drift_wasserstein_events": q_drift_wasserstein_events,
         "zipf_docs": q_zipf_docs,
+        "format_conformance_customer": q_format_conformance_customer,
+        "format_profile_part": q_format_profile_part,
+        "null_patterns_events": q_null_patterns_events,
+        "drift_vocab_docs": q_drift_vocab_docs,
     }
 
 
@@ -7249,6 +7442,10 @@ def oracle_sql() -> dict[str, str]:
         "drift_js_events": SQL_DRIFT_JS_EVENTS,
         "drift_wasserstein_events": SQL_DRIFT_WASSERSTEIN_EVENTS,
         "zipf_docs": SQL_ZIPF_DOCS,
+        "format_conformance_customer": SQL_FORMAT_CONFORMANCE_CUSTOMER,
+        "format_profile_part": SQL_FORMAT_PROFILE_PART,
+        "null_patterns_events": SQL_NULL_PATTERNS_EVENTS,
+        "drift_vocab_docs": SQL_DRIFT_VOCAB_DOCS,
     }
 
 

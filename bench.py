@@ -190,6 +190,9 @@ HEADLINE = [
     "drift_js_events",
     "drift_wasserstein_events",
     "zipf_docs",
+    "format_conformance_customer",
+    "null_patterns_events",
+    "drift_vocab_docs",
 ]
 
 

@@ -51,13 +51,17 @@ class AssocCheck:
 
     @cached_property
     def census(self) -> DataFrame:
-        """Joint census [__a, __b, cnt] -- the single full-table shuffle."""
+        """Joint census [__a, __b, cnt] -- the single full-table shuffle.
+        Persisted: marginals, entropies and the chi2 grid all branch off it,
+        and without the persist EACH branch would re-scan the full table
+        (pinned single-scan in test_plan_audit.py)."""
         a = null_safe_key(F.col(self.col_a), self.null_mode, None)
         b = null_safe_key(F.col(self.col_b), self.null_mode, None)
         return (
             self.df.select(a.alias("__a"), b.alias("__b"))
             .groupBy("__a", "__b")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
         )
 
     def summary(self) -> DataFrame:

@@ -82,13 +82,17 @@ class BenfordCheck:
     @cached_property
     def census(self) -> DataFrame:
         """[digit, cnt] for usable (non-null, non-zero, finite) values --
-        the mergeable partial state."""
+        the mergeable partial state. Persisted: both the total and the
+        expected-table join read it, and without the persist each branch
+        would RE-SCAN the full table (2 scans of 100 TB for a <= 90-row
+        census; pinned single-scan in test_plan_audit.py)."""
         d = first_digit_expr(F.col(self.column), self.digits)
         return (
             self.df.select(d.alias("digit"))
             .filter(F.col("digit").isNotNull())
             .groupBy("digit")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
         )
 
     def table(self) -> DataFrame:

@@ -470,3 +470,85 @@ def column_profile(
     if string_columns:
         out["string"] = string_profile(df, string_columns)
     return out
+
+
+def format_mask_expr(col: Column) -> Column:
+    """Character-class format mask of a string: uppercase runs -> 'A',
+    lowercase -> 'a', digits -> '9'; everything else kept verbatim. The
+    classic data-cleaning format census (e.g. a phone column masks to
+    '99-999-999-9999'); ASCII classes by design so the mask is deterministic
+    across engines and locales."""
+    m = F.regexp_replace(col, r"[A-Z]", "A")
+    m = F.regexp_replace(m, r"[a-z]", "a")
+    return F.regexp_replace(m, r"[0-9]", "9")
+
+
+def format_profile(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k format masks of a string column: [mask, cnt, fraction], count
+    desc then mask asc (deterministic). One map-side-combinable groupBy over
+    masks -- mask cardinality is tiny for real columns (that is the point of
+    masking), so the census shuffle is negligible at any row count. NULL
+    values mask to NULL and are counted (a null-format row in the profile)."""
+    cen = (
+        df.select(format_mask_expr(F.col(column)).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cen.agg(F.sum("cnt").alias("n"))
+    return (
+        cen.crossJoin(F.broadcast(tot))
+        .select("mask", "cnt", (F.col("cnt") / F.col("n")).alias("fraction"))
+        .orderBy(F.col("cnt").desc(), F.col("mask"))
+        .limit(k)
+    )
+
+
+def format_conformance(
+    df: DataFrame, column: str, min_fraction: float = 0.99
+) -> DataFrame:
+    """Single-row verdict: does one format mask cover >= min_fraction of the
+    column? [n, n_masks, top_mask, top_mask_cnt, top_mask_fraction, holds].
+    The profiling gate for "this column has a (de facto) format"."""
+    cen = (
+        df.select(format_mask_expr(F.col(column)).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = cen.orderBy(F.col("cnt").desc(), F.col("mask")).limit(1)
+    tot = cen.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_masks")
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "n_masks",
+            F.col("mask").alias("top_mask"),
+            F.col("cnt").alias("top_mask_cnt"),
+            (F.col("cnt") / F.col("n")).alias("top_mask_fraction"),
+            (F.col("cnt") >= F.lit(min_fraction) * F.col("n")).alias("holds"),
+        )
+    )
+
+
+def null_pattern_census(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Missingness-structure census: each row maps to a 0/1 string over
+    ``columns`` (1 = NULL), then one groupBy over at most 2^k patterns.
+    Reveals CORRELATED missingness (e.g. '110' dominating says two sensors
+    fail together) that per-column null rates cannot. Output: [pattern, cnt,
+    fraction], count desc then pattern asc. Pure sums -> mergeable across
+    deltas; at 10^12 rows the shuffle carries <= 2^k rows per task."""
+    if not columns:
+        raise ValueError("null_pattern_census requires at least one column")
+    pat = F.concat(
+        *[F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in columns]
+    )
+    cen = df.select(pat.alias("pattern")).groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cen.agg(F.sum("cnt").alias("n"))
+    return (
+        cen.crossJoin(F.broadcast(tot))
+        .select("pattern", "cnt", (F.col("cnt") / F.col("n")).alias("fraction"))
+        .orderBy(F.col("cnt").desc(), F.col("pattern"))
+    )

@@ -1045,6 +1045,12 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
             max_doc_fraction=params.get("max_doc_fraction", 0.0),
             kinds=params.get("kinds"),
         )
+    elif kind == "benford":
+        p.add_benford(
+            name,
+            params["column"],
+            mad_gate=params.get("mad_gate", "acceptable"),
+        )
     elif kind == "histogram_drift":
         p.add_histogram_drift(
             name,

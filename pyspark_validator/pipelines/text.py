@@ -601,3 +601,69 @@ def zipf_signals(
         else F.col("zipf_slope").between(slope_band[0], slope_band[1])
     )
     return out.withColumn("holds", holds)
+
+
+def vocab_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    jsd_threshold: float = 0.1,
+    new_mass_threshold: float = 0.2,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots from their token
+    censuses: type turnover (new / vanished / shared types), the token-mass
+    share of NEW types in the current snapshot (OOV-vs-baseline rate -- the
+    signal a frozen tokenizer cares about), and the Jensen-Shannon divergence
+    (log2) between the two unigram distributions over the union vocabulary.
+
+    Scale: two census shuffles (map-side combinable) + ONE full-outer join
+    keyed by token, bounded by vocabulary size, never by corpus size;
+    ``min_count`` prunes the hapax tail first, which is where web-scale
+    vocabularies hide their bulk.
+
+    Output (single row): [n_tokens_b, n_tokens_c, n_types_b, n_types_c,
+    n_new_types, n_vanished_types, n_shared_types, new_type_mass,
+    vanished_type_mass, jsd, drift_detected].
+    """
+    cb = token_census(baseline, text_col)
+    cc = token_census(current, text_col)
+    if min_count > 1:
+        cb = cb.filter(F.col("cnt") >= min_count)
+        cc = cc.filter(F.col("cnt") >= min_count)
+    j = (
+        cb.withColumnRenamed("cnt", "cnt_b")
+        .join(cc.withColumnRenamed("cnt", "cnt_c"), "token", "full_outer")
+        .fillna(0, subset=["cnt_b", "cnt_c"])
+    )
+    tot = j.agg(
+        F.sum("cnt_b").alias("n_b"), F.sum("cnt_c").alias("n_c")
+    )
+    t = j.crossJoin(F.broadcast(tot))
+    p = F.col("cnt_b") / F.col("n_b")
+    q = F.col("cnt_c") / F.col("n_c")
+    m = (p + q) / 2
+    ln2 = F.lit(0.6931471805599453)
+    term_p = F.when(F.col("cnt_b") > 0, p * F.log(p / m) / ln2).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("cnt_c") > 0, q * F.log(q / m) / ln2).otherwise(F.lit(0.0))
+    new = (F.col("cnt_b") == 0) & (F.col("cnt_c") > 0)
+    van = (F.col("cnt_b") > 0) & (F.col("cnt_c") == 0)
+    out = t.agg(
+        F.max("n_b").alias("n_tokens_b"),
+        F.max("n_c").alias("n_tokens_c"),
+        F.sum((F.col("cnt_b") > 0).cast("long")).alias("n_types_b"),
+        F.sum((F.col("cnt_c") > 0).cast("long")).alias("n_types_c"),
+        F.sum(new.cast("long")).alias("n_new_types"),
+        F.sum(van.cast("long")).alias("n_vanished_types"),
+        F.sum(((F.col("cnt_b") > 0) & (F.col("cnt_c") > 0)).cast("long")).alias(
+            "n_shared_types"
+        ),
+        F.sum(F.when(new, q).otherwise(0.0)).alias("new_type_mass"),
+        F.sum(F.when(van, p).otherwise(0.0)).alias("vanished_type_mass"),
+        ((F.sum(term_p) + F.sum(term_q)) / 2).alias("jsd"),
+    )
+    return out.withColumn(
+        "drift_detected",
+        (F.col("jsd") > jsd_threshold)
+        | (F.col("new_type_mass") > new_mass_threshold),
+    )

@@ -279,6 +279,7 @@ class ValidationSuite:
             "token_budget",
             "media_context",
             "interleaved_quality",
+            "benford",
         ):
             # agg-shaped kinds whose only home is fused.py: run each as its
             # own single-member pass so they work without "fuse": true too

@@ -553,3 +553,81 @@ def test_media_census_drift_bounded_shuffles(spark):
     plan = _plan(media_census_drift(docs, docs))
     for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
         assert "spans" not in m.group(1)
+
+
+def test_benford_census_single_scan_pruned(spark, tables):
+    """Benford: one parquet scan reading ONLY the checked column, one census
+    shuffle (map-side combinable over <= 9 digit rows per task), no Python."""
+    from pyspark_validator.checks.benford import benford_check
+
+    spark.catalog.clearCache()
+    p = _plan(benford_check(tables["lineitem"], "l_extendedprice").summary())
+    assert _count(p, "Scan parquet") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+
+
+def test_assoc_single_full_table_shuffle(spark, tables):
+    """assoc_check: exactly ONE shuffle touches table-sized data (the joint
+    census); every other exchange/join runs over census-sized frames, and the
+    scan reads only the two checked columns."""
+    from pyspark_validator.checks.assoc import assoc_check
+
+    spark.catalog.clearCache()
+    p = _plan(
+        assoc_check(tables["orders"], "o_orderstatus", "o_orderpriority").summary()
+    )
+    assert _count(p, "Scan parquet") == 1  # census reuse: one table read
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_orderstatus" in schema and "o_totalprice" not in schema
+
+
+def test_anon_two_stage_agg_plan(spark, tables):
+    """anon_check with a sensitive column: the groupBy(QI, s) -> groupBy(QI)
+    chain stays a single scan with no count_distinct Expand node."""
+    from pyspark_validator.checks.anon import anon_check
+
+    spark.catalog.clearCache()
+    p = _plan(
+        anon_check(
+            tables["customer"],
+            ["c_nationkey", "c_mktsegment"],
+            k=10,
+            sensitive="c_acctbal",
+            l=5,
+        ).summary()
+    )
+    assert _count(p, "Scan parquet") == 1
+    assert _count(p, "Expand") == 0  # no count_distinct expansion
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zipf_head_uses_distributed_topk(spark, tables):
+    """zipf_signals: the head fit must go through TakeOrderedAndProject (the
+    distributed per-partition heap), never a global Sort over the census."""
+    from pyspark_validator.pipelines.text import zipf_signals
+
+    spark.catalog.clearCache()
+    p = _plan(zipf_signals(tables["documents"], max_rank=100))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_vocab_drift_census_sized_join(spark, tables):
+    """vocab_drift: two census shuffles then a join keyed by token -- no
+    Python eval, no cartesian, scans read only the text column."""
+    from pyspark_validator.pipelines.text import vocab_drift
+
+    spark.catalog.clearCache()
+    docs = tables["documents"]
+    from pyspark.sql import functions as F
+
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    c = docs.filter(F.col("doc_id") % 2 == 1)
+    p = _plan(vocab_drift(b, c))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" in schema and "lang" not in schema
