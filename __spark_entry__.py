@@ -7140,6 +7140,165 @@ FROM terms
 """
 
 
+def q_precedence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-precedence constraint (checks/temporal.py::precedence_check):
+    every purchase must be preceded by a strictly earlier click of the same
+    user -- ONE range-frame window pass per user, no self-join. The oracle
+    rewrites the existential look-back as min(click ts) per user."""
+    from pyspark_validator.checks.temporal import precedence_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = precedence_check(
+        ev,
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+    return s.select(
+        "n_rows", "n_consequents", "n_unpreceded", "n_keys_violating", "holds"
+    )
+
+
+SQL_PRECEDENCE_EVENTS = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'click'
+  GROUP BY 1
+),
+flags AS (
+  SELECT e.user_id,
+         (e.event_type = 'purchase') AS c,
+         (e.event_type = 'purchase'
+          AND (f.t0 IS NULL OR f.t0 >= e.ts)) AS u
+  FROM events e LEFT JOIN first_click f USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_consequents,
+       CAST(sum(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_unpreceded,
+       CAST(count(DISTINCT CASE WHEN u THEN user_id END) AS BIGINT)
+         AS n_keys_violating,
+       (sum(CASE WHEN u THEN 1 ELSE 0 END) = 0) AS holds
+FROM flags
+"""
+
+
+def q_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap constraint (checks/temporal.py::
+    interval_overlap_check) over per-customer derived validity ranges
+    [o_orderdate, o_orderdate + (o_orderkey % 7) days]: sorted-within-key
+    running-max-of-ends window pass instead of the O(n^2) DC pair join."""
+    from pyspark_validator.checks.temporal import interval_overlap_check
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            F.pmod(F.col("o_orderkey"), F.lit(7)).cast("int"),
+        ).alias("e"),
+    )
+    r = interval_overlap_check(orders, ["o_custkey"], "s", "e")
+    return r.select(
+        "n_intervals", "n_keys", "n_overlaps", "n_bad_bounds", "holds"
+    )
+
+
+SQL_INTERVAL_OVERLAP_ORDERS = """
+WITH iv AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 7 AS INT) AS e
+  FROM orders
+),
+flag AS (
+  SELECT k, s,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM iv
+)
+SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN prev_end IS NOT NULL AND s < prev_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+       CAST(0 AS BIGINT) AS n_bad_bounds,
+       (sum(CASE WHEN prev_end IS NOT NULL AND s < prev_end
+                 THEN 1 ELSE 0 END) = 0) AS holds
+FROM flag
+"""
+
+
+def q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation (checks/reconcile.py):
+    o_totalprice vs the lineitem-derived sum(extprice*(1-disc)*(1+tax)) at
+    rel_tol 0.5 -- one child groupBy + one outer join; the synthetic tables
+    are independent so the check reports a large, deterministic mismatch
+    census (that is the point: it DETECTS the broken rollup)."""
+    from pyspark_validator.checks.reconcile import reconciliation_check
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rc = reconciliation_check(
+        orders,
+        li,
+        ["o_orderkey"],
+        ["l_orderkey"],
+        F.col("o_totalprice"),
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ),
+        rel_tol=0.5,
+    )
+    s = rc.summary()
+    return s.select(
+        "n_parent_keys",
+        "n_child_keys",
+        "n_matched",
+        "n_mismatched",
+        "n_orphan_child",
+        "n_missing_child",
+        _r(F.col("max_abs_diff"), 6).alias("max_abs_diff"),
+        "holds",
+    )
+
+
+SQL_RECONCILE_ORDERS_LINEITEM = """
+WITH d AS (
+  SELECT l_orderkey AS k,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS derived
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_totalprice AS stored, d.derived,
+         CASE WHEN o.o_orderkey IS NULL THEN 'orphan_child'
+              WHEN d.k IS NULL THEN 'missing_child'
+              WHEN abs(o.o_totalprice - d.derived) <= 0.0
+                   OR abs(o.o_totalprice - d.derived)
+                      <= 0.5 * abs(o.o_totalprice) THEN 'matched'
+              ELSE 'mismatched' END AS status
+  FROM orders o FULL OUTER JOIN d ON o.o_orderkey = d.k
+)
+SELECT CAST(sum(CASE WHEN status <> 'orphan_child' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parent_keys,
+       CAST(sum(CASE WHEN status <> 'missing_child' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_child_keys,
+       CAST(sum(CASE WHEN status = 'matched' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN status = 'mismatched' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       CAST(sum(CASE WHEN status = 'orphan_child' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_child,
+       CAST(sum(CASE WHEN status = 'missing_child' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_child,
+       round(max(CASE WHEN status IN ('matched', 'mismatched')
+                      THEN abs(stored - derived) END), 6) AS max_abs_diff,
+       (sum(CASE WHEN status IN ('mismatched', 'orphan_child', 'missing_child')
+                 THEN 1 ELSE 0 END) = 0) AS holds
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7288,6 +7447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_profile_part": q_format_profile_part,
         "null_patterns_events": q_null_patterns_events,
         "drift_vocab_docs": q_drift_vocab_docs,
+        "precedence_events": q_precedence_events,
+        "interval_overlap_orders": q_interval_overlap_orders,
+        "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
     }
 
 
@@ -7446,6 +7608,9 @@ def oracle_sql() -> dict[str, str]:
         "format_profile_part": SQL_FORMAT_PROFILE_PART,
         "null_patterns_events": SQL_NULL_PATTERNS_EVENTS,
         "drift_vocab_docs": SQL_DRIFT_VOCAB_DOCS,
+        "precedence_events": SQL_PRECEDENCE_EVENTS,
+        "interval_overlap_orders": SQL_INTERVAL_OVERLAP_ORDERS,
+        "reconcile_orders_lineitem": SQL_RECONCILE_ORDERS_LINEITEM,
     }
 
 

@@ -193,6 +193,9 @@ HEADLINE = [
     "format_conformance_customer",
     "null_patterns_events",
     "drift_vocab_docs",
+    "precedence_events",
+    "interval_overlap_orders",
+    "reconcile_orders_lineitem",
 ]
 
 

@@ -31,6 +31,13 @@ from pyspark_validator.checks.anon import anon_check
 from pyspark_validator.checks.assoc import assoc_check
 from pyspark_validator.checks.benford import benford_check
 from pyspark_validator.checks.dc import dc_check
+from pyspark_validator.checks.reconcile import reconciliation_check
+from pyspark_validator.checks.temporal import (
+    interval_overlap_check,
+    interval_overlap_violations,
+    precedence_check,
+    precedence_violations,
+)
 from pyspark_validator.checks.dd import dd_check
 from pyspark_validator.checks.fd import afd_measures, fd_check, pfd_check
 from pyspark_validator.checks.ind import ind_check
@@ -89,6 +96,11 @@ __all__ = [
     "assoc_check",
     "afd_measures",
     "benford_check",
+    "interval_overlap_check",
+    "interval_overlap_violations",
+    "precedence_check",
+    "precedence_violations",
+    "reconciliation_check",
     "aod_check",
     "ar_check",
     "canonicalize",
