@@ -7299,6 +7299,128 @@ FROM j
 """
 
 
+def q_class_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-shift gate (checks/drift.py::class_balance): event_type vs a
+    given uniform 20% expectation -- fixed analytic baseline like Benford,
+    k+1 pure conditional sums, no groupBy at all."""
+    from pyspark_validator.checks.drift import class_balance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = {k: 0.2 for k in ["click", "view", "purchase", "signup", "error"]}
+    s = class_balance(ev, "event_type", exp, max_psi=0.05)
+    return s.select(
+        "n",
+        "n_other",
+        _r(F.col("psi"), 9).alias("psi"),
+        _r(F.col("max_abs_dev"), 9).alias("max_abs_dev"),
+        "worst_class",
+        "holds",
+    )
+
+
+SQL_CLASS_BALANCE_EVENTS = """
+WITH cnt AS (
+  SELECT count(event_type) AS n,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c4
+  FROM events
+),
+m AS (
+  SELECT n, c0, c1, c2, c3, c4,
+         n - c0 - c1 - c2 - c3 - c4 AS oth,
+         ((c0 + 0.5) / (n + 3.0) - 0.2) * ln(((c0 + 0.5) / (n + 3.0)) / 0.2)
+       + ((c1 + 0.5) / (n + 3.0) - 0.2) * ln(((c1 + 0.5) / (n + 3.0)) / 0.2)
+       + ((c2 + 0.5) / (n + 3.0) - 0.2) * ln(((c2 + 0.5) / (n + 3.0)) / 0.2)
+       + ((c3 + 0.5) / (n + 3.0) - 0.2) * ln(((c3 + 0.5) / (n + 3.0)) / 0.2)
+       + ((c4 + 0.5) / (n + 3.0) - 0.2) * ln(((c4 + 0.5) / (n + 3.0)) / 0.2)
+       + (((n - c0 - c1 - c2 - c3 - c4) + 0.5) / (n + 3.0) - 1e-12)
+         * ln((((n - c0 - c1 - c2 - c3 - c4) + 0.5) / (n + 3.0)) / 1e-12)
+         AS psi,
+         greatest(abs(c0 * 1.0 / n - 0.2), abs(c1 * 1.0 / n - 0.2),
+                  abs(c2 * 1.0 / n - 0.2), abs(c3 * 1.0 / n - 0.2),
+                  abs(c4 * 1.0 / n - 0.2),
+                  abs((n - c0 - c1 - c2 - c3 - c4) * 1.0 / n - 1e-12)) AS mx
+  FROM cnt
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(oth AS BIGINT) AS n_other,
+       round(psi, 9) AS psi, round(mx, 9) AS max_abs_dev,
+       CASE WHEN abs(oth * 1.0 / n - 1e-12) = mx THEN '__other__'
+            WHEN abs(c4 * 1.0 / n - 0.2) = mx THEN 'view'
+            WHEN abs(c3 * 1.0 / n - 0.2) = mx THEN 'signup'
+            WHEN abs(c2 * 1.0 / n - 0.2) = mx THEN 'purchase'
+            WHEN abs(c1 * 1.0 / n - 0.2) = mx THEN 'error'
+            ELSE 'click' END AS worst_class,
+       (psi <= 0.05) AS holds
+FROM m
+"""
+
+
+def q_caption_consistency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-media-different-caption audit over the interleaved table
+    (pipelines/interleaved.py::caption_consistency_summary): media_ref reuse
+    comes from the derived table's (did*31+i) %% 100000 ref rule plus the
+    duplicated copies; identical copies carry identical captions so the
+    inconsistency count is exactly the cross-doc ref collisions with
+    different neighbors."""
+    from pyspark_validator.pipelines.interleaved import caption_consistency_summary
+
+    ds = _docs_spans(spark, sf_dir)
+    s = caption_consistency_summary(ds)
+    return s.select(
+        "n_refs",
+        "n_pairs",
+        "n_reused_refs",
+        "n_inconsistent_refs",
+        F.col("max_distinct_captions").cast("bigint").alias(
+            "max_distinct_captions"
+        ),
+        _r(F.col("inconsistent_fraction"), 9).alias("inconsistent_fraction"),
+        "holds",
+    )
+
+
+SQL_CAPTION_CONSISTENCY_DOCS = f"""
+WITH {DOCS_SPANS_SQL.strip()},
+parts AS (
+  SELECT doc_id, str_split(span_seq, chr(30)) AS ps FROM docs_spans
+),
+pairs AS (
+  SELECT
+    str_split(ps[i], chr(31))[3] AS media_ref,
+    CASE WHEN i < len(ps) AND str_split(ps[i + 1], chr(31))[3] = chr(0)||'N'
+         THEN str_split(ps[i + 1], chr(31))[2]
+         WHEN i > 1 AND str_split(ps[i - 1], chr(31))[3] = chr(0)||'N'
+         THEN str_split(ps[i - 1], chr(31))[2] END AS caption
+  FROM parts, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i)
+  WHERE str_split(ps[i], chr(31))[3] <> chr(0)||'N'
+),
+census AS (
+  SELECT media_ref, count(*) AS n_uses,
+         count(DISTINCT trim(regexp_replace(lower(caption), '\\s+', ' ', 'g')))
+           AS nd
+  FROM pairs WHERE caption IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(sum(n_uses) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN n_uses > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reused_refs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inconsistent_refs,
+       CAST(max(nd) AS BIGINT) AS max_distinct_captions,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN n_uses > 1 THEN 1 ELSE 0 END), 0), 9)
+         AS inconsistent_fraction,
+       coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+                / nullif(sum(CASE WHEN n_uses > 1 THEN 1 ELSE 0 END), 0) <= 0.0,
+                TRUE) AS holds
+FROM census
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7450,6 +7572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precedence_events": q_precedence_events,
         "interval_overlap_orders": q_interval_overlap_orders,
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+        "class_balance_events": q_class_balance_events,
+        "caption_consistency_docs": q_caption_consistency_docs,
     }
 
 
@@ -7611,6 +7735,8 @@ def oracle_sql() -> dict[str, str]:
         "precedence_events": SQL_PRECEDENCE_EVENTS,
         "interval_overlap_orders": SQL_INTERVAL_OVERLAP_ORDERS,
         "reconcile_orders_lineitem": SQL_RECONCILE_ORDERS_LINEITEM,
+        "class_balance_events": SQL_CLASS_BALANCE_EVENTS,
+        "caption_consistency_docs": SQL_CAPTION_CONSISTENCY_DOCS,
     }
 
 

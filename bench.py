@@ -196,6 +196,8 @@ HEADLINE = [
     "precedence_events",
     "interval_overlap_orders",
     "reconcile_orders_lineitem",
+    "class_balance_events",
+    "caption_consistency_docs",
 ]
 
 

@@ -476,3 +476,64 @@ def wasserstein_drift(
         F.col("n_c").cast("long").alias("n_c"),
         gate.alias("drift_detected"),
     )
+
+
+def class_balance(
+    df: DataFrame,
+    column: str,
+    expected: dict[str, float],
+    max_psi: float = 0.1,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Categorical balance gate against a GIVEN class distribution -- the
+    categorical sibling of the fused histogram_drift member (fixed analytic
+    baseline, not two-sample): PSI of the observed class frequencies vs
+    ``expected`` (values not listed in ``expected`` pool into an implicit
+    '__other__' class with expected mass 1 - sum(expected), eps-clamped).
+    The label-shift check for classifier training sets.
+
+    One scan of k+1 conditional sums (pure sums -> the same census shape the
+    fused member uses); no groupBy at all -- the class list is given, so the
+    census is k fixed aggregate expressions, shuffling one row.
+
+    Output (single row): [n, n_other, psi, max_abs_dev, worst_class, holds].
+    """
+    if not expected:
+        raise ValueError("expected must name at least one class")
+    if any(p < 0 for p in expected.values()) or sum(expected.values()) > 1 + 1e-9:
+        raise ValueError("expected probabilities must be >= 0 and sum to <= 1")
+    eps = 1e-12
+    other_p = max(1.0 - sum(expected.values()), eps)
+    c = F.col(column)
+    keys = sorted(expected)
+    aggs = [F.sum(c.isNotNull().cast("long")).alias("n")]
+    aggs += [
+        F.sum((c == k).cast("long")).alias(f"__c_{i}") for i, k in enumerate(keys)
+    ]
+    g = df.agg(*aggs)
+    n = F.col("n").cast("double")
+    kk = len(keys) + 1
+    obs = [F.col(f"__c_{i}") for i in range(len(keys))]
+    other = F.col("n") - sum(obs[1:], obs[0])
+    cells = list(zip(obs, [max(expected[k], eps) for k in keys])) + [
+        (other, other_p)
+    ]
+    psi = F.lit(0.0)
+    devs = []
+    for o, q in cells:
+        p = (o + F.lit(alpha)) / (n + F.lit(alpha * kk))
+        psi = psi + (p - F.lit(q)) * F.log(p / F.lit(q))
+        devs.append(F.abs(o / n - F.lit(q)))
+    max_dev = F.greatest(*devs) if len(devs) > 1 else devs[0]
+    labels = keys + ["__other__"]
+    worst = F.lit(labels[0])
+    for lbl, d in zip(labels[1:], devs[1:]):
+        worst = F.when(d.eqNullSafe(max_dev), F.lit(lbl)).otherwise(worst)
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        other.cast("bigint").alias("n_other"),
+        psi.alias("psi"),
+        max_dev.alias("max_abs_dev"),
+        worst.alias("worst_class"),
+        (psi <= F.lit(max_psi)).alias("holds"),
+    )

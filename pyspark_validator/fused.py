@@ -749,6 +749,54 @@ class FusedPass:
         self._rollups[n] = gate
         return self._add(_Member(n, exprs, merges, finish))
 
+    def add_class_balance(
+        self,
+        name: str,
+        column: str,
+        expected: dict[str, float],
+        max_psi: float = 0.1,
+        alpha: float = 0.5,
+    ) -> "FusedPass":
+        """Categorical balance gate vs a GIVEN class distribution per
+        partition (checks/drift.py::class_balance semantics -- the label-shift
+        check): k+1 conditional sums (classes + implicit '__other__'), pure
+        sums so it folds deltas AND retracts deletes through
+        IncrementalFused."""
+        n = _ident(name)
+        if not expected:
+            raise ValueError("expected must name at least one class")
+        eps = 1e-12
+        other_p = max(1.0 - sum(expected.values()), eps)
+        keys = sorted(expected)
+        c = F.col(column)
+        exprs = [F.sum(c.isNotNull().cast("long")).alias(f"{n}__n")]
+        exprs += [
+            F.sum((c == k).cast("long")).alias(f"{n}__c{i}")
+            for i, k in enumerate(keys)
+        ]
+        q = [max(expected[k], eps) for k in keys] + [other_p]
+        kk = len(keys) + 1
+
+        def finish(g: DataFrame) -> DataFrame:
+            nn = F.col(f"{n}__n").cast("double")
+            obs = [F.col(f"{n}__c{i}") for i in range(len(keys))]
+            other = F.col(f"{n}__n") - sum(obs[1:], obs[0])
+            psi = F.lit(0.0)
+            for o, qi in zip(obs + [other], q):
+                p = (o + F.lit(alpha)) / (nn + F.lit(alpha * kk))
+                psi = psi + (p - F.lit(qi)) * F.log(p / F.lit(qi))
+            psi = F.when(nn > 0, psi)  # empty partition: no verdict basis
+            return g.select(
+                "partition_id",
+                F.coalesce(psi <= F.lit(max_psi), F.lit(True)).alias("holds"),
+                F.col(f"{n}__n").alias("n"),
+                psi.alias("psi"),
+            )
+
+        merges = {f"{n}__n": "sum"}
+        merges.update({f"{n}__c{i}": "sum" for i in range(len(keys))})
+        return self._add(_Member(n, exprs, merges, finish))
+
     # ---- execution --------------------------------------------------------
 
     def grouped(self) -> DataFrame:
@@ -1050,6 +1098,14 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
             name,
             params["column"],
             mad_gate=params.get("mad_gate", "acceptable"),
+        )
+    elif kind == "class_balance":
+        p.add_class_balance(
+            name,
+            params["column"],
+            dict(params["expected"]),
+            max_psi=params.get("max_psi", 0.1),
+            alpha=params.get("alpha", 0.5),
         )
     elif kind == "histogram_drift":
         p.add_histogram_drift(

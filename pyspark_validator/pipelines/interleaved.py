@@ -1115,3 +1115,71 @@ def pack_interleaved(
         num_bins=num_bins,
         bin_col=bin_col,
     )
+
+
+def caption_consistency(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    prefer: str = "after",
+) -> DataFrame:
+    """Same-media-different-caption audit: per media_ref, how many times the
+    asset is used as an image-text pair and how many DISTINCT captions
+    (whitespace/case-normalized) it carries. An asset re-captioned across
+    documents is the canonical alt-text inconsistency / caption-spam signal
+    a CLIP-style pair extraction should quarantine.
+
+    Builds on caption_pairs (zero-shuffle extraction), then ONE
+    groupBy(media_ref) with map-side combine. Output: [media_ref, n_uses,
+    n_distinct_captions, inconsistent]. Normalized caption strings (not
+    hashes) are the distinct key so the count is exact; at extreme scale
+    swap the key for xxhash64(norm) to narrow the shuffle (same counts up
+    to hash collisions).
+    """
+    pairs = caption_pairs(df, spans_col=spans_col, id_col=id_col, prefer=prefer)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("caption")), r"\s+", " "))
+    return (
+        pairs.select("media_ref", norm.alias("cap"))
+        .groupBy("media_ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_uses"),
+            F.count_distinct("cap").alias("n_distinct_captions"),
+        )
+        .withColumn("inconsistent", F.col("n_distinct_captions") > 1)
+    )
+
+
+def caption_consistency_summary(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    prefer: str = "after",
+    max_inconsistent_fraction: float = 0.0,
+) -> DataFrame:
+    """Single-row rollup of caption_consistency: [n_refs, n_pairs,
+    n_reused_refs, n_inconsistent_refs, max_distinct_captions,
+    inconsistent_fraction, holds] where the fraction is over REUSED refs
+    (single-use assets cannot be inconsistent)."""
+    c = caption_consistency(df, spans_col=spans_col, id_col=id_col, prefer=prefer)
+    reused = F.col("n_uses") > 1
+    out = c.agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.sum("n_uses").alias("n_pairs"),
+        F.sum(reused.cast("long")).alias("n_reused_refs"),
+        F.sum(F.col("inconsistent").cast("long")).alias("n_inconsistent_refs"),
+        F.max("n_distinct_captions").alias("max_distinct_captions"),
+    )
+    frac = F.try_divide(
+        F.col("n_inconsistent_refs"), F.col("n_reused_refs")
+    )
+    return out.select(
+        "n_refs",
+        "n_pairs",
+        "n_reused_refs",
+        "n_inconsistent_refs",
+        "max_distinct_captions",
+        frac.alias("inconsistent_fraction"),
+        F.coalesce(
+            frac <= F.lit(max_inconsistent_fraction), F.lit(True)
+        ).alias("holds"),
+    )

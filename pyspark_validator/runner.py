@@ -280,6 +280,7 @@ class ValidationSuite:
             "media_context",
             "interleaved_quality",
             "benford",
+            "class_balance",
         ):
             # agg-shaped kinds whose only home is fused.py: run each as its
             # own single-member pass so they work without "fuse": true too
