@@ -7331,13 +7331,15 @@ WITH cnt AS (
 m AS (
   SELECT n, c0, c1, c2, c3, c4,
          n - c0 - c1 - c2 - c3 - c4 AS oth,
-         ((c0 + 0.5) / (n + 3.0) - 0.2) * ln(((c0 + 0.5) / (n + 3.0)) / 0.2)
-       + ((c1 + 0.5) / (n + 3.0) - 0.2) * ln(((c1 + 0.5) / (n + 3.0)) / 0.2)
-       + ((c2 + 0.5) / (n + 3.0) - 0.2) * ln(((c2 + 0.5) / (n + 3.0)) / 0.2)
-       + ((c3 + 0.5) / (n + 3.0) - 0.2) * ln(((c3 + 0.5) / (n + 3.0)) / 0.2)
-       + ((c4 + 0.5) / (n + 3.0) - 0.2) * ln(((c4 + 0.5) / (n + 3.0)) / 0.2)
-       + (((n - c0 - c1 - c2 - c3 - c4) + 0.5) / (n + 3.0) - 1e-12)
-         * ln((((n - c0 - c1 - c2 - c3 - c4) + 0.5) / (n + 3.0)) / 1e-12)
+         ((c0 + 0.5) / (n + 2.5) - 0.2) * ln(((c0 + 0.5) / (n + 2.5)) / 0.2)
+       + ((c1 + 0.5) / (n + 2.5) - 0.2) * ln(((c1 + 0.5) / (n + 2.5)) / 0.2)
+       + ((c2 + 0.5) / (n + 2.5) - 0.2) * ln(((c2 + 0.5) / (n + 2.5)) / 0.2)
+       + ((c3 + 0.5) / (n + 2.5) - 0.2) * ln(((c3 + 0.5) / (n + 2.5)) / 0.2)
+       + ((c4 + 0.5) / (n + 2.5) - 0.2) * ln(((c4 + 0.5) / (n + 2.5)) / 0.2)
+       + CASE WHEN n - c0 - c1 - c2 - c3 - c4 > 0
+              THEN ((n - c0 - c1 - c2 - c3 - c4) * 1.0 / n - 1e-12)
+                   * ln(((n - c0 - c1 - c2 - c3 - c4) * 1.0 / n) / 1e-12)
+              ELSE 0.0 END
          AS psi,
          greatest(abs(c0 * 1.0 / n - 0.2), abs(c1 * 1.0 / n - 0.2),
                   abs(c2 * 1.0 / n - 0.2), abs(c3 * 1.0 / n - 0.2),
@@ -7356,7 +7358,6 @@ SELECT CAST(n AS BIGINT) AS n, CAST(oth AS BIGINT) AS n_other,
        (psi <= 0.05) AS holds
 FROM m
 """
-
 
 def q_caption_consistency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-media-different-caption audit over the interleaved table

@@ -27,7 +27,7 @@ from pyspark_validator.checks.ac import ac_check
 from pyspark_validator.checks.ar import ar_check
 from pyspark_validator.checks.cfd import cfd_check
 from pyspark_validator.checks.cind import cind_check
-from pyspark_validator.checks.anon import anon_check
+from pyspark_validator.checks.anon import anon_check, suppress_to_k
 from pyspark_validator.checks.assoc import assoc_check
 from pyspark_validator.checks.benford import benford_check
 from pyspark_validator.checks.dc import dc_check
@@ -101,6 +101,7 @@ __all__ = [
     "precedence_check",
     "precedence_violations",
     "reconciliation_check",
+    "suppress_to_k",
     "aod_check",
     "ar_check",
     "canonicalize",

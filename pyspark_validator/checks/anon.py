@@ -259,3 +259,36 @@ def anon_check(
         num_partitions=num_partitions,
         null_mode=null_mode,
     )
+
+
+def suppress_to_k(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 2,
+    null_mode: NullMode = NullMode.EQUAL,
+) -> DataFrame:
+    """Enforcement counterpart of the k-anonymity audit: return ``df``
+    WITHOUT the rows of sub-k quasi-identifier clusters (record suppression,
+    the baseline anonymization operator). Two shuffles on the same QI key
+    (cluster sizes, then the filtering join); the dropped side is bounded by
+    (k-1) rows per dropped cluster. Columns pass through unchanged."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = [
+        null_safe_key(F.col(c), null_mode, None).alias(f"__k_{i}")
+        for i, c in enumerate(quasi_identifiers)
+    ]
+    knames = [f"__k_{i}" for i in range(len(quasi_identifiers))]
+    big = (
+        df.select(*keys)
+        .groupBy(*knames)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= k)
+        .drop("__cnt")
+    )
+    tagged = df.select("*", *keys)
+    cond = None
+    for kn in knames:
+        eq = tagged[kn].eqNullSafe(big[kn])
+        cond = eq if cond is None else (cond & eq)
+    return tagged.join(big, on=cond, how="left_semi").drop(*knames)

@@ -496,6 +496,12 @@ def class_balance(
     fused member uses); no groupBy at all -- the class list is given, so the
     census is k fixed aggregate expressions, shuffling one row.
 
+    Smoothing: LISTED classes get the usual additive alpha; the implicit
+    '__other__' cell is UNSMOOTHED and contributes 0 when empty -- smoothing
+    it against its eps-clamped expectation would inject a phantom
+    alpha/n * ln(alpha/(n*eps)) term into every perfectly-clean column
+    (~0.56 PSI at n=20), failing conforming data.
+
     Output (single row): [n, n_other, psi, max_abs_dev, worst_class, holds].
     """
     if not expected:
@@ -512,18 +518,20 @@ def class_balance(
     ]
     g = df.agg(*aggs)
     n = F.col("n").cast("double")
-    kk = len(keys) + 1
+    kk = len(keys)
     obs = [F.col(f"__c_{i}") for i in range(len(keys))]
     other = F.col("n") - sum(obs[1:], obs[0])
-    cells = list(zip(obs, [max(expected[k], eps) for k in keys])) + [
-        (other, other_p)
-    ]
     psi = F.lit(0.0)
     devs = []
-    for o, q in cells:
+    for o, q in zip(obs, [max(expected[k], eps) for k in keys]):
         p = (o + F.lit(alpha)) / (n + F.lit(alpha * kk))
         psi = psi + (p - F.lit(q)) * F.log(p / F.lit(q))
         devs.append(F.abs(o / n - F.lit(q)))
+    p_o = other / n
+    psi = psi + F.when(
+        other > 0, (p_o - F.lit(other_p)) * F.log(p_o / F.lit(other_p))
+    ).otherwise(F.lit(0.0))
+    devs.append(F.abs(p_o - F.lit(other_p)))
     max_dev = F.greatest(*devs) if len(devs) > 1 else devs[0]
     labels = keys + ["__other__"]
     worst = F.lit(labels[0])

@@ -774,17 +774,23 @@ class FusedPass:
             F.sum((c == k).cast("long")).alias(f"{n}__c{i}")
             for i, k in enumerate(keys)
         ]
-        q = [max(expected[k], eps) for k in keys] + [other_p]
-        kk = len(keys) + 1
+        q = [max(expected[k], eps) for k in keys]
+        kk = len(keys)
 
         def finish(g: DataFrame) -> DataFrame:
             nn = F.col(f"{n}__n").cast("double")
             obs = [F.col(f"{n}__c{i}") for i in range(len(keys))]
             other = F.col(f"{n}__n") - sum(obs[1:], obs[0])
             psi = F.lit(0.0)
-            for o, qi in zip(obs + [other], q):
+            for o, qi in zip(obs, q):
                 p = (o + F.lit(alpha)) / (nn + F.lit(alpha * kk))
                 psi = psi + (p - F.lit(qi)) * F.log(p / F.lit(qi))
+            # '__other__' unsmoothed, 0 when empty (class_balance semantics)
+            p_o = other / nn
+            psi = psi + F.when(
+                other > 0,
+                (p_o - F.lit(other_p)) * F.log(p_o / F.lit(other_p)),
+            ).otherwise(F.lit(0.0))
             psi = F.when(nn > 0, psi)  # empty partition: no verdict basis
             return g.select(
                 "partition_id",

@@ -835,3 +835,62 @@ def streaming_bloom_gate(
     return bloom_gate(
         keyed, bloom, num_bits, num_hashes, key_col="__fp", out_col=out_col
     ).drop("__fp")
+
+
+def streaming_class_balance(
+    stream: DataFrame,
+    column: str,
+    ts_col: str,
+    expected: dict,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    max_psi: float = 0.1,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-event-time-window class-balance monitor vs a GIVEN class
+    distribution (checks/drift.py::class_balance semantics, the label-shift
+    alarm): k+1 conditional sums per window -- state is one row of longs per
+    open window regardless of stream rate, values outside ``expected`` pool
+    into '__other__'. Complements streaming_categorical_drift (which
+    compares against a frozen OBSERVED census; this compares against an
+    ANALYTIC target, e.g. the training mixture spec)."""
+    if not expected:
+        raise ValueError("expected must name at least one class")
+    eps = 1e-12
+    other_p = max(1.0 - sum(expected.values()), eps)
+    keys = sorted(expected)
+    q = [max(expected[kk_], eps) for kk_ in keys]
+    kk = len(keys)
+    c = F.col(column)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(
+            F.sum(c.isNotNull().cast("long")).alias("n"),
+            *[
+                F.sum((c == kname).cast("long")).alias(f"__c{i}")
+                for i, kname in enumerate(keys)
+            ],
+        )
+    )
+    n = F.col("n").cast("double")
+    obs = [F.col(f"__c{i}") for i in range(len(keys))]
+    other = F.col("n") - sum(obs[1:], obs[0])
+    psi = F.lit(0.0)
+    for o, qi in zip(obs, q):
+        p = (o + F.lit(alpha)) / (n + F.lit(alpha * kk))
+        psi = psi + (p - F.lit(qi)) * F.log(p / F.lit(qi))
+    # '__other__' unsmoothed, 0 when empty (class_balance semantics)
+    p_o = other / n
+    psi = psi + F.when(
+        other > 0, (p_o - F.lit(other_p)) * F.log(p_o / F.lit(other_p))
+    ).otherwise(F.lit(0.0))
+    psi = F.when(n > 0, psi)
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n"),
+        other.cast("bigint").alias("n_other"),
+        psi.alias("psi"),
+        F.coalesce(psi <= F.lit(max_psi), F.lit(True)).alias("holds"),
+    )

@@ -22,15 +22,17 @@ def _psi_oracle(counts, expected, alpha=0.5):
     n = sum(counts.values())
     keys = sorted(expected)
     eps = 1e-12
-    q = [max(expected[k], eps) for k in keys]
     other = n - sum(counts.get(k, 0) for k in keys)
-    obs = [counts.get(k, 0) for k in keys] + [other]
-    q.append(max(1.0 - sum(expected.values()), eps))
-    kk = len(keys) + 1
+    other_p = max(1.0 - sum(expected.values()), eps)
+    kk = len(keys)
     psi = 0.0
-    for o, qi in zip(obs, q):
-        p = (o + alpha) / (n + alpha * kk)
+    for k in keys:
+        p = (counts.get(k, 0) + alpha) / (n + alpha * kk)
+        qi = max(expected[k], eps)
         psi += (p - qi) * math.log(p / qi)
+    if other > 0:  # '__other__' unsmoothed, 0 when empty
+        po = other / n
+        psi += (po - other_p) * math.log(po / other_p)
     return psi
 
 
@@ -151,3 +153,87 @@ def test_caption_consistency_holds_on_clean(spark):
     df = spark.createDataFrame(rows, schema)
     s = caption_consistency_summary(df).collect()[0]
     assert s["holds"] and s["n_inconsistent_refs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# suppression (enforcement counterpart of the k-anonymity audit)
+
+
+def test_suppress_to_k(spark):
+    from pyspark_validator.checks.anon import anon_check, suppress_to_k
+
+    rows = [(i, "z1" if i < 7 else "z2" if i < 9 else None) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, zip string")
+    out = suppress_to_k(df, ["zip"], k=3)
+    # z1 has 7 rows (kept), z2 has 2 (dropped), NULL cluster has 1 (dropped)
+    assert sorted(r["id"] for r in out.collect()) == list(range(7))
+    assert out.columns == ["id", "zip"]
+    # post-condition: the suppressed frame IS k-anonymous
+    s = anon_check(out, ["zip"], k=3).summary().collect()[0]
+    assert s["holds"]
+
+
+def test_suppress_to_k_null_cluster_big_enough_survives(spark):
+    from pyspark_validator.checks.anon import suppress_to_k
+
+    rows = [(i, None) for i in range(5)] + [(9, "z")]
+    df = spark.createDataFrame(rows, "id int, zip string")
+    out = suppress_to_k(df, ["zip"], k=3)
+    # the NULL cluster has 5 rows -> survives under NullMode.EQUAL
+    assert out.count() == 5
+    assert all(r["zip"] is None for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# streaming class balance (windowed, event-time)
+
+
+def test_streaming_class_balance_batch_parity(spark, tmp_path):
+    """availableNow stream over two files == the same windowed agg computed
+    statically; a window that matches `expected` holds, a skewed one trips."""
+    import datetime as dt
+
+    from pyspark_validator.streaming import streaming_class_balance
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # window 0: balanced a/b; window 1: all 'a' (label shift)
+    for i in range(20):
+        rows.append((t0 + dt.timedelta(seconds=i), "a" if i % 2 else "b"))
+    for i in range(20):
+        rows.append((t0 + dt.timedelta(minutes=1, seconds=i), "a"))
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, cls string").write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema("ts timestamp, cls string").parquet(
+        str(src) + "/*"
+    )
+    exp = {"a": 0.5, "b": 0.5}
+    out = streaming_class_balance(
+        stream, "cls", "ts", exp, window_duration="1 minute", max_psi=0.1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cls_bal")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].isoformat(): (r["n"], r["n_other"], r["psi"], r["holds"])
+        for r in spark.table("cls_bal").collect()
+    }
+    assert len(got) == 2
+    w0 = got["2026-01-01T00:00:00"]
+    w1 = got["2026-01-01T00:01:00"]
+    assert w0[0] == 20 and w0[3] is True
+    assert w1[0] == 20 and w1[3] is False
+    # parity vs the batch class_balance formula per window slice
+    from pyspark_validator.checks.drift import class_balance
+
+    b0 = spark.createDataFrame(rows[:20], "ts timestamp, cls string")
+    want = class_balance(b0, "cls", exp).collect()[0]
+    assert w0[2] == pytest.approx(want["psi"], rel=1e-12)
