@@ -29,9 +29,11 @@ Spec format (JSON):
   ]
 }
 
-Check kinds: ucc fd ind nd sfd ac nar mfd sd md (dependency verifiers);
+Check kinds: ucc fd ind nd sfd ac nar mfd sd md anon assoc reconcile
+precedence interval_overlap (dependency / integrity verifiers);
 completeness row_predicate numeric_profile histogram_drift distinct
-type_conformance span_integrity pii_budget token_budget media_context interleaved_quality benford class_balance (agg-shaped -- these share one scan under
+type_conformance span_integrity pii_budget token_budget media_context
+interleaved_quality benford class_balance (agg-shaped -- these share one scan under
 "fuse": true and run as single-member passes otherwise); schema (metadata-only
 expected-vs-actual StructType diff, params = SchemaSpec.from_dict form);
 sketch_profile (one-pass HLL+CMS+KLL per column; params = {"columns": [...],

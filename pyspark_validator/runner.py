@@ -23,8 +23,10 @@ from pyspark_validator.checks.ucc import ucc_check
 @dataclass
 class CheckSpec:
     """One named check. ``kind`` in {'ucc','fd','ind','nd','mfd','sd','md',
-    'ac','nar','sfd','custom'}; ``params`` are forwarded; single-row checks
-    (nd/mfd/sd/md/ac/nar) are framed as partition 0 for the manifest;
+    'ac','nar','sfd','anon','assoc','reconcile','precedence',
+    'interval_overlap','custom'}; ``params`` are forwarded; single-row checks
+    (nd/mfd/sd/md/ac/nar/assoc/reconcile/precedence/interval_overlap) are
+    framed as partition 0 for the manifest;
     'custom' takes fn(canon_df) -> verdicts DataFrame with a partition_id +
     holds column."""
 
@@ -233,6 +235,86 @@ class ValidationSuite:
             ]
             v = self.spark.createDataFrame(rows, _VERDICT_SCHEMA)
             return v.withColumn("partition_id", F.lit(0))
+        if spec.kind == "anon":
+            from pyspark_validator.checks.anon import anon_check
+
+            return anon_check(
+                df,
+                spec.params["quasi_identifiers"],
+                k=spec.params.get("k", 2),
+                sensitive=spec.params.get("sensitive"),
+                l=spec.params.get("l", 2),
+                num_partitions=self.num_partitions,
+            ).verdicts()
+        if spec.kind == "assoc":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.assoc import assoc_check
+
+            s = assoc_check(
+                df,
+                spec.params["col_a"],
+                spec.params["col_b"],
+                alpha=spec.params.get("alpha", 0.05),
+            ).summary()
+            # verdict framing: expect 'independent' (default -- these columns
+            # should NOT be associated) or 'dependent'
+            expect = spec.params.get("expect", "independent")
+            holds = (
+                ~F.col("dependent")
+                if expect == "independent"
+                else F.col("dependent")
+            )
+            return s.select(holds.alias("holds"), "*").withColumn(
+                "partition_id", F.lit(0)
+            )
+        if spec.kind == "reconcile":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.reconcile import reconciliation_check
+
+            child = spec.params.get("child_df")
+            if child is None:
+                child = self.spark.read.parquet(spec.params["child_table"])
+            s = reconciliation_check(
+                df,
+                child,
+                spec.params["parent_keys"],
+                spec.params["child_keys"],
+                F.expr(spec.params["stored"]),
+                F.expr(spec.params["derived_agg"]),
+                abs_tol=spec.params.get("abs_tol", 0.0),
+                rel_tol=spec.params.get("rel_tol", 0.0),
+                expect_children=spec.params.get("expect_children", True),
+            ).summary()
+            return s.withColumn("partition_id", F.lit(0))
+        if spec.kind == "precedence":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.temporal import precedence_check
+
+            s = precedence_check(
+                df,
+                spec.params["keys"],
+                spec.params["ts_col"],
+                F.expr(spec.params["antecedent"]),
+                F.expr(spec.params["consequent"]),
+                strict=spec.params.get("strict", True),
+            )
+            return s.withColumn("partition_id", F.lit(0))
+        if spec.kind == "interval_overlap":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.temporal import interval_overlap_check
+
+            s = interval_overlap_check(
+                df,
+                spec.params["keys"],
+                spec.params["start_col"],
+                spec.params["end_col"],
+                allow_touching=spec.params.get("allow_touching", True),
+            )
+            return s.withColumn("partition_id", F.lit(0))
         if spec.kind in ("mfd", "sd", "md"):
             # single-row verdict checks framed as partition 0 for the manifest
             from pyspark.sql import functions as F
