@@ -7422,6 +7422,127 @@ FROM census
 """
 
 
+def q_drift_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter drift (checks/drift.py::topk_drift): top-4 event_type
+    sets of even vs odd event ids -- set Jaccard + normalized Spearman
+    footrule over shared ranks + top-1 identity. Census -> distributed
+    top-k heap -> one <= 2k-row join."""
+    from pyspark_validator.checks.drift import topk_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.filter(F.col("event_id") % 2 == 0)
+    c = ev.filter(F.col("event_id") % 2 == 1)
+    d = topk_drift(b, c, "event_type", k=4)
+    return d.select(
+        "k_b",
+        "k_c",
+        "n_shared",
+        _r(F.col("jaccard"), 9).alias("jaccard"),
+        _r(F.col("footrule"), 9).alias("footrule"),
+        "top1_b",
+        "top1_c",
+        "top1_same",
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_TOPK_EVENTS = """
+WITH cb AS (
+  SELECT event_type AS val, count(*) AS cnt FROM events
+  WHERE event_id % 2 = 0 GROUP BY 1
+),
+cc AS (
+  SELECT event_type AS val, count(*) AS cnt FROM events
+  WHERE event_id % 2 = 1 GROUP BY 1
+),
+tb AS (
+  SELECT val, row_number() OVER (ORDER BY cnt DESC, val) AS rank_b
+  FROM cb ORDER BY cnt DESC, val LIMIT 4
+),
+tc AS (
+  SELECT val, row_number() OVER (ORDER BY cnt DESC, val) AS rank_c
+  FROM cc ORDER BY cnt DESC, val LIMIT 4
+),
+j AS (SELECT * FROM tb FULL OUTER JOIN tc USING (val)),
+agg AS (
+  SELECT sum(CASE WHEN rank_b IS NOT NULL THEN 1 ELSE 0 END) AS k_b,
+         sum(CASE WHEN rank_c IS NOT NULL THEN 1 ELSE 0 END) AS k_c,
+         sum(CASE WHEN rank_b IS NOT NULL AND rank_c IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_shared,
+         sum(CASE WHEN rank_b IS NOT NULL AND rank_c IS NOT NULL
+                  THEN abs(rank_b - rank_c) ELSE 0 END) AS fr,
+         min(CASE WHEN rank_b = 1 THEN val END) AS top1_b,
+         min(CASE WHEN rank_c = 1 THEN val END) AS top1_c
+  FROM j
+)
+SELECT CAST(k_b AS BIGINT) AS k_b, CAST(k_c AS BIGINT) AS k_c,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       round(CASE WHEN k_b + k_c - n_shared > 0
+                  THEN n_shared * 1.0 / (k_b + k_c - n_shared)
+                  ELSE 1.0 END, 9) AS jaccard,
+       round(CASE WHEN n_shared > 0 THEN fr * 1.0 / (n_shared * 3.0) END, 9)
+         AS footrule,
+       top1_b, top1_c, (top1_b = top1_c) AS top1_same,
+       (CASE WHEN k_b + k_c - n_shared > 0
+             THEN n_shared * 1.0 / (k_b + k_c - n_shared)
+             ELSE 1.0 END < 0.5) AS drift_detected
+FROM agg
+"""
+
+
+def q_drift_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift (checks/drift.py::
+    embedding_dimension_drift): standardized mean difference per dimension
+    between even/odd vec_ids, rolled up to worst/mean SMD -- the axis-level
+    companion to drift_embedding_centroid. Shuffle carries dim rows only."""
+    from pyspark_validator.checks.drift import embedding_dimension_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.filter(F.col("vec_id") % 2 == 0)
+    c = emb.filter(F.col("vec_id") % 2 == 1)
+    d = embedding_dimension_drift(b, c, max_smd=0.25)
+    return d.select(
+        "n_b",
+        "n_c",
+        "dim",
+        _r(F.col("max_smd_value"), 6).alias("max_smd_value"),
+        "worst_dim",
+        _r(F.col("mean_smd"), 6).alias("mean_smd"),
+        "drift_detected",
+    )
+
+
+SQL_DRIFT_EMBEDDING_DIMS = """
+WITH ex AS (
+  SELECT vec_id % 2 AS side, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+s AS (
+  SELECT idx,
+         count(*) FILTER (side = 0) AS n_b, sum(v) FILTER (side = 0) AS s_b,
+         sum(v * v) FILTER (side = 0) AS ss_b,
+         count(*) FILTER (side = 1) AS n_c, sum(v) FILTER (side = 1) AS s_c,
+         sum(v * v) FILTER (side = 1) AS ss_c
+  FROM ex GROUP BY 1
+),
+smd AS (
+  SELECT idx, n_b, n_c,
+         abs(s_b / n_b - s_c / n_c)
+         / sqrt(greatest(((ss_b / n_b - (s_b / n_b) * (s_b / n_b))
+                        + (ss_c / n_c - (s_c / n_c) * (s_c / n_c))) / 2,
+                         1e-24)) AS d
+  FROM s WHERE n_b > 0 AND n_c > 0
+)
+SELECT CAST(max(n_b) AS BIGINT) AS n_b, CAST(max(n_c) AS BIGINT) AS n_c,
+       CAST(count(*) AS BIGINT) AS dim,
+       round(max(d), 6) AS max_smd_value,
+       arg_max(idx, d) AS worst_dim,
+       round(avg(d), 6) AS mean_smd,
+       (max(d) > 0.25) AS drift_detected
+FROM smd
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7575,6 +7696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         "class_balance_events": q_class_balance_events,
         "caption_consistency_docs": q_caption_consistency_docs,
+        "drift_topk_events": q_drift_topk_events,
+        "drift_embedding_dims": q_drift_embedding_dims,
     }
 
 
@@ -7738,6 +7861,8 @@ def oracle_sql() -> dict[str, str]:
         "reconcile_orders_lineitem": SQL_RECONCILE_ORDERS_LINEITEM,
         "class_balance_events": SQL_CLASS_BALANCE_EVENTS,
         "caption_consistency_docs": SQL_CAPTION_CONSISTENCY_DOCS,
+        "drift_topk_events": SQL_DRIFT_TOPK_EVENTS,
+        "drift_embedding_dims": SQL_DRIFT_EMBEDDING_DIMS,
     }
 
 

@@ -198,6 +198,8 @@ HEADLINE = [
     "reconcile_orders_lineitem",
     "class_balance_events",
     "caption_consistency_docs",
+    "drift_topk_events",
+    "drift_embedding_dims",
 ]
 
 

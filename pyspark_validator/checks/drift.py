@@ -545,3 +545,132 @@ def class_balance(
         worst.alias("worst_class"),
         (psi <= F.lit(max_psi)).alias("holds"),
     )
+
+
+def embedding_dimension_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+    max_smd: float = 0.25,
+) -> DataFrame:
+    """Per-dimension embedding drift: standardized mean difference
+    |mean_b - mean_c| / sqrt((var_b + var_c) / 2) for every dimension, rolled
+    up to the worst and mean SMD. Catches AXIS-level shifts (a feature
+    pipeline zeroing one dimension, quantization bias) that the centroid
+    cosine (embedding_centroid_drift) can average away.
+
+    Scale shape: each side folds to per-dim (n, sum, sum-of-squares) via ONE
+    posexplode + groupBy(idx) with map-side combine -- the shuffle carries
+    dim rows, never the corpus -- then the two dim-sized frames join.
+
+    Output (single row): [n_b, n_c, dim, max_smd_value, worst_dim, mean_smd,
+    drift_detected]. Dimensions present on only one side (ragged input) are
+    excluded from the rollup but counted in ``dim`` via the union.
+    """
+
+    def sums(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(F.posexplode(F.col(vec_col)).alias("idx", "v"))
+        v = F.col("v").cast("double")
+        return e.groupBy("idx").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(v).alias(f"s_{tag}"),
+            F.sum(v * v).alias(f"ss_{tag}"),
+        )
+
+    j = sums(baseline, "b").join(sums(current, "c"), "idx", "full_outer")
+    both = F.col("n_b").isNotNull() & F.col("n_c").isNotNull()
+    mb = F.col("s_b") / F.col("n_b")
+    mc = F.col("s_c") / F.col("n_c")
+    vb = F.col("ss_b") / F.col("n_b") - mb * mb
+    vc = F.col("ss_c") / F.col("n_c") - mc * mc
+    pooled = F.sqrt(F.greatest((vb + vc) / 2, F.lit(1e-24)))
+    smd = F.when(both, F.abs(mb - mc) / pooled)
+    out = j.agg(
+        F.max("n_b").alias("n_b"),
+        F.max("n_c").alias("n_c"),
+        F.count(F.lit(1)).alias("dim"),
+        F.max(smd).alias("max_smd_value"),
+        F.max_by(F.col("idx"), smd).alias("worst_dim"),
+        F.avg(smd).alias("mean_smd"),
+    )
+    return out.select(
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.col("dim").cast("bigint").alias("dim"),
+        "max_smd_value",
+        "worst_dim",
+        "mean_smd",
+        (F.col("max_smd_value") > F.lit(max_smd)).alias("drift_detected"),
+    )
+
+
+def topk_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    k: int = 10,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Heavy-hitter drift: compare the two snapshots' top-k value sets --
+    set Jaccard, normalized Spearman footrule over the SHARED values'
+    ranks, and whether the single most frequent value changed. Catches
+    head-of-distribution churn (a new dominant template, a vanished
+    bestseller) that aggregate divergences dilute.
+
+    Scale: two censuses (map-side combine) -> each side's top-k via
+    orderBy(cnt desc, value).limit(k) (TakeOrderedAndProject, distributed
+    heap) -> one full-outer join over <= 2k rows. Rank ties break on value
+    asc, deterministic across engines.
+
+    Output (single row): [k_b, k_c, n_shared, jaccard, footrule, top1_b,
+    top1_c, top1_same, drift_detected]. footrule = sum |rank_b - rank_c|
+    over shared values, divided by the worst case for the shared count
+    (NULL when nothing is shared).
+    """
+
+    def top(df: DataFrame, tag: str) -> DataFrame:
+        cen = (
+            df.select(F.col(column).cast("string").alias("val"))
+            .filter(F.col("val").isNotNull())
+            .groupBy("val")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        head = cen.orderBy(F.col("cnt").desc(), F.col("val")).limit(k)
+        w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+            F.col("cnt").desc(), F.col("val")
+        )
+        return head.select(
+            "val", F.row_number().over(w).alias(f"rank_{tag}")
+        )
+
+    j = top(baseline, "b").join(top(current, "c"), "val", "full_outer")
+    shared = F.col("rank_b").isNotNull() & F.col("rank_c").isNotNull()
+    agg = j.agg(
+        F.sum(F.col("rank_b").isNotNull().cast("long")).alias("k_b"),
+        F.sum(F.col("rank_c").isNotNull().cast("long")).alias("k_c"),
+        F.sum(shared.cast("long")).alias("n_shared"),
+        F.sum(
+            F.when(shared, F.abs(F.col("rank_b") - F.col("rank_c"))).otherwise(0)
+        ).alias("__fr"),
+        F.min(F.when(F.col("rank_b") == 1, F.col("val"))).alias("top1_b"),
+        F.min(F.when(F.col("rank_c") == 1, F.col("val"))).alias("top1_c"),
+    )
+    union = F.col("k_b") + F.col("k_c") - F.col("n_shared")
+    jac = F.when(union > 0, F.col("n_shared") / union).otherwise(F.lit(1.0))
+    # worst-case footrule for s shared items among ranks 1..k (both sides):
+    # each displaced by at most (k - 1) -> s * (k - 1); exact-enough
+    # normalizer, monotone in disagreement, 0 = identical shared ranks
+    fr_norm = F.try_divide(
+        F.col("__fr").cast("double"), F.col("n_shared").cast("double") * (k - 1)
+    )
+    return agg.select(
+        "k_b",
+        "k_c",
+        "n_shared",
+        jac.alias("jaccard"),
+        fr_norm.alias("footrule"),
+        "top1_b",
+        "top1_c",
+        (F.col("top1_b") == F.col("top1_c")).alias("top1_same"),
+        (jac < F.lit(min_jaccard)).alias("drift_detected"),
+    )

@@ -199,3 +199,99 @@ def test_zipf_min_count_filter(spark):
     s = zipf_signals(df, max_rank=10, min_count=2).collect()[0]
     assert s["n_types"] == 2  # ccc dropped
     assert s["n_tokens"] == 5
+
+
+# ---------------------------------------------------------------------------
+# top-k drift
+
+
+def test_topk_drift_identical(spark):
+    from pyspark_validator.checks.drift import topk_drift
+
+    rows = [(f"v{i % 6}",) for i in range(120)]
+    df = spark.createDataFrame(rows, "c string")
+    r = topk_drift(df, df, "c", k=4).collect()[0]
+    assert r["jaccard"] == 1.0 and r["footrule"] == 0.0
+    assert r["top1_same"] and not r["drift_detected"]
+
+
+def test_topk_drift_python_oracle(spark):
+    from collections import Counter
+
+    from pyspark_validator.checks.drift import topk_drift
+
+    xs = [f"v{(i * i) % 9}" for i in range(300)]
+    ys = [f"v{(i * 7 + 2) % 11}" for i in range(250)]
+    k = 5
+    b = spark.createDataFrame([(x,) for x in xs], "c string")
+    c = spark.createDataFrame([(y,) for y in ys], "c string")
+    r = topk_drift(b, c, "c", k=k).collect()[0]
+
+    def top(vals):
+        cnt = Counter(vals)
+        head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {v: i + 1 for i, (v, _) in enumerate(head)}
+
+    rb, rc = top(xs), top(ys)
+    shared = set(rb) & set(rc)
+    jac = len(shared) / len(set(rb) | set(rc))
+    assert r["n_shared"] == len(shared)
+    assert r["jaccard"] == pytest.approx(jac, rel=1e-12)
+    if shared:
+        fr = sum(abs(rb[v] - rc[v]) for v in shared) / (len(shared) * (k - 1))
+        assert r["footrule"] == pytest.approx(fr, rel=1e-12)
+    assert r["top1_b"] == min(rb, key=rb.get)
+
+
+def test_topk_drift_disjoint(spark):
+    from pyspark_validator.checks.drift import topk_drift
+
+    b = spark.createDataFrame([("a",)] * 5, "c string")
+    c = spark.createDataFrame([("z",)] * 5, "c string")
+    r = topk_drift(b, c, "c", k=3).collect()[0]
+    assert r["jaccard"] == 0.0 and r["footrule"] is None
+    assert r["drift_detected"]
+
+
+# ---------------------------------------------------------------------------
+# embedding dimension drift
+
+
+def test_embedding_dimension_drift_oracle(spark):
+    import numpy as np
+
+    from pyspark_validator.checks.drift import embedding_dimension_drift
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    mb = rng.normal(size=(60, dim)).astype(np.float32)
+    mc = mb.copy()
+    mc = rng.normal(size=(50, dim)).astype(np.float32)
+    mc[:, 3] += 2.0  # plant a big axis shift on dim 3
+    b = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(mb)], "id int, e array<float>"
+    )
+    c = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(mc)], "id int, e array<float>"
+    )
+    r = embedding_dimension_drift(b, c, vec_col="e", max_smd=0.5).collect()[0]
+    assert r["worst_dim"] == 3 and r["drift_detected"]
+    # python oracle (population variance, float64 on the float32-rounded data)
+    A = mb.astype(np.float64)
+    B = mc.astype(np.float64)
+    smd = np.abs(A.mean(0) - B.mean(0)) / np.sqrt(
+        np.maximum((A.var(0) + B.var(0)) / 2, 1e-24)
+    )
+    assert r["max_smd_value"] == pytest.approx(smd.max(), rel=1e-9)
+    assert r["mean_smd"] == pytest.approx(smd.mean(), rel=1e-9)
+    assert r["dim"] == dim and r["n_b"] == 60 and r["n_c"] == 50
+
+
+def test_embedding_dimension_drift_identical_zero(spark):
+    from pyspark_validator.checks.drift import embedding_dimension_drift
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, e array<float>")
+    r = embedding_dimension_drift(df, df, vec_col="e").collect()[0]
+    assert r["max_smd_value"] == pytest.approx(0.0, abs=1e-12)
+    assert not r["drift_detected"]
