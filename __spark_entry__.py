@@ -7543,6 +7543,71 @@ FROM smd
 """
 
 
+def q_outliers_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier-row gate (checks/outlier.py, Tukey IQR fences, exact
+    percentiles in oracle mode): one centers agg, then a scan-speed fence
+    filter -- never a join or window."""
+    from pyspark_validator.checks.outlier import outlier_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = outlier_check(ev, "value", method="iqr").summary()
+    return s.select(
+        "n",
+        "n_outliers",
+        _r(F.col("outlier_fraction"), 9).alias("outlier_fraction"),
+        _r(F.col("fence_lo"), 6).alias("fence_lo"),
+        _r(F.col("fence_hi"), 6).alias("fence_hi"),
+        "holds",
+    )
+
+
+SQL_OUTLIERS_EVENTS_VALUE = """
+WITH f AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events
+),
+fl AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f)
+SELECT CAST(count(value) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) * 1.0
+             / count(value), 9) AS outlier_fraction,
+       round(any_value(lo), 6) AS fence_lo,
+       round(any_value(hi), 6) AS fence_hi,
+       (sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) = 0) AS holds
+FROM events, fl
+"""
+
+
+def q_outliers_events_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The worst 5 outlier rows by fence exceedance (row-level verification
+    of the fence filter, deterministic tie-break on event_id)."""
+    from pyspark_validator.checks.outlier import outlier_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = outlier_check(ev, "value", method="iqr").violations(["event_id"], cap=5)
+    return v.select(
+        "event_id",
+        _r(F.col("value"), 6).alias("value"),
+        _r(F.col("exceedance"), 6).alias("exceedance"),
+    )
+
+
+SQL_OUTLIERS_EVENTS_ROWS = """
+WITH f AS (
+  SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events
+),
+fl AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f)
+SELECT event_id, round(value, 6) AS value,
+       round(greatest(lo - value, value - hi), 6) AS exceedance
+FROM events, fl
+WHERE value < lo OR value > hi
+ORDER BY greatest(lo - value, value - hi) DESC, event_id
+LIMIT 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7698,6 +7763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_consistency_docs": q_caption_consistency_docs,
         "drift_topk_events": q_drift_topk_events,
         "drift_embedding_dims": q_drift_embedding_dims,
+        "outliers_events_value": q_outliers_events_value,
+        "outliers_events_rows": q_outliers_events_rows,
     }
 
 
@@ -7863,6 +7930,8 @@ def oracle_sql() -> dict[str, str]:
         "caption_consistency_docs": SQL_CAPTION_CONSISTENCY_DOCS,
         "drift_topk_events": SQL_DRIFT_TOPK_EVENTS,
         "drift_embedding_dims": SQL_DRIFT_EMBEDDING_DIMS,
+        "outliers_events_value": SQL_OUTLIERS_EVENTS_VALUE,
+        "outliers_events_rows": SQL_OUTLIERS_EVENTS_ROWS,
     }
 
 

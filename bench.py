@@ -200,6 +200,7 @@ HEADLINE = [
     "caption_consistency_docs",
     "drift_topk_events",
     "drift_embedding_dims",
+    "outliers_events_value",
 ]
 
 

@@ -46,6 +46,7 @@ from pyspark_validator.checks.mfd import mfd_check
 from pyspark_validator.checks.nar import nar_check
 from pyspark_validator.checks.nd import nd_check
 from pyspark_validator.checks.od import aod_check
+from pyspark_validator.checks.outlier import outlier_check
 from pyspark_validator.checks.pac import domain_pac_check
 from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.sfd import sfd_check
@@ -98,6 +99,7 @@ __all__ = [
     "benford_check",
     "interval_overlap_check",
     "interval_overlap_violations",
+    "outlier_check",
     "precedence_check",
     "precedence_violations",
     "reconciliation_check",
