@@ -7608,6 +7608,39 @@ LIMIT 5
 """
 
 
+def q_embedding_outliers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outliers by diagonal Mahalanobis score (checks/
+    outlier.py::embedding_outlier_check): per-dim standardization baked into
+    a zip_with/aggregate score expression (scan-speed), top-5 via the
+    distributed heap. Sanity anchor: the mean score is exactly dim under
+    the score's own standardization."""
+    from pyspark_validator.checks.outlier import embedding_outlier_check
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = embedding_outlier_check(emb, top_k=5).top()
+    return t.select("id", _r(F.col("score"), 6).alias("score"))
+
+
+SQL_EMBEDDING_OUTLIERS_TOPK = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+st AS (
+  SELECT idx, avg(v) AS m,
+         CASE WHEN avg(v * v) - avg(v) * avg(v) > 0
+              THEN sqrt(avg(v * v) - avg(v) * avg(v)) ELSE 1.0 END AS s
+  FROM ex GROUP BY 1
+),
+sc AS (
+  SELECT vec_id AS id, sum(pow((v - m) / s, 2)) AS score
+  FROM ex JOIN st USING (idx) GROUP BY 1
+)
+SELECT id, round(score, 6) AS score
+FROM sc ORDER BY score DESC, id LIMIT 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7765,6 +7798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_embedding_dims": q_drift_embedding_dims,
         "outliers_events_value": q_outliers_events_value,
         "outliers_events_rows": q_outliers_events_rows,
+        "embedding_outliers_topk": q_embedding_outliers_topk,
     }
 
 
@@ -7932,6 +7966,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_embedding_dims": SQL_DRIFT_EMBEDDING_DIMS,
         "outliers_events_value": SQL_OUTLIERS_EVENTS_VALUE,
         "outliers_events_rows": SQL_OUTLIERS_EVENTS_ROWS,
+        "embedding_outliers_topk": SQL_EMBEDDING_OUTLIERS_TOPK,
     }
 
 

@@ -201,6 +201,7 @@ HEADLINE = [
     "drift_topk_events",
     "drift_embedding_dims",
     "outliers_events_value",
+    "embedding_outliers_topk",
 ]
 
 

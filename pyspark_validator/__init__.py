@@ -46,7 +46,7 @@ from pyspark_validator.checks.mfd import mfd_check
 from pyspark_validator.checks.nar import nar_check
 from pyspark_validator.checks.nd import nd_check
 from pyspark_validator.checks.od import aod_check
-from pyspark_validator.checks.outlier import outlier_check
+from pyspark_validator.checks.outlier import embedding_outlier_check, outlier_check
 from pyspark_validator.checks.pac import domain_pac_check
 from pyspark_validator.checks.sd import sd_check
 from pyspark_validator.checks.sfd import sfd_check
@@ -99,6 +99,7 @@ __all__ = [
     "benford_check",
     "interval_overlap_check",
     "interval_overlap_violations",
+    "embedding_outlier_check",
     "outlier_check",
     "precedence_check",
     "precedence_violations",

@@ -145,3 +145,114 @@ def outlier_check(
     return OutlierCheck(
         df=df, column=column, method=method, threshold=threshold, exact=exact
     )
+
+
+def embedding_outlier_check(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 10,
+    score_threshold: float | None = None,
+) -> "EmbeddingOutlierCheck":
+    """Embedding-space outlier detection via the DIAGONAL Mahalanobis score:
+    score(x) = sum_j ((x_j - mean_j) / std_j)^2. Corrupt vectors (decode
+    bugs, wrong-model embeddings, zeroed axes) score orders of magnitude
+    above the bulk. The diagonal form keeps the whole pipeline JVM-side and
+    engine-replayable (the full-covariance variant needs a matrix inverse --
+    a driver-side numpy step -- without changing the plan shape).
+
+    Plan: per-dim (n, sum, sum-of-squares) partials via ONE posexplode agg
+    (shuffle carries dim rows); the collected mean/std literals broadcast
+    into a zip_with + aggregate score expression, so scoring is scan-speed;
+    top-k via TakeOrderedAndProject. See EmbeddingOutlierCheck."""
+    return EmbeddingOutlierCheck(
+        df=df,
+        vec_col=vec_col,
+        id_col=id_col,
+        top_k=top_k,
+        score_threshold=score_threshold,
+    )
+
+
+@dataclass
+class EmbeddingOutlierCheck:
+    df: DataFrame
+    vec_col: str = "embedding"
+    id_col: str = "vec_id"
+    top_k: int = 10
+    score_threshold: float | None = None
+
+    @cached_property
+    def _stats(self) -> tuple[list, list]:
+        e = self.df.select(F.posexplode(F.col(self.vec_col)).alias("idx", "v"))
+        v = F.col("v").cast("double")
+        rows = (
+            e.groupBy("idx")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(v).alias("s"),
+                F.sum(v * v).alias("ss"),
+            )
+            .orderBy("idx")
+            .collect()
+        )
+        means, stds = [], []
+        for r in rows:
+            m = r["s"] / r["n"]
+            var = max(r["ss"] / r["n"] - m * m, 0.0)
+            means.append(m)
+            stds.append(var**0.5 if var > 0 else 1.0)  # constant dim: no signal
+        return means, stds
+
+    def _score(self) -> Column:
+        means, stds = self._stats
+        m_arr = F.array(*[F.lit(float(m)) for m in means])
+        s_arr = F.array(*[F.lit(float(s)) for s in stds])
+        diffs = F.zip_with(
+            F.col(self.vec_col).cast("array<double>"),
+            m_arr,
+            lambda x, m: x - m,
+        )
+        z = F.zip_with(diffs, s_arr, lambda d, s: d / s)
+        return F.aggregate(
+            z, F.lit(0.0), lambda acc, t: acc + t * t
+        )
+
+    def scores(self) -> DataFrame:
+        """[id, score] for every vector (lazy; scan-speed expression)."""
+        return self.df.select(
+            F.col(self.id_col).alias("id"), self._score().alias("score")
+        )
+
+    def top(self) -> DataFrame:
+        """The top_k highest-scoring vectors (distributed heap), score desc
+        then id asc."""
+        return self.scores().orderBy(
+            F.col("score").desc(), F.col("id")
+        ).limit(self.top_k)
+
+    def summary(self) -> DataFrame:
+        """Single row: [n, dim, mean_score, max_score, n_flagged, holds].
+        With no ``score_threshold`` the expected mean score is ~dim
+        (chi-square with dim dof under normality) and holds is
+        informational (always true)."""
+        means, _ = self._stats
+        s = self._score()
+        flag = (
+            F.lit(False)
+            if self.score_threshold is None
+            else s > F.lit(self.score_threshold)
+        )
+        return self.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(s).alias("mean_score"),
+            F.max(s).alias("max_score"),
+            F.sum(flag.cast("long")).alias("n_flagged"),
+        ).select(
+            "n",
+            F.lit(len(means)).alias("dim"),
+            "mean_score",
+            "max_score",
+            "n_flagged",
+            (F.col("n_flagged") == 0).alias("holds"),
+        )

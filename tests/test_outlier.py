@@ -88,3 +88,62 @@ def test_bad_method(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         outlier_check(df, "v", method="nope")
+
+
+# ---------------------------------------------------------------------------
+# embedding outliers (diagonal Mahalanobis)
+
+
+def test_embedding_outliers_planted(spark):
+    import numpy as np
+
+    from pyspark_validator.checks.outlier import embedding_outlier_check
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(80, 6)).astype(np.float32)
+    m[17] = 50.0  # planted corrupt vector
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(m)], "vid int, e array<float>"
+    )
+    c = embedding_outlier_check(df, vec_col="e", id_col="vid", top_k=3)
+    top = c.top().collect()
+    assert top[0]["id"] == 17
+    assert top[0]["score"] > 10 * top[1]["score"]
+    # numpy oracle on the float32-rounded data (population std)
+    A = m.astype(np.float64)
+    mu, sd = A.mean(0), A.std(0)
+    sd[sd == 0] = 1.0
+    scores = (((A - mu) / sd) ** 2).sum(1)
+    assert top[0]["score"] == pytest.approx(scores[17], rel=1e-9)
+    s = c.summary().collect()[0]
+    assert s["dim"] == 6 and s["n"] == 80
+    assert s["mean_score"] == pytest.approx(scores.mean(), rel=1e-9)
+    # sanity: mean score == dim under the score's own standardization
+    assert s["mean_score"] == pytest.approx(6.0, rel=1e-9)
+
+
+def test_embedding_outliers_threshold_gate(spark):
+    import numpy as np
+
+    from pyspark_validator.checks.outlier import embedding_outlier_check
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(50, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(m)], "vid int, e array<float>"
+    )
+    s = embedding_outlier_check(
+        df, vec_col="e", id_col="vid", score_threshold=1e9
+    ).summary().collect()[0]
+    assert s["n_flagged"] == 0 and s["holds"]
+
+
+def test_embedding_outliers_constant_dim_no_nan(spark):
+    from pyspark_validator.checks.outlier import embedding_outlier_check
+
+    rows = [(i, [float(i % 3), 7.0]) for i in range(30)]  # dim 1 constant
+    df = spark.createDataFrame(rows, "vid int, e array<float>")
+    s = embedding_outlier_check(df, vec_col="e", id_col="vid").summary().collect()[0]
+    import math
+
+    assert not math.isnan(s["mean_score"])  # constant dim contributes 0
