@@ -109,11 +109,23 @@ pv.reconciliation_check(
     rel_tol=0.5,
 ).summary().show(truncate=False)
 
+print("== 4b. row/vector anomalies ==")
+oc = pv.outlier_check(ev, "value", method="iqr")
+oc.summary().show()
+oc.violations(["event_id"], cap=3).show()
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+pv.embedding_outlier_check(emb, top_k=3).top().show()
+
 print("== 5. corpus drift + interleaved caption consistency ==")
 b = ev.filter(F.col("event_id") % 2 == 0)
 c = ev.filter(F.col("event_id") % 2 == 1)
 js_divergence_drift(b, c, "event_type").show()
 wasserstein_drift(b, c, "value", num_bins=30, bin_edges=(0.0, 600.0)).show()
+from pyspark_validator.checks.drift import embedding_dimension_drift, topk_drift
+topk_drift(b, c, "event_type", k=4).show(truncate=False)
+embedding_dimension_drift(
+    emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+).show()
 zipf_signals(docs, max_rank=200).show(truncate=False)
 db = docs.filter(F.col("doc_id") % 2 == 0)
 dc = docs.filter(F.col("doc_id") % 2 == 1)

@@ -631,3 +631,62 @@ def test_vocab_drift_census_sized_join(spark, tables):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     schema = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "text" in schema and "lang" not in schema
+
+
+def test_outlier_fence_filter_is_pushed_down(spark, tables):
+    """outlier_check violations: the fence predicate must reach the parquet
+    scan (PushedFilters) -- flagging is scan-speed, never a join/window."""
+    from pyspark_validator.checks.outlier import outlier_check
+
+    spark.catalog.clearCache()
+    c = outlier_check(tables["lineitem"], "l_extendedprice", method="zscore")
+    p = _plan(c.violations(["l_orderkey"], cap=10))
+    assert _count(p, "Window") == 0
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_extendedprice" in pushed[0]
+
+
+def test_embedding_outlier_score_single_scan(spark, tables):
+    """embedding score pass: one scan, TakeOrderedAndProject heap for top-k,
+    no Python eval (the stats pass is a separate bounded job by design)."""
+    from pyspark_validator.checks.outlier import embedding_outlier_check
+
+    spark.catalog.clearCache()
+    c = embedding_outlier_check(tables["embeddings"], top_k=5)
+    c._stats  # materialize the stats literals first
+    p = _plan(c.top())
+    assert _count(p, "Scan parquet") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_topk_drift_uses_heaps_not_global_sort(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.checks.drift import topk_drift
+
+    spark.catalog.clearCache()
+    docs = tables["documents"]
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    c = docs.filter(F.col("doc_id") % 2 == 1)
+    p = _plan(topk_drift(b, c, "lang", k=3))
+    assert p.count("TakeOrderedAndProject") >= 2  # one heap per side
+    assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_no_self_join(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.checks.temporal import interval_overlap_check
+
+    spark.catalog.clearCache()
+    iv = tables["orders"].select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 3).alias("e"),
+    )
+    p = _plan(interval_overlap_check(iv, ["o_custkey"], "s", "e"))
+    assert "Join" not in p  # running-max window, never the DC pair join
+    assert _count(p, "Scan parquet") == 1
