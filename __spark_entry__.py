@@ -7641,6 +7641,76 @@ FROM sc ORDER BY score DESC, id LIMIT 5
 """
 
 
+def q_change_point_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned CUSUM change-point localization (checks/drift.py::
+    change_point_check): a +25 level shift planted on value for
+    event_id >= 7000, detected on the event_id axis over 50 fixed-edge bins
+    -- the per-bin partial fold keeps the shuffle at num_bins rows and the
+    CUSUM window runs over bins, never rows."""
+    from pyspark_validator.checks.drift import change_point_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("double").alias("t"),
+        (
+            F.col("value")
+            + F.when(F.col("event_id") >= 7000, 25.0).otherwise(0.0)
+        ).alias("v"),
+    )
+    d = change_point_check(
+        ev, "t", "v", num_bins=50, bin_edges=(0.0, 10000.0), min_shift_smd=0.3
+    )
+    return d.select(
+        "n",
+        "n_bins",
+        "change_bin",
+        _r(F.col("change_point"), 6).alias("change_point"),
+        _r(F.col("change_fraction"), 9).alias("change_fraction"),
+        _r(F.col("mean_before"), 6).alias("mean_before"),
+        _r(F.col("mean_after"), 6).alias("mean_after"),
+        _r(F.col("shift"), 6).alias("shift"),
+        _r(F.col("shift_smd"), 6).alias("shift_smd"),
+        "detected",
+    )
+
+
+SQL_CHANGE_POINT_EVENTS = """
+WITH src AS (
+  SELECT CAST(event_id AS DOUBLE) AS t,
+         value + CASE WHEN event_id >= 7000 THEN 25.0 ELSE 0.0 END AS v
+  FROM events WHERE value IS NOT NULL
+),
+bins AS (
+  SELECT least(greatest(CAST(floor(t / 200.0) AS BIGINT), 0), 49) AS b,
+         count(*) AS cnt, sum(v) AS s, sum(v * v) AS ss
+  FROM src GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS tn, sum(s) AS ts_sum, sum(ss) AS tss FROM bins),
+cum AS (
+  SELECT b, tn, ts_sum, tss,
+         sum(cnt) OVER w AS ck, sum(s) OVER w AS cs
+  FROM bins, tot
+  WINDOW w AS (ORDER BY b)
+),
+cu AS (
+  SELECT *, cs - ck * (ts_sum / tn) AS cusum FROM cum WHERE ck < tn
+),
+best AS (SELECT * FROM cu ORDER BY abs(cusum) DESC, b LIMIT 1)
+SELECT CAST(tn AS BIGINT) AS n, 50 AS n_bins, CAST(b AS INT) AS change_bin,
+       round(0.0 + (b + 1) * 200.0, 6) AS change_point,
+       round(ck * 1.0 / tn, 9) AS change_fraction,
+       round(cs / ck, 6) AS mean_before,
+       round((ts_sum - cs) / (tn - ck), 6) AS mean_after,
+       round((ts_sum - cs) / (tn - ck) - cs / ck, 6) AS shift,
+       round(abs((ts_sum - cs) / (tn - ck) - cs / ck)
+             / sqrt(greatest(tss / tn - (ts_sum / tn) * (ts_sum / tn), 1e-24)),
+             6) AS shift_smd,
+       (abs((ts_sum - cs) / (tn - ck) - cs / ck)
+        / sqrt(greatest(tss / tn - (ts_sum / tn) * (ts_sum / tn), 1e-24))
+        > 0.3) AS detected
+FROM best
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ucc_lineitem_pk": q_ucc_lineitem_pk,
@@ -7799,6 +7869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events_value": q_outliers_events_value,
         "outliers_events_rows": q_outliers_events_rows,
         "embedding_outliers_topk": q_embedding_outliers_topk,
+        "change_point_events": q_change_point_events,
     }
 
 
@@ -7967,6 +8038,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers_events_value": SQL_OUTLIERS_EVENTS_VALUE,
         "outliers_events_rows": SQL_OUTLIERS_EVENTS_ROWS,
         "embedding_outliers_topk": SQL_EMBEDDING_OUTLIERS_TOPK,
+        "change_point_events": SQL_CHANGE_POINT_EVENTS,
     }
 
 

@@ -202,6 +202,7 @@ HEADLINE = [
     "drift_embedding_dims",
     "outliers_events_value",
     "embedding_outliers_topk",
+    "change_point_events",
 ]
 
 

@@ -674,3 +674,96 @@ def topk_drift(
         (F.col("top1_b") == F.col("top1_c")).alias("top1_same"),
         (jac < F.lit(min_jaccard)).alias("drift_detected"),
     )
+
+
+def change_point_check(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_bins: int = 100,
+    bin_edges: tuple[float, float] | None = None,
+    min_shift_smd: float = 0.5,
+) -> DataFrame:
+    """WHERE did the metric move: binned CUSUM change-point detection (Page
+    1954 family) over an ordered axis (event time, file order, version).
+    Drift checks say THAT two snapshots differ; this localizes the shift
+    point within one ordered table.
+
+    Scale design: the order axis is binned equi-width (edges from min/max
+    unless given) and the scan folds to per-bin (cnt, sum, sum-of-squares)
+    partials -- ONE map-side-combinable groupBy, shuffle carries num_bins
+    rows. The CUSUM scan C_i = cum_sum_i - cum_cnt_i * global_mean runs as a
+    window over <= num_bins rows (never row data); the split lands at
+    argmax |C_i| (deterministic tie-break: earliest bin).
+
+    Output (single row): [n, n_bins, change_bin, change_point,
+    change_fraction, mean_before, mean_after, shift, shift_smd, detected]
+    where change_point is the order-axis value at the split boundary,
+    change_fraction the row mass before it, and shift_smd the mean shift in
+    global-std units (gate: > min_shift_smd).
+    """
+    x = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    if bin_edges is None:
+        row = df.agg(F.min(x), F.max(x)).collect()[0]
+        lo, hi = float(row[0]), float(row[1])
+    else:
+        lo, hi = bin_edges
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(num_bins - 1),
+    )
+    bins = (
+        df.filter(x.isNotNull() & v.isNotNull())
+        .groupBy(bucket.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("ss"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("b"), F.lit(1))).orderBy("b")
+    tot = bins.agg(
+        F.sum("cnt").alias("tn"),
+        F.sum("s").alias("ts_sum"),
+        F.sum("ss").alias("tss"),
+    )
+    cum = bins.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "tn",
+        "ts_sum",
+        "tss",
+        F.sum("cnt").over(w).alias("ck"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    # C_i = cs_i - ck_i * (total/n); exclude the last bin (C_B = 0 identity)
+    cum = cum.withColumn(
+        "cusum", F.col("cs") - F.col("ck") * (F.col("ts_sum") / F.col("tn"))
+    ).filter(F.col("ck") < F.col("tn"))
+    best = cum.orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("b")
+    ).limit(1)
+    mean_b = F.col("cs") / F.col("ck")
+    mean_a = (F.col("ts_sum") - F.col("cs")) / (F.col("tn") - F.col("ck"))
+    sd = F.sqrt(
+        F.greatest(
+            F.col("tss") / F.col("tn")
+            - (F.col("ts_sum") / F.col("tn")) * (F.col("ts_sum") / F.col("tn")),
+            F.lit(1e-24),
+        )
+    )
+    shift = mean_a - mean_b
+    smd = F.abs(shift) / sd
+    return best.select(
+        F.col("tn").cast("bigint").alias("n"),
+        F.lit(num_bins).alias("n_bins"),
+        F.col("b").cast("int").alias("change_bin"),
+        (F.lit(lo) + (F.col("b") + 1) * F.lit(width)).alias("change_point"),
+        (F.col("ck") / F.col("tn")).alias("change_fraction"),
+        mean_b.alias("mean_before"),
+        mean_a.alias("mean_after"),
+        shift.alias("shift"),
+        smd.alias("shift_smd"),
+        (smd > F.lit(min_shift_smd)).alias("detected"),
+    )

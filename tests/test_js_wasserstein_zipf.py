@@ -295,3 +295,66 @@ def test_embedding_dimension_drift_identical_zero(spark):
     r = embedding_dimension_drift(df, df, vec_col="e").collect()[0]
     assert r["max_smd_value"] == pytest.approx(0.0, abs=1e-12)
     assert not r["drift_detected"]
+
+
+# ---------------------------------------------------------------------------
+# change-point localization (binned CUSUM)
+
+
+def test_change_point_planted_shift(spark):
+    from pyspark_validator.checks.drift import change_point_check
+
+    rows = [
+        (float(i), 10.0 + (5.0 if i >= 600 else 0.0) + (i % 7) * 0.1)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = change_point_check(df, "x", "y", num_bins=50).collect()[0]
+    # true change at x=600; bin width 19.98 -> boundary within one bin
+    assert abs(r["change_point"] - 600.0) < 25.0
+    assert r["mean_before"] == pytest.approx(10.3, abs=0.1)
+    assert r["mean_after"] == pytest.approx(15.3, abs=0.1)
+    assert r["shift"] == pytest.approx(5.0, abs=0.1)
+    assert r["detected"]
+
+
+def test_change_point_python_cusum_oracle(spark):
+    from collections import defaultdict
+
+    from pyspark_validator.checks.drift import change_point_check
+
+    rows = [(float(i % 40), float((i * 13) % 29)) for i in range(400)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bins_n = 8
+    r = change_point_check(
+        df, "x", "y", num_bins=bins_n, bin_edges=(0.0, 40.0)
+    ).collect()[0]
+    # python oracle
+    agg = defaultdict(lambda: [0, 0.0])
+    for x, y in rows:
+        b = min(max(int(x // 5.0), 0), bins_n - 1)
+        agg[b][0] += 1
+        agg[b][1] += y
+    n = sum(c for c, _ in agg.values())
+    S = sum(s for _, s in agg.values())
+    ck = cs = 0.0
+    best = (None, -1.0)
+    for b in sorted(agg):
+        ck += agg[b][0]
+        cs += agg[b][1]
+        if ck < n:
+            c = abs(cs - ck * S / n)
+            if c > best[1] + 1e-12:
+                best = (b, c)
+    assert r["change_bin"] == best[0]
+    assert r["n"] == n
+
+
+def test_change_point_stationary_not_detected(spark):
+    from pyspark_validator.checks.drift import change_point_check
+
+    rows = [(float(i), float((i * 7) % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = change_point_check(df, "x", "y", num_bins=20).collect()[0]
+    assert not r["detected"]
+    assert abs(r["shift_smd"]) < 0.5
