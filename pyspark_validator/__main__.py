@@ -30,7 +30,7 @@ Spec format (JSON):
 }
 
 Check kinds: ucc fd ind nd sfd ac nar mfd sd md anon assoc reconcile
-precedence interval_overlap (dependency / integrity verifiers);
+precedence interval_overlap outlier (dependency / integrity verifiers);
 completeness row_predicate numeric_profile histogram_drift distinct
 type_conformance span_integrity pii_budget token_budget media_context
 interleaved_quality benford class_balance (agg-shaped -- these share one scan under

@@ -23,7 +23,7 @@ from pyspark_validator.checks.ucc import ucc_check
 @dataclass
 class CheckSpec:
     """One named check. ``kind`` in {'ucc','fd','ind','nd','mfd','sd','md',
-    'ac','nar','sfd','anon','assoc','reconcile','precedence',
+    'ac','nar','sfd','anon','assoc','reconcile','precedence','outlier',
     'interval_overlap','custom'}; ``params`` are forwarded; single-row checks
     (nd/mfd/sd/md/ac/nar/assoc/reconcile/precedence/interval_overlap) are
     framed as partition 0 for the manifest;
@@ -314,6 +314,27 @@ class ValidationSuite:
                 spec.params["end_col"],
                 allow_touching=spec.params.get("allow_touching", True),
             )
+            return s.withColumn("partition_id", F.lit(0))
+        if spec.kind == "outlier":
+            from pyspark.sql import functions as F
+
+            from pyspark_validator.checks.outlier import outlier_check
+
+            s = outlier_check(
+                df,
+                spec.params["column"],
+                method=spec.params.get("method", "iqr"),
+                threshold=spec.params.get("threshold"),
+                exact=spec.params.get("exact", True),
+            ).summary()
+            max_frac = spec.params.get("max_outlier_fraction")
+            if max_frac is not None:
+                s = s.withColumn(
+                    "holds",
+                    F.coalesce(
+                        F.col("outlier_fraction") <= F.lit(max_frac), F.lit(True)
+                    ),
+                )
             return s.withColumn("partition_id", F.lit(0))
         if spec.kind in ("mfd", "sd", "md"):
             # single-row verdict checks framed as partition 0 for the manifest

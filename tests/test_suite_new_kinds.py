@@ -115,3 +115,33 @@ def test_suite_precedence_and_interval_kinds(spark):
         ]
     )["ov"].collect()[0]
     assert out2["n_overlaps"] == 1 and not out2["holds"]
+
+
+def test_suite_outlier_kind(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}", float(i % 10)) for i in range(50)] + [("dz", 9999.0)],
+        "doc_id string, v double",
+    )
+    suite = ValidationSuite(spark, docs, num_partitions=4)
+    out = suite.run(
+        [
+            CheckSpec(
+                name="out_v",
+                kind="outlier",
+                params={"column": "v", "method": "zscore"},
+            ),
+            CheckSpec(
+                name="out_budget",
+                kind="outlier",
+                params={
+                    "column": "v",
+                    "method": "zscore",
+                    "max_outlier_fraction": 0.05,
+                },
+            ),
+        ]
+    )
+    strict = out["out_v"].collect()[0]
+    assert strict["n_outliers"] == 1 and not strict["holds"]
+    budget = out["out_budget"].collect()[0]
+    assert budget["holds"]  # 1/51 < 5% budget
