@@ -164,6 +164,18 @@ class AssocCheck:
             "dependent", F.col("chi2") > F.col("chi2_critical")
         )
 
+    def unpersist(self) -> None:
+        """Release the cached joint census (mirrors FusedPass.unpersist /
+        CanonicalDocs.unpersist); safe to call before census materializes."""
+        if "census" in self.__dict__:
+            self.census.unpersist()
+
+    def __enter__(self) -> "AssocCheck":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
 
 def _norm_ppf(p: float) -> float:
     """Standard-normal inverse CDF, exact to double precision by bisection

@@ -160,6 +160,19 @@ class BenfordCheck:
         )
 
 
+    def unpersist(self) -> None:
+        """Release the cached census (mirrors FusedPass.unpersist /
+        CanonicalDocs.unpersist); safe to call before census materializes."""
+        if "census" in self.__dict__:
+            self.census.unpersist()
+
+    def __enter__(self) -> "BenfordCheck":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+
 def benford_check(
     df: DataFrame,
     column: str,

@@ -27,6 +27,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _collected_edges(row, column: str, what: str) -> tuple[float, float]:
+    """Unpack a collected (min, max) row, rejecting empty / all-null input
+    with a descriptive error instead of the bare TypeError float(None) raises."""
+    if row[0] is None or row[1] is None:
+        raise ValueError(
+            f"{what}: column {column!r} has no non-null values in the "
+            "baseline frame, so bin edges cannot be derived; pass explicit "
+            "bin_edges=(lo, hi) or supply a non-empty baseline"
+        )
+    return float(row[0]), float(row[1])
+
+
 def _two_sample_counts(
     baseline: DataFrame, current: DataFrame, key: Column, by: list[str]
 ) -> DataFrame:
@@ -105,7 +117,7 @@ def numeric_drift(
         row = baseline.agg(
             F.min(F.col(column).cast("double")), F.max(F.col(column).cast("double"))
         ).collect()[0]
-        lo, hi = float(row[0]), float(row[1])
+        lo, hi = _collected_edges(row, column, "numeric_drift")
     else:
         lo, hi = bin_edges
     width = (hi - lo) / num_bins if hi > lo else 1.0
@@ -133,8 +145,11 @@ def numeric_drift(
     cum = counts.join(tot, on=by) if by else counts.crossJoin(tot)
     cum = cum.withColumn(
         "ks_term",
+        # try_divide: an empty side (tb/tc = 0) contributes a NULL ECDF -> the
+        # max-agg yields NULL ks_stat rather than an ANSI DIVIDE_BY_ZERO
         F.abs(
-            F.sum("cnt_b").over(w) / F.col("tb") - F.sum("cnt_c").over(w) / F.col("tc")
+            F.try_divide(F.sum("cnt_b").over(w), F.col("tb"))
+            - F.try_divide(F.sum("cnt_c").over(w), F.col("tc"))
         ),
     )
     ks = (cum.groupBy(*by) if by else cum.groupBy()).agg(
@@ -212,7 +227,7 @@ def numeric_baseline(
     x = F.col(column).cast("double")
     if bin_edges is None:
         row = df.agg(F.min(x), F.max(x)).collect()[0]
-        lo, hi = float(row[0]), float(row[1])
+        lo, hi = _collected_edges(row, column, "numeric_baseline")
     else:
         lo, hi = bin_edges
     width = (hi - lo) / num_bins if hi > lo else 1.0
@@ -421,7 +436,7 @@ def wasserstein_drift(
         row = baseline.agg(
             F.min(F.col(column).cast("double")), F.max(F.col(column).cast("double"))
         ).collect()[0]
-        lo, hi = float(row[0]), float(row[1])
+        lo, hi = _collected_edges(row, column, "wasserstein_drift")
     else:
         lo, hi = bin_edges
     width = (hi - lo) / num_bins if hi > lo else 1.0
@@ -671,7 +686,10 @@ def topk_drift(
         fr_norm.alias("footrule"),
         "top1_b",
         "top1_c",
-        (F.col("top1_b") == F.col("top1_c")).alias("top1_same"),
+        # eqNullSafe: an empty snapshot leaves top1 NULL, and plain equality
+        # would propagate NULL into downstream boolean filters (row dropped);
+        # NULL <=> NULL is True (both empty), NULL <=> value is False.
+        F.col("top1_b").eqNullSafe(F.col("top1_c")).alias("top1_same"),
         (jac < F.lit(min_jaccard)).alias("drift_detected"),
     )
 
@@ -706,7 +724,7 @@ def change_point_check(
     v = F.col(value_col).cast("double")
     if bin_edges is None:
         row = df.agg(F.min(x), F.max(x)).collect()[0]
-        lo, hi = float(row[0]), float(row[1])
+        lo, hi = _collected_edges(row, order_col, "change_point_check")
     else:
         lo, hi = bin_edges
     width = (hi - lo) / num_bins if hi > lo else 1.0

@@ -1015,7 +1015,8 @@ class IncrementalFused:
 FUSABLE_KINDS = frozenset(
     {"nar", "ac", "row_predicate", "completeness", "numeric_profile",
      "histogram_drift", "distinct", "type_conformance", "span_integrity",
-     "pii_budget"}
+     "pii_budget", "benford", "class_balance", "token_budget",
+     "media_context", "interleaved_quality"}
 )
 
 
@@ -1023,7 +1024,12 @@ def member_from_spec(p: FusedPass, name: str, kind: str, params: dict) -> bool:
     """Route a runner CheckSpec into the fused pass. Returns False when the
     spec is of a fusable kind but its params force the standalone path (e.g.
     an AC check without a standing range list must first DISCOVER its ranges,
-    which is the clustering job in checks/ac.py)."""
+    which is the clustering job in checks/ac.py).
+
+    FUSABLE_KINDS is the single source of truth: kinds outside it short-circuit
+    here, and tests/test_fused.py pins that every member of the set routes."""
+    if kind not in FUSABLE_KINDS:
+        return False
     if kind == "nar":
         p.add_nar(
             name,

@@ -62,6 +62,9 @@ class ValidationSuite:
         self.ckpt = (
             CheckpointManager(spark, checkpoint_path) if checkpoint_path else None
         )
+        # check objects holding persisted censuses (AssocCheck/BenfordCheck
+        # style); drained by unpersist() so long sessions don't leak blocks
+        self._live_checks: list = []
 
     def _verdicts_for(self, spec: CheckSpec, df: DataFrame) -> DataFrame:
         if spec.kind == "ucc":
@@ -251,15 +254,22 @@ class ValidationSuite:
 
             from pyspark_validator.checks.assoc import assoc_check
 
-            s = assoc_check(
+            check = assoc_check(
                 df,
                 spec.params["col_a"],
                 spec.params["col_b"],
                 alpha=spec.params.get("alpha", 0.05),
-            ).summary()
+            )
+            self._live_checks.append(check)  # released by Runner.unpersist()
+            s = check.summary()
             # verdict framing: expect 'independent' (default -- these columns
             # should NOT be associated) or 'dependent'
             expect = spec.params.get("expect", "independent")
+            if expect not in ("independent", "dependent"):
+                raise ValueError(
+                    f"assoc check {spec.name!r}: expect must be "
+                    f"'independent' or 'dependent', got {expect!r}"
+                )
             holds = (
                 ~F.col("dependent")
                 if expect == "independent"
@@ -479,3 +489,6 @@ class ValidationSuite:
 
     def unpersist(self) -> None:
         self.canon.unpersist()
+        for check in self._live_checks:
+            check.unpersist()
+        self._live_checks.clear()

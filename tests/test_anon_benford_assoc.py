@@ -259,3 +259,68 @@ def test_wilson_hilferty_vs_exact():
         approx = dof * t ** 3
         exact = chi2_ppf(0.95, dof)
         assert abs(approx - exact) / exact < 0.01
+
+
+def test_assoc_runner_rejects_bad_expect(spark):
+    """A typo'd expect (e.g. 'indep') must raise, not silently flip the gate."""
+    import pytest
+
+    from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+    df = spark.createDataFrame(
+        [("d%d" % i, "a" if i % 2 else "b", "x" if i % 3 else "y")
+         for i in range(12)],
+        "doc_id string, c1 string, c2 string",
+    )
+    suite = ValidationSuite(spark, df, num_partitions=4)
+    spec = CheckSpec(
+        name="bad", kind="assoc",
+        params={"col_a": "c1", "col_b": "c2", "expect": "indep"},
+    )
+    with pytest.raises(ValueError, match="independent"):
+        suite.run([spec])
+
+
+def test_benford_assoc_unpersist_releases_census(spark):
+    """BenfordCheck/AssocCheck expose unpersist() (and context-manager form)
+    mirroring FusedPass; census blocks must not leak in long sessions."""
+    from pyspark_validator.checks.assoc import assoc_check
+    from pyspark_validator.checks.benford import benford_check
+
+    df = spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b", "x") for i in range(1, 40)],
+        ["v", "c1", "c2"],
+    )
+    b = benford_check(df, "v")
+    b.table().collect()
+    assert b.census.storageLevel.useMemory
+    b.unpersist()
+    assert not b.census.storageLevel.useMemory
+    with assoc_check(df, "c1", "c2") as a:
+        a.summary().collect()
+        assert a.census.storageLevel.useMemory
+    assert not a.census.storageLevel.useMemory
+    # unpersist before materialization is a no-op, not an error
+    benford_check(df, "v").unpersist()
+
+
+def test_runner_unpersist_drains_live_checks(spark):
+    from pyspark_validator.runner import CheckSpec, ValidationSuite
+
+    df = spark.createDataFrame(
+        [("d%d" % i, "a" if i % 2 else "b", "x" if i % 3 else "y")
+         for i in range(12)],
+        "doc_id string, c1 string, c2 string",
+    )
+    suite = ValidationSuite(spark, df, num_partitions=4)
+    spec = CheckSpec(
+        name="as", kind="assoc", params={"col_a": "c1", "col_b": "c2"},
+    )
+    out = suite.run([spec])["as"]
+    out.collect()
+    assert len(suite._live_checks) == 1
+    census = suite._live_checks[0].census
+    assert census.storageLevel.useMemory
+    suite.unpersist()
+    assert not census.storageLevel.useMemory
+    assert suite._live_checks == []

@@ -5,6 +5,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from pyspark_validator.checks.drift import categorical_drift, numeric_drift
 
 
@@ -140,3 +142,43 @@ def test_embedding_centroid_drift(spark):
     }
     assert rows["only_b"]["centroid_cosine"] is None
     assert rows["only_b"]["n_c"] == 0
+
+
+def test_empty_baseline_raises_descriptive_valueerror(spark):
+    """Edge-derivation sites must reject empty / all-null baselines with a
+    ValueError naming the column, not TypeError float(None)."""
+    from pyspark_validator.checks.drift import (
+        change_point_check,
+        numeric_baseline,
+        wasserstein_drift,
+    )
+
+    empty = spark.createDataFrame([], "x double")
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    cur = spark.createDataFrame([(1.0,), (2.0,)], ["x"])
+    for base in (empty, allnull):
+        with pytest.raises(ValueError, match="'x'"):
+            numeric_drift(base, cur, "x")
+        with pytest.raises(ValueError, match="'x'"):
+            wasserstein_drift(base, cur, "x")
+        with pytest.raises(ValueError, match="numeric_baseline"):
+            numeric_baseline(base, "x")
+    with pytest.raises(ValueError, match="change_point_check"):
+        change_point_check(empty.withColumnRenamed("x", "t").withColumn(
+            "v", F.lit(1.0)), "t", "v")
+    # explicit bin_edges bypass the derivation and still work on empty input
+    out = numeric_drift(empty, cur, "x", bin_edges=(0.0, 10.0)).collect()
+    assert len(out) == 1
+
+
+def test_topk_drift_empty_side_top1_same_not_null(spark):
+    """top1_same must be a real boolean (eqNullSafe), never NULL, when a
+    snapshot is empty -- NULL would silently drop rows in boolean filters."""
+    from pyspark_validator.checks.drift import topk_drift
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], ["c"])
+    empty = spark.createDataFrame([], "c string")
+    r = topk_drift(df, empty, "c", k=3).collect()[0]
+    assert r["top1_same"] is False
+    both_empty = topk_drift(empty, empty, "c", k=3).collect()[0]
+    assert both_empty["top1_same"] is True

@@ -845,3 +845,51 @@ def test_runner_interleaved_quality_kind_standalone(spark):
     assert sum(r.n_docs for r in v) == 7
     assert sum(r.n_flagged for r in v) == 1  # the empty doc
     assert sum(0 if r.holds else 1 for r in v) == 1
+
+
+def test_fusable_kinds_matches_member_from_spec_routing(spark):
+    """FUSABLE_KINDS is the single source of truth for which runner kinds
+    fuse: every member of the set must route through member_from_spec (with
+    minimally-valid params), and kinds outside the set must return False.
+    Pins the set against routing drift (round-2 bug: 5 routed kinds were
+    missing from the exported frozenset)."""
+    from pyspark_validator.fused import FUSABLE_KINDS, FusedPass, member_from_spec
+
+    schema = (
+        "doc_id string, text string, grp string, val double, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    df = spark.createDataFrame(
+        [("d1", "hello world", "a", 12.5,
+          [{"kind": "text", "text": "hi", "media_ref": None, "offset": 0}])],
+        schema,
+    )
+    minimal_params = {
+        "nar": {"ante": {"grp": ["a"]}, "cons": {"val": (0.0, 100.0)}},
+        "ac": {"lhs": "val", "rhs": "val", "ranges": [(0.0, 100.0)]},
+        "row_predicate": {"conditions": {"grp": ["a"]}},
+        "completeness": {"column": "text"},
+        "numeric_profile": {"column": "val"},
+        "distinct": {"columns": "doc_id"},
+        "type_conformance": {"column": "text", "dtype": "string"},
+        "span_integrity": {},
+        "pii_budget": {},
+        "token_budget": {},
+        "media_context": {},
+        "interleaved_quality": {},
+        "benford": {"column": "val"},
+        "class_balance": {"column": "grp", "expected": {"a": 1.0}},
+        "histogram_drift": {
+            "column": "val",
+            "bin_edges": [0.0, 10.0, 20.0],
+            "baseline_probs": [0.5, 0.5],
+        },
+    }
+    assert set(minimal_params) == set(FUSABLE_KINDS)
+    for kind, params in minimal_params.items():
+        fp = FusedPass(df, num_partitions=2, partition_key="doc_id")
+        assert member_from_spec(fp, f"m_{kind}", kind, params), kind
+    fp = FusedPass(df, num_partitions=2, partition_key="doc_id")
+    assert not member_from_spec(fp, "nope", "ucc", {"columns": ["doc_id"]})
+    # fusable kind whose params force the standalone path still returns False
+    assert not member_from_spec(fp, "ac_disc", "ac", {"lhs": "val", "rhs": "val"})
