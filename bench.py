@@ -3,10 +3,13 @@
 
 Default mode (what the driver runs): executes the headline validation queries
 at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``, each query ``$SPARK_GRAFT_REPS`` (default 3)
+times in one warm session (steady-state: per-query min + spread), and prints
+ONE JSON line::
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1, "docs_per_sec": N, ...}
+    {"metric": "...", "value": <total of per-query mins>, "unit": "sec",
+     "queries": {"q": min_sec, ...}, "queries_spread": {"q": rel, ...},
+     "reps": 3, "first_rep_total": sec, "sf": 0.1, "docs_per_sec": N, ...}
 
 Scaling mode (``python bench.py --scaling [low high]``): re-runs the heavy
 validation suite in two fresh subprocesses at two parallelism levels (default
@@ -219,10 +222,19 @@ def _get_spark(cpus: str | None = None):
 
 
 def run_headline() -> None:
+    """Steady-state headline: each query runs ``$SPARK_GRAFT_REPS`` times
+    (default 3) in ONE warm session; per-query time = min of reps, with the
+    relative spread (max-min)/min reported alongside. Rationale: single-shot
+    timings on this shared VM drift 30-90% with host-neighbor load (measured
+    r1->r2 on byte-identical code), so only the min is regression-attributable;
+    the spread says how noisy the host was during THIS run. ``first_rep_total``
+    preserves cross-round comparability with the old single-shot protocol.
+    Set SPARK_GRAFT_REPS=1 for the legacy single-shot behavior."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     spark = _get_spark()
     qs = entry_mod.queries()
     # Warm the JVM + parquet footers so per-query times reflect the plans,
@@ -230,14 +242,18 @@ def run_headline() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
-    n_docs_validated = 0
+    spreads: dict[str, float] = {}
+    first_rep: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        rows = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        del rows
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
+        first_rep[name] = round(samples[0], 3)
+        spreads[name] = round((max(samples) - min(samples)) / min(samples), 3)
     # docs/sec north metric: rows of the interleaved view validated by the
     # doc-shaped checks (ucc_docs + fd_docs + drift_docs) per second spent in them.
     docs_rows = entry_mod._docs_spans(spark, sf_dir).count()
@@ -245,10 +261,14 @@ def run_headline() -> None:
     doc_sec = sum(times[q] for q in doc_checks)
     total = round(sum(times.values()), 3)
     out = {
-        "metric": "headline validation suite wall time",
+        "metric": "headline validation suite wall time (steady-state min of reps)",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_spread": spreads,
+        "reps": reps,
+        "first_rep_total": round(sum(first_rep.values()), 3),
+        "median_spread": round(sorted(spreads.values())[len(spreads) // 2], 3),
         "sf": _sf_from_dir(sf_dir),
         "validated_docs_per_sec": round(3 * docs_rows / doc_sec, 1) if doc_sec else None,
         "n_docs": docs_rows,
