@@ -690,3 +690,67 @@ def test_interval_overlap_no_self_join(spark, tables):
     p = _plan(interval_overlap_check(iv, ["o_custkey"], "s", "e"))
     assert "Join" not in p  # running-max window, never the DC pair join
     assert _count(p, "Scan parquet") == 1
+
+
+def test_mine_pfds_job_count_row_independent(spark):
+    """PFDTane's per-tuple walk shares mine_afds_tane's batched-lattice shape:
+    jobs per level are constant in the row count (one grouping-sets pass + one
+    exploded-struct error job), never per-candidate or per-row.  Same 60-vs-600
+    row pin as the AFD-measure test, on the per_tuple measure path."""
+    import pandas as pd
+
+    from pyspark_validator.pfd_discovery import mine_pfds
+
+    sc = spark.sparkContext
+
+    def jobs(n):
+        pdf = pd.DataFrame(
+            {
+                "a": [str(i % 3) for i in range(n)],
+                "b": [str(i % 4) for i in range(n)],
+                "c": [str((i // 2) % 5) for i in range(n)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        grp = f"pfd_audit_{n}"
+        sc.setJobGroup(grp, "audit")
+        try:
+            mine_pfds(df, ["a", "b", "c"], max_error=0.3,
+                      error_measure="per_tuple", max_lhs=2)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(grp))
+
+    assert jobs(60) == jobs(600)
+
+
+def test_mine_set_ods_job_count_row_independent(spark):
+    """FASTOD's lattice walk is batched: per level ONE grouping-sets counts
+    pass + ONE exploded-struct Split job + ONE Swap job over aggregated
+    combos.  Pin job-count independence from the row count so a future edit
+    cannot silently regress to a job per candidate (the walk would still be
+    correct, just 50x the scheduler overhead at depth)."""
+    import pandas as pd
+
+    from pyspark_validator.od_discovery import mine_set_ods
+
+    sc = spark.sparkContext
+
+    def jobs(n):
+        pdf = pd.DataFrame(
+            {
+                "a": [i % 3 for i in range(n)],
+                "b": [i % 4 for i in range(n)],
+                "c": [(i // 2) % 5 for i in range(n)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        grp = f"od_audit_{n}"
+        sc.setJobGroup(grp, "audit")
+        try:
+            mine_set_ods(df, ["a", "b", "c"], max_level=2)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(grp))
+
+    assert jobs(60) == jobs(600)

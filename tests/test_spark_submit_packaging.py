@@ -117,3 +117,125 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         f"select count(*) from '{out_dir}/ucc_doc_id/*.parquet' where holds"
     ).fetchone()[0]
     assert n >= 1
+
+
+def test_spark_submit_kill_and_resume(tmp_path):
+    """North-rule resumability, end-to-end under real spark-submit: SIGKILL a
+    suite mid-run, rerun the same spec, and prove completed (check, snapshot,
+    partition) triples are NOT recomputed -- each appears exactly once in the
+    final manifest, the rerun reports 0 pending partitions for the checks
+    finished before the kill, and run_id lineage shows which run did the work."""
+    import time
+
+    docs = os.path.join("/root/testdata/sf0.01", "documents.parquet")
+    if not os.path.exists(docs):
+        pytest.skip("testdata not present")
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from package import build_zip
+    finally:
+        sys.path.pop(0)
+    zip_path = str(tmp_path / "pyspark_validator.zip")
+    build_zip(os.path.join(REPO, "pyspark_validator"), zip_path)
+    driver = tmp_path / "run_suite.py"
+    shutil.copyfile(os.path.join(REPO, "scripts", "run_suite.py"), driver)
+
+    ckpt = tmp_path / "manifest"
+    checks = [
+        {"name": "ucc_doc_id", "kind": "ucc", "params": {"columns": ["doc_id"]}},
+        {"name": "text_present", "kind": "completeness",
+         "params": {"column": "text", "max_null_fraction": 0.0}},
+        {"name": "chars_profile", "kind": "numeric_profile",
+         "params": {"column": "n_chars"}},
+        {"name": "lang_type", "kind": "type_conformance",
+         "params": {"column": "lang", "dtype": "string"}},
+        {"name": "chars_benford", "kind": "benford",
+         "params": {"column": "n_chars"}},
+        {"name": "doc_distinct", "kind": "distinct",
+         "params": {"columns": "doc_id", "min_ratio": 0.5}},
+    ]
+    spec = {
+        "table": docs,
+        "num_partitions": 8,
+        "doc_id_col": "doc_id",
+        "checkpoint_path": str(ckpt),
+        "snapshot_id": "snap-kill-test",
+        "checks": checks,
+    }
+    spec_path = tmp_path / "suite.json"
+    spec_path.write_text(json.dumps(spec))
+
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        _spark_submit(), "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        str(driver), "--spec", str(spec_path),
+    ]
+
+    # run 1: SIGKILL as soon as the first check's manifest append commits
+    proc = subprocess.Popen(
+        cmd, cwd=str(tmp_path), env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if list(ckpt.glob("part-*.parquet")):
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    proc.kill()
+    proc.wait(timeout=60)
+
+    import duckdb
+
+    done_run1 = [
+        r[0] for r in duckdb.sql(
+            f"select distinct check_id from '{ckpt}/part-*.parquet'"
+        ).fetchall()
+    ]
+    assert len(done_run1) >= 1, "kill landed before any manifest append"
+    if len(done_run1) == len(checks):
+        pytest.skip("suite finished before the kill landed; resume untestable")
+
+    # run 2: same spec to completion
+    t0 = time.time()
+    proc2 = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    resume_wall = time.time() - t0
+    assert proc2.returncode in (0, 3), proc2.stderr[-3000:]
+    lines = {
+        j["check"]: j
+        for j in (json.loads(ln) for ln in proc2.stdout.splitlines()
+                  if ln.startswith("{") and '"check"' in ln)
+    }
+    # checks completed before the kill report ZERO pending partitions on rerun
+    for name in done_run1:
+        assert lines[name]["partitions"] == 0, (name, lines[name])
+    # every completed triple recorded exactly once across both runs
+    dup = duckdb.sql(
+        f"""select check_id, partition_id, count(*) c
+            from '{ckpt}/part-*.parquet'
+            group by 1, 2 having count(*) > 1"""
+    ).fetchall()
+    assert dup == [], f"recomputed triples: {dup}"
+    # full coverage: all checks x all 8 partitions present
+    cov = duckdb.sql(
+        f"""select check_id, count(distinct partition_id)
+            from '{ckpt}/part-*.parquet' group by 1"""
+    ).fetchall()
+    assert sorted(cov) == sorted((c["name"], 8) for c in checks)
+    # lineage: run-1 rows keep run-1's run_id (two distinct run_ids total)
+    n_runs = duckdb.sql(
+        f"select count(distinct run_id) from '{ckpt}/part-*.parquet'"
+    ).fetchone()[0]
+    assert n_runs == 2
+    print(f"resume wall: {resume_wall:.1f}s, run1 completed {len(done_run1)}/{len(checks)}")
