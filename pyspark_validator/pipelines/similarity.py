@@ -190,19 +190,26 @@ def ivf_build(
     ).astype(np.float64)
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+
+    def _nearest(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin_j ||m_i - c_j||^2 = argmin_j (||c_j||^2 - 2 m_i . c_j): one
+        # BLAS matmul, never the (n, k, dim) broadcast temp -- at 50k x 1024
+        # x 64 that temp is 26 GB per evaluation and was the measured
+        # bottleneck of the first scale soak (450 s for 50k vectors).
+        return ((c * c).sum(1)[None, :] - 2.0 * (m @ c.T)).argmin(1)
+
     for _ in range(iters):  # Lloyd iterations on the sample, driver-side
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
-        for j in range(len(cents)):
-            m = sample[assign == j]
-            if len(m):
-                cents[j] = m.mean(0)
+        assign = _nearest(sample, cents)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=len(cents))
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
 
     @pandas_udf("int")
     def nearest_list(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d2.argmin(1).astype(np.int32))
+        return pd.Series(_nearest(m, cents).astype(np.int32))
 
     return df.withColumn("list_id", nearest_list(F.col(vec_col))), cents
 
