@@ -258,10 +258,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # persist: the banded table feeds bucket-size stats AND both join sides --
-    # without it the whole signature computation runs 3x.
+    # persist: the signature frame feeds the banded explode AND the two
+    # candidate sig joins below -- without it the signatures compute 3x.
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
-    banded = _band_explode(sig, bands, r, keep_sig=True)
+    # Banded rows carry ONLY (id, band, bucket): the self-join input is the
+    # corpus x bands frame, and riding the num_hashes-long signature array
+    # through that shuffle multiplies it by ~25x (measured: ~70 GB per join
+    # side at 8M docs x 16 bands -- it filled the soak host's disk). The
+    # signatures rejoin AFTER candidate generation, at candidate-pair scale.
+    banded = _band_explode(sig, bands, r, keep_sig=False)
     # skew guard: drop degenerate buckets
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bs"))
     banded = banded.join(
@@ -277,13 +282,17 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            on="id_a",
+        ).join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            on="id_b",
+        )
     )
     est = cand.withColumn(
         "est_jaccard",

@@ -491,7 +491,9 @@ def knn_join_ivf(
     @pandas_udf("array<int>")
     def probe_lists(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        # ||c||^2 - 2 m.c orders identically to ||m - c||^2 per row (||m||^2
+        # is row-constant): one matmul, no (batch, n_lists, dim) temp
+        d2 = (c * c).sum(1)[None, :] - 2.0 * (m @ c.T)
         part = np.argsort(d2, axis=1, kind="stable")[:, :npb].astype(np.int32)
         return pd.Series(list(part))
 

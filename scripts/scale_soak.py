@@ -71,8 +71,12 @@ def amplified_docs(spark, sf_dir: str, rep: int, plant_every: int = 20):
         ),
         " ",
     )
+    # repartition BEFORE the explode: the sf source is one tiny parquet file,
+    # so without it the whole rep-x amplification (and the write) runs in a
+    # single task regardless of cluster size
     return (
-        docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        docs.repartition(256)
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
         .withColumn("__seed", seed)
         .select(
             F.concat_ws("#", "src_id", r.cast("string")).alias("doc_id"),
@@ -94,7 +98,7 @@ def synth_embeddings(spark, n: int, dim: int = 64, plant_every: int = 997):
             / F.lit(1000.0)
         ).cast("float"),
     )
-    return ids.withColumn("__seed", seed).select(
+    return ids.repartition(256).withColumn("__seed", seed).select(
         "vec_id", vec.alias("embedding")
     )
 

@@ -754,3 +754,29 @@ def test_mine_set_ods_job_count_row_independent(spark):
         return len(sc.statusTracker().getJobIdsForGroup(grp))
 
     assert jobs(60) == jobs(600)
+
+
+def test_minhash_band_shuffle_carries_no_signatures(spark, tables):
+    """The LSH candidate self-join shuffles the corpus-x-bands frame -- the
+    largest shuffle in the pipeline. It must carry ONLY (id, band, bucket):
+    riding the num_hashes-long signature array through it multiplies the
+    shuffle ~25x (measured ~70 GB/side at 8M docs x 16 bands; it filled the
+    soak host's disk before the r3 fix). Signatures may appear only in
+    candidate-scale joins after pair generation."""
+    import re
+
+    from pyspark_validator.pipelines.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = minhash_lsh_pairs(docs, verify=False)
+    plan = _plan(df).split("Initial Plan")[0]
+    band_exchanges = [
+        m.group(0)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[[^]]*\]: \[([^]]*)\]", plan
+        )
+        if "band#" in m.group(1)
+    ]
+    assert len(band_exchanges) >= 2  # both self-join sides shuffle on (band, bucket)
+    for ex in band_exchanges:
+        assert "sig#" not in ex, ex
