@@ -111,7 +111,16 @@ def _run_op(spark, name, fn):
         result = fn()
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    return result, round(time.perf_counter() - t0, 2)
+    elapsed = round(time.perf_counter() - t0, 2)
+    # Release the op's footprint before the next one: shuffle files live on
+    # disk until the ContextCleaner notices the shuffle objects are garbage,
+    # and with a 48g heap GC may not run for the whole soak -- the first full
+    # run died of cumulative shuffle spill (disk 100%) in op 4. Explicit
+    # cache drop + JVM GC lets the cleaner reclaim each op's spill promptly.
+    spark.catalog.clearCache()
+    sc._jvm.System.gc()
+    time.sleep(3)
+    return result, elapsed
 
 
 def shuffle_bytes_by_group(app_id: str) -> dict[str, dict[str, int]]:
@@ -155,7 +164,19 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default="/tmp/scale_soak.json")
     ap.add_argument("--work-dir", default="/tmp/scale_soak_data")
+    ap.add_argument(
+        "--prefix-threshold", type=float, default=0.9,
+        help="prefix-jaccard similarity threshold: candidate volume grows "
+             "~quadratically as this drops (t=0.7 indexes 30%% of each doc's "
+             "shingles and overflowed the sandbox disk on this boilerplate-"
+             "heavy corpus; 0.9 is the documented scale operating point)",
+    )
+    ap.add_argument(
+        "--ops", default="minhash,audit,prefix,knn,sem",
+        help="comma list of ops to run (resume a crashed soak selectively)",
+    )
     args = ap.parse_args()
+    ops = set(args.ops.split(","))
 
     shutil.rmtree(EVLOG_DIR, ignore_errors=True)
     os.makedirs(EVLOG_DIR, exist_ok=True)
@@ -165,6 +186,11 @@ def main() -> None:
 
     spark = get_spark(
         app_name="scale-soak",
+        # 32 shuffle partitions (the local default) puts 12.5M rows in each
+        # prefix-join sort task at 8M docs -- measured UNABLE_TO_ACQUIRE_MEMORY
+        # under concurrent SMJ+window consumers. 256 partitions cuts per-task
+        # memory 8x; AQE coalesces them back when small.
+        shuffle_partitions=256,
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{EVLOG_DIR}",
@@ -172,6 +198,10 @@ def main() -> None:
             # shuffle-byte attribution below can parse it stdlib-only
             "spark.eventLog.rolling.enabled": "false",
             "spark.eventLog.compress": "false",
+            # zstd shuffles: ~1.4x smaller spill than lz4 -- the sandbox has
+            # ~95 GB of usable disk and the prefix-jaccard op's six 400M-row
+            # shuffles are the one phase that brushes against it
+            "spark.io.compression.codec": "zstd",
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
         },
     )
@@ -196,12 +226,17 @@ def main() -> None:
         prefix_jaccard_pairs,
     )
 
+    def _progress(key):
+        print(json.dumps({key: res[key]}), flush=True)
+
     # ---- 1. minhash LSH near-dup pairs -----------------------------------
-    pairs, t = _run_op(
-        spark, "minhash_lsh",
-        lambda: minhash_lsh_pairs(docs, threshold=0.7).count(),
-    )
-    res["minhash_lsh"] = {"pairs": pairs, "sec": t, "docs_per_sec": round(n_docs / t, 1)}
+    if "minhash" in ops:
+        pairs, t = _run_op(
+            spark, "minhash_lsh",
+            lambda: minhash_lsh_pairs(docs, threshold=0.7).count(),
+        )
+        res["minhash_lsh"] = {"pairs": pairs, "sec": t, "docs_per_sec": round(n_docs / t, 1)}
+        _progress("minhash_lsh")
 
     # hot-bucket audit: pair mass lost to the max_bucket guard (separate
     # signature pass; the public API hides its internals by design)
@@ -226,16 +261,25 @@ def main() -> None:
             ) if row["cand_pairs"] else 0.0,
         }
 
-    audit, t = _run_op(spark, "minhash_bucket_audit", bucket_audit)
-    audit["sec"] = t
-    res["minhash_bucket_audit"] = audit
+    if "audit" in ops:
+        audit, t = _run_op(spark, "minhash_bucket_audit", bucket_audit)
+        audit["sec"] = t
+        res["minhash_bucket_audit"] = audit
+        _progress("minhash_bucket_audit")
 
     # ---- 2. prefix-filtered exact Jaccard join ---------------------------
-    pairs, t = _run_op(
-        spark, "prefix_jaccard",
-        lambda: prefix_jaccard_pairs(docs, threshold=0.7).count(),
-    )
-    res["prefix_jaccard"] = {"pairs": pairs, "sec": t, "docs_per_sec": round(n_docs / t, 1)}
+    if "prefix" in ops:
+        pairs, t = _run_op(
+            spark, "prefix_jaccard",
+            lambda: prefix_jaccard_pairs(
+                docs, threshold=args.prefix_threshold
+            ).count(),
+        )
+        res["prefix_jaccard"] = {
+            "pairs": pairs, "sec": t, "threshold": args.prefix_threshold,
+            "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("prefix_jaccard")
 
     # planted truth for both text ops: every 20th src doc, rep/2 exact-dup pairs
     n_src = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
@@ -271,14 +315,16 @@ def main() -> None:
         )
         return n_res, hits
 
-    (n_res, hits), t = _run_op(spark, "knn_join_lsh", knn)
-    n_q = queries.count()
-    res["knn_join_lsh"] = {
-        "queries": n_q, "corpus": args.vec_n, "result_rows": n_res,
-        "planted_top1_hits": hits,
-        "planted_expected": len([q for q in range(0, args.vec_n, args.vec_n // 10_000) if q % 997 == 0]),
-        "sec": t, "vecs_per_sec": round(args.vec_n / t, 1),
-    }
+    if "knn" in ops:
+        (n_res, hits), t = _run_op(spark, "knn_join_lsh", knn)
+        n_q = queries.count()
+        res["knn_join_lsh"] = {
+            "queries": n_q, "corpus": args.vec_n, "result_rows": n_res,
+            "planted_top1_hits": hits,
+            "planted_expected": len([q for q in range(0, args.vec_n, args.vec_n // 10_000) if q % 997 == 0]),
+            "sec": t, "vecs_per_sec": round(args.vec_n / t, 1),
+        }
+        _progress("knn_join_lsh")
 
     # ---- 4. SemDeDup (clustered) over sem-n vectors ----------------------
     sem = vecs.filter(F.col("vec_id") < args.sem_n)
@@ -290,13 +336,15 @@ def main() -> None:
         ).count()
         return kept
 
-    kept, t = _run_op(spark, "semantic_dedup", semdedup)
-    n_planted_vec = len(range(0, args.sem_n - 1, 997))
-    res["semantic_dedup"] = {
-        "n": args.sem_n, "kept": kept, "dropped": args.sem_n - kept,
-        "planted_expected_drops": n_planted_vec,
-        "sec": t, "vecs_per_sec": round(args.sem_n / t, 1),
-    }
+    if "sem" in ops:
+        kept, t = _run_op(spark, "semantic_dedup", semdedup)
+        n_planted_vec = len(range(0, args.sem_n - 1, 997))
+        res["semantic_dedup"] = {
+            "n": args.sem_n, "kept": kept, "dropped": args.sem_n - kept,
+            "planted_expected_drops": n_planted_vec,
+            "sec": t, "vecs_per_sec": round(args.sem_n / t, 1),
+        }
+        _progress("semantic_dedup")
 
     spark.stop()
     time.sleep(2)  # let the event log close/rename
