@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -268,7 +269,7 @@ def run_headline() -> None:
         "queries_spread": spreads,
         "reps": reps,
         "first_rep_total": round(sum(first_rep.values()), 3),
-        "median_spread": round(sorted(spreads.values())[len(spreads) // 2], 3),
+        "median_spread": round(statistics.median(spreads.values()), 3),
         "sf": _sf_from_dir(sf_dir),
         "validated_docs_per_sec": round(3 * docs_rows / doc_sec, 1) if doc_sec else None,
         "n_docs": docs_rows,

@@ -158,7 +158,12 @@ def numeric_drift(
     out = psi.join(ks, on=by) if by else psi.crossJoin(ks)
     return out.withColumn(
         "drift_detected",
-        (F.col("psi") > psi_threshold) | (F.col("ks_stat") > ks_threshold),
+        # null-safe verdict: an empty side makes ks_stat NULL (try_divide
+        # above), and NULL | (psi<=thr) would be NULL — silently dropped by
+        # boolean filters. An empty side IS a distribution change: flag it.
+        F.when(F.col("ks_stat").isNull(), F.lit(True)).otherwise(
+            (F.col("psi") > psi_threshold) | (F.col("ks_stat") > ks_threshold)
+        ),
     )
 
 

@@ -254,6 +254,15 @@ class ValidationSuite:
 
             from pyspark_validator.checks.assoc import assoc_check
 
+            # verdict framing: expect 'independent' (default -- these columns
+            # should NOT be associated) or 'dependent'; validate before the
+            # check is built so a bad spec never lands in _live_checks
+            expect = spec.params.get("expect", "independent")
+            if expect not in ("independent", "dependent"):
+                raise ValueError(
+                    f"assoc check {spec.name!r}: expect must be "
+                    f"'independent' or 'dependent', got {expect!r}"
+                )
             check = assoc_check(
                 df,
                 spec.params["col_a"],
@@ -262,14 +271,6 @@ class ValidationSuite:
             )
             self._live_checks.append(check)  # released by Runner.unpersist()
             s = check.summary()
-            # verdict framing: expect 'independent' (default -- these columns
-            # should NOT be associated) or 'dependent'
-            expect = spec.params.get("expect", "independent")
-            if expect not in ("independent", "dependent"):
-                raise ValueError(
-                    f"assoc check {spec.name!r}: expect must be "
-                    f"'independent' or 'dependent', got {expect!r}"
-                )
             holds = (
                 ~F.col("dependent")
                 if expect == "independent"

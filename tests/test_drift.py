@@ -171,6 +171,27 @@ def test_empty_baseline_raises_descriptive_valueerror(spark):
     assert len(out) == 1
 
 
+def test_numeric_drift_empty_current_side_verdict_not_null(spark):
+    """An empty CURRENT side makes ks_stat NULL (try_divide ECDF); the
+    drift_detected verdict must still be a real boolean (True -- an empty
+    side IS a distribution change), never NULL: NULL would silently drop
+    the row in downstream boolean filters."""
+    base = spark.createDataFrame([(float(i),) for i in range(20)], ["x"])
+    empty = spark.createDataFrame([], "x double")
+    r = numeric_drift(base, empty, "x").collect()[0]
+    assert r["ks_stat"] is None
+    assert r["drift_detected"] is True
+    # non-empty sides keep the ordinary thresholded verdict
+    same = numeric_drift(base, base, "x").collect()[0]
+    assert same["drift_detected"] is False
+    # grouped: only the group with an empty current side force-flags
+    base_g = base.withColumn("g", F.when(F.col("x") < 10, "a").otherwise("b"))
+    cur_g = base_g.filter(F.col("g") == "a")
+    rows = {r["g"]: r for r in numeric_drift(base_g, cur_g, "x", by=["g"]).collect()}
+    assert rows["b"]["drift_detected"] is True
+    assert rows["a"]["drift_detected"] is False
+
+
 def test_topk_drift_empty_side_top1_same_not_null(spark):
     """top1_same must be a real boolean (eqNullSafe), never NULL, when a
     snapshot is empty -- NULL would silently drop rows in boolean filters."""
