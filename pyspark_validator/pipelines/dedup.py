@@ -832,7 +832,13 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.7,
-) -> DataFrame:
+    candidate_budget: int | None = None,
+    on_budget: str = "raise",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 10_000,
+    return_report: bool = False,
+):
     """EXACT Jaccard similarity join with prefix filtering (SSJoin/PPJoin
     family, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): same output as
     :func:`ngram_jaccard_pairs` with no ``max_df`` pruning, but the candidate
@@ -851,10 +857,37 @@ def prefix_jaccard_pairs(
     exact verification join touches candidate pairs only. All JVM exprs, three
     shuffles (df-rank join, prefix self-join, verify join).
 
+    Low-threshold boundary (measured in the round-3 8M-doc soak): at t=0.7 on
+    a boilerplate-heavy corpus the prefix covers ~30% of each doc and shared
+    boilerplate shingles enter it, so the self-join's candidate volume grows
+    ~quadratically in the hottest prefix-shingle's doc count and the transient
+    shuffle spill can exceed per-node disk. ``candidate_budget`` bounds this
+    PREDICTABLY: a bounded census of per-prefix-shingle doc counts (one row
+    per distinct count value) estimates the exact-join candidate volume
+    up front, and when it exceeds the budget the op either
+
+    * ``on_budget="raise"``: raises ``ValueError`` with the estimate, the
+      budget, and the hot-shingle cap that would fit -- BEFORE any join runs
+      (fail fast beats filling the cluster's shuffle disks), or
+    * ``on_budget="prescreen"``: splits prefix shingles at the largest doc
+      count ``cap`` whose cumulative pair estimate fits the budget. Cold
+      (<= cap) shingles keep the exact prefix join; docs whose prefix touches
+      a hot shingle are pre-screened with MinHash LSH banding (the operator
+      built for this regime) and its candidates merge into the same exact
+      verify. A qualifying pair is then missed only if ALL its common prefix
+      tokens are hot AND the LSH bands miss it -- probability
+      ``1 - lsh_collision_prob(jaccard, bands, num_hashes//bands)``, reported
+      in the returned report as ``prescreen_recall_at_t``.
+
+    ``return_report=True`` returns ``(pairs_df, report_dict)`` with the
+    budget accounting (estimated candidates, cap, hot shingle/doc counts).
+
     Output: [id_a, id_b, jaccard] with id_a < id_b, jaccard >= threshold.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if on_budget not in ("raise", "prescreen"):
+        raise ValueError("on_budget must be 'raise' or 'prescreen'")
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(par)
@@ -885,8 +918,106 @@ def prefix_jaccard_pairs(
         .select("id", "sh", "n")
         .persist()
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    report: dict = {"candidate_budget": candidate_budget, "hot_df_cap": None}
+    exact_prefix = prefix
+    prescreen_cand = None
+    if candidate_budget is not None:
+        # Bounded census: per-prefix-shingle doc count c -> number of shingles
+        # with that count. Row count = number of DISTINCT c values (Zipfian
+        # counts collapse to at most a few thousand rows at any corpus size),
+        # so the collect is bounded by construction. Estimated exact-join
+        # candidates = sum over shingles of c*(c-1)/2 (upper bound: the
+        # length filter only removes pairs).
+        census = (
+            prefix.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .collect()
+        )
+        census = sorted((r["c"], r["n_sh"]) for r in census)
+        est_total = sum(c * (c - 1) // 2 * n for c, n in census)
+        report["estimated_exact_candidates"] = est_total
+        if est_total > candidate_budget:
+            # largest cap whose cumulative pair estimate fits the budget
+            cap, cum = 1, 0
+            for c, n in census:
+                cum += c * (c - 1) // 2 * n
+                if cum > candidate_budget:
+                    break
+                cap = c
+            if on_budget == "raise":
+                sh.unpersist()
+                prefix.unpersist()
+                raise ValueError(
+                    f"prefix_jaccard_pairs: estimated candidate volume "
+                    f"{est_total:,} exceeds candidate_budget "
+                    f"{candidate_budget:,} at threshold={threshold}. "
+                    f"Options: on_budget='prescreen' (hot shingles with "
+                    f"prefix doc count > {cap} fall back to MinHash LSH "
+                    f"banding, cold shingles stay exact), raise the budget, "
+                    f"or use minhash_lsh_pairs directly at this threshold."
+                )
+            report["hot_df_cap"] = cap
+            counts = prefix.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+            hot_sh = counts.filter(F.col("c") > cap).select("sh")
+            exact_prefix = prefix.join(hot_sh, on="sh", how="left_anti")
+            hot_ids = (
+                prefix.join(hot_sh, on="sh", how="left_semi")
+                .select("id")
+                .distinct()
+            )
+            report["n_hot_shingles"] = sum(n for c, n in census if c > cap)
+            report["prescreen_recall_at_t"] = lsh_collision_prob(
+                threshold, bands, num_hashes // bands
+            )
+            # MinHash prescreen over hot docs only (bare (id, band, bucket)
+            # rows shuffle; signatures never ride the self-join)
+            hot_docs = df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+            ).join(hot_ids, on="id", how="left_semi")
+            n_hot = hot_docs.count()
+            report["n_hot_docs"] = n_hot
+            if n_hot:
+                sig = minhash_signatures(hot_docs, "__t", "id", k, num_hashes)
+                banded = _band_explode(sig, bands, num_hashes // bands, keep_sig=False)
+                bs = banded.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("bs")
+                )
+                banded = banded.join(
+                    F.broadcast(bs.filter(F.col("bs") > max_bucket)),
+                    on=["band", "bucket"],
+                    how="left_anti",
+                )
+                ba, bb = banded.alias("a"), banded.alias("b")
+                prescreen_cand = (
+                    ba.join(
+                        bb,
+                        on=(F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bucket") == F.col("b.bucket"))
+                        & (F.col("a.id") < F.col("b.id")),
+                    )
+                    .select(
+                        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+                    )
+                    .dropDuplicates(["id_a", "id_b"])
+                    # rejoin sizes + length filter at candidate scale
+                    .join(
+                        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
+                        on="id_a",
+                    )
+                    .join(
+                        sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")),
+                        on="id_b",
+                    )
+                    .filter(
+                        (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+                        & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+                    )
+                    .select("id_a", "id_b", "n_a", "n_b")
+                )
+    a = exact_prefix.alias("a")
+    b = exact_prefix.alias("b")
     cand = (
         a.join(
             b,
@@ -904,6 +1035,8 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
+    if prescreen_cand is not None:
+        cand = cand.unionByName(prescreen_cand).dropDuplicates(["id_a", "id_b"])
     # exact verify on candidates only: count common shingles per pair
     ta = sh.select(F.col("id").alias("id_a"), "sh")
     tb = sh.select(F.col("id").alias("id_b"), "sh")
@@ -913,7 +1046,7 @@ def prefix_jaccard_pairs(
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    pairs = (
         common.withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -921,6 +1054,9 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if return_report:
+        return pairs, report
+    return pairs
 
 
 def prefix_jaccard_join(

@@ -85,6 +85,90 @@ def amplified_docs(spark, sf_dir: str, rep: int, plant_every: int = 20):
     )
 
 
+def plain_docs(spark, sf_dir: str, rep: int, words_per_line: int = 10):
+    """rep UNALTERED copies of each sf doc (doc_id = src#r), text re-wrapped
+    into ``words_per_line``-word newline lines.
+
+    UNLIKE amplified_docs, gram / line / template keys are NOT suffixed per
+    replica: every key's doc count multiplies by rep, so the boilerplate
+    gram/line/layout becomes a key shared by up to the WHOLE corpus -- the
+    genuine hot key the census tier's two-phase aggregations must absorb.
+    That load shape is fatal for pair-emitting similarity ops (candidates
+    quadratic in rep -- which is why the similarity soak suffixes) but the
+    census ops emit per-occurrence or per-key rows, LINEAR in corpus size,
+    so plain replication is exactly the honest stress.
+
+    Closed-form truth: every per-key count at soak scale = rep x the same
+    count on the base corpus (replicas are bit-identical), and planted
+    checks reduce to cheap base-scale runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("src"), "text", "source"
+    )
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("__w") / F.lit(words_per_line)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(F.col("__w"), i * words_per_line + 1, words_per_line),
+                " ",
+            ),
+        ),
+        "\n",
+    )
+    base = docs.select(
+        "src",
+        "source",
+        # Generate barrier: without explode(array(w)) CollapseProject
+        # re-inlines the split once per line slice
+        F.explode(F.array(F.split(F.trim(F.col("text")), r"\s+"))).alias("__w"),
+    ).select("src", "source", wrapped.alias("text"))
+    return (
+        base.repartition(256)
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .select(
+            F.concat_ws("#", F.col("src").cast("string"), F.col("r").cast("string")).alias("doc_id"),
+            "src",
+            "source",
+            "text",
+        )
+    )
+
+
+def with_spans(df, chunk: int = 64, media_every: int = 7):
+    """Derive the interleaved span column from text, deterministically per
+    SOURCE doc: 64-char chunks; chunk i of source doc s is an image span when
+    (s + i) % media_every == 0, with media_ref keyed by (s, i) -- NOT by
+    replica -- so each media object is reused by every replica (hot
+    media_ref keys with reuse == rep)."""
+    n_chunks = F.greatest(
+        F.ceil(F.length("text") / F.lit(chunk)).cast("int"), F.lit(1)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.when(
+            F.pmod(F.col("src") + i, F.lit(media_every)) == 0,
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat_ws(
+                    "_", F.lit("m"), F.col("src").cast("string"), i.cast("string")
+                ).alias("media_ref"),
+                i.alias("offset"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring(F.col("text"), i * chunk + 1, chunk).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                i.alias("offset"),
+            )
+        ),
+    )
+    return df.withColumn("spans", spans)
+
+
 def synth_embeddings(spark, n: int, dim: int = 64, plant_every: int = 997):
     """n deterministic hash-uniform vectors; id%%plant_every==0 shares its
     seed with id+1 (exact-duplicate pair)."""
@@ -156,6 +240,262 @@ def shuffle_bytes_by_group(app_id: str) -> dict[str, dict[str, int]]:
     return out
 
 
+def _gram_census_tier(spark, args, ops, res, _progress) -> None:
+    """Soak the gram/line/census ops on the plain-replicated corpus -- the
+    tier whose shuffles carry gram keys, with the boilerplate key replicated
+    into a genuine corpus-scale hot key. Every expectation is a closed form
+    in (rep x base-corpus statistic); base statistics are one cheap job each
+    over the 5k-doc base frame."""
+    from pyspark_validator.pipelines.curation import (
+        _exploded_grams,
+        contamination_fraction,
+        delta_duplicate_spans,
+        dsir_bucket_counts,
+        duplicate_spans,
+        gram_count_index,
+    )
+    from pyspark_validator.pipelines.dedup import dedup_lines, duplicate_lines
+    from pyspark_validator.pipelines.interleaved import (
+        layout_census,
+        layout_diversity,
+        media_reuse_summary,
+        span_kind_transitions,
+    )
+
+    rep = args.rep
+    plain_path = f"{args.work_dir}/plain.parquet"
+    _, t_build = _run_op(
+        spark, "build_plain",
+        lambda: plain_docs(spark, args.sf_dir, rep).write.parquet(plain_path),
+    )
+    P = spark.read.parquet(plain_path)
+    n_docs = P.count()
+    res["plain_n_docs"] = n_docs
+    res["build_plain_sec"] = t_build
+    base = plain_docs(spark, args.sf_dir, 1).persist()
+    n_base = base.count()
+
+    if "spans" in ops or "delta_spans" in ops:
+        # base truths: G = total gram positions; D2 = natural dup-span rows
+        G = _exploded_grams(base, "text", 8, ["doc_id"]).count()
+        D2 = duplicate_spans(base).count()
+        base_max_df = (
+            gram_count_index(base).agg(F.max("n_docs")).collect()[0][0]
+        )
+
+    # ---- duplicate_spans at 8M docs: every gram is in >= rep docs, so ALL
+    # positions flag -> rows == rep*G exactly; the hottest gram's n_docs is
+    # rep * its base df (the map-side combine absorbs rep x the row volume)
+    if "spans" in ops:
+        def spans_op():
+            row = duplicate_spans(P).agg(
+                F.count(F.lit(1)).alias("rows"), F.max("n_docs").alias("max_nd")
+            ).collect()[0]
+            return int(row["rows"]), int(row["max_nd"])
+
+        (rows, max_nd), t = _run_op(spark, "duplicate_spans", spans_op)
+        res["duplicate_spans"] = {
+            "rows": rows, "expected_rows": rep * G,
+            "rows_exact": rows == rep * G,
+            "max_n_docs": max_nd, "expected_max_n_docs": rep * base_max_df,
+            "max_exact": max_nd == rep * base_max_df,
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("duplicate_spans")
+
+    # ---- standing gram index + delta probe: copies of every base doc flag
+    # fully (G rows); novel-suffixed docs share no gram with the corpus and
+    # flag only on their own internal duplicates (== D2 rows)
+    if "delta_spans" in ops:
+        idx_path = f"{args.work_dir}/gram_index.parquet"
+
+        def build_index():
+            gram_count_index(P).write.parquet(idx_path)
+            return spark.read.parquet(idx_path).count()
+
+        idx_rows, t_idx = _run_op(spark, "gram_count_index", build_index)
+        copies = base.select(
+            F.concat(F.col("doc_id"), F.lit("c")).alias("doc_id"), "text"
+        )
+        novel = base.select(
+            F.concat(F.col("doc_id"), F.lit("n")).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", r"$1_novel").alias("text"),
+        )
+        delta = copies.unionByName(novel)
+        index = spark.read.parquet(idx_path)
+        rows, t = _run_op(
+            spark, "delta_duplicate_spans",
+            lambda: delta_duplicate_spans(delta, index).count(),
+        )
+        res["delta_duplicate_spans"] = {
+            "index_rows": idx_rows, "index_build_sec": t_idx,
+            "delta_docs": 2 * n_base, "rows": rows,
+            "expected_rows": G + D2, "rows_exact": rows == G + D2,
+            "sec": t,
+        }
+        _progress("delta_duplicate_spans")
+
+    # ---- line dedup tier: census + full rewrite -------------------------
+    if "lines" in ops:
+        bl = base.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(F.split("text", "\n")).alias("line"),
+        ).filter(F.trim("line") != "")
+        b = bl.agg(
+            F.count(F.lit(1)).alias("L"),
+            F.count_distinct("line").alias("Ldist"),
+        ).collect()[0]
+        L, Ldist = int(b["L"]), int(b["Ldist"])
+        ldp = bl.select("_id", "line").distinct().count()  # (line, doc) pairs
+        base_line_max = (
+            bl.select("_id", "line").distinct().groupBy("line")
+            .agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()[0][0]
+        )
+
+        def lines_census():
+            row = duplicate_lines(P).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_docs").alias("snd"),
+                F.max("n_docs").alias("mnd"),
+            ).collect()[0]
+            return int(row["rows"]), int(row["snd"]), int(row["mnd"])
+
+        (rows, snd, mnd), t = _run_op(spark, "duplicate_lines", lines_census)
+        res["duplicate_lines"] = {
+            "rows": rows, "expected_rows": Ldist,
+            "sum_n_docs": snd, "expected_sum": rep * ldp,
+            "max_n_docs": mnd, "expected_max": rep * base_line_max,
+            "exact": rows == Ldist and snd == rep * ldp and mnd == rep * base_line_max,
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("duplicate_lines")
+
+        def lines_rewrite():
+            row = dedup_lines(P, broadcast_banned=True).agg(
+                F.sum("n_removed_lines").alias("rm"),
+                F.sum("n_lines").alias("nl"),
+            ).collect()[0]
+            return int(row["rm"]), int(row["nl"])
+
+        (rm, nl), t = _run_op(spark, "dedup_lines", lines_rewrite)
+        res["dedup_lines"] = {
+            "removed": rm, "expected_removed": rep * L,
+            "n_lines": nl, "expected_n_lines": rep * L,
+            "exact": rm == rep * L and nl == rep * L,
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("dedup_lines")
+
+    # ---- interleaved censuses: media reuse / layout templates / kind
+    # transitions, all sum-mergeable -> soak counts are exactly rep x base
+    if "census" in ops:
+        bs = with_spans(base)
+        base_media = media_reuse_summary(bs, id_col="doc_id").collect()[0]
+        base_layout = layout_census(bs, group_col="source").agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("n_docs").alias("docs")
+        ).collect()[0]
+        base_trans = {
+            (r["src"], r["dst"]): r["n_transitions"]
+            for r in span_kind_transitions(bs).collect()
+        }
+        PS = with_spans(P)
+
+        def census_op():
+            media = media_reuse_summary(PS, id_col="doc_id").collect()[0]
+            lc = layout_census(PS, group_col="source").persist()
+            layout = lc.agg(
+                F.count(F.lit(1)).alias("rows"), F.sum("n_docs").alias("docs")
+            ).collect()[0]
+            div = layout_diversity(lc).agg(F.max("top_layout_share")).collect()[0][0]
+            lc.unpersist()
+            trans = {
+                (r["src"], r["dst"]): r["n_transitions"]
+                for r in span_kind_transitions(PS).collect()
+            }
+            return media, layout, div, trans
+
+        (media, layout, div, trans), t = _run_op(spark, "interleaved_census", census_op)
+        media_ok = (
+            media["n_media_slots"] == rep * base_media["n_media_slots"]
+            and media["n_distinct_refs"] == base_media["n_distinct_refs"]
+            and media["n_hot_refs"] == base_media["n_distinct_refs"]
+            and media["max_doc_reuse"] == rep * base_media["max_doc_reuse"]
+        )
+        layout_ok = (
+            layout["rows"] == base_layout["rows"]
+            and layout["docs"] == rep * base_layout["docs"]
+        )
+        trans_ok = trans == {k: rep * v for k, v in base_trans.items()}
+        res["interleaved_census"] = {
+            "media_slots": int(media["n_media_slots"]),
+            "distinct_refs": int(media["n_distinct_refs"]),
+            "max_doc_reuse": int(media["max_doc_reuse"]),
+            "layout_templates": int(layout["rows"]),
+            "max_top_layout_share": round(float(div), 6),
+            "media_exact": media_ok, "layout_exact": layout_ok,
+            "transitions_exact": trans_ok,
+            "sec": t, "docs_per_sec": round(3 * n_docs / t, 1),
+        }
+        _progress("interleaved_census")
+
+    # ---- DSIR hashed-bigram bucket counts: per-bucket rep x base ---------
+    if "dsir" in ops:
+        base_counts = {
+            r["bucket"]: r["cnt"] for r in dsir_bucket_counts(base).collect()
+        }
+
+        def dsir_op():
+            got = {r["bucket"]: r["cnt"] for r in dsir_bucket_counts(P).collect()}
+            return got
+
+        got, t = _run_op(spark, "dsir_bucket_counts", dsir_op)
+        res["dsir_bucket_counts"] = {
+            "buckets": len(got),
+            "exact": got == {b: rep * c for b, c in base_counts.items()},
+            "hottest_bucket_cnt": max(got.values()) if got else 0,
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("dsir_bucket_counts")
+
+    # ---- contamination fraction vs a 100-item benchmark ------------------
+    if "contam" in ops:
+        bench = base.filter(F.pmod(F.col("src"), F.lit(50)) == 0).select(
+            F.concat(F.lit("b"), F.col("src").cast("string")).alias("doc_id"),
+            "text",
+        ).persist()
+        n_bench = bench.count()
+        base_rows = contamination_fraction(base, bench).count()
+        n_bench_gr = (
+            _exploded_grams(bench, "text", 8, ["doc_id"])
+            .select("doc_id").distinct().count()
+        )
+
+        def contam_op():
+            out = contamination_fraction(P, bench).persist()
+            rows = out.count()
+            full = out.filter(
+                (F.col("frac") == 1.0)
+                & (F.split(F.col("doc_id"), "#")[0] == F.expr("substring(bench_id, 2)"))
+            ).count()
+            out.unpersist()
+            return rows, full
+
+        (rows, full), t = _run_op(spark, "contamination_fraction", contam_op)
+        res["contamination_fraction"] = {
+            "bench_items": n_bench, "rows": rows,
+            "expected_rows": rep * base_rows,
+            "rows_exact": rows == rep * base_rows,
+            "planted_full_coverage": full,
+            "expected_full_coverage": rep * n_bench_gr,
+            "planted_exact": full == rep * n_bench_gr,
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("contamination_fraction")
+        bench.unpersist()
+
+    base.unpersist()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=1600)
@@ -173,10 +513,20 @@ def main() -> None:
     )
     ap.add_argument(
         "--ops", default="minhash,audit,prefix,knn,sem",
-        help="comma list of ops to run (resume a crashed soak selectively)",
+        help="comma list of ops to run (resume a crashed soak selectively). "
+             "Similarity tier (suffixed corpus): minhash,audit,prefix,knn,sem,"
+             "prefix07. Gram/census tier (plain-replicated corpus -- the "
+             "hot-key load shape): spans,delta_spans,lines,census,dsir,contam",
+    )
+    ap.add_argument(
+        "--prefix-budget", type=int, default=100_000_000,
+        help="candidate_budget for the prefix07 op (exact-join candidate "
+             "estimate above which hot shingles fall back to MinHash prescreen)",
     )
     args = ap.parse_args()
     ops = set(args.ops.split(","))
+    SIM_OPS = {"minhash", "audit", "prefix", "prefix07"}
+    GRAM_OPS = {"spans", "delta_spans", "lines", "census", "dsir", "contam"}
 
     shutil.rmtree(EVLOG_DIR, ignore_errors=True)
     os.makedirs(EVLOG_DIR, exist_ok=True)
@@ -208,17 +558,6 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     res: dict = {"rep": args.rep, "vec_n": args.vec_n, "sem_n": args.sem_n}
 
-    # ---- corpus build (written to parquet so every op pays a real scan) ----
-    docs_path = f"{args.work_dir}/docs.parquet"
-    _, t_build = _run_op(
-        spark, "build_docs",
-        lambda: amplified_docs(spark, args.sf_dir, args.rep).write.parquet(docs_path),
-    )
-    docs = spark.read.parquet(docs_path)
-    n_docs = docs.count()
-    res["n_docs"] = n_docs
-    res["build_docs_sec"] = t_build
-
     from pyspark_validator.pipelines.dedup import (
         _band_explode,
         minhash_lsh_pairs,
@@ -228,6 +567,19 @@ def main() -> None:
 
     def _progress(key):
         print(json.dumps({key: res[key]}), flush=True)
+
+    # ---- corpus build (written to parquet so every op pays a real scan) ----
+    docs = None
+    if ops & SIM_OPS:
+        docs_path = f"{args.work_dir}/docs.parquet"
+        _, t_build = _run_op(
+            spark, "build_docs",
+            lambda: amplified_docs(spark, args.sf_dir, args.rep).write.parquet(docs_path),
+        )
+        docs = spark.read.parquet(docs_path)
+        n_docs = docs.count()
+        res["n_docs"] = n_docs
+        res["build_docs_sec"] = t_build
 
     # ---- 1. minhash LSH near-dup pairs -----------------------------------
     if "minhash" in ops:
@@ -281,9 +633,58 @@ def main() -> None:
         }
         _progress("prefix_jaccard")
 
-    # planted truth for both text ops: every 20th src doc, rep/2 exact-dup pairs
+    # planted truth for the text ops: every 20th src doc, rep/2 exact-dup pairs
     n_src = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
     res["planted_text_pairs"] = (n_src // 20 + (1 if n_src % 20 else 0)) * (args.rep // 2)
+
+    # ---- 2b. prefix-Jaccard at t=0.7 under a candidate budget ------------
+    # The round-3 soak showed the UNBOUNDED exact join at t=0.7 exceeds the
+    # sandbox's per-node disk on this boilerplate-heavy corpus. This op
+    # proves the bounded path: the census-estimated exact-candidate volume
+    # breaches --prefix-budget, hot prefix shingles fall back to the MinHash
+    # prescreen, cold shingles stay exact, and the planted jaccard-1.0 pairs
+    # (identical MinHash signatures -> LSH recall 1.0) must ALL survive.
+    if "prefix07" in ops:
+        def prefix07():
+            pairs_df, report = prefix_jaccard_pairs(
+                docs,
+                threshold=0.7,
+                candidate_budget=args.prefix_budget,
+                on_budget="prescreen",
+                return_report=True,
+            )
+            pairs_df = pairs_df.persist()
+            n_pairs = pairs_df.count()
+            ids = F.split(F.col("id_a"), "#"), F.split(F.col("id_b"), "#")
+            planted_found = pairs_df.filter(
+                (ids[0][0] == ids[1][0])
+                & (F.pmod(ids[0][0].cast("long"), F.lit(20)) == 0)
+                & (
+                    F.abs(ids[0][1].cast("long") - ids[1][1].cast("long"))
+                    == F.lit(args.rep // 2)
+                )
+                & (F.col("jaccard") == 1.0)
+            ).count()
+            pairs_df.unpersist()
+            return n_pairs, planted_found, report
+
+        (n_pairs, planted_found, report), t = _run_op(spark, "prefix_jaccard_t07", prefix07)
+        res["prefix_jaccard_t07"] = {
+            "pairs": n_pairs, "sec": t, "threshold": 0.7,
+            "candidate_budget": args.prefix_budget,
+            "estimated_exact_candidates": report.get("estimated_exact_candidates"),
+            "hot_df_cap": report.get("hot_df_cap"),
+            "n_hot_docs": report.get("n_hot_docs"),
+            "prescreen_recall_at_t": report.get("prescreen_recall_at_t"),
+            "planted_found": planted_found,
+            "planted_expected": res["planted_text_pairs"],
+            "docs_per_sec": round(n_docs / t, 1),
+        }
+        _progress("prefix_jaccard_t07")
+
+    # ================= gram/census tier (plain-replicated corpus) =========
+    if ops & GRAM_OPS:
+        _gram_census_tier(spark, args, ops, res, _progress)
 
     from pyspark_validator.pipelines.similarity import (
         knn_join_lsh,
@@ -291,14 +692,15 @@ def main() -> None:
     )
 
     # ---- 3. LSH k-NN join: 10k queries vs the full vector corpus ---------
-    vec_path = f"{args.work_dir}/vecs.parquet"
-    _, t_vb = _run_op(
-        spark, "build_vecs",
-        lambda: synth_embeddings(spark, args.vec_n).write.parquet(vec_path),
-    )
-    vecs = spark.read.parquet(vec_path)
-    res["build_vecs_sec"] = t_vb
-    queries = vecs.filter(F.pmod(F.col("vec_id"), F.lit(args.vec_n // 10_000)) == 0)
+    if ops & {"knn", "sem"}:
+        vec_path = f"{args.work_dir}/vecs.parquet"
+        _, t_vb = _run_op(
+            spark, "build_vecs",
+            lambda: synth_embeddings(spark, args.vec_n).write.parquet(vec_path),
+        )
+        vecs = spark.read.parquet(vec_path)
+        res["build_vecs_sec"] = t_vb
+        queries = vecs.filter(F.pmod(F.col("vec_id"), F.lit(args.vec_n // 10_000)) == 0)
 
     def knn():
         out = knn_join_lsh(
@@ -327,16 +729,16 @@ def main() -> None:
         _progress("knn_join_lsh")
 
     # ---- 4. SemDeDup (clustered) over sem-n vectors ----------------------
-    sem = vecs.filter(F.col("vec_id") < args.sem_n)
-
-    def semdedup():
-        kept = semantic_dedup_clustered(
-            sem, dim=64, threshold=0.95, n_lists=1024,
-            sample_size=50_000, iters=4,
-        ).count()
-        return kept
-
     if "sem" in ops:
+        sem = vecs.filter(F.col("vec_id") < args.sem_n)
+
+        def semdedup():
+            kept = semantic_dedup_clustered(
+                sem, dim=64, threshold=0.95, n_lists=1024,
+                sample_size=50_000, iters=4,
+            ).count()
+            return kept
+
         kept, t = _run_op(spark, "semantic_dedup", semdedup)
         n_planted_vec = len(range(0, args.sem_n - 1, 997))
         res["semantic_dedup"] = {

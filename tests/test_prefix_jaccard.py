@@ -105,6 +105,72 @@ def test_prefix_cross_join_matches_brute_force(spark):
     assert got == want
 
 
+def _boilerplate_docs(n=30, seed=11):
+    """Docs sharing a long boilerplate header (hot prefix shingles at low t)
+    plus planted EXACT duplicates (LSH catches identical signatures with
+    probability 1, so the prescreen law below is deterministic)."""
+    rng = random.Random(seed)
+    boiler = "terms of service apply to all content herein respectively"
+    docs = []
+    for i in range(n):
+        tail = " ".join(f"u{i}x{j}{rng.randrange(99)}" for j in range(12))
+        docs.append((i, boiler + " " + tail))
+        if i % 3 == 0:
+            docs.append((i + 10000, boiler + " " + tail))  # exact duplicate
+    return docs
+
+
+def test_prefix_budget_raise_is_descriptive_and_preflight(spark):
+    df = spark.createDataFrame(_boilerplate_docs(), ["doc_id", "text"])
+    with pytest.raises(ValueError, match="candidate_budget") as ei:
+        prefix_jaccard_pairs(df, k=3, threshold=0.5, candidate_budget=5)
+    # the message carries the estimate and the remediation options
+    assert "prescreen" in str(ei.value) and "minhash_lsh_pairs" in str(ei.value)
+
+
+def test_prefix_budget_under_budget_identical_to_default(spark):
+    df = spark.createDataFrame(_random_docs(), ["doc_id", "text"])
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    got, report = prefix_jaccard_pairs(
+        df, k=3, threshold=0.5, candidate_budget=10**12, return_report=True
+    )
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in got.collect()}
+    assert got == base
+    assert report["hot_df_cap"] is None  # budget not breached -> exact path
+    assert report["estimated_exact_candidates"] >= len(base)
+
+
+def test_prefix_budget_prescreen_recovers_planted_dups(spark):
+    """Forcing the tiniest budget routes the boilerplate shingles through the
+    MinHash prescreen; exact duplicates (identical signatures) MUST all
+    survive, and every emitted pair is exactly verified (jaccard >= t)."""
+    df = spark.createDataFrame(_boilerplate_docs(), ["doc_id", "text"])
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(df, k=3, threshold=0.9).collect()
+    }
+    planted = {(i, i + 10000) for i in range(0, 30, 3)}
+    assert planted <= full
+    got, report = prefix_jaccard_pairs(
+        df,
+        k=3,
+        threshold=0.9,
+        candidate_budget=1,
+        on_budget="prescreen",
+        return_report=True,
+    )
+    rows = got.collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert planted <= pairs  # exact dups never lost by the prescreen
+    assert pairs <= full  # verify stage keeps the output exact-only
+    assert all(r["jaccard"] >= 0.9 for r in rows)
+    assert report["hot_df_cap"] is not None and report["n_hot_docs"] > 0
+    assert 0.0 < report["prescreen_recall_at_t"] <= 1.0
+
+
 def test_decontaminate_fuzzy_planted(spark):
     from pyspark_validator.pipelines.curation import decontaminate_fuzzy
 
