@@ -42,8 +42,22 @@ class CheckpointManager:
         self.run_id = run_id or uuid.uuid4().hex[:12]
 
     def manifest(self) -> DataFrame:
+        # recursiveFileLookup: appends land in per-write batch subdirectories
+        # (see record_verdicts) so concurrent writers never share a path; the
+        # reader flattens them (no partition inference -- the manifest has no
+        # key=value layout). ignoreCorruptFiles: a writer killed mid-commit
+        # can leave a torn part-file; manifest rows are redundant completion
+        # facts, so dropping a torn file merely re-queues those partitions on
+        # resume -- strictly safer than poisoning every future manifest read
+        # (the lazy read would otherwise throw at EXECUTION time, outside
+        # this try/except, on every resume forever).
         try:
-            return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+            return (
+                self.spark.read.schema(MANIFEST_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .option("ignoreCorruptFiles", "true")
+                .parquet(self.path)
+            )
         except Exception:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
@@ -102,7 +116,17 @@ class CheckpointManager:
             ),
             F.lit(time.time()).alias("completed_at"),
         )
-        out.write.mode("append").parquet(self.path)
+        # Unique batch subdirectory per append instead of mode("append") on
+        # the root: two concurrent suite runs (or a cluster retry racing its
+        # zombie predecessor) otherwise share one _temporary staging dir, and
+        # the first job commit can delete the other's uncommitted task files.
+        # Disjoint directories make concurrent appends conflict-free with NO
+        # lock: the manifest's merge semantics are pure union (append-only
+        # completion facts; metric_history already resolves re-validated
+        # partitions by latest completed_at -- documented last-wins). A
+        # writer crashing mid-job leaves only its own batch dir's _temporary,
+        # which every reader ignores.
+        out.write.parquet(f"{self.path}/batch-{uuid.uuid4().hex[:16]}")
 
     # ---- cross-snapshot monitoring over the recorded lineage ---------------
     #
@@ -240,8 +264,14 @@ class SketchStore:
         self.path = path
 
     def _frame(self) -> DataFrame:
+        # same crash/concurrency contract as CheckpointManager.manifest
         try:
-            return self.spark.read.schema(SKETCH_SCHEMA).parquet(self.path)
+            return (
+                self.spark.read.schema(SKETCH_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .option("ignoreCorruptFiles", "true")
+                .parquet(self.path)
+            )
         except Exception:
             return self.spark.createDataFrame([], SKETCH_SCHEMA)
 
@@ -262,9 +292,9 @@ class SketchStore:
             )
             for c, s in profiles.items()
         ]
-        self.spark.createDataFrame(rows, SKETCH_SCHEMA).write.mode(
-            "append"
-        ).parquet(self.path)
+        self.spark.createDataFrame(rows, SKETCH_SCHEMA).write.parquet(
+            f"{self.path}/batch-{uuid.uuid4().hex[:16]}"
+        )
 
     def load(self, snapshot_id: str) -> dict:
         """dict[column -> ColumnSketches] for one snapshot (latest record per

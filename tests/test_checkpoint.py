@@ -317,3 +317,116 @@ def test_suite_sketch_profile_kind(spark, tmp_path):
     assert set(stored) == {"doc_id", "score"}
     assert stored["score"].kll is not None
     suite.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Failure injection: crashed writers and concurrent suite runs. A cluster
+# retry WILL race its zombie predecessor and a killed job WILL leave torn
+# files -- the manifest must degrade to recomputation, never to a poisoned
+# read or lost completion facts.
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_tolerates_torn_append(spark, tmp_path):
+    """A writer killed mid-commit leaves a truncated/garbage part-file in the
+    manifest dir. Every later manifest() read must still return the intact
+    batches (the torn batch's partitions simply re-queue on resume)."""
+    import os
+
+    path = str(tmp_path / "manifest_torn")
+    ckpt = CheckpointManager(spark, path)
+    verdicts = spark.createDataFrame(
+        [(p, True, 10) for p in range(5)], ["partition_id", "holds", "n_rows"]
+    )
+    ckpt.record_verdicts("c1", "s1", verdicts)
+    # torn append: a visible part-file with a garbage footer + a zero-byte
+    # file (crash at create) inside its own batch dir
+    torn = tmp_path / "manifest_torn" / "batch-deadbeefdeadbeef"
+    os.makedirs(torn)
+    (torn / "part-00000-torn-c000.snappy.parquet").write_bytes(b"\x00" * 512)
+    (torn / "part-00001-torn-c000.snappy.parquet").write_bytes(b"")
+    rows = ckpt.manifest().collect()
+    assert len(rows) == 5 and all(r.check_id == "c1" for r in rows)
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("int").alias("partition_id"), F.col("id")
+    )
+    assert ckpt.filter_pending(df, "c1", "s1").count() == 50
+    # and appends keep working after the torn batch exists
+    ckpt.record_verdicts("c1", "s1", verdicts.withColumn(
+        "partition_id", F.col("partition_id") + 5
+    ))
+    assert ckpt.filter_pending(df, "c1", "s1").count() == 0
+
+
+def test_manifest_ignores_crashed_writer_staging(spark, tmp_path):
+    """An uncommitted _temporary staging tree (writer SIGKILLed before job
+    commit) must be invisible to readers."""
+    import os
+
+    path = str(tmp_path / "manifest_stage")
+    ckpt = CheckpointManager(spark, path)
+    ckpt.record_verdicts(
+        "c1",
+        "s1",
+        spark.createDataFrame([(0, True, 1)], ["partition_id", "holds", "n_rows"]),
+    )
+    stage = (
+        tmp_path / "manifest_stage" / "batch-zombie" / "_temporary" / "0"
+        / "_temporary" / "attempt_x" 
+    )
+    os.makedirs(stage)
+    # an intact-looking parquet payload under _temporary must STILL be ignored
+    spark.createDataFrame(
+        [("r", "cX", "sX", 99, "ok", "{}", 0.0)],
+        ["run_id", "check_id", "snapshot_id", "partition_id", "status",
+         "metrics_json", "completed_at"],
+    ).toPandas().to_parquet(str(stage / "part-00000.parquet"))
+    rows = ckpt.manifest().collect()
+    assert len(rows) == 1 and rows[0].check_id == "c1"
+
+
+def test_concurrent_suite_runs_union_without_clobbering(spark, tmp_path):
+    """Two suite runs sharing one manifest dir: every append lands in its own
+    batch directory (the mechanism that makes a real concurrent race safe --
+    writers never share a staging path), completion facts UNION, and
+    re-validated partitions resolve last-wins by completed_at in
+    metric_history (the documented merge semantics)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "manifest_conc")
+    a = CheckpointManager(spark, path, run_id="run_a")
+    b = CheckpointManager(spark, path, run_id="run_b")
+    # interleaved appends from both writers, overlapping partition 2
+    a.record_verdicts("c1", "s1", spark.createDataFrame(
+        [(0, True, 1), (1, True, 1), (2, True, 1)],
+        ["partition_id", "holds", "n_rows"],
+    ))
+    b.record_verdicts("c1", "s1", spark.createDataFrame(
+        [(2, False, 99), (3, True, 1)], ["partition_id", "holds", "n_rows"]
+    ))
+    a.record_verdicts("c1", "s1", spark.createDataFrame(
+        [(4, True, 1)], ["partition_id", "holds", "n_rows"]
+    ))
+    # disjoint batch dirs: one per append, no files at the root
+    batches = glob.glob(f"{path}/batch-*")
+    assert len(batches) == 3
+    assert not glob.glob(f"{path}/*.parquet")
+    assert all(
+        f.startswith("_") or f.startswith(".") or f.endswith(".parquet") or f.endswith(".crc")
+        for bd in batches for f in os.listdir(bd)
+    )
+    # union: all 5 partitions completed; the overlap kept BOTH facts
+    assert a.completed_partitions("c1", "s1").count() == 5
+    assert b.manifest().count() == 6
+    # last-wins: partition 2's latest record (run_b, violated) decides
+    hist = {
+        r.partition_id: r
+        for r in a.metric_history("c1", "n_rows").collect()
+    }
+    assert hist[2].status == "violated" and hist[2].n_rows == 99.0
+    # resume from EITHER manager sees the union
+    df = spark.range(50).select(
+        (F.col("id") % 5).cast("int").alias("partition_id"), F.col("id")
+    )
+    assert b.filter_pending(df, "c1", "s1").count() == 0

@@ -185,7 +185,7 @@ def test_spark_submit_kill_and_resume(tmp_path):
     )
     deadline = time.time() + 240
     while time.time() < deadline:
-        if list(ckpt.glob("part-*.parquet")):
+        if list(ckpt.glob("batch-*/part-*.parquet")):
             break
         if proc.poll() is not None:
             break
@@ -197,7 +197,7 @@ def test_spark_submit_kill_and_resume(tmp_path):
 
     done_run1 = [
         r[0] for r in duckdb.sql(
-            f"select distinct check_id from '{ckpt}/part-*.parquet'"
+            f"select distinct check_id from '{ckpt}/batch-*/part-*.parquet'"
         ).fetchall()
     ]
     assert len(done_run1) >= 1, "kill landed before any manifest append"
@@ -223,19 +223,19 @@ def test_spark_submit_kill_and_resume(tmp_path):
     # every completed triple recorded exactly once across both runs
     dup = duckdb.sql(
         f"""select check_id, partition_id, count(*) c
-            from '{ckpt}/part-*.parquet'
+            from '{ckpt}/batch-*/part-*.parquet'
             group by 1, 2 having count(*) > 1"""
     ).fetchall()
     assert dup == [], f"recomputed triples: {dup}"
     # full coverage: all checks x all 8 partitions present
     cov = duckdb.sql(
         f"""select check_id, count(distinct partition_id)
-            from '{ckpt}/part-*.parquet' group by 1"""
+            from '{ckpt}/batch-*/part-*.parquet' group by 1"""
     ).fetchall()
     assert sorted(cov) == sorted((c["name"], 8) for c in checks)
     # lineage: run-1 rows keep run-1's run_id (two distinct run_ids total)
     n_runs = duckdb.sql(
-        f"select count(distinct run_id) from '{ckpt}/part-*.parquet'"
+        f"select count(distinct run_id) from '{ckpt}/batch-*/part-*.parquet'"
     ).fetchone()[0]
     assert n_runs == 2
     print(f"resume wall: {resume_wall:.1f}s, run1 completed {len(done_run1)}/{len(checks)}")
