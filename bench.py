@@ -222,6 +222,131 @@ def _get_spark(cpus: str | None = None):
     )
 
 
+def _fs_bytes_read(spark) -> int:
+    """Cumulative bytes read through Hadoop FileSystem streams in this JVM --
+    the truthful scan-amplification counter (plan text hides the cache-fill
+    parquet scan inside InMemoryRelation, so counting plan nodes under-reports
+    persisted pipelines)."""
+    total = 0
+    it = spark.sparkContext._jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics().iterator()
+    while it.hasNext():
+        total += it.next().getBytesRead()
+    return total
+
+
+def _fused_compare(spark, sf_dir: str, rep: int) -> dict:
+    """The engine's second bench axis: the SAME 15 aggregation-shaped checks
+    (one per FUSABLE_KINDS member) timed as 15 independent single-member
+    passes (one corpus scan each -- how separately-invoked checks execute)
+    versus ONE FusedPass (one scan + one P-row shuffle for all of them).
+    ``rep`` amplifies the documents table in-memory with distinct doc ids so
+    the scan dominates; the frame is NOT cached, deliberately -- scan sharing
+    is exactly what is being measured. Scan counts are read from the executed
+    plans ('Scan parquet' nodes, initial-plan section stripped)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_validator.fused import FusedPass
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(max(rep, 1) - 1)))
+    n_chunks = F.greatest(
+        F.ceil(F.length("text") / F.lit(64.0)).cast("int"), F.lit(1)
+    )
+    is_img = lambda i: F.pmod(F.col("__src") + i, F.lit(7)) == 0  # noqa: E731
+    span = lambda i: F.when(  # noqa: E731
+        is_img(i),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("m"), ((F.col("__src") * 31 + i) % 100000).cast("string")).alias("media_ref"),
+            (i * 64).cast("int").alias("offset"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.substring(F.col("text"), i * 64 + 1, 64).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i * 64).cast("int").alias("offset"),
+        )
+    )
+    frame = (
+        d.select(F.col("doc_id").alias("__src"), "text", "lang", "n_chars")
+        .withColumn("__r", reps)
+        .select(
+            F.concat_ws("#", F.col("__src").cast("string"), F.col("__r").cast("string")).alias("doc_id"),
+            "__src",
+            "text",
+            "lang",
+            "n_chars",
+            F.col("n_chars").cast("string").alias("n_chars_s"),
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), span).alias("spans"),
+        )
+    )
+    n_rows = frame.count()  # warm JVM + parquet footers
+
+    edges = [0.0, 100.0, 200.0, 400.0, 800.0, 1600.0]
+    probs = [0.2] * 5
+    members: list[tuple[str, object]] = [
+        ("nar", lambda p, n: p.add_nar(n, ante={"lang": ["en"]}, cons={"n_chars": (0.0, 1e7)}, min_confidence=0.1)),
+        ("ac", lambda p, n: p.add_ac(n, "n_chars", "n_chars", "+", [(0.0, 1e7)])),
+        ("row_predicate", lambda p, n: p.add_row_predicate(n, {"n_chars": (0.0, 1e7)})),
+        ("completeness", lambda p, n: p.add_completeness(n, "text")),
+        ("numeric_profile", lambda p, n: p.add_numeric_profile(n, "n_chars")),
+        ("distinct", lambda p, n: p.add_distinct(n, "doc_id")),
+        ("type_conformance", lambda p, n: p.add_type_conformance(n, "n_chars_s", "bigint")),
+        ("span_integrity", lambda p, n: p.add_span_integrity(n)),
+        ("pii_budget", lambda p, n: p.add_pii_budget(n, text_col="text", max_doc_fraction=1.0)),
+        ("benford", lambda p, n: p.add_benford(n, "n_chars")),
+        ("class_balance", lambda p, n: p.add_class_balance(n, "lang", expected={"en": 0.6, "zh": 0.2})),
+        ("token_budget", lambda p, n: p.add_token_budget(n)),
+        ("media_context", lambda p, n: p.add_media_context(n)),
+        ("interleaved_quality", lambda p, n: p.add_interleaved_quality(n)),
+        ("histogram_drift", lambda p, n: p.add_histogram_drift(n, "n_chars", edges, probs)),
+    ]
+
+    standalone: dict[str, float] = {}
+    b0 = _fs_bytes_read(spark)
+    for kind, add in members:
+        fp = FusedPass(frame, num_partitions=32)
+        add(fp, f"s_{kind}")
+        t0 = time.perf_counter()
+        fp.verdict(f"s_{kind}").count()
+        standalone[kind] = round(time.perf_counter() - t0, 3)
+        fp.unpersist()
+    standalone_bytes = _fs_bytes_read(spark) - b0
+
+    fp = FusedPass(frame, num_partitions=32)
+    for kind, add in members:
+        add(fp, f"f_{kind}")
+    b1 = _fs_bytes_read(spark)
+    t0 = time.perf_counter()
+    for kind, _ in members:
+        fp.verdict(f"f_{kind}").count()
+    fused_sec = round(time.perf_counter() - t0, 3)
+    fused_bytes = _fs_bytes_read(spark) - b1
+    fp.unpersist()
+
+    total = round(sum(standalone.values()), 3)
+    return {
+        "checks": len(members),
+        "rep": rep,
+        "n_rows": n_rows,
+        "standalone_sec": total,
+        "fused_sec": fused_sec,
+        "speedup": round(total / fused_sec, 2) if fused_sec else None,
+        # bytes actually read from the parquet source: standalone pays one
+        # full scan PER CHECK (cache filled and dropped each pass), the fused
+        # pass pays ~one scan total -- the scan-amplification ratio IS the
+        # fused path's scale story
+        "standalone_src_bytes": standalone_bytes,
+        "fused_src_bytes": fused_bytes,
+        "scan_amplification": (
+            round(standalone_bytes / fused_bytes, 1) if fused_bytes else None
+        ),
+        "standalone_per_check": standalone,
+    }
+
+
 def run_headline() -> None:
     """Steady-state headline: each query runs ``$SPARK_GRAFT_REPS`` times
     (default 3) in ONE warm session; per-query time = min of reps, with the
@@ -275,6 +400,11 @@ def run_headline() -> None:
         "n_docs": docs_rows,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    # fused-vs-standalone second axis (SPARK_GRAFT_FUSED_REP=0 disables;
+    # default amplifies documents 40x in-memory so the scan dominates)
+    fused_rep = int(os.environ.get("SPARK_GRAFT_FUSED_REP", "40"))
+    if fused_rep > 0:
+        out["fused"] = _fused_compare(spark, sf_dir, fused_rep)
     spark.stop()
     print(json.dumps(out))
 
