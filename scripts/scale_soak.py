@@ -552,6 +552,17 @@ def main() -> None:
             # ~95 GB of usable disk and the prefix-jaccard op's six 400M-row
             # shuffles are the one phase that brushes against it
             "spark.io.compression.codec": "zstd",
+            # NO auto-broadcast: at soak scale AQE sees the (small-here) gram
+            # count side of duplicate_spans' join-back and converts the
+            # intended partitioning-reuse shuffle join into a broadcast --
+            # whose driver-side build then fails for memory while 32 local
+            # tasks hold the unified pool (driver==executor in local mode).
+            # At the 10^12-doc design point that side is NOT broadcastable,
+            # so the soak should exercise the documented shuffle-join shape
+            # anyway. Explicit F.broadcast() hints (delta-prune, benchmark
+            # side, banned lines) are honored regardless of the threshold.
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
         },
     )
