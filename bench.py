@@ -234,7 +234,7 @@ def _fs_bytes_read(spark) -> int:
     return total
 
 
-def _fused_compare(spark, sf_dir: str, rep: int) -> dict:
+def _fused_compare(spark, sf_dir: str, rep: int, materialize: str | None = None) -> dict:
     """The engine's second bench axis: the SAME 15 aggregation-shaped checks
     (one per FUSABLE_KINDS member) timed as 15 independent single-member
     passes (one corpus scan each -- how separately-invoked checks execute)
@@ -282,6 +282,12 @@ def _fused_compare(spark, sf_dir: str, rep: int) -> dict:
             F.transform(F.sequence(F.lit(0), n_chunks - 1), span).alias("spans"),
         )
     )
+    if materialize:
+        # scan-dominated variant: write the amplified frame to parquet and
+        # bench against the MATERIALIZED table, so "one scan per check vs one
+        # scan total" is a real-IO difference, not an in-memory replay
+        frame.write.mode("overwrite").parquet(materialize)
+        frame = spark.read.parquet(materialize)
     n_rows = frame.count()  # warm JVM + parquet footers
 
     edges = [0.0, 100.0, 200.0, 400.0, 800.0, 1600.0]
