@@ -624,6 +624,8 @@ def decontaminate_fuzzy(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    candidate_budget: int | None = None,
+    on_budget: str = "raise",
 ) -> DataFrame:
     """Near-duplicate decontamination: flag training docs whose shingle
     Jaccard against ANY benchmark doc is >= ``threshold``. Catches the
@@ -644,6 +646,8 @@ def decontaminate_fuzzy(
         prefix_jaccard_join(
             train, benchmark, text_col=text_col, id_col=id_col, k=k,
             threshold=threshold,
+            # predictable low-threshold degradation (see prefix_jaccard_join)
+            candidate_budget=candidate_budget, on_budget=on_budget,
         )
         .groupBy(F.col("id_l").alias(id_col))
         .agg(

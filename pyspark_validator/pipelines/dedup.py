@@ -1066,7 +1066,13 @@ def prefix_jaccard_join(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.7,
-) -> DataFrame:
+    candidate_budget: int | None = None,
+    on_budget: str = "raise",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 10_000,
+    return_report: bool = False,
+):
     """Cross-corpus EXACT Jaccard similarity join (R x S form of
     :func:`prefix_jaccard_pairs`): every (left, right) doc pair with shingle
     Jaccard >= threshold. The prefix theorem is per-side — J >= t forces
@@ -1081,10 +1087,20 @@ def prefix_jaccard_join(
     side vs a small benchmark side, where the shuffle join degenerates to a
     broadcast automatically under AQE).
 
+    ``candidate_budget``: same predictable-degradation contract as
+    :func:`prefix_jaccard_pairs`, with the cross form's candidate volume per
+    shared prefix shingle being ``cnt_l * cnt_r``. The census buckets
+    products by log2 (<= 64 rows however large both corpora are) to pick the
+    hot cap; ``on_budget='prescreen'`` routes docs touching a hot shingle
+    through a MinHash band join ACROSS the two corpora while cold shingles
+    stay exact, and ``return_report=True`` returns the accounting.
+
     Output: [id_l, id_r, jaccard], jaccard >= threshold.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if on_budget not in ("raise", "prescreen"):
+        raise ValueError("on_budget must be 'raise' or 'prescreen'")
     par = left.sparkSession.sparkContext.defaultParallelism
 
     def _sh(df: DataFrame) -> DataFrame:
@@ -1119,8 +1135,110 @@ def prefix_jaccard_join(
             "id", "sh", "n"
         )
 
-    pl = _prefix(shl).alias("l")
-    pr = _prefix(shr).alias("r")
+    pfl = _prefix(shl).persist()
+    pfr = _prefix(shr).persist()
+    report: dict = {"candidate_budget": candidate_budget, "hot_product_cap": None}
+    prescreen_cand = None
+    if candidate_budget is not None:
+        # per-shared-shingle candidate volume = cnt_l * cnt_r; bucket the
+        # products by log2 so the census stays <= 64 rows at any scale
+        cl = pfl.groupBy("sh").agg(F.count(F.lit(1)).alias("cl"))
+        cr = pfr.groupBy("sh").agg(F.count(F.lit(1)).alias("cr"))
+        prod = cl.join(cr, on="sh").select(
+            (F.col("cl") * F.col("cr")).alias("p")
+        )
+        census = sorted(
+            (int(r["b"]), int(r["pairs"]))
+            for r in prod.groupBy(
+                F.floor(F.log2("p")).cast("int").alias("b")
+            ).agg(F.sum("p").alias("pairs")).collect()
+        )
+        est_total = sum(pairs for _, pairs in census)
+        report["estimated_exact_candidates"] = est_total
+        if est_total > candidate_budget:
+            cap, cum = 1, 0
+            for b, pairs in census:
+                cum += pairs
+                if cum > candidate_budget:
+                    break
+                cap = 2 ** (b + 1) - 1  # every product in bucket b fits
+            if on_budget == "raise":
+                for f in (shl, shr, df_freq, pfl, pfr):
+                    f.unpersist()
+                raise ValueError(
+                    f"prefix_jaccard_join: estimated candidate volume "
+                    f"{est_total:,} exceeds candidate_budget "
+                    f"{candidate_budget:,} at threshold={threshold}. "
+                    f"Options: on_budget='prescreen' (shingles with "
+                    f"cnt_l*cnt_r > {cap} fall back to a MinHash band "
+                    f"join, cold shingles stay exact) or raise the budget."
+                )
+            report["hot_product_cap"] = cap
+            hot_sh = (
+                cl.join(cr, on="sh")
+                .filter(F.col("cl") * F.col("cr") > cap)
+                .select("sh")
+            )
+            hot_l = pfl.join(hot_sh, on="sh", how="left_semi").select("id").distinct()
+            hot_r = pfr.join(hot_sh, on="sh", how="left_semi").select("id").distinct()
+            pfl_cold = pfl.join(hot_sh, on="sh", how="left_anti")
+            pfr_cold = pfr.join(hot_sh, on="sh", how="left_anti")
+            n_hot_l = hot_l.count()
+            n_hot_r = hot_r.count()
+            report["n_hot_docs_left"] = n_hot_l
+            report["n_hot_docs_right"] = n_hot_r
+            report["prescreen_recall_at_t"] = lsh_collision_prob(
+                threshold, bands, num_hashes // bands
+            )
+            if n_hot_l and n_hot_r:
+                def _banded(df, ids):
+                    docs = df.select(
+                        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+                    ).join(ids, on="id", how="left_semi")
+                    sig = minhash_signatures(docs, "__t", "id", k, num_hashes)
+                    banded = _band_explode(sig, bands, num_hashes // bands, keep_sig=False)
+                    return banded
+
+                bl = _banded(left, hot_l)
+                br = _banded(right, hot_r)
+                # hot-bucket guard on the UNION census (either side can flood)
+                bs = (
+                    bl.unionByName(br).groupBy("band", "bucket")
+                    .agg(F.count(F.lit(1)).alias("bs"))
+                )
+                hot_buckets = F.broadcast(bs.filter(F.col("bs") > max_bucket))
+                bl = bl.join(hot_buckets, on=["band", "bucket"], how="left_anti")
+                br = br.join(hot_buckets, on=["band", "bucket"], how="left_anti")
+                sl_sizes = shl.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+                sr_sizes = shr.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+                prescreen_cand = (
+                    bl.alias("l")
+                    .join(
+                        br.alias("r"),
+                        on=(F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.bucket") == F.col("r.bucket")),
+                    )
+                    .select(
+                        F.col("l.id").alias("id_l"), F.col("r.id").alias("id_r")
+                    )
+                    .dropDuplicates(["id_l", "id_r"])
+                    .join(
+                        sl_sizes.select(F.col("id").alias("id_l"), F.col("n").alias("n_l")),
+                        on="id_l",
+                    )
+                    .join(
+                        sr_sizes.select(F.col("id").alias("id_r"), F.col("n").alias("n_r")),
+                        on="id_r",
+                    )
+                    .filter(
+                        (F.col("n_r") * F.lit(threshold) <= F.col("n_l"))
+                        & (F.col("n_l") * F.lit(threshold) <= F.col("n_r"))
+                    )
+                    .select("id_l", "id_r", "n_l", "n_r")
+                )
+            pfl, pfr = pfl_cold, pfr_cold
+    pl = pfl.alias("l")
+    pr = pfr.alias("r")
     cand = (
         pl.join(
             pr,
@@ -1136,13 +1254,15 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
+    if prescreen_cand is not None:
+        cand = cand.unionByName(prescreen_cand).dropDuplicates(["id_l", "id_r"])
     common = (
         cand.join(shl.select(F.col("id").alias("id_l"), "sh"), on="id_l")
         .join(shr.select(F.col("id").alias("id_r"), "sh"), on=["id_r", "sh"])
         .groupBy("id_l", "id_r", "n_l", "n_r")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    pairs = (
         common.withColumn(
             "jaccard",
             F.col("common") / (F.col("n_l") + F.col("n_r") - F.col("common")),
@@ -1150,6 +1270,9 @@ def prefix_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
+    if return_report:
+        return pairs, report
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,64 @@ def test_prefix_budget_prescreen_recovers_planted_dups(spark):
     assert 0.0 < report["prescreen_recall_at_t"] <= 1.0
 
 
+def test_prefix_join_budget_raise_and_identity(spark):
+    from pyspark_validator.pipelines.dedup import prefix_jaccard_join
+
+    # the right corpus quotes the left verbatim, so rare prefix shingles ARE
+    # shared cross-corpus (different-seed corpora share only boilerplate,
+    # which rarest-first prefixing correctly keeps OUT of the index — a
+    # budget breach needs genuine overlap)
+    left = spark.createDataFrame(_boilerplate_docs(seed=5), ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [(i + 50000, t) for i, t in _boilerplate_docs(seed=5)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="candidate_budget") as ei:
+        prefix_jaccard_join(left, right, k=3, threshold=0.5, candidate_budget=3)
+    assert "prescreen" in str(ei.value)
+    base = {
+        (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+        for r in prefix_jaccard_join(left, right, k=3, threshold=0.5).collect()
+    }
+    got, report = prefix_jaccard_join(
+        left, right, k=3, threshold=0.5, candidate_budget=10**12,
+        return_report=True,
+    )
+    got = {(r["id_l"], r["id_r"], round(r["jaccard"], 9)) for r in got.collect()}
+    assert got == base
+    assert report["hot_product_cap"] is None
+
+
+def test_prefix_join_budget_prescreen_recovers_planted(spark):
+    """Left docs quoted verbatim on the right MUST survive the cross-corpus
+    prescreen (identical shingle sets -> identical signatures), and output
+    stays exact-verified."""
+    from pyspark_validator.pipelines.dedup import prefix_jaccard_join
+
+    left = spark.createDataFrame(_boilerplate_docs(seed=7), ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [(i + 50000, t) for i, t in _boilerplate_docs(seed=7)],
+        ["doc_id", "text"],
+    )
+    full = {
+        (r["id_l"], r["id_r"])
+        for r in prefix_jaccard_join(left, right, k=3, threshold=0.9).collect()
+    }
+    planted = {(i, i + 50000) for i, _ in _boilerplate_docs(seed=7)}
+    assert planted <= full
+    got, report = prefix_jaccard_join(
+        left, right, k=3, threshold=0.9, candidate_budget=1,
+        on_budget="prescreen", return_report=True,
+    )
+    rows = got.collect()
+    pairs = {(r["id_l"], r["id_r"]) for r in rows}
+    assert planted <= pairs
+    assert pairs <= full
+    assert all(r["jaccard"] >= 0.9 for r in rows)
+    assert report["hot_product_cap"] is not None
+    assert report["n_hot_docs_left"] > 0 and report["n_hot_docs_right"] > 0
+
+
 def test_decontaminate_fuzzy_planted(spark):
     from pyspark_validator.pipelines.curation import decontaminate_fuzzy
 
