@@ -7893,6 +7893,52 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+# Snapshot of the 3-green union as of CORRECTNESS_r03 — used ONLY when no
+# CORRECTNESS_r*.json is readable next to this file (e.g. the file was
+# shipped to a staging dir without them). Without this fallback an absent
+# file set would silently reset the rotation to build order, re-fronting
+# already-green queries. Files, when present, always win.
+_GREEN_FALLBACK = frozenset({
+    "ucc_lineitem_pk", "ucc_violations_orders", "ucc_docs_doc_id",
+    "fd_docs_span_seq", "fd_holds_nation", "fd_highlights_orders",
+    "afd_measures_orders", "pfd_lineitem", "ind_orders_customer",
+    "ind_violations_customer_orders", "ind_binary_nation_region", "nd_orders",
+    "stats_numeric_lineitem", "stats_string_customer", "stats_string_extras",
+    "stats_char_customer", "topk_event_types", "entropy_gini_events",
+    "monotonic_events_ts", "sessionize_events", "drift_categorical_events",
+    "drift_numeric_events", "drift_numeric_by_type", "drift_docs_kind",
+    "text_token_counts", "text_language_id", "text_quality", "text_lm_quality",
+    "containment_planted", "dedup_exact_planted", "dedup_snm_docs",
+    "dedup_keep_one", "cc_clusters_planted", "cc_keep_best_planted",
+    "ngram_jaccard_planted", "prefix_jaccard_planted", "minhash_lsh_planted",
+    "dedup_delta_minhash", "simhash_planted", "similarity_brute_topk",
+    "similarity_ivf_topk", "embedding_cosine_dups", "knn_join_embeddings",
+    "embedding_conformance_planted", "embedding_violations_planted",
+    "stats_deviation_lineitem", "pac_events_value", "mfd_quantity_orderkey",
+    "mfd_levenshtein_nation", "sd_events_gap",
+    "dc_orders_price_inversion",
+    "aod_removal_rows_orders", "md_nation_name", "md_orders_customer",
+    "incremental_ucc_delta", "ac_ranges_lineitem", "ac_exceptions_lineitem",
+    "nar_orders_priority", "sfd_orders_priority_status", "fused_suite_orders",
+    "fused_distinct_customer", "incremental_fused_delta",
+    "discovery_unary_fds_nation", "discovery_unary_inds_keys",
+    "discovery_fds_orders", "discovery_afds_orders", "discovery_ainds_keys",
+    "discovery_uccs_lineitem", "discovery_binary_inds_keys",
+    "discovery_ars_events", "discovery_cfds_orders", "discovery_ods_lineitem",
+    "discovery_pfds_orders", "discovery_afds_tane_orders",
+    "discovery_dds_lineitem", "discovery_mds_orders",
+    "discovery_list_ods_orders", "discovery_cinds_orders",
+    "discovery_nary_inds_orders", "kanon_customer", "benford_lineitem",
+    "assoc_orders", "drift_js_events", "drift_wasserstein_events", "zipf_docs",
+    "format_conformance_customer", "format_profile_part",
+    "null_patterns_events", "drift_vocab_docs", "precedence_events",
+    "interval_overlap_orders", "reconcile_orders_lineitem",
+    "class_balance_events", "caption_consistency_docs", "drift_topk_events",
+    "drift_embedding_dims", "outliers_events_value", "outliers_events_rows",
+    "embedding_outliers_topk", "change_point_events", "schema_verdict_docs",
+})
+
+
 def _driver_green() -> frozenset:
     import glob as _glob
     import json as _json
@@ -7900,6 +7946,7 @@ def _driver_green() -> frozenset:
 
     here = _os.path.dirname(_os.path.abspath(__file__))
     green: set[str] = set()
+    n_files_read = 0
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -7908,6 +7955,7 @@ def _driver_green() -> frozenset:
             continue
         if not isinstance(rows, dict):
             continue
+        n_files_read += 1
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
@@ -7920,6 +7968,8 @@ def _driver_green() -> frozenset:
             else:
                 # a later non-green row (regression) re-fronts the query
                 green.discard(name)
+    if n_files_read == 0:
+        return _GREEN_FALLBACK
     return frozenset(green)
 
 

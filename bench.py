@@ -410,7 +410,11 @@ def run_headline() -> None:
     # default amplifies documents 40x in-memory so the scan dominates)
     fused_rep = int(os.environ.get("SPARK_GRAFT_FUSED_REP", "40"))
     if fused_rep > 0:
-        out["fused"] = _fused_compare(spark, sf_dir, fused_rep)
+        out["fused"] = _fused_compare(
+            spark, sf_dir, fused_rep,
+            # scan-dominated variant against a materialized parquet copy
+            materialize=os.environ.get("SPARK_GRAFT_FUSED_MATERIALIZE") or None,
+        )
     spark.stop()
     print(json.dumps(out))
 

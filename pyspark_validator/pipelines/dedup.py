@@ -928,16 +928,19 @@ def prefix_jaccard_pairs(
         # so the collect is bounded by construction. Estimated exact-join
         # candidates = sum over shingles of c*(c-1)/2 (upper bound: the
         # length filter only removes pairs).
+        # per-shingle prefix counts feed the census AND (on breach) the
+        # hot/cold split -- one aggregation, persisted, not three
+        counts = (
+            prefix.groupBy("sh").agg(F.count(F.lit(1)).alias("c")).persist()
+        )
         census = (
-            prefix.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("c")
-            .agg(F.count(F.lit(1)).alias("n_sh"))
-            .collect()
+            counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_sh")).collect()
         )
         census = sorted((r["c"], r["n_sh"]) for r in census)
         est_total = sum(c * (c - 1) // 2 * n for c, n in census)
         report["estimated_exact_candidates"] = est_total
+        if est_total <= candidate_budget:
+            counts.unpersist()
         if est_total > candidate_budget:
             # largest cap whose cumulative pair estimate fits the budget
             cap, cum = 1, 0
@@ -949,6 +952,7 @@ def prefix_jaccard_pairs(
             if on_budget == "raise":
                 sh.unpersist()
                 prefix.unpersist()
+                counts.unpersist()
                 raise ValueError(
                     f"prefix_jaccard_pairs: estimated candidate volume "
                     f"{est_total:,} exceeds candidate_budget "
@@ -959,8 +963,8 @@ def prefix_jaccard_pairs(
                     f"or use minhash_lsh_pairs directly at this threshold."
                 )
             report["hot_df_cap"] = cap
-            counts = prefix.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
-            hot_sh = counts.filter(F.col("c") > cap).select("sh")
+            # hot set read twice (anti + semi): persist, do not re-aggregate
+            hot_sh = counts.filter(F.col("c") > cap).select("sh").persist()
             exact_prefix = prefix.join(hot_sh, on="sh", how="left_anti")
             hot_ids = (
                 prefix.join(hot_sh, on="sh", how="left_semi")
@@ -1144,26 +1148,33 @@ def prefix_jaccard_join(
         # products by log2 so the census stays <= 64 rows at any scale
         cl = pfl.groupBy("sh").agg(F.count(F.lit(1)).alias("cl"))
         cr = pfr.groupBy("sh").agg(F.count(F.lit(1)).alias("cr"))
-        prod = cl.join(cr, on="sh").select(
-            (F.col("cl") * F.col("cr")).alias("p")
-        )
+        # cl*cr in DOUBLE: at the 10^12-doc design point per-side prefix
+        # counts of ~1e9 each would overflow an int64 product and either
+        # NULL the log2 bucket or silently wrap est_total negative -- the
+        # budget guard must never be the thing that overflows
+        prod = (cl.join(cr, on="sh")
+                .persist()  # census + hot_sh both read it
+                )
+        pairs_d = F.col("cl").cast("double") * F.col("cr").cast("double")
         census = sorted(
-            (int(r["b"]), int(r["pairs"]))
+            (int(r["b"]), float(r["pairs"]))
             for r in prod.groupBy(
-                F.floor(F.log2("p")).cast("int").alias("b")
-            ).agg(F.sum("p").alias("pairs")).collect()
+                F.floor(F.log2(pairs_d)).cast("int").alias("b")
+            ).agg(F.sum(pairs_d).alias("pairs")).collect()
         )
-        est_total = sum(pairs for _, pairs in census)
+        est_total = int(sum(pairs for _, pairs in census))
         report["estimated_exact_candidates"] = est_total
+        if est_total <= candidate_budget:
+            prod.unpersist()
         if est_total > candidate_budget:
-            cap, cum = 1, 0
+            cap, cum = 1, 0.0
             for b, pairs in census:
                 cum += pairs
                 if cum > candidate_budget:
                     break
                 cap = 2 ** (b + 1) - 1  # every product in bucket b fits
             if on_budget == "raise":
-                for f in (shl, shr, df_freq, pfl, pfr):
+                for f in (shl, shr, df_freq, pfl, pfr, prod):
                     f.unpersist()
                 raise ValueError(
                     f"prefix_jaccard_join: estimated candidate volume "
@@ -1174,11 +1185,9 @@ def prefix_jaccard_join(
                     f"join, cold shingles stay exact) or raise the budget."
                 )
             report["hot_product_cap"] = cap
-            hot_sh = (
-                cl.join(cr, on="sh")
-                .filter(F.col("cl") * F.col("cr") > cap)
-                .select("sh")
-            )
+            # hot set read by four consumers (two semi, two anti joins):
+            # materialize it once instead of re-running the census join
+            hot_sh = prod.filter(pairs_d > cap).select("sh").persist()
             hot_l = pfl.join(hot_sh, on="sh", how="left_semi").select("id").distinct()
             hot_r = pfr.join(hot_sh, on="sh", how="left_semi").select("id").distinct()
             pfl_cold = pfl.join(hot_sh, on="sh", how="left_anti")
