@@ -7944,10 +7944,22 @@ def _driver_green() -> frozenset:
     import json as _json
     import os as _os
 
+    import re as _re
+
     here = _os.path.dirname(_os.path.abspath(__file__))
     green: set[str] = set()
     n_files_read = 0
-    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+
+    def _round_no(p: str) -> tuple[int, str]:
+        # chronological order = parsed round number, NOT lexicographic path
+        # order (r100 would sort before r2 as a raw string); unparseable
+        # names sort first so any real round overrides them.
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return (int(m.group(1)) if m else -1, p)
+
+    for path in sorted(
+        _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as fh:
                 rows = _json.load(fh)

@@ -877,7 +877,15 @@ def prefix_jaccard_pairs(
       verify. A qualifying pair is then missed only if ALL its common prefix
       tokens are hot AND the LSH bands miss it -- probability
       ``1 - lsh_collision_prob(jaccard, bands, num_hashes//bands)``, reported
-      in the returned report as ``prescreen_recall_at_t``.
+      in the returned report as ``prescreen_recall_at_t``. Caveat: that
+      figure covers the banding probability only; band buckets larger than
+      ``max_bucket`` are additionally dropped from the prescreen (the same
+      guard ``minhash_lsh_pairs`` applies), so a hot pair whose EVERY
+      surviving band collides in a ``> max_bucket`` bucket is missed with
+      probability not captured by ``prescreen_recall_at_t``. The report's
+      ``prescreen_dropped_buckets`` / ``prescreen_dropped_bucket_rows``
+      quantify how much of the prescreen volume that guard removed (0 means
+      the recall figure is exact).
 
     ``return_report=True`` returns ``(pairs_df, report_dict)`` with the
     budget accounting (estimated candidates, cap, hot shingle/doc counts).
@@ -888,6 +896,15 @@ def prefix_jaccard_pairs(
         raise ValueError("threshold must be in (0, 1]")
     if on_budget not in ("raise", "prescreen"):
         raise ValueError("on_budget must be 'raise' or 'prescreen'")
+    if candidate_budget is not None and num_hashes % bands != 0:
+        # the prescreen path assumes rows = num_hashes // bands exactly;
+        # a non-divisible combination would silently ignore trailing
+        # signature slots while prescreen_recall_at_t still assumed them
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            f"when candidate_budget is set (the MinHash prescreen uses "
+            f"rows = num_hashes // bands)"
+        )
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(par)
@@ -988,8 +1005,18 @@ def prefix_jaccard_pairs(
                 bs = banded.groupBy("band", "bucket").agg(
                     F.count(F.lit(1)).alias("bs")
                 )
+                dropped = bs.filter(F.col("bs") > max_bucket).persist()
+                # quantify the max_bucket guard's recall impact (see
+                # docstring caveat): groups dropped + (doc, band) rows in
+                # them -- one 1-row agg over the small bucket-size frame
+                drop_row = dropped.agg(
+                    F.count(F.lit(1)).alias("nb"),
+                    F.coalesce(F.sum("bs"), F.lit(0)).alias("nr"),
+                ).collect()[0]
+                report["prescreen_dropped_buckets"] = int(drop_row["nb"])
+                report["prescreen_dropped_bucket_rows"] = int(drop_row["nr"])
                 banded = banded.join(
-                    F.broadcast(bs.filter(F.col("bs") > max_bucket)),
+                    F.broadcast(dropped),
                     on=["band", "bucket"],
                     how="left_anti",
                 )
@@ -1105,6 +1132,12 @@ def prefix_jaccard_join(
         raise ValueError("threshold must be in (0, 1]")
     if on_budget not in ("raise", "prescreen"):
         raise ValueError("on_budget must be 'raise' or 'prescreen'")
+    if candidate_budget is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            f"when candidate_budget is set (the MinHash prescreen uses "
+            f"rows = num_hashes // bands)"
+        )
     par = left.sparkSession.sparkContext.defaultParallelism
 
     def _sh(df: DataFrame) -> DataFrame:
@@ -1215,7 +1248,16 @@ def prefix_jaccard_join(
                     bl.unionByName(br).groupBy("band", "bucket")
                     .agg(F.count(F.lit(1)).alias("bs"))
                 )
-                hot_buckets = F.broadcast(bs.filter(F.col("bs") > max_bucket))
+                dropped = bs.filter(F.col("bs") > max_bucket).persist()
+                # same max_bucket recall caveat as prefix_jaccard_pairs:
+                # report how much prescreen volume the guard removed
+                drop_row = dropped.agg(
+                    F.count(F.lit(1)).alias("nb"),
+                    F.coalesce(F.sum("bs"), F.lit(0)).alias("nr"),
+                ).collect()[0]
+                report["prescreen_dropped_buckets"] = int(drop_row["nb"])
+                report["prescreen_dropped_bucket_rows"] = int(drop_row["nr"])
+                hot_buckets = F.broadcast(dropped)
                 bl = bl.join(hot_buckets, on=["band", "bucket"], how="left_anti")
                 br = br.join(hot_buckets, on=["band", "bucket"], how="left_anti")
                 sl_sizes = shl.groupBy("id").agg(F.count(F.lit(1)).alias("n"))

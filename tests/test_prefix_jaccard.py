@@ -247,3 +247,41 @@ def test_decontaminate_fuzzy_planted(spark):
     assert not out[2]["contaminated"] and out[2]["n_benchmark_matches"] == 0
     assert out[3]["max_benchmark_jaccard"] == 1.0
     assert 0.8 <= out[1]["max_benchmark_jaccard"] < 1.0
+
+
+def test_prefix_budget_validates_band_divisibility(spark):
+    """ADVICE r4: a num_hashes/bands combination the prescreen math cannot
+    represent must raise up front when candidate_budget is set (without a
+    budget the prescreen never runs, so the legacy signature is unaffected)."""
+    from pyspark_validator.pipelines.dedup import prefix_jaccard_join
+
+    df = spark.createDataFrame(_boilerplate_docs(), ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        prefix_jaccard_pairs(
+            df, k=3, threshold=0.9, candidate_budget=1, num_hashes=64, bands=15
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        prefix_jaccard_join(
+            df, df, k=3, threshold=0.9, candidate_budget=1,
+            num_hashes=64, bands=15,
+        )
+
+
+def test_prefix_budget_prescreen_reports_dropped_buckets(spark):
+    """ADVICE r4: the prescreen report must quantify the max_bucket guard.
+    At default max_bucket nothing is dropped (counters 0 -> the recall
+    figure is exact); with max_bucket=0 every bucket is dropped and the
+    counters account for the full prescreen volume."""
+    df = spark.createDataFrame(_boilerplate_docs(), ["doc_id", "text"])
+    _, rep = prefix_jaccard_pairs(
+        df, k=3, threshold=0.9, candidate_budget=1, on_budget="prescreen",
+        return_report=True,
+    )
+    assert rep["prescreen_dropped_buckets"] == 0
+    assert rep["prescreen_dropped_bucket_rows"] == 0
+    _, rep0 = prefix_jaccard_pairs(
+        df, k=3, threshold=0.9, candidate_budget=1, on_budget="prescreen",
+        max_bucket=0, return_report=True,
+    )
+    assert rep0["prescreen_dropped_buckets"] > 0
+    assert rep0["prescreen_dropped_bucket_rows"] > 0
