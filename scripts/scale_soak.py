@@ -53,6 +53,14 @@ from pyspark.sql import functions as F  # noqa: E402
 EVLOG_DIR = "/tmp/soak-evlog"
 
 
+def _json_default(o):
+    """numpy scalars (np.bool_/int64/float64) leak out of sketch/pandas
+    results; serialize them by value."""
+    if hasattr(o, "item"):
+        return o.item()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
 def amplified_docs(spark, sf_dir: str, rep: int, plant_every: int = 20):
     """rep copies of each sf doc, word-suffixed per replica seed (disjoint
     shingle spaces across replica groups); every plant_every-th doc folds
@@ -167,6 +175,76 @@ def with_spans(df, chunk: int = 64, media_every: int = 7):
         ),
     )
     return df.withColumn("spans", spans)
+
+
+def validation_docs(spark, sf_dir: str, rep: int):
+    """rep copies of each sf doc with REALISTIC (non-dictionary-degenerate)
+    text for the validation-check soak: every word carries a per-replica
+    suffix, so each of the rep x base text values is UNIQUE -- parquet's
+    dictionary/RLE encodings cannot collapse the corpus the way plain
+    replication does (the round-4 2M fused follow-up measured a 400x-
+    replicated table compressing to ~54 KB/scan, which made scan-sharing
+    wall-neutral by construction; this corpus makes the scan a real cost).
+
+    Planted closed-form violations (require rep >= 4), all on the
+    src % 100 == 0 docs so every expected count = n100 exactly:
+      r == 1 -> text NULL            (completeness member: sum(n_null))
+      r == 2 -> n_chars_s = 'xx'     (type_conformance member: sum(n_bad))
+      r == 3 -> first span offset -1 (span_integrity: 'order' flag ONLY --
+                 -1 < the remaining ascending offsets, so the strictly-
+                 increasing rule still holds and no other flag trips)
+    Spans are derived BEFORE the text-null plant so span text fields stay
+    non-null (the plant must trip exactly one member each). n_chars / lang /
+    source keep their base values, so every distribution at soak scale is
+    EXACTLY the base distribution and drift/profile truths are closed-form.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("src"), "text", "lang", "source", "n_chars"
+    )
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("_"), F.col("r").cast("string")),
+        ),
+        " ",
+    )
+    planted = F.pmod(F.col("src"), F.lit(100)) == 0
+    base = (
+        docs.repartition(256)
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .withColumn("text", suffixed)
+    )
+    base = with_spans(base)
+    corrupt = F.transform(
+        F.col("spans"),
+        lambda x, i: F.when(
+            i == 0,
+            F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                F.lit(-1).alias("offset"),
+            ),
+        ).otherwise(x),
+    )
+    return base.select(
+        F.concat_ws(
+            "#", F.col("src").cast("string"), F.col("r").cast("string")
+        ).alias("doc_id"),
+        "src",
+        "lang",
+        "source",
+        F.when(planted & (F.col("r") == 1), F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "n_chars",
+        F.when(planted & (F.col("r") == 2), F.lit("xx"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars_s"),
+        F.when(planted & (F.col("r") == 3), corrupt)
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
 
 
 def synth_embeddings(spark, n: int, dim: int = 64, plant_every: int = 997):
@@ -496,6 +574,257 @@ def _gram_census_tier(spark, args, ops, res, _progress) -> None:
     base.unpersist()
 
 
+def _validation_tier(spark, args, ops, res, _progress) -> None:
+    """Soak the VALIDATION-CHECK tier itself at 8M docs -- the one family
+    round 4 left executed only at sf0.1 (VERDICT r4 task 3): the 15-member
+    FusedPass vs 15 standalone single-member passes over a MATERIALIZED
+    realistic-text parquet (fused scan-amplification at soak scale),
+    sketch_profile, the DataStats wide aggregations, and the drift family.
+    Every planted truth is closed-form in (rep, base-corpus statistics)."""
+    from bench import _fs_bytes_read
+    from pyspark_validator.checks.drift import categorical_drift, numeric_drift
+    from pyspark_validator.checks.stats import numeric_profile, string_profile
+    from pyspark_validator.fused import FusedPass
+    from pyspark_validator.sketches import sketch_profile
+
+    rep = args.val_rep
+    if rep < 4:
+        raise SystemExit("--val-rep must be >= 4 (plants live at r in {1,2,3})")
+    val_path = f"{args.work_dir}/validation.parquet"
+    _, t_build = _run_op(
+        spark, "build_validation",
+        lambda: validation_docs(spark, args.sf_dir, rep).write.parquet(val_path),
+    )
+    P = spark.read.parquet(val_path)
+    n_docs = P.count()
+    sz_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{val_path}/*.parquet")
+    )
+    res["validation_corpus"] = {
+        "n_docs": n_docs, "build_sec": t_build,
+        "parquet_bytes": sz_bytes,
+        "bytes_per_doc": round(sz_bytes / n_docs, 1),
+    }
+    # base statistics (rep=1 has no plants: r >= 1 never occurs)
+    base = validation_docs(spark, args.sf_dir, 1).persist()
+    n_base = base.count()
+    n100 = base.filter(F.pmod(F.col("src"), F.lit(100)) == 0).count()
+    lang_counts = {
+        r["lang"]: r["c"]
+        for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    expected_lang = {k: v / n_base for k, v in lang_counts.items()}
+    top_lang = max(lang_counts, key=lang_counts.get)
+
+    edges = [0.0, 100.0, 200.0, 400.0, 800.0, 1600.0]
+    probs = [0.2] * 5
+
+    def members():
+        return [
+            ("nar", lambda p, n: p.add_nar(n, ante={"lang": ["en"]}, cons={"n_chars": (0.0, 1e7)}, min_confidence=0.1)),
+            ("ac", lambda p, n: p.add_ac(n, "n_chars", "n_chars", "+", [(0.0, 1e7)])),
+            ("row_predicate", lambda p, n: p.add_row_predicate(n, {"n_chars": (0.0, 1e7)})),
+            ("completeness", lambda p, n: p.add_completeness(n, "text", max_null_fraction=0.001)),
+            ("numeric_profile", lambda p, n: p.add_numeric_profile(n, "n_chars")),
+            ("distinct", lambda p, n: p.add_distinct(n, "doc_id")),
+            ("type_conformance", lambda p, n: p.add_type_conformance(n, "n_chars_s", "bigint", max_violation_fraction=0.001)),
+            ("span_integrity", lambda p, n: p.add_span_integrity(n)),
+            ("pii_budget", lambda p, n: p.add_pii_budget(n, text_col="text", max_doc_fraction=1.0)),
+            ("benford", lambda p, n: p.add_benford(n, "n_chars")),
+            ("class_balance", lambda p, n: p.add_class_balance(n, "lang", expected=expected_lang)),
+            ("token_budget", lambda p, n: p.add_token_budget(n)),
+            ("media_context", lambda p, n: p.add_media_context(n)),
+            ("interleaved_quality", lambda p, n: p.add_interleaved_quality(n)),
+            ("histogram_drift", lambda p, n: p.add_histogram_drift(n, "n_chars", edges, probs)),
+        ]
+
+    # ---- fused-vs-standalone at soak scale (the 100-TB single-scan story) -
+    if "valfused" in ops:
+        def standalone_loop():
+            per: dict[str, float] = {}
+            b0 = _fs_bytes_read(spark)
+            for kind, add in members():
+                fp = FusedPass(P, num_partitions=32)
+                add(fp, f"s_{kind}")
+                t0 = time.perf_counter()
+                fp.verdict(f"s_{kind}").count()
+                per[kind] = round(time.perf_counter() - t0, 2)
+                fp.unpersist()
+            return per, _fs_bytes_read(spark) - b0
+
+        (per, standalone_bytes), t_standalone = _run_op(
+            spark, "val_standalone", standalone_loop
+        )
+
+        def fused_pass():
+            fp = FusedPass(P, num_partitions=32)
+            for kind, add in members():
+                add(fp, f"f_{kind}")
+            b1 = _fs_bytes_read(spark)
+            t0 = time.perf_counter()
+            for kind, _ in members():
+                fp.verdict(f"f_{kind}").count()
+            fused_sec = round(time.perf_counter() - t0, 2)
+            fused_bytes = _fs_bytes_read(spark) - b1
+            # planted verdict truths out of the SAME fused pass ------------
+            comp = fp.verdict("f_completeness").agg(
+                F.sum("n_null").alias("x")).collect()[0]["x"]
+            bad = fp.verdict("f_type_conformance").agg(
+                F.sum("n_bad").alias("x")).collect()[0]["x"]
+            spn = fp.verdict("f_span_integrity").agg(
+                F.sum("order_violations").alias("o"),
+                F.sum("kind_violations").alias("k"),
+                F.sum("text_null_violations").alias("t"),
+                F.sum("media_null_violations").alias("m"),
+            ).collect()[0]
+            dis = fp.rollup_distinct("f_distinct").collect()[0]
+            ben = fp.rollup_benford("f_benford").collect()[0]
+            cb_all_hold = (
+                fp.verdict("f_class_balance").filter(~F.col("holds")).count() == 0
+            )
+            fp.unpersist()
+            return {
+                "fused_sec": fused_sec, "fused_bytes": fused_bytes,
+                "planted_null": int(comp), "planted_bad": int(bad),
+                "span_order": int(spn["o"]),
+                "span_other": int(spn["k"]) + int(spn["t"]) + int(spn["m"]),
+                "distinct_n_rows": int(dis["n_rows"]),
+                "distinct_est": float(dis["distinct_est"]),
+                "benford_n": int(ben["n"]), "benford_mad": float(ben["mad"]),
+                "class_balance_all_hold": bool(cb_all_hold),
+            }
+
+        fused, t_fused_total = _run_op(spark, "val_fused", fused_pass)
+        base_mad = None
+        fp_b = FusedPass(base, num_partitions=32)
+        fp_b.add_benford("b", "n_chars")
+        fp_b.verdict("b").count()
+        base_mad = float(fp_b.rollup_benford("b").collect()[0]["mad"])
+        fp_b.unpersist()
+        total = round(sum(per.values()), 2)
+        res["val_fused"] = {
+            "checks": 15, "n_docs": n_docs,
+            "standalone_sec": total, "fused_sec": fused["fused_sec"],
+            "speedup": round(total / fused["fused_sec"], 2),
+            "standalone_src_bytes": standalone_bytes,
+            "fused_src_bytes": fused["fused_bytes"],
+            "scan_amplification": round(
+                standalone_bytes / fused["fused_bytes"], 1
+            ) if fused["fused_bytes"] else None,
+            "standalone_per_check": per,
+            # planted truths (all exact integers except the two bounds)
+            "planted_null": fused["planted_null"],
+            "planted_null_exact": fused["planted_null"] == n100,
+            "planted_bad": fused["planted_bad"],
+            "planted_bad_exact": fused["planted_bad"] == n100,
+            "span_order": fused["span_order"],
+            "span_order_exact": fused["span_order"] == n100,
+            "span_other_zero": fused["span_other"] == 0,
+            "distinct_n_rows_exact": fused["distinct_n_rows"] == n_docs,
+            "distinct_est": round(fused["distinct_est"], 1),
+            "distinct_est_within_5pct": abs(fused["distinct_est"] / n_docs - 1.0) <= 0.05,
+            "benford_n_exact": fused["benford_n"] == n_docs,
+            "benford_mad": fused["benford_mad"],
+            "benford_mad_matches_base": abs(fused["benford_mad"] - base_mad) <= 1e-9,
+            "class_balance_all_hold": fused["class_balance_all_hold"],
+            "expected_n100": n100,
+        }
+        _progress("val_fused")
+
+    # ---- mergeable-sketch profile (HLL + CMS + KLL in one scan) ----------
+    if "sketch" in ops:
+        def sketch_op():
+            prof = sketch_profile(P, ["doc_id", "lang", "n_chars"])
+            return prof
+
+        prof, t = _run_op(spark, "sketch_profile", sketch_op)
+        doc_est = prof["doc_id"].distinct_est()
+        lang_est = prof["lang"].distinct_est()
+        en_est = int(prof["lang"].heavy_hitter_counts(spark, [top_lang])[top_lang])
+        en_exact = rep * lang_counts[top_lang]
+        med = prof["n_chars"].quantiles([0.5])[0]
+        med_rank = (
+            base.filter(F.col("n_chars").cast("double") <= F.lit(float(med))).count()
+            / n_base
+        )
+        res["sketch_profile"] = {
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+            "n_exact": prof["doc_id"].n == n_docs,
+            "doc_id_distinct_est": round(doc_est, 1),
+            "doc_id_est_within_5pct": abs(doc_est / n_docs - 1.0) <= 0.05,
+            "lang_distinct_est": round(lang_est, 2),
+            "lang_est_exact_smallrange": round(lang_est) == len(lang_counts),
+            "top_lang_cms_est": en_est, "top_lang_exact": en_exact,
+            "cms_overestimates_only": en_est >= en_exact,
+            "cms_within_1pct_of_n": (en_est - en_exact) <= 0.01 * n_docs,
+            "kll_median": med,
+            "kll_median_rank_in_45_55": 0.45 <= med_rank <= 0.55,
+        }
+        _progress("sketch_profile")
+
+    # ---- DataStats wide aggregations (numeric + string single passes) ----
+    if "datastats" in ops:
+        b_num = {
+            r["column"]: r
+            for r in numeric_profile(base, ["n_chars", "src"]).collect()
+        }
+
+        def datastats_op():
+            num = {
+                r["column"]: r
+                for r in numeric_profile(P, ["n_chars", "src"]).collect()
+            }
+            st = {
+                r["column"]: r
+                for r in string_profile(P, ["lang", "text"]).collect()
+            }
+            return num, st
+
+        (num, st), t = _run_op(spark, "datastats_wide", datastats_op)
+        nc, bnc = num["n_chars"], b_num["n_chars"]
+        res["datastats_wide"] = {
+            "sec": t, "docs_per_sec": round(n_docs / t, 1),
+            "count_exact": nc["count"] == n_docs,
+            "min_max_exact": (nc["min"], nc["max"]) == (bnc["min"], bnc["max"]),
+            "sum_exact": nc["sum"] == rep * bnc["sum"],
+            "zeros_exact": nc["n_zeros"] == rep * bnc["n_zeros"],
+            "avg_matches_base": abs(nc["avg"] - bnc["avg"]) <= 1e-9 * abs(bnc["avg"]),
+            "lang_count_exact": st["lang"]["count"] == n_docs,
+            "lang_distinct_exact": st["lang"]["n_distinct"] == len(lang_counts),
+            "text_nonnull_exact": st["text"]["count"] == n_docs - n100,
+            "text_null_exact": st["text"]["n_nulls"] == n100,
+        }
+        _progress("datastats_wide")
+
+    # ---- drift family: 8M-current vs base baseline, null + planted -------
+    if "drift" in ops:
+        def drift_op():
+            cat = categorical_drift(base, P, "lang").collect()[0]
+            num = numeric_drift(base, P, "n_chars", num_bins=50).collect()[0]
+            shifted = P.withColumn(
+                "n_chars",
+                F.col("n_chars")
+                + F.when(F.pmod(F.col("src"), F.lit(2)) == 1, F.lit(300)).otherwise(F.lit(0)),
+            )
+            shift = numeric_drift(base, shifted, "n_chars", num_bins=50).collect()[0]
+            return cat, num, shift
+
+        (cat, num, shift), t = _run_op(spark, "drift_family", drift_op)
+        res["drift_family"] = {
+            "sec": t, "docs_per_sec": round(3 * n_docs / t, 1),
+            "cat_counts_exact": cat["n_b"] == n_base and cat["n_c"] == n_docs,
+            "cat_psi": round(float(cat["psi"]), 8),
+            "cat_null_drift_clean": (not cat["drift_detected"]) and float(cat["psi"]) < 1e-3,
+            "num_psi": round(float(num["psi"]), 8),
+            "num_null_drift_clean": (not num["drift_detected"]) and float(num["psi"]) < 1e-3,
+            "shift_psi": round(float(shift["psi"]), 6),
+            "shift_detected": bool(shift["drift_detected"]),
+        }
+        _progress("drift_family")
+
+    base.unpersist()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=1600)
@@ -516,7 +845,14 @@ def main() -> None:
         help="comma list of ops to run (resume a crashed soak selectively). "
              "Similarity tier (suffixed corpus): minhash,audit,prefix,knn,sem,"
              "prefix07. Gram/census tier (plain-replicated corpus -- the "
-             "hot-key load shape): spans,delta_spans,lines,census,dsir,contam",
+             "hot-key load shape): spans,delta_spans,lines,census,dsir,contam. "
+             "Validation tier (realistic-text materialized corpus): "
+             "valfused,sketch,datastats,drift",
+    )
+    ap.add_argument(
+        "--val-rep", type=int, default=1600,
+        help="replication factor for the validation-tier corpus (>= 4; "
+             "1600 x sf0.1 = 8M docs)",
     )
     ap.add_argument(
         "--prefix-budget", type=int, default=100_000_000,
@@ -527,6 +863,7 @@ def main() -> None:
     ops = set(args.ops.split(","))
     SIM_OPS = {"minhash", "audit", "prefix", "prefix07"}
     GRAM_OPS = {"spans", "delta_spans", "lines", "census", "dsir", "contam"}
+    VAL_OPS = {"valfused", "sketch", "datastats", "drift"}
 
     shutil.rmtree(EVLOG_DIR, ignore_errors=True)
     os.makedirs(EVLOG_DIR, exist_ok=True)
@@ -577,7 +914,7 @@ def main() -> None:
     )
 
     def _progress(key):
-        print(json.dumps({key: res[key]}), flush=True)
+        print(json.dumps({key: res[key]}, default=_json_default), flush=True)
 
     # ---- corpus build (written to parquet so every op pays a real scan) ----
     docs = None
@@ -697,6 +1034,10 @@ def main() -> None:
     if ops & GRAM_OPS:
         _gram_census_tier(spark, args, ops, res, _progress)
 
+    # ================= validation tier (realistic-text corpus) ============
+    if ops & VAL_OPS:
+        _validation_tier(spark, args, ops, res, _progress)
+
     from pyspark_validator.pipelines.similarity import (
         knn_join_lsh,
         semantic_dedup_clustered,
@@ -762,9 +1103,9 @@ def main() -> None:
     spark.stop()
     time.sleep(2)  # let the event log close/rename
     res["shuffle_bytes"] = shuffle_bytes_by_group(app_id)
-    print(json.dumps(res, indent=2))
+    print(json.dumps(res, indent=2, default=_json_default))
     with open(args.out, "w") as f:
-        json.dump(res, f, indent=2)
+        json.dump(res, f, indent=2, default=_json_default)
     shutil.rmtree(args.work_dir, ignore_errors=True)
 
 
