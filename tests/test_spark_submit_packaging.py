@@ -239,3 +239,127 @@ def test_spark_submit_kill_and_resume(tmp_path):
     ).fetchone()[0]
     assert n_runs == 2
     print(f"resume wall: {resume_wall:.1f}s, run1 completed {len(done_run1)}/{len(checks)}")
+
+
+def test_spark_submit_concurrent_runs_with_kill(tmp_path):
+    """Manifest concurrency end-to-end: TWO concurrent suite runs share ONE
+    manifest dir (the scenario record_verdicts' batch-subdirectory design
+    exists for), one of them is SIGKILLed mid-run, the survivor completes,
+    and a third run proves a clean resume. Asserts the documented semantics:
+    pure-union merge (coverage complete, duplicate triples from the overlap
+    allowed), last-wins resolution yields exactly one row per triple,
+    duplicate verdicts agree (same data => same verdict), and the torn
+    batch dir left by the kill never poisons a read."""
+    import time
+
+    docs = os.path.join("/root/testdata/sf0.01", "documents.parquet")
+    if not os.path.exists(docs):
+        pytest.skip("testdata not present")
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from package import build_zip
+    finally:
+        sys.path.pop(0)
+    zip_path = str(tmp_path / "pyspark_validator.zip")
+    build_zip(os.path.join(REPO, "pyspark_validator"), zip_path)
+    driver = tmp_path / "run_suite.py"
+    shutil.copyfile(os.path.join(REPO, "scripts", "run_suite.py"), driver)
+
+    ckpt = tmp_path / "manifest"
+    checks = [
+        {"name": "ucc_doc_id", "kind": "ucc", "params": {"columns": ["doc_id"]}},
+        {"name": "text_present", "kind": "completeness",
+         "params": {"column": "text", "max_null_fraction": 0.0}},
+        {"name": "chars_profile", "kind": "numeric_profile",
+         "params": {"column": "n_chars"}},
+        {"name": "lang_type", "kind": "type_conformance",
+         "params": {"column": "lang", "dtype": "string"}},
+        {"name": "chars_benford", "kind": "benford",
+         "params": {"column": "n_chars"}},
+        {"name": "doc_distinct", "kind": "distinct",
+         "params": {"columns": "doc_id", "min_ratio": 0.5}},
+    ]
+    spec = {
+        "table": docs,
+        "num_partitions": 8,
+        "doc_id_col": "doc_id",
+        "checkpoint_path": str(ckpt),
+        "snapshot_id": "snap-concurrent",
+        "checks": checks,
+    }
+    spec_path = tmp_path / "suite.json"
+    spec_path.write_text(json.dumps(spec))
+
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        _spark_submit(), "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        str(driver), "--spec", str(spec_path),
+    ]
+
+    # two CONCURRENT runs on the same manifest; kill A once any append commits
+    proc_a = subprocess.Popen(
+        cmd, cwd=str(tmp_path), env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    proc_b = subprocess.Popen(
+        cmd, cwd=str(tmp_path), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if list(ckpt.glob("batch-*/part-*.parquet")):
+            break
+        if proc_a.poll() is not None and proc_b.poll() is not None:
+            break
+        time.sleep(0.05)
+    proc_a.kill()
+    proc_a.wait(timeout=60)
+    out_b, _ = proc_b.communicate(timeout=600)
+    assert proc_b.returncode in (0, 3), "survivor run failed"
+
+    import duckdb
+
+    glob_sql = f"'{ckpt}/batch-*/part-*.parquet'"
+    # union semantics: full coverage despite the kill (B computed everything
+    # that wasn't committed when it checked pending -- both started empty)
+    cov = duckdb.sql(
+        f"select check_id, count(distinct partition_id) from {glob_sql} group by 1"
+    ).fetchall()
+    assert sorted(cov) == sorted((c["name"], 8) for c in checks)
+    # last-wins resolution: ranking by completed_at leaves exactly one row
+    # per (check, snapshot, partition) triple even where the overlap wrote two
+    resolved = duckdb.sql(
+        f"""select count(*) from (
+              select *, row_number() over (
+                partition by check_id, snapshot_id, partition_id
+                order by completed_at desc, run_id desc) rn
+              from {glob_sql}) where rn = 1"""
+    ).fetchone()[0]
+    assert resolved == len(checks) * 8
+    # determinism: where both runs committed the same triple, verdicts agree
+    disagree = duckdb.sql(
+        f"""select check_id, partition_id, count(distinct status)
+            from {glob_sql} group by 1, 2 having count(distinct status) > 1"""
+    ).fetchall()
+    assert disagree == [], f"concurrent runs disagreed: {disagree}"
+
+    # clean resume: a third run sees nothing pending and recomputes nothing
+    proc_c = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc_c.returncode in (0, 3), proc_c.stderr[-3000:]
+    lines_c = {
+        j["check"]: j
+        for j in (json.loads(ln) for ln in proc_c.stdout.splitlines()
+                  if ln.startswith("{") and '"check"' in ln)
+    }
+    for c in checks:
+        assert lines_c[c["name"]]["partitions"] == 0, (c["name"], lines_c[c["name"]])
