@@ -75,6 +75,14 @@ class _Member:
     exprs: list[Column]
     merges: dict[str, str]
     finish: Callable[[DataFrame], DataFrame]
+    # True for members whose aggregates are TypedImperativeAggregates (the
+    # HLL sketch): ONE such function demotes the WHOLE physical aggregation
+    # from whole-stage-codegen HashAggregate to interpreted
+    # ObjectHashAggregate, taxing every other member's row expressions.
+    # grouped() therefore isolates these into a thin companion aggregation
+    # (measured at 8M docs: 788 s -> the codegen path's ~350 s; see
+    # BASELINE.md round-5 validation-tier soak).
+    imperative: bool = False
 
 
 def _ident(name: str) -> str:
@@ -644,7 +652,7 @@ class FusedPass:
             )
 
         merges = {f"{n}__n_rows": "sum", f"{n}__hll": "hll_union"}
-        return self._add(_Member(n, exprs, merges, finish))
+        return self._add(_Member(n, exprs, merges, finish, imperative=True))
 
     def add_histogram_drift(
         self,
@@ -806,17 +814,46 @@ class FusedPass:
     # ---- execution --------------------------------------------------------
 
     def grouped(self) -> DataFrame:
-        """The shared P-row aggregate: one scan, one partial-agg shuffle.
-        Persisted -- every verdict slice and rollup reads these P rows."""
+        """The shared P-row aggregate: one full-width scan, one map-side-
+        combinable shuffle of P rows. Persisted -- every verdict slice and
+        rollup reads these P rows.
+
+        Sketch-typed members (``imperative=True``, i.e. ``add_distinct``'s
+        HLL) are aggregated in a thin COMPANION pass joined back on
+        partition_id: a single TypedImperativeAggregate function forces the
+        entire physical aggregation onto the interpreted ObjectHashAggregate
+        path (no whole-stage codegen), which at 8M docs made the fused pass
+        2.1x SLOWER than the sum of its members (measured, BASELINE.md
+        round-5). The companion scan is column-pruned to the sketch inputs
+        (one thin column read vs the full-width scan), so the one-scan story
+        degrades to "one full scan + one thin scan" only when a sketch
+        member is present -- and every algebraic member keeps codegen."""
         if self._grouped is None:
             if not self._members:
                 raise ValueError("no checks registered")
-            exprs = [e for m in self._members.values() for e in m.exprs]
-            self._grouped = (
-                self.df.groupBy(self._pid.alias("partition_id"))
-                .agg(*exprs)
-                .persist()
-            )
+            members = list(self._members.values())
+            fast = [m for m in members if not m.imperative]
+            imp = [m for m in members if m.imperative]
+            key = self._pid.alias("partition_id")
+            if fast and imp:
+                # schema of the unsplit aggregate (analysis only, no job):
+                # the join result is reordered to match it exactly, so the
+                # incremental fold and every finish() see the same frame.
+                order = self.df.groupBy(key).agg(
+                    *[e for m in members for e in m.exprs]
+                ).columns
+                g_fast = self.df.groupBy(key).agg(
+                    *[e for m in fast for e in m.exprs]
+                )
+                g_imp = self.df.groupBy(key).agg(
+                    *[e for m in imp for e in m.exprs]
+                )
+                g = g_fast.join(g_imp, "partition_id").select(*order)
+            else:
+                g = self.df.groupBy(key).agg(
+                    *[e for m in members for e in m.exprs]
+                )
+            self._grouped = g.persist()
         return self._grouped
 
     def verdict(self, name: str) -> DataFrame:

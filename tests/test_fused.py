@@ -152,15 +152,44 @@ def test_fused_histogram_drift_psi_formula(orders, fused):
 
 
 def test_fused_plan_one_scan_one_shuffle(spark, orders, fused):
-    """The scale claim itself: seven checks, ONE parquet scan, ONE exchange,
-    no Python eval, and the scan reads only the referenced columns."""
+    """The scale claim: seven checks, ONE full-width parquet scan for every
+    algebraic member under whole-stage-codegen HashAggregate, plus ONE thin
+    column-pruned companion scan isolating the HLL sketch member (a
+    TypedImperativeAggregate would otherwise demote the whole aggregation to
+    interpreted ObjectHashAggregate — measured 2.1x slower at 8M docs,
+    BASELINE.md round-5). No Python eval anywhere."""
     spark.catalog.clearCache()
     p = _plan(fused.grouped())
+    assert _count(p, "Scan parquet") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the algebraic members keep the codegen HashAggregate path; the object
+    # path appears exactly once per agg level (partial+final) for the sketch
+    # (_count anchors on the node header, so "HashAggregate" does not
+    # also match the Object variant)
+    assert _count(p, "HashAggregate") == 2
+    assert _count(p, "ObjectHashAggregate") == 2
+    schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert len(schemas) == 2
+    for schema in schemas:
+        assert "o_comment" not in schema  # pruned: no check touches it
+    # the companion scan reads ONLY the sketch input / partition key column
+    assert min(schemas, key=len).strip().endswith("struct<o_orderkey:bigint>")
+
+
+def test_fused_plan_all_algebraic_single_scan(spark, orders):
+    """Without a sketch member the original one-scan/one-exchange shape must
+    survive — no companion pass, no join, pure HashAggregate."""
+    spark.catalog.clearCache()
+    fp = (
+        FusedPass(orders, num_partitions=8, partition_key="o_orderkey")
+        .add_completeness("null_prio", "o_orderpriority", max_null_fraction=0.0)
+        .add_numeric_profile("prof_price", "o_totalprice")
+    )
+    p = _plan(fp.grouped())
     assert _count(p, "Scan parquet") == 1
     assert _count(p, "Exchange") == 1
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
-    assert "o_comment" not in schema  # pruned: no check touches it
+    assert _count(p, "ObjectHashAggregate") == 0
+    fp.unpersist()
 
 
 def test_run_fused_matches_run_and_resumes(spark, orders, tmp_path):
