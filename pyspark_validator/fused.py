@@ -75,14 +75,26 @@ class _Member:
     exprs: list[Column]
     merges: dict[str, str]
     finish: Callable[[DataFrame], DataFrame]
-    # True for members whose aggregates are TypedImperativeAggregates (the
-    # HLL sketch): ONE such function demotes the WHOLE physical aggregation
-    # from whole-stage-codegen HashAggregate to interpreted
-    # ObjectHashAggregate, taxing every other member's row expressions.
-    # grouped() therefore isolates these into a thin companion aggregation
-    # (measured at 8M docs: 788 s -> the codegen path's ~350 s; see
-    # BASELINE.md round-5 validation-tier soak).
-    imperative: bool = False
+    # Aggregation compatibility group. grouped() runs ONE physical
+    # aggregation per distinct group and joins the P-row results on
+    # partition_id, because two member families measurably poison each
+    # other when their expressions share one aggregation pass:
+    #  * "sketch" (add_distinct's HLL): a TypedImperativeAggregate demotes
+    #    the whole aggregation from whole-stage-codegen HashAggregate to
+    #    interpreted ObjectHashAggregate, taxing every other member's row
+    #    expressions. Its companion scan column-prunes to the key column.
+    #  * "regex" (add_pii_budget): alternating its java.util.regex pattern
+    #    family with the BPE-lambda members' pattern in one hot loop is a
+    #    4-6x multiplicative slowdown in EVERY execution mode (codegen on,
+    #    off, fully interpreted -- measured at 2M docs: pii 27 s solo,
+    #    token_budget 28 s solo, 135-173 s in one aggregation; the same
+    #    pair is additive when the patterns coincide), i.e. JIT profile
+    #    pollution at the shared regex interpreter call sites, not a plan
+    #    defect. Its companion scan column-prunes to the text column.
+    # "main" members (span folds, sums, casts, histograms) fuse freely --
+    # measured strictly cheaper than standalone (tb+iq: 27 s fused vs 56 s
+    # standalone at 2M docs). See BASELINE.md round-5 validation-tier soak.
+    group: str = "main"
 
 
 def _ident(name: str) -> str:
@@ -314,7 +326,10 @@ class FusedPass:
 
         merges = {f"{n}__n_rows": "sum", f"{n}__n_pii_docs": "sum"}
         merges.update({f"{n}__n_{kind}": "sum" for kind in counts})
-        return self._add(_Member(n, exprs, merges, finish))
+        # own aggregation group: the pii pattern family measurably poisons
+        # (and is poisoned by) the BPE-lambda members when they share one
+        # pass -- see _Member.group
+        return self._add(_Member(n, exprs, merges, finish, group="regex"))
 
     def add_token_budget(
         self,
@@ -652,7 +667,7 @@ class FusedPass:
             )
 
         merges = {f"{n}__n_rows": "sum", f"{n}__hll": "hll_union"}
-        return self._add(_Member(n, exprs, merges, finish, imperative=True))
+        return self._add(_Member(n, exprs, merges, finish, group="sketch"))
 
     def add_histogram_drift(
         self,
@@ -818,43 +833,49 @@ class FusedPass:
         combinable shuffle of P rows. Persisted -- every verdict slice and
         rollup reads these P rows.
 
-        Sketch-typed members (``imperative=True``, i.e. ``add_distinct``'s
-        HLL) are aggregated in a thin COMPANION pass joined back on
-        partition_id: a single TypedImperativeAggregate function forces the
-        entire physical aggregation onto the interpreted ObjectHashAggregate
-        path (no whole-stage codegen), which at 8M docs made the fused pass
-        2.1x SLOWER than the sum of its members (measured, BASELINE.md
-        round-5). The companion scan is column-pruned to the sketch inputs
-        (one thin column read vs the full-width scan), so the one-scan story
-        degrades to "one full scan + one thin scan" only when a sketch
-        member is present -- and every algebraic member keeps codegen."""
+        Members whose expression families measurably poison a shared pass
+        (the HLL sketch's ObjectHashAggregate demotion; the pii pattern
+        family's multiplicative regex interference with the BPE-lambda
+        members -- both measured, see ``_Member.group`` and BASELINE.md
+        round-5) are aggregated in thin COMPANION passes joined back on
+        partition_id, each column-pruned to its own inputs. The one-scan
+        story degrades to one full-width scan plus at most two thin
+        single-column scans, and every "main" member keeps whole-stage
+        codegen and a JIT-monomorphic hot loop."""
         if self._grouped is None:
-            if not self._members:
-                raise ValueError("no checks registered")
-            members = list(self._members.values())
-            fast = [m for m in members if not m.imperative]
-            imp = [m for m in members if m.imperative]
-            key = self._pid.alias("partition_id")
-            if fast and imp:
-                # schema of the unsplit aggregate (analysis only, no job):
-                # the join result is reordered to match it exactly, so the
-                # incremental fold and every finish() see the same frame.
-                order = self.df.groupBy(key).agg(
-                    *[e for m in members for e in m.exprs]
-                ).columns
-                g_fast = self.df.groupBy(key).agg(
-                    *[e for m in fast for e in m.exprs]
-                )
-                g_imp = self.df.groupBy(key).agg(
-                    *[e for m in imp for e in m.exprs]
-                )
-                g = g_fast.join(g_imp, "partition_id").select(*order)
-            else:
-                g = self.df.groupBy(key).agg(
-                    *[e for m in members for e in m.exprs]
-                )
-            self._grouped = g.persist()
+            self._grouped = self._aggregate(self.df).persist()
         return self._grouped
+
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        """The members' partial aggregation over ``df`` (shared by
+        ``grouped()`` and the incremental delta fold): one physical
+        aggregation per distinct ``_Member.group`` (see the dataclass note
+        for the two measured poison pairs that make grouping necessary),
+        joined on partition_id and reordered to the unsplit schema so
+        verdict slices, rollups, and the incremental fold never see the
+        difference."""
+        if not self._members:
+            raise ValueError("no checks registered")
+        members = list(self._members.values())
+        key = self._pid.alias("partition_id")
+        groups: dict[str, list[_Member]] = {}
+        for m in members:
+            groups.setdefault(m.group, []).append(m)
+        if len(groups) == 1:
+            return df.groupBy(key).agg(*[e for m in members for e in m.exprs])
+        # schema of the unsplit aggregate (analysis only, no job): the join
+        # result is reordered to match it exactly.
+        order = df.groupBy(key).agg(
+            *[e for m in members for e in m.exprs]
+        ).columns
+        frames = [
+            df.groupBy(key).agg(*[e for m in ms for e in m.exprs])
+            for ms in groups.values()
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.join(f, "partition_id")
+        return out.select(*order)
 
     def verdict(self, name: str) -> DataFrame:
         return self._members[name].finish(self.grouped())
@@ -961,8 +982,7 @@ class IncrementalFused:
         self.state = _IncrementalState(fp.df.sparkSession, state_path)
 
     def _partial(self, df: DataFrame) -> DataFrame:
-        exprs = [e for m in self.fp._members.values() for e in m.exprs]
-        return df.groupBy(self.fp._pid.alias("partition_id")).agg(*exprs)
+        return self.fp._aggregate(df)
 
     def initialize(self, df: DataFrame | None = None) -> int:
         """Full pass over the base table (the one unavoidable scan)."""

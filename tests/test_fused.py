@@ -176,6 +176,30 @@ def test_fused_plan_one_scan_one_shuffle(spark, orders, fused):
     assert min(schemas, key=len).strip().endswith("struct<o_orderkey:bigint>")
 
 
+def test_fused_plan_regex_group_isolated(spark, orders):
+    """A pii member gets its OWN aggregation pass (the regex-interference
+    poison pair, _Member.group): with sketch + regex + main members the plan
+    carries three scans, and the regex companion is column-pruned to the
+    text column + partition key."""
+    spark.catalog.clearCache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = (
+        FusedPass(docs, num_partitions=8)
+        .add_benford("ben", "n_chars")
+        .add_distinct("uniq", "doc_id")
+        .add_pii_budget("pii", text_col="text", max_doc_fraction=1.0)
+    )
+    p = _plan(fp.grouped())
+    assert _count(p, "Scan parquet") == 3
+    schemas = sorted(
+        (l.split("ReadSchema:")[1].strip() for l in p.splitlines() if "ReadSchema" in l),
+        key=len,
+    )
+    assert schemas[0] == "struct<doc_id:bigint>"  # sketch companion
+    assert schemas[1] == "struct<doc_id:bigint,text:string>"  # regex companion
+    fp.unpersist()
+
+
 def test_fused_plan_all_algebraic_single_scan(spark, orders):
     """Without a sketch member the original one-scan/one-exchange shape must
     survive — no companion pass, no join, pure HashAggregate."""
