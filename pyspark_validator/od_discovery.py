@@ -151,8 +151,12 @@ def _encode_ranks(
     cache, not by the lineage."""
     enc = df.select(*[F.col(c).alias(f"__c{i}") for i, c in enumerate(columns)])
     n_part = num_partitions or enc.sparkSession.sparkContext.defaultParallelism
-    dicts: list[DataFrame] = []
-    for i in range(len(columns)):
+
+    def _build(i: int):
+        # independent per column; submitted concurrently below so the p
+        # count-collect round-trips overlap instead of serializing (the
+        # collects, not the joins, dominate the encode wall at toy scale --
+        # the joins stay lazy and run in the caller's one materializing job)
         dist = (
             enc.select(F.col(f"__c{i}").alias("__v"))
             .distinct()
@@ -173,11 +177,19 @@ def _encode_ranks(
         ranked = dist.select(
             "__v", (F.row_number().over(local) + offset).alias(f"e{i}")
         )
-        enc = enc.join(
-            ranked, enc[f"__c{i}"].eqNullSafe(ranked["__v"]), "left"
+        return ranked, dist
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(columns)))) as ex:
+        built = list(ex.map(_build, range(len(columns))))
+    out, dicts = enc, []
+    for i, (ranked, dist) in enumerate(built):
+        out = out.join(
+            ranked, out[f"__c{i}"].eqNullSafe(ranked["__v"]), "left"
         ).drop("__v", f"__c{i}")
         dicts.append(dist)
-    return enc, dicts
+    return out, dicts
 
 
 def _level_frame(
