@@ -56,6 +56,7 @@ operates on aggregated combos, not raw rows.
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from functools import reduce
 from itertools import combinations, permutations
@@ -178,8 +179,6 @@ def _encode_ranks(
             "__v", (F.row_number().over(local) + offset).alias(f"e{i}")
         )
         return ranked, dist
-
-    from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(columns)))) as ex:
         built = list(ex.map(_build, range(len(columns))))
@@ -459,8 +458,18 @@ def mine_set_ods(
         lvl, sid_of = _level_frame(enc, contexts, max_sets_per_job)
         lvl = lvl.persist()
         try:
-            ofd_valid = _check_ofds(lvl, ofd_cands, sid_of, error, n_rows)
-            swap_valid = _check_swaps(lvl, swap_cands, sid_of, error, n_rows)
+            # the two checks only read the shared cached level frame, so
+            # their jobs can overlap: the DAGScheduler dedups the common
+            # grouping-sets stages and the block manager serializes each
+            # cache fill per partition (no double compute)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_ofd = ex.submit(
+                    _check_ofds, lvl, ofd_cands, sid_of, error, n_rows
+                )
+                swap_valid = _check_swaps(
+                    lvl, swap_cands, sid_of, error, n_rows
+                )
+                ofd_valid = f_ofd.result()
         finally:
             lvl.unpersist()
         # --- second ComputeODs loop, replayed in the reference's order

@@ -42,6 +42,7 @@ grouping-sets pass operates on aggregated combos, not raw rows.
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -383,19 +384,26 @@ def mine_pfds(
                     (a,) = v.cols - lhs
                     if a in snapshots[v.cols]:
                         cands.append((v.cols, a))
-            errors = (
-                _fd_errors(lvl, cands, sid_of, error_measure, n)
-                if pfd_mode
-                else _afd_errors(
-                    lvl, cands, sid_of, error_measure, n, pdep_self
-                )
-            )
             need_ucc = arity < max_arity and any(
                 v.key_candidate for v in level.values()
             )
-            stats = (
-                _level_stats(lvl, contexts, sid_of) if need_ucc else {}
-            )
+            # the error and UCC-stat jobs only read the shared cached level
+            # frame, so they overlap (shared stages are deduped by the
+            # DAGScheduler; cache fills are per-partition serialized)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_stats = (
+                    ex.submit(_level_stats, lvl, contexts, sid_of)
+                    if need_ucc
+                    else None
+                )
+                errors = (
+                    _fd_errors(lvl, cands, sid_of, error_measure, n)
+                    if pfd_mode
+                    else _afd_errors(
+                        lvl, cands, sid_of, error_measure, n, pdep_self
+                    )
+                )
+                stats = f_stats.result() if f_stats is not None else {}
         finally:
             lvl.unpersist()
         for v in sorted(level.values(), key=lambda v: _mask(v.cols)):
