@@ -2573,3 +2573,190 @@ class Cords(_Verifier):
             FD([cols.index(a)], cols.index(b), cols)
             for a, b in self._res["sfds"]
         ]
+
+
+# ---------------------------------------------------------------------------
+# Graph / sequence tier facades (bind_gfd*.cpp, bind_gdd_verification.cpp,
+# bind_gspan.cpp, bind_fem.cpp)
+# ---------------------------------------------------------------------------
+
+
+class _GfdHandler:
+    """gfd_verification.{GfdValid, EGfdValid, NaiveGfdValid} analog
+    (bind_gfd_verification.cpp: BindPrimitive over the three validators with
+    the shared get_gfds getter). load_data takes the DOT graph path (or a
+    parsed GraphData) and a list of GFD file paths / Gfd objects, exactly as
+    the reference's kGraphData/kGfdData options."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark
+        self._gfds = []
+        self._frames = None
+
+    def load_data(self, graph=None, gfd=None, **_kw) -> None:
+        from pyspark_validator.graphs import (
+            Gfd,
+            GraphData,
+            graph_frames,
+            read_dot,
+            read_gfd,
+        )
+
+        spark = self._spark or SparkSession.active()
+        g = graph if isinstance(graph, GraphData) else read_dot(str(graph))
+        self._frames = graph_frames(spark, g)
+        self._gfds = [
+            p if isinstance(p, Gfd) else read_gfd(str(p)) for p in (gfd or [])
+        ]
+
+    def execute(self, **_kw) -> None:
+        from pyspark_validator.graphs import satisfied_gfds
+
+        vertices, edges = self._frames
+        self._result = satisfied_gfds(vertices, edges, self._gfds)
+
+    def get_gfds(self):
+        return self._result
+
+
+class GfdValid(_GfdHandler):
+    """gfd_validator.cpp GfdValidator (candidate-partitioned)."""
+
+
+class EGfdValid(_GfdHandler):
+    """egfd_validator.cpp EGfdValidator (same verdict semantics)."""
+
+
+class NaiveGfdValid(_GfdHandler):
+    """naivegfd_validator.cpp NaiveGfdValidator. Implements the canonical
+    GfdValidator literal semantics; the reference's naive variant resolves
+    the second literal token through the FIRST token's vertex
+    (naivegfd_validator.cpp:56-66) -- a slip all three validators mask on
+    every shipped fixture."""
+
+
+class GfdMiner:
+    """gfd_mining.GfdMiner analog (bind_gfd.cpp: get_gfds; options kGraphData
+    / kGfdK / kGfdSigma)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark
+
+    def load_data(self, graph=None, gfd_k: int = 2, gfd_sigma: int = 1, **_kw):
+        from pyspark_validator.graphs import GraphData, read_dot
+
+        self._graph = (
+            graph if isinstance(graph, GraphData) else read_dot(str(graph))
+        )
+        self._k = int(gfd_k)
+        self._sigma = int(gfd_sigma)
+
+    def execute(self, **_kw) -> None:
+        from pyspark_validator.graphs import mine_gfds
+
+        self._result = mine_gfds(self._graph, self._k, self._sigma)
+
+    def get_gfds(self):
+        return self._result
+
+
+class NaiveGddValidator:
+    """gdd.algorithms.NaiveGddValidator analog (bind_gdd_verification.cpp:
+    get_result = the GDDs that hold, get_counterexamples = (gdd_index,
+    match) pairs)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark
+
+    def load_data(self, graph=None, gdd=None, **_kw) -> None:
+        from pyspark_validator.graphs import GraphData, graph_frames, read_dot
+
+        spark = self._spark or SparkSession.active()
+        g = graph if isinstance(graph, GraphData) else read_dot(str(graph))
+        self._frames = graph_frames(spark, g)
+        self._gdds = list(gdd or [])
+
+    def execute(self, **_kw) -> None:
+        from pyspark_validator.graphs import gdd_check, gdd_violations
+
+        vertices, edges = self._frames
+        verdicts = gdd_check(vertices, edges, self._gdds)
+        self._result = [g for g, ok in verdicts if ok]
+        self._counterexamples = []
+        for i, (g, ok) in enumerate(verdicts):
+            if not ok:
+                row = gdd_violations(vertices, edges, g).take(1)[0].asDict()
+                self._counterexamples.append((i, row))
+
+    def get_result(self):
+        return self._result
+
+    def get_counterexamples(self):
+        return self._counterexamples
+
+
+class GSpan:
+    """gspan.GSpan analog (bind_gspan.cpp; options kGraphDatabase /
+    kGSpanMinimumSupport / kOutputSingleVertices / kMaxNumberOfEdges)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark
+
+    def load_data(self, graph_database=None, **_kw) -> None:
+        from pyspark_validator.graphs.io import read_gspan
+
+        self._graphs = (
+            graph_database
+            if isinstance(graph_database, list)
+            else read_gspan(str(graph_database))
+        )
+
+    def execute(
+        self,
+        minsup: float = 0.5,
+        output_single_vertices: bool = True,
+        max_number_of_edges: int | None = None,
+        **_kw,
+    ) -> None:
+        from pyspark_validator.graphs import mine_gspan
+
+        spark = self._spark or SparkSession.active()
+        self._result = mine_gspan(
+            spark,
+            self._graphs,
+            minsup,
+            output_single_vertices=output_single_vertices,
+            max_edges=max_number_of_edges,
+        )
+
+    def get_frequent_subgraphs(self):
+        return self._result
+
+
+class MaxFEM:
+    """fem.MaxFEM analog (bind_fem.cpp: get_max_frequent_episodes; options
+    kSequence / kMinimumSupport / kWindowSize)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark
+
+    def load_data(self, sequence=None, **_kw) -> None:
+        from pyspark_validator.graphs.io import read_sequence
+
+        self._records = (
+            sequence
+            if isinstance(sequence, list)
+            else read_sequence(str(sequence))
+        )
+
+    def execute(
+        self, minimum_support: int = 1, window_size: int = 5, **_kw
+    ) -> None:
+        from pyspark_validator.graphs import mine_max_episodes
+
+        self._result = mine_max_episodes(
+            self._records, int(minimum_support), int(window_size)
+        )
+
+    def get_max_frequent_episodes(self):
+        return self._result
