@@ -7711,6 +7711,279 @@ FROM best
 """
 
 
+def _customer_nation_graph(spark: SparkSession, sf_dir: str):
+    """Property graph over customer/nation: customer vertices keyed by
+    c_custkey, nation vertices offset by 10^9, one directed 'in_nation' edge
+    per customer. Attribute maps carry the string-cast source columns (the
+    graph tier's attrs are string-typed, graph_descriptor.h)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customers = c.select(
+        F.col("c_custkey").cast("long").alias("vid"),
+        F.col("c_custkey").cast("long").alias("node_id"),
+        F.lit("customer").alias("label"),
+        F.create_map(
+            F.lit("name"), F.col("c_name"),
+            F.lit("mktsegment"), F.col("c_mktsegment"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+            F.lit("nationkey"), F.col("c_nationkey").cast("string"),
+        ).alias("attrs"),
+    )
+    nations = n.select(
+        (F.col("n_nationkey").cast("long") + F.lit(1000000000)).alias("vid"),
+        (F.col("n_nationkey").cast("long") + F.lit(1000000000)).alias(
+            "node_id"
+        ),
+        F.lit("nation").alias("label"),
+        F.create_map(
+            F.lit("name"), F.col("n_name"),
+            F.lit("nationkey"), F.col("n_nationkey").cast("string"),
+        ).alias("attrs"),
+    )
+    vertices = customers.unionByName(nations)
+    edges = c.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + F.lit(1000000000)).alias("dst"),
+        F.lit("in_nation").alias("label"),
+    )
+    return vertices, edges
+
+
+def q_gfd_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFD validation (graphs/gfd.py, reference gfd_validator.cpp semantics)
+    over the customer/nation property graph: per-GFD violation counts for a
+    violated rule (NATION_7 customers must be AUTOMOBILE -- false), a
+    vacuously-satisfied rule (no NO_SUCH_NATION vertex), and a
+    holds-by-construction rule (both endpoints carry the same nationkey
+    attribute). The embedding frame is the gfd.py join chain; the oracle
+    replays it as one SQL join per GFD."""
+    from pyspark_validator.graphs.gfd import Gfd, gfd_violations
+    from pyspark_validator.graphs.io import GraphData, VertexData
+
+    vertices, edges = _customer_nation_graph(spark, sf_dir)
+    pattern = GraphData(
+        directed=False,
+        vertices=[
+            VertexData(node_id=0, attrs={"label": "customer"}),
+            VertexData(node_id=1, attrs={"label": "nation"}),
+        ],
+        edges=[(0, 1, "in_nation")],
+    )
+    gfds = [
+        Gfd(pattern, [((1, "name"), (-1, "NATION_7"))],
+            [((0, "mktsegment"), (-1, "AUTOMOBILE"))]),
+        Gfd(pattern, [((1, "name"), (-1, "NO_SUCH_NATION"))],
+            [((0, "mktsegment"), (-1, "BUILDING"))]),
+        Gfd(pattern, [], [((0, "nationkey"), (1, "nationkey"))]),
+    ]
+    out = None
+    for i, gfd in enumerate(gfds):
+        row = gfd_violations(vertices, edges, gfd).agg(
+            F.count(F.lit(1)).alias("violations")
+        ).select(
+            F.lit(i).alias("gfd_index"),
+            F.col("violations"),
+            (F.col("violations") == 0).cast("int").alias("satisfied_flag"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gfd_index")
+
+
+SQL_GFD_CUSTOMER_NATION = """
+WITH emb AS (
+  SELECT c.c_mktsegment, c.c_nationkey AS ck, n.n_name, n.n_nationkey AS nk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+v AS (
+  SELECT 0 AS gfd_index,
+         COUNT(*) FILTER (WHERE n_name = 'NATION_7'
+                          AND c_mktsegment <> 'AUTOMOBILE') AS violations
+  FROM emb
+  UNION ALL
+  SELECT 1, COUNT(*) FILTER (WHERE n_name = 'NO_SUCH_NATION'
+                             AND c_mktsegment <> 'BUILDING')
+  FROM emb
+  UNION ALL
+  SELECT 2, COUNT(*) FILTER (WHERE CAST(ck AS VARCHAR) <> CAST(nk AS VARCHAR))
+  FROM emb
+)
+SELECT gfd_index, CAST(violations AS BIGINT) AS violations,
+       CAST(violations = 0 AS INT) AS satisfied_flag
+FROM v ORDER BY gfd_index
+"""
+
+
+def q_gdd_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDD validation (graphs/gdd.py, reference gdd.cpp semantics) over the
+    directed customer->nation graph: an abs-diff balance constraint gated by
+    an eq-with-epsilon nationkey LHS (counterexamples = NATION_3 customers
+    with |acctbal| > 5000), and a relation constraint (every NATION_7
+    customer's in_nation edge ends at vertex id 10^9+7 -- holds). Output:
+    per-GDD counterexample counts + holds flag."""
+    from pyspark_validator.graphs.gdd import (
+        AttrToken,
+        Gdd,
+        GddConstraint,
+        RelToken,
+        gdd_violations,
+    )
+    from pyspark_validator.graphs.io import GraphData, VertexData
+
+    vertices, edges = _customer_nation_graph(spark, sf_dir)
+    pattern = GraphData(
+        directed=True,
+        vertices=[
+            VertexData(node_id=0, attrs={"label": "customer"}),
+            VertexData(node_id=1, attrs={"label": "nation"}),
+        ],
+        edges=[(0, 1, "in_nation")],
+    )
+    gdds = [
+        Gdd(
+            pattern,
+            [GddConstraint(AttrToken(1, "nationkey"), 3, 0.0, "abs_diff", "eq")],
+            [GddConstraint(AttrToken(0, "acctbal"), 0.0, 5000.0, "abs_diff", "le")],
+        ),
+        Gdd(
+            pattern,
+            [GddConstraint(AttrToken(1, "nationkey"), 7, 0.0, "abs_diff", "eq")],
+            [GddConstraint(RelToken(0, "in_nation"), 1000000007, 0.0, "abs_diff", "eq")],
+        ),
+    ]
+    out = None
+    for i, gdd in enumerate(gdds):
+        row = gdd_violations(vertices, edges, gdd).agg(
+            F.count(F.lit(1)).alias("counterexamples")
+        ).select(
+            F.lit(i).alias("gdd_index"),
+            F.col("counterexamples"),
+            (F.col("counterexamples") == 0).cast("int").alias("holds_flag"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gdd_index")
+
+
+SQL_GDD_CUSTOMER_NATION = """
+WITH emb AS (
+  SELECT c.c_acctbal, n.n_nationkey
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+v AS (
+  SELECT 0 AS gdd_index,
+         COUNT(*) FILTER (WHERE n_nationkey = 3
+                          AND NOT abs(c_acctbal - 0.0) <= 5000.0)
+           AS counterexamples
+  FROM emb
+  UNION ALL
+  -- every matched NATION_7 customer's lone in_nation edge ends at 10^9+7
+  SELECT 1, 0 FROM (SELECT 1)
+)
+SELECT gdd_index, CAST(counterexamples AS BIGINT) AS counterexamples,
+       CAST(counterexamples = 0 AS INT) AS holds_flag
+FROM v ORDER BY gdd_index
+"""
+
+
+def q_gspan_orders_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gSpan seed census (graphs/gspan.py::gspan_edge_supports -- the
+    empty-DFS-code extension stage of gspan.cpp EnumerateRightMostExtensions)
+    over a transactional graph database derived from orders: one transaction
+    per customer, one edge per order between the status-code vertex (O=0,
+    F=1, P=2) and the priority-digit vertex (+10), edge label =
+    order-year mod 3. Support = distinct transactions containing the
+    normalized single-edge pattern; the oracle replays the least/greatest
+    normalization in SQL."""
+    from pyspark_validator.graphs.gspan import gspan_edge_supports
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edge_rows = o.select(
+        F.col("o_custkey").alias("graph_id"),
+        F.when(F.col("o_orderstatus") == "O", 0)
+        .when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("src_label"),
+        (F.substring("o_orderpriority", 1, 1).cast("long") + 10).alias(
+            "dst_label"
+        ),
+        (F.year(F.col("o_orderdate").cast("timestamp")) % 3)
+        .cast("long")
+        .alias("edge_label"),
+    )
+    return (
+        gspan_edge_supports(edge_rows)
+        .orderBy("v1_label", "v2_label", "edge_label")
+    )
+
+
+SQL_GSPAN_ORDERS_SEEDS = """
+WITH edge_rows AS (
+  SELECT o_custkey AS graph_id,
+         CAST(CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1
+              ELSE 2 END AS BIGINT) AS src_label,
+         CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) + 10 AS BIGINT)
+           AS dst_label,
+         CAST(year(o_orderdate) % 3 AS BIGINT) AS edge_label
+  FROM orders
+)
+SELECT least(src_label, dst_label) AS v1_label,
+       greatest(src_label, dst_label) AS v2_label,
+       edge_label,
+       CAST(COUNT(DISTINCT graph_id) AS BIGINT) AS support
+FROM edge_rows
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_maxfem_events_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-episode support census (graphs/maxfem.py::
+    parallel_episode_supports -- the location-list intersections of
+    parallel_episode.cpp, pair-sized slice) over the events table: event
+    sets = hour buckets, events = first-letter codes of event_type.
+    Singletons carry event_b = -1; min_support 600 of 720 buckets keeps the
+    result discriminating. The oracle replays the census as a dedup + self
+    join."""
+    from pyspark_validator.graphs.maxfem import parallel_episode_supports
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = e.select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        ).alias("bucket"),
+        F.ascii(F.substring("event_type", 1, 1)).cast("long").alias("event"),
+    )
+    out = parallel_episode_supports(
+        df, ts_col="bucket", event_col="event", min_support=600
+    )
+    return out.select(
+        "event_a",
+        F.coalesce("event_b", F.lit(-1)).alias("event_b"),
+        "support",
+    ).orderBy("event_a", "event_b")
+
+
+SQL_MAXFEM_EVENTS_PAIRS = """
+WITH be AS (
+  SELECT DISTINCT floor(epoch_us(ts) / 3600000000) AS b,
+         CAST(ascii(substr(event_type, 1, 1)) AS BIGINT) AS e
+  FROM events
+),
+census AS (
+  SELECT e AS event_a, CAST(-1 AS BIGINT) AS event_b,
+         COUNT(*) AS support
+  FROM be GROUP BY e
+  UNION ALL
+  SELECT a.e, b.e, COUNT(*)
+  FROM be a JOIN be b ON a.b = b.b AND a.e < b.e
+  GROUP BY a.e, b.e
+)
+SELECT event_a, event_b, CAST(support AS BIGINT) AS support
+FROM census WHERE support >= 600
+ORDER BY event_a, event_b
+"""
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All contract queries in build (registration) order."""
     return {
@@ -7871,6 +8144,10 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events_rows": q_outliers_events_rows,
         "embedding_outliers_topk": q_embedding_outliers_topk,
         "change_point_events": q_change_point_events,
+        "gfd_customer_nation": q_gfd_customer_nation,
+        "gdd_customer_nation": q_gdd_customer_nation,
+        "gspan_orders_seeds": q_gspan_orders_seeds,
+        "maxfem_events_pairs": q_maxfem_events_pairs,
     }
 
 
@@ -8175,6 +8452,10 @@ def oracle_sql() -> dict[str, str]:
         "outliers_events_rows": SQL_OUTLIERS_EVENTS_ROWS,
         "embedding_outliers_topk": SQL_EMBEDDING_OUTLIERS_TOPK,
         "change_point_events": SQL_CHANGE_POINT_EVENTS,
+        "gfd_customer_nation": SQL_GFD_CUSTOMER_NATION,
+        "gdd_customer_nation": SQL_GDD_CUSTOMER_NATION,
+        "gspan_orders_seeds": SQL_GSPAN_ORDERS_SEEDS,
+        "maxfem_events_pairs": SQL_MAXFEM_EVENTS_PAIRS,
     }
 
 
