@@ -180,4 +180,35 @@ cords.execute()
 print("Cords SFDs:", [str(f) for f in cords.get_fds()],
       "| correlations:", [str(c) for c in cords.get_correlations()])
 
+# --- graph + sequence tier (round 5) ---------------------------------------
+GRAPH_DATA = "/root/reference/test_input_data/graph_data"
+SEQ_DATA = "/root/reference/test_input_data/sequence_data"
+
+# reference:  algo = desbordante.gfd_verification.algorithms.GfdValid()
+#             algo.load_data(graph=path, gfd=[gfd_path]); algo.execute()
+gv = compat.GfdValid(spark)
+gv.load_data(graph=f"{GRAPH_DATA}/quadrangle.dot",
+             gfd=[f"{GRAPH_DATA}/quadrangle_gfd.dot"])
+gv.execute()
+print("GfdValid satisfied GFDs:", len(gv.get_gfds()))
+
+# reference:  desbordante.gfd_mining.algorithms.GfdMiner()
+gm = compat.GfdMiner(spark)
+gm.load_data(graph=f"{GRAPH_DATA}/blogs_graph.dot", gfd_k=2, gfd_sigma=3)
+gm.execute()
+print("GfdMiner mined:", len(gm.get_gfds()),
+      "| first:", str(gm.get_gfds()[0]).strip().splitlines()[:2])
+
+# reference:  desbordante.gspan.GSpan()
+gs = compat.GSpan(spark)
+gs.load_data(graph_database=f"{GRAPH_DATA}/gspan_test_simple.txt")
+gs.execute(minsup=0.6)
+print("GSpan frequent subgraphs:", len(gs.get_frequent_subgraphs()))
+
+# reference:  desbordante.fem.MaxFEM()
+mf = compat.MaxFEM(spark)
+mf.load_data(sequence=f"{SEQ_DATA}/maxfem_baseline.txt")
+mf.execute(minimum_support=2, window_size=2)
+print("MaxFEM maximal episodes:", mf.get_max_frequent_episodes())
+
 spark.stop()
