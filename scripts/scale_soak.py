@@ -825,6 +825,217 @@ def _validation_tier(spark, args, ops, res, _progress) -> None:
     base.unpersist()
 
 
+def _graph_tier(spark, args, ops, res, _progress) -> None:
+    """Soak the graph + sequence tier at 8M vertices/edges/rows -- executed
+    evidence for the round-5 additions' scale claims. Every expected count is
+    CLOSED-FORM: vertex attributes are pure functions of the vertex id with
+    small moduli, so each truth is computed by a one-period python loop and
+    must come back exact from the full-scale Spark run.
+
+    Graph shape: n customers (segment 'B' every 1000th id, else 'A';
+    nationkey = id %% 25; balance = (id %% 21)*1000 - 10000 as a string) +
+    25 nation vertices (vid offset 10^9), one directed in_nation edge per
+    customer -- the same shape as the gfd/gdd contract queries, amplified."""
+    from pyspark_validator.graphs.gdd import (
+        AttrToken,
+        Gdd,
+        GddConstraint,
+        gdd_violations,
+    )
+    from pyspark_validator.graphs.gfd import Gfd, gfd_violations
+    from pyspark_validator.graphs.gspan import gspan_edge_supports
+    from pyspark_validator.graphs.io import GraphData, VertexData
+    from pyspark_validator.graphs.maxfem import parallel_episode_supports
+
+    n = args.graph_n
+    vpath = f"{args.work_dir}/graph_vertices.parquet"
+    epath = f"{args.work_dir}/graph_edges.parquet"
+
+    def build():
+        customers = spark.range(n).select(
+            F.col("id").alias("vid"),
+            F.col("id").alias("node_id"),
+            F.lit("customer").alias("label"),
+            F.create_map(
+                F.lit("segment"),
+                F.when(F.pmod("id", F.lit(1000)) == 0, "B").otherwise("A"),
+                F.lit("nationkey"), F.pmod("id", F.lit(25)).cast("string"),
+                F.lit("balance"),
+                (F.pmod("id", F.lit(21)) * 1000 - 10000).cast("string"),
+            ).alias("attrs"),
+        )
+        nations = spark.range(25).select(
+            (F.col("id") + 1000000000).alias("vid"),
+            (F.col("id") + 1000000000).alias("node_id"),
+            F.lit("nation").alias("label"),
+            F.create_map(
+                F.lit("name"), F.concat(F.lit("n"), F.col("id").cast("string")),
+                F.lit("nationkey"), F.col("id").cast("string"),
+            ).alias("attrs"),
+        )
+        customers.unionByName(nations).write.parquet(vpath)
+        spark.range(n).select(
+            F.col("id").alias("src"),
+            (F.pmod("id", F.lit(25)) + 1000000000).alias("dst"),
+            F.lit("in_nation").alias("label"),
+        ).write.parquet(epath)
+
+    _, t_build = _run_op(spark, "build_graph", build)
+    vertices = spark.read.parquet(vpath)
+    edges = spark.read.parquet(epath)
+    res["graph_corpus"] = {"n_customers": n, "build_sec": t_build}
+
+    pattern = GraphData(
+        directed=False,
+        vertices=[
+            VertexData(node_id=0, attrs={"label": "customer"}),
+            VertexData(node_id=1, attrs={"label": "nation"}),
+        ],
+        edges=[(0, 1, "in_nation")],
+    )
+
+    if "gfd" in ops:
+        # expected: id % 25 == 0 (nation n0) and id % 1000 == 0 (segment B);
+        # 1000 % 25 == 0 so that's every multiple of 1000
+        exp_viol = sum(
+            1 for i in range(0, n, 1000) if i % 25 == 0
+        )
+        gfd_bad = Gfd(
+            pattern,
+            [((1, "name"), (-1, "n0"))],
+            [((0, "segment"), (-1, "A"))],
+        )
+        gfd_holds = Gfd(pattern, [], [((0, "nationkey"), (1, "nationkey"))])
+
+        def gfd_op():
+            v1 = gfd_violations(vertices, edges, gfd_bad).count()
+            v2 = gfd_violations(vertices, edges, gfd_holds).count()
+            return v1, v2
+
+        (v1, v2), t = _run_op(spark, "gfd_check", gfd_op)
+        res["gfd_check"] = {
+            "sec": t, "docs_per_sec": round(2 * n / t, 1),
+            "violations": v1, "expected": exp_viol, "exact": v1 == exp_viol,
+            "holds_violations": v2, "holds_exact": v2 == 0,
+        }
+        _progress("gfd_check")
+
+    if "gdd" in ops:
+        # expected: id % 25 == 3 and |(id % 21)*1000 - 10000| > 9000
+        period = 25 * 21
+        per_cycle = [
+            i for i in range(period)
+            if i % 25 == 3 and abs((i % 21) * 1000 - 10000) > 9000
+        ]
+        exp_ce = (n // period) * len(per_cycle) + sum(
+            1 for i in per_cycle if i < n % period
+        )
+        gdd = Gdd(
+            GraphData(directed=True, vertices=pattern.vertices,
+                      edges=pattern.edges),
+            [GddConstraint(AttrToken(1, "nationkey"), 3, 0.0, "abs_diff", "eq")],
+            [GddConstraint(AttrToken(0, "balance"), 0.0, 9000.0, "abs_diff", "le")],
+        )
+        ce, t = _run_op(
+            spark, "gdd_check",
+            lambda: gdd_violations(vertices, edges, gdd).count(),
+        )
+        res["gdd_check"] = {
+            "sec": t, "docs_per_sec": round(n / t, 1),
+            "counterexamples": ce, "expected": exp_ce, "exact": ce == exp_ce,
+        }
+        _progress("gdd_check")
+
+    if "gspan" in ops:
+        # 8-edge transactions; labels are functions of id mod 30, so the
+        # census truth loops over one lcm(8*t stride, 30) period of t
+        def seed_truth():
+            counts: dict[tuple, int] = {}
+            t_period = 15  # (8*t) % 30 cycles with period 15 in t
+            for t_ in range(t_period):
+                seen = set()
+                for s in range(8):
+                    i = 8 * t_ + s
+                    a, b, el = i % 5, 10 + i % 3, i % 2
+                    seen.add((min(a, b), max(a, b), el))
+                for key in seen:
+                    counts[key] = counts.get(key, 0) + 1
+            n_tx = n // 8
+            full, rem = divmod(n_tx, t_period)
+            out = {k: v * full for k, v in counts.items()}
+            for t_ in range(rem):
+                seen = set()
+                for s in range(8):
+                    i = 8 * t_ + s
+                    a, b, el = i % 5, 10 + i % 3, i % 2
+                    seen.add((min(a, b), max(a, b), el))
+                for key in seen:
+                    out[key] = out.get(key, 0) + 1
+            return out
+
+        def gspan_op():
+            rows = spark.range(n).select(
+                (F.col("id") / 8).cast("long").alias("graph_id"),
+                F.pmod("id", F.lit(5)).alias("src_label"),
+                (F.pmod("id", F.lit(3)) + 10).alias("dst_label"),
+                F.pmod("id", F.lit(2)).alias("edge_label"),
+            )
+            return {
+                (r["v1_label"], r["v2_label"], r["edge_label"]): r["support"]
+                for r in gspan_edge_supports(rows).collect()
+            }
+
+        got, t = _run_op(spark, "gspan_census", gspan_op)
+        exp = seed_truth()
+        res["gspan_census"] = {
+            "sec": t, "edges_per_sec": round(n / t, 1),
+            "seeds": len(got), "exact": got == exp,
+        }
+        _progress("gspan_census")
+
+    if "episodes" in ops:
+        # buckets of 100 rows; event = id % 13 -> bucket content is a pure
+        # function of bucket % 13
+        def episode_truth():
+            singles: dict[int, int] = {}
+            pairs: dict[tuple, int] = {}
+            n_buckets = n // 100
+            for bmod in range(13):
+                events = sorted({(100 * bmod + i) % 13 for i in range(100)})
+                cnt = len(range(bmod, n_buckets, 13))
+                for e in events:
+                    singles[e] = singles.get(e, 0) + cnt
+                for x in range(len(events)):
+                    for y in range(x + 1, len(events)):
+                        k = (events[x], events[y])
+                        pairs[k] = pairs.get(k, 0) + cnt
+            return singles, pairs
+
+        def episodes_op():
+            rows = spark.range((n // 100) * 100).select(
+                (F.col("id") / 100).cast("long").alias("bucket"),
+                F.pmod("id", F.lit(13)).alias("event"),
+            )
+            singles, pairs = {}, {}
+            for r in parallel_episode_supports(
+                rows, ts_col="bucket", event_col="event", min_support=1
+            ).collect():
+                if r["event_b"] is None:
+                    singles[r["event_a"]] = r["support"]
+                else:
+                    pairs[(r["event_a"], r["event_b"])] = r["support"]
+            return singles, pairs
+
+        (gs, gp), t = _run_op(spark, "episode_census", episodes_op)
+        es, ep = episode_truth()
+        res["episode_census"] = {
+            "sec": t, "rows_per_sec": round(n / t, 1),
+            "singles": len(gs), "pairs": len(gp),
+            "exact": gs == es and gp == ep,
+        }
+        _progress("episode_census")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=1600)
@@ -847,12 +1058,17 @@ def main() -> None:
              "prefix07. Gram/census tier (plain-replicated corpus -- the "
              "hot-key load shape): spans,delta_spans,lines,census,dsir,contam. "
              "Validation tier (realistic-text materialized corpus): "
-             "valfused,sketch,datastats,drift",
+             "valfused,sketch,datastats,drift. Graph/sequence tier "
+             "(synthetic closed-form graph): gfd,gdd,gspan,episodes",
     )
     ap.add_argument(
         "--val-rep", type=int, default=1600,
         help="replication factor for the validation-tier corpus (>= 4; "
              "1600 x sf0.1 = 8M docs)",
+    )
+    ap.add_argument(
+        "--graph-n", type=int, default=8_000_000,
+        help="customer-vertex count for the graph/sequence tier soak",
     )
     ap.add_argument(
         "--prefix-budget", type=int, default=100_000_000,
@@ -864,6 +1080,7 @@ def main() -> None:
     SIM_OPS = {"minhash", "audit", "prefix", "prefix07"}
     GRAM_OPS = {"spans", "delta_spans", "lines", "census", "dsir", "contam"}
     VAL_OPS = {"valfused", "sketch", "datastats", "drift"}
+    GRAPH_OPS = {"gfd", "gdd", "gspan", "episodes"}
 
     shutil.rmtree(EVLOG_DIR, ignore_errors=True)
     os.makedirs(EVLOG_DIR, exist_ok=True)
@@ -1037,6 +1254,10 @@ def main() -> None:
     # ================= validation tier (realistic-text corpus) ============
     if ops & VAL_OPS:
         _validation_tier(spark, args, ops, res, _progress)
+
+    # ================= graph + sequence tier (closed-form graph) ==========
+    if ops & GRAPH_OPS:
+        _graph_tier(spark, args, ops, res, _progress)
 
     from pyspark_validator.pipelines.similarity import (
         knn_join_lsh,
