@@ -68,7 +68,83 @@ def _spark_home() -> str:
 # worker mode: runs INSIDE spark-submit against the standalone master
 
 
-def worker_main(cores_max: int, reps: int) -> None:
+def _graph_frames(spark, n: int):
+    """The graph-tier soak's synthetic closed-form graph (scale_soak.py
+    _graph_tier), built in-memory: n customer vertices + 25 nations + one
+    directed in_nation edge per customer; segment 'B' every 1000th id,
+    nationkey = id % 25."""
+    from pyspark.sql import functions as F
+
+    customers = spark.range(n).select(
+        F.col("id").alias("vid"),
+        F.col("id").alias("node_id"),
+        F.lit("customer").alias("label"),
+        F.create_map(
+            F.lit("segment"),
+            F.when(F.pmod("id", F.lit(1000)) == 0, "B").otherwise("A"),
+            F.lit("nationkey"), F.pmod("id", F.lit(25)).cast("string"),
+        ).alias("attrs"),
+    )
+    nations = spark.range(25).select(
+        (F.col("id") + 1000000000).alias("vid"),
+        (F.col("id") + 1000000000).alias("node_id"),
+        F.lit("nation").alias("label"),
+        F.create_map(
+            F.lit("name"), F.concat(F.lit("n"), F.col("id").cast("string")),
+            F.lit("nationkey"), F.col("id").cast("string"),
+        ).alias("attrs"),
+    )
+    vertices = customers.unionByName(nations).repartition(64).persist()
+    edges = spark.range(n).select(
+        F.col("id").alias("src"),
+        (F.pmod("id", F.lit(25)) + 1000000000).alias("dst"),
+        F.lit("in_nation").alias("label"),
+    ).repartition(64).persist()
+    vertices.count()
+    edges.count()
+    return vertices, edges
+
+
+def _graph_suite(spark, n: int):
+    """Timed phase of the graph workload: the two gfd_customer_nation-shaped
+    GFD checks (planted-violation + full-scan holds) over the synthetic
+    graph. Returns (elapsed, docs=2n, bad_count, holds_count)."""
+    from pyspark_validator.graphs.gfd import Gfd, gfd_violations
+    from pyspark_validator.graphs.io import GraphData, VertexData
+
+    # the submit conf pins shuffle partitions to cores_max for the UCC/FD
+    # suite (which partitions explicitly); the GFD join chain rides the
+    # session value, and ONE sort partition at the 1-executor level spills
+    # the whole 32M-row merge join -- fix the fan-out like bench's
+    # num_partitions=64 (AQE coalesces the small ones back)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    vertices, edges = _graph_frames(spark, n)
+    pattern = GraphData(
+        directed=False,
+        vertices=[
+            VertexData(node_id=0, attrs={"label": "customer"}),
+            VertexData(node_id=1, attrs={"label": "nation"}),
+        ],
+        edges=[(0, 1, "in_nation")],
+    )
+    gfd_bad = Gfd(
+        pattern, [((1, "name"), (-1, "n0"))], [((0, "segment"), (-1, "A"))]
+    )
+    gfd_holds = Gfd(pattern, [], [((0, "nationkey"), (1, "nationkey"))])
+    t0 = time.time()
+    bad = gfd_violations(vertices, edges, gfd_bad).count()
+    holds = gfd_violations(vertices, edges, gfd_holds).count()
+    elapsed = time.time() - t0
+    viol_rows = sorted(
+        r["v0"] for r in gfd_violations(vertices, edges, gfd_bad).collect()
+    )
+    sha = hashlib.sha256(repr(viol_rows).encode()).hexdigest()
+    vertices.unpersist()
+    edges.unpersist()
+    return elapsed, 2 * n, bad, holds, sha
+
+
+def worker_main(cores_max: int, reps: int, workload: str = "validation") -> None:
     from pyspark.sql import SparkSession
 
     import bench
@@ -86,6 +162,30 @@ def worker_main(cores_max: int, reps: int) -> None:
         time.sleep(1)
     else:
         raise SystemExit(f"only {n_exec}/{want} executors registered after 120s")
+
+    if workload == "graph":
+        n = int(os.environ.get("SPARK_GRAFT_GRAPH_N", "2000000"))
+        best, n_docs = None, 0
+        for _ in range(reps):
+            elapsed, n_docs, bad, holds, sha = _graph_suite(spark, n)
+            best = elapsed if best is None else min(best, elapsed)
+        expected_bad = sum(1 for i in range(0, n, 1000) if i % 25 == 0)
+        n_exec = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+        print(
+            "CLUSTER_WORKER_RESULT "
+            + json.dumps(
+                {
+                    "cores_max": cores_max,
+                    "executors": n_exec,
+                    "sec": round(best, 3),
+                    "n_docs": n_docs,
+                    "ucc_verdict_sha": sha,  # violation-row sha (bad GFD)
+                    "fd_verdict_sha": f"bad={bad};exp={expected_bad};holds={holds}",
+                }
+            )
+        )
+        spark.stop()
+        return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     best, n_docs = None, 0
@@ -206,6 +306,7 @@ def _submit(args, zip_path: str, cores_max: int) -> dict:
         "--worker",
         str(cores_max),
         str(args.reps),
+        args.workload,
     ]
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [
@@ -230,6 +331,12 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="/tmp/cluster_scaling.json")
     ap.add_argument("--work-dir", default="/tmp/cluster_scaling")
+    ap.add_argument(
+        "--workload", default="validation", choices=("validation", "graph"),
+        help="'validation' = UCC+FD heavy suite (default); 'graph' = the "
+             "two gfd_customer_nation-shaped GFD checks over the synthetic "
+             "closed-form graph (SPARK_GRAFT_GRAPH_N vertices)",
+    )
     args = ap.parse_args()
 
     os.makedirs(f"{args.work_dir}/logs", exist_ok=True)
@@ -315,7 +422,8 @@ def main() -> int:
     out = {
         "metric": (
             f"scaling efficiency {args.low} -> {args.high} EXECUTORS "
-            "(standalone cluster, spark-submit --py-files, UCC+FD heavy suite)"
+            f"(standalone cluster, spark-submit --py-files, "
+            f"{'GFD graph checks' if args.workload == 'graph' else 'UCC+FD heavy suite'})"
         ),
         "value": round(speedup / ratio, 3),
         "unit": "efficiency",
@@ -344,6 +452,10 @@ def main() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker_main(int(sys.argv[2]), int(sys.argv[3]))
+        worker_main(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else "validation",
+        )
     else:
         sys.exit(main())
