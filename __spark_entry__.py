@@ -7813,6 +7813,114 @@ FROM v ORDER BY gfd_index
 """
 
 
+def q_gfd_docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFD validation over the INPUT-HINT table's own shape: the bipartite
+    doc->media graph implied by the interleaved span derivation (an image
+    chunk i of doc d exists when (d+i) %% 7 == 0 and references media
+    (d*31+i) %% 100000 -- the exact _docs_spans media_ref rule). Three GFDs:
+    'en docs only use even-bucket media' (violated), a vacuous premise
+    (lang zz), and 'every used media is an image' (holds over every
+    embedding). Each (doc, media) edge is a distinct embedding (refs are
+    distinct within a doc), so the oracle counts the span rule in SQL."""
+    from pyspark_validator.graphs.gfd import Gfd, gfd_violations
+    from pyspark_validator.graphs.io import GraphData, VertexData
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chunks = F.greatest(
+        F.ceil(F.length("text") / F.lit(64.0)).cast("int"), F.lit(1)
+    )
+    pairs = (
+        d.select(
+            F.col("doc_id").alias("did"),
+            "lang",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .filter((F.col("did") + F.col("i")) % 7 == 0)
+        .select(
+            "did",
+            "lang",
+            ((F.col("did") * 31 + F.col("i")) % 100000).alias("ref_num"),
+        )
+    )
+    doc_vertices = d.select(
+        F.col("doc_id").alias("vid"),
+        F.col("doc_id").alias("node_id"),
+        F.lit("doc").alias("label"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("attrs"),
+    )
+    media_vertices = (
+        pairs.select("ref_num")
+        .distinct()
+        .select(
+            (F.col("ref_num") + F.lit(1000000000)).alias("vid"),
+            (F.col("ref_num") + F.lit(1000000000)).alias("node_id"),
+            F.lit("media").alias("label"),
+            F.create_map(
+                F.lit("kind"), F.lit("image"),
+                F.lit("bucket"), (F.col("ref_num") % 2).cast("string"),
+            ).alias("attrs"),
+        )
+    )
+    vertices = doc_vertices.unionByName(media_vertices)
+    edges = pairs.select(
+        F.col("did").alias("src"),
+        (F.col("ref_num") + F.lit(1000000000)).alias("dst"),
+        F.lit("uses").alias("label"),
+    )
+    pattern = GraphData(
+        directed=False,
+        vertices=[
+            VertexData(node_id=0, attrs={"label": "doc"}),
+            VertexData(node_id=1, attrs={"label": "media"}),
+        ],
+        edges=[(0, 1, "uses")],
+    )
+    gfds = [
+        Gfd(pattern, [((0, "lang"), (-1, "en"))],
+            [((1, "bucket"), (-1, "0"))]),
+        Gfd(pattern, [((0, "lang"), (-1, "zz"))],
+            [((1, "bucket"), (-1, "0"))]),
+        Gfd(pattern, [], [((1, "kind"), (-1, "image"))]),
+    ]
+    out = None
+    for i, gfd in enumerate(gfds):
+        row = gfd_violations(vertices, edges, gfd).agg(
+            F.count(F.lit(1)).alias("violations")
+        ).select(
+            F.lit(i).alias("gfd_index"),
+            F.col("violations"),
+            (F.col("violations") == 0).cast("int").alias("satisfied_flag"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gfd_index")
+
+
+SQL_GFD_DOCS_MEDIA = """
+WITH pairs AS (
+  SELECT d.doc_id AS did, d.lang,
+         (d.doc_id * 31 + i) % 100000 AS ref_num
+  FROM documents d
+  CROSS JOIN UNNEST(range(0,
+      greatest(CAST(ceil(length(d.text) / 64.0) AS INT), 1))) AS t(i)
+  WHERE (d.doc_id + i) % 7 = 0
+),
+v AS (
+  SELECT 0 AS gfd_index,
+         COUNT(*) FILTER (WHERE lang = 'en' AND ref_num % 2 <> 0)
+           AS violations
+  FROM pairs
+  UNION ALL
+  SELECT 1, COUNT(*) FILTER (WHERE lang = 'zz' AND ref_num % 2 <> 0)
+  FROM pairs
+  UNION ALL
+  SELECT 2, 0 FROM (SELECT 1)
+)
+SELECT gfd_index, CAST(violations AS BIGINT) AS violations,
+       CAST(violations = 0 AS INT) AS satisfied_flag
+FROM v ORDER BY gfd_index
+"""
+
+
 def q_gdd_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDD validation (graphs/gdd.py, reference gdd.cpp semantics) over the
     directed customer->nation graph: an abs-diff balance constraint gated by
@@ -8145,6 +8253,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers_topk": q_embedding_outliers_topk,
         "change_point_events": q_change_point_events,
         "gfd_customer_nation": q_gfd_customer_nation,
+        "gfd_docs_media": q_gfd_docs_media,
         "gdd_customer_nation": q_gdd_customer_nation,
         "gspan_orders_seeds": q_gspan_orders_seeds,
         "maxfem_events_pairs": q_maxfem_events_pairs,
@@ -8453,6 +8562,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers_topk": SQL_EMBEDDING_OUTLIERS_TOPK,
         "change_point_events": SQL_CHANGE_POINT_EVENTS,
         "gfd_customer_nation": SQL_GFD_CUSTOMER_NATION,
+        "gfd_docs_media": SQL_GFD_DOCS_MEDIA,
         "gdd_customer_nation": SQL_GDD_CUSTOMER_NATION,
         "gspan_orders_seeds": SQL_GSPAN_ORDERS_SEEDS,
         "maxfem_events_pairs": SQL_MAXFEM_EVENTS_PAIRS,
