@@ -780,3 +780,112 @@ def test_minhash_band_shuffle_carries_no_signatures(spark, tables):
     assert len(band_exchanges) >= 2  # both self-join sides shuffle on (band, bucket)
     for ex in band_exchanges:
         assert "sig#" not in ex, ex
+
+
+def test_gfd_embedding_chain_plan(spark, tables):
+    """Graph-tier plan pins (graphs/gfd.py): the embedding join chain over a
+    parquet-backed vertex/edge graph (1) pushes the pattern-vertex LABEL
+    filters into the parquet scans (PushedFilters reach the source), (2)
+    contains no cartesian product and no Python eval, and (3) ends in the
+    dropDuplicates aggregation, so violation counting is one bounded agg."""
+    import pyspark.sql.functions as F
+
+    from pyspark_validator.graphs.gfd import Gfd, gfd_violations
+    from pyspark_validator.graphs.io import GraphData, VertexData
+
+    spark.catalog.clearCache()
+    c = tables["customer"]
+    vertices = c.select(
+        F.col("c_custkey").cast("long").alias("vid"),
+        F.col("c_custkey").cast("long").alias("node_id"),
+        F.lit("customer").alias("label"),
+        F.create_map(F.lit("seg"), F.col("c_mktsegment")).alias("attrs"),
+    ).unionByName(
+        c.select(
+            (F.col("c_nationkey").cast("long") + 1000000).alias("vid"),
+            (F.col("c_nationkey").cast("long") + 1000000).alias("node_id"),
+            F.lit("nation").alias("label"),
+            F.create_map(F.lit("nk"), F.col("c_nationkey").cast("string")).alias(
+                "attrs"
+            ),
+        ).dropDuplicates(["vid"])
+    )
+    edges = c.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + 1000000).alias("dst"),
+        F.lit("in_nation").alias("label"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        vertices.write.parquet(f"{td}/v")
+        edges.write.parquet(f"{td}/e")
+        vp = spark.read.parquet(f"{td}/v")
+        ep = spark.read.parquet(f"{td}/e")
+        pattern = GraphData(
+            directed=False,
+            vertices=[
+                VertexData(node_id=0, attrs={"label": "customer"}),
+                VertexData(node_id=1, attrs={"label": "nation"}),
+            ],
+            edges=[(0, 1, "in_nation")],
+        )
+        gfd = Gfd(pattern, [((1, "nk"), (-1, "3"))], [((0, "seg"), (-1, "BUILDING"))])
+        p = _plan(gfd_violations(vp, ep, gfd))
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # label equality must reach the vertex parquet scans as pushed filters
+        pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+        assert any("label" in l and "customer" in l for l in pushed)
+        assert any("label" in l and "nation" in l for l in pushed)
+        # the final dedup is a per-key aggregate (Sort flavor: the carried
+        # map-typed attr columns are not hash-aggregable), not a global sort
+        assert _count(p, "SortAggregate") + _count(p, "HashAggregate") >= 1
+
+
+def test_gdd_relation_targets_single_groupby(spark, tables):
+    """graphs/gdd.py relation constraints: each relation label builds ONE
+    target-set groupBy; two constraints over the same label reuse the frame
+    (no second aggregation over the edge scan)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_validator.graphs.gdd import (
+        Gdd,
+        GddConstraint,
+        RelToken,
+        gdd_violations,
+    )
+    from pyspark_validator.graphs.io import GraphData, VertexData
+
+    c = tables["customer"].limit(200)
+    vertices = c.select(
+        F.col("c_custkey").cast("long").alias("vid"),
+        F.col("c_custkey").cast("long").alias("node_id"),
+        F.lit("customer").alias("label"),
+        F.create_map(F.lit("seg"), F.col("c_mktsegment")).alias("attrs"),
+    )
+    edges = c.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        F.col("c_custkey").cast("long").alias("dst"),
+        F.lit("self").alias("label"),
+    )
+    pattern = GraphData(
+        directed=True,
+        vertices=[VertexData(node_id=0, attrs={"label": "customer"})],
+    )
+    gdd = Gdd(
+        pattern,
+        [GddConstraint(RelToken(0, "self"), RelToken(0, "self"), 0.0, "abs_diff", "eq")],
+        [GddConstraint(RelToken(0, "self"), 1, 0.0, "abs_diff", "eq")],
+    )
+    from pyspark_validator.graphs.gdd import _ConstraintCompiler
+
+    comp = _ConstraintCompiler(vertices, edges, pattern)
+    for con in gdd.lhs + gdd.rhs:
+        comp.compile(con)
+    # one shared target frame for the single relation label
+    assert len(comp._target_frames) == 1
+    # the end-to-end violation plan stays cartesian- and python-free
+    p = _plan(gdd_violations(vertices, edges, gdd))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
